@@ -1,0 +1,69 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed once for warm-up-free wall time after a shared
+session warm-up query (JVM + codegen caches); timing covers plan build +
+execution + a count-style materialization (no driver collect of payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: flagship ingest + the heaviest representative of each
+# operator family. Extended as families land.
+HEADLINE = [
+    "ingest_normalize",
+    "ingest_idempotency",
+    "datapoint_day_rollup",
+]
+
+
+def main() -> None:
+    from sparkstreaming_rawdataingestion_spark.queries import all_queries
+    from sparkstreaming_rawdataingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # optional extra names from argv
+    names += [n for n in sys.argv[1:] if n in registry and n not in names]
+
+    # warm-up: touch the IO + codegen paths once
+    registry[names[0]](spark, SF_DIR).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, SF_DIR)
+        # force full execution without shipping payload rows to the driver
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""The ingest-normalize pipeline — the reference's entire job as one
+DataFrame expression (SURVEY §2.1 ops 3-10, §7.0).
+
+Reference flow (RawDataIngestion.java:100-152):
+  Kafka value string → Gson parse → iterate ``data`` array → build one
+  ``DataPoint(datastream_id, day, datetime, offset, sample)`` per element →
+  upsert to Cassandra ``rawdata`` keyed on (datastream_id, day, datetime).
+
+Engine flow (all built-in expressions, one whole-stage-codegen pipeline,
+zero shuffles — identical shuffle profile to the reference, SURVEY §3.3):
+  value → from_json(MESSAGE_SCHEMA)      [op 4 — PERMISSIVE: corrupt input
+          becomes a null ``data`` field and is filtered, instead of the
+          reference's crash-the-batch behavior, SURVEY §0]
+        → explode(data)                  [op 5 — correlated flatten; drops
+          empty arrays exactly like the reference's zero-iteration loop]
+        → scalar normalization           [ops 6-9, functions/]
+        → DataPoint projection           [op 10]
+
+Scale notes: this plan is embarrassingly parallel — it scales linearly with
+Kafka partitions / input splits, with no shuffle and no state. The ``day``
+column is the downstream partition key (sinks.py) so the 100 TB archive
+prunes by day at the metadata level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import day_bucket, epoch_ms_to_ts, ms_to_offset_minutes
+from ..schemas import MESSAGE_SCHEMA
+
+
+def parse_messages(values: DataFrame) -> DataFrame:
+    """Op 4 — lenient JSON parse of message values (column ``value``).
+
+    PERMISSIVE mode turns malformed documents into all-null structs; the
+    not-null filter on ``data`` drops them. This is the well-defined version
+    of the reference's catch-and-emit-empty-object (which then NPE'd
+    downstream, RawDataIngestion.java:117-126,134).
+    """
+    return values.select(
+        F.from_json(F.col("value"), MESSAGE_SCHEMA).alias("m")
+    ).where(F.col("m.data").isNotNull())
+
+
+def flatten_datapoints(parsed: DataFrame) -> DataFrame:
+    """Ops 5-10 — correlated flatten of the ``data`` array plus scalar
+    normalization into the DataPoint schema (DataPoint.java:33-37)."""
+    exploded = parsed.select(
+        F.col("m.datastream_id").alias("datastream_id"),
+        F.explode(F.col("m.data")).alias("e"),
+    )
+    return exploded.select(
+        F.col("datastream_id"),
+        day_bucket(epoch_ms_to_ts(F.col("e.dateTime"))).alias("day"),
+        epoch_ms_to_ts(F.col("e.dateTime")).alias("datetime"),
+        ms_to_offset_minutes(F.col("e.offset")).alias("offset"),
+        F.col("e.sample").alias("sample"),
+    )
+
+
+def ingest_normalize(values: DataFrame) -> DataFrame:
+    """The full value-string → DataPoint pipeline (ops 3-10)."""
+    return flatten_datapoints(parse_messages(values))

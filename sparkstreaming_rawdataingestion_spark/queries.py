@@ -1,0 +1,125 @@
+"""Query registry — every implemented operator exposed as a named query
+with (where SQL-expressible) a DuckDB oracle.
+
+Each query is ``(spark, sf_dir) -> DataFrame``; the driver compares it to
+the oracle SQL at sf0.01 (row-count + schema + order-insensitive value
+hash, columns sorted by name). Aliases are kept identical on both sides.
+
+The registry is assembled from per-module ``QUERIES``/``ORACLES`` dicts so
+query code and its oracle stay next to each other.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog
+from .operators import ingest
+from .sinks import dedup_on_pk
+from .sources import fixtures
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Ingest parity pack (SURVEY §2.1 ops 3-10; flagship of §7.0)
+# ---------------------------------------------------------------------------
+
+# Shared expression fragments between Spark fixture generation and oracle SQL.
+_OFFSET_MS_SQL = fixtures.OFFSET_MS_EXPR  # ((event_id % 7) - 3) * 37000
+
+# DuckDB-side projection equivalent to the full wrap→parse→explode→normalize
+# round trip. ``replace(props, ' ', '')`` mirrors Spark's compact JSON
+# re-serialization of the opaque payload (fixture props are single-key
+# integer objects, so whitespace stripping is exact — SURVEY §7.3).
+_INGEST_ORACLE = f"""
+SELECT CAST(user_id AS INTEGER)                                  AS datastream_id,
+       strftime(date_trunc('milliseconds', ts), '%Y%m%d')        AS day,
+       date_trunc('milliseconds', ts)                            AS datetime,
+       CAST(TRUNC(({_OFFSET_MS_SQL}) / 60000.0) AS INTEGER)      AS offset,
+       replace(props, ' ', '')                                   AS sample
+FROM events
+"""
+
+
+def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: events → Kafka-shaped messages → parse/explode/normalize.
+
+    Exercises ops 3-10 in one shuffle-free whole-stage-codegen pipeline,
+    including the malformed-message and empty-array edge cases (both yield
+    zero rows, unlike the reference's batch-killing NPE — SURVEY §0).
+    """
+    events = catalog.load_table(spark, sf_dir, "events")
+    messages = fixtures.events_to_messages(events, include_edge_cases=True)
+    return ingest.ingest_normalize(messages)
+
+
+def q_ingest_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11's upsert contract: ingesting the same messages twice (the
+    at-least-once redelivery case) then PK-dedup yields the same table as
+    ingesting once (Cassandra-upsert parity, RawDataIngestion.java:152)."""
+    events = catalog.load_table(spark, sf_dir, "events")
+    messages = fixtures.events_to_messages(events, include_edge_cases=True)
+    doubled = messages.unionAll(messages)
+    return dedup_on_pk(ingest.ingest_normalize(doubled))
+
+
+def q_datapoint_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bucket rollup over normalized datapoints — the canonical pruned
+    aggregation the ``day`` partition layout exists for."""
+    dp = q_ingest_normalize(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return dp.groupBy("datastream_id", "day").agg(
+        F.count("*").alias("n_points"),
+        F.min("datetime").alias("first_dt"),
+        F.max("datetime").alias("last_dt"),
+    )
+
+
+INGEST_QUERIES: dict[str, QueryFn] = {
+    "ingest_normalize": q_ingest_normalize,
+    "ingest_idempotency": q_ingest_idempotency,
+    "datapoint_day_rollup": q_datapoint_day_rollup,
+}
+
+INGEST_ORACLES: dict[str, str] = {
+    "ingest_normalize": _INGEST_ORACLE,
+    "ingest_idempotency": _INGEST_ORACLE,  # PK unique in fixtures → same set
+    "datapoint_day_rollup": f"""
+SELECT datastream_id, day,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(datetime) AS first_dt,
+       max(datetime) AS last_dt
+FROM ({_INGEST_ORACLE})
+GROUP BY datastream_id, day
+""",
+}
+
+
+_OPERATOR_MODULES = ("relational", "asof", "dedup", "similarity", "text", "multimodal")
+
+
+def _operator_registries(attr: str) -> dict:
+    """Collect ``QUERIES`` / ``ORACLES`` dicts from every operator module."""
+    import importlib
+
+    registry: dict = {}
+    for mod in _OPERATOR_MODULES:
+        try:
+            m = importlib.import_module(f"{__package__}.operators.{mod}")
+        except ImportError:
+            continue
+        registry.update(getattr(m, attr, {}))
+    return registry
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {**INGEST_QUERIES, **_operator_registries("QUERIES")}
+
+
+def all_oracles() -> dict[str, str]:
+    """Oracle SQL per query name. Names absent here (but present in
+    ``all_queries``) are non-SQL-expressible ops → driver's rows-only check."""
+    return {**INGEST_ORACLES, **_operator_registries("ORACLES")}

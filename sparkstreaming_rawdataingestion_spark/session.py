@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Scale notes (100 TB / 1000-executor target):
+
+- ``spark.sql.session.timeZone`` is pinned to UTC because the reference's
+  ``yyyyMMdd`` day-bucket derivation used the JVM default timezone
+  (``RawDataIngestion.java:137``); pinning makes the bucket deterministic
+  across a heterogeneous cluster and matches the DuckDB oracle.
+- AQE is on: runtime coalescing of shuffle partitions, auto broadcast-join
+  demotion/promotion and skew-join splitting are exactly the knobs that keep
+  the relational surface healthy at 1000× the test data.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster this is sized to ~2-3× total cores and AQE coalesces
+  down — never hardcode a small number into operator code.
+- ``spark.sql.legacy.parquet.nanosAsLong`` lets Spark 4 read the test
+  tables' ``timestamp[ns]`` columns (as raw nanos; ``catalog`` converts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sparkstreaming-rawdataingestion-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session with scale-ready defaults."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally created
+    session (the driver hands us its own SparkSession in ``entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; catalog falls back to a cast
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

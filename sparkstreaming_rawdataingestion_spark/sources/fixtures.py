@@ -1,0 +1,78 @@
+"""Kafka-shaped fixture messages generated from the ``events`` table.
+
+The reference's native input is a Kafka message whose value is one JSON
+document ``{"datastream_id": int, "data": [{"dateTime": ms, "offset": ms,
+"sample": <json>}, ...]}`` (RawDataIngestion.java:134-141, FIXTURES.md §A.1).
+No Kafka broker exists in the test environment, so this module wraps the
+deterministic ``events`` rows into exactly that shape; the ingest pipeline
+then consumes the wrapped messages the same way it would consume
+``CAST(value AS STRING)`` from a real Kafka source.
+
+Mapping (FIXTURES.md §A.1):
+  datastream_id = user_id
+  dateTime      = epoch milliseconds of ts (µs truncated)
+  offset        = ((event_id % 7) - 3) * 37000  ms — deterministic, includes
+                  negative and non-multiple-of-60000 values to exercise the
+                  truncating division of op 8
+  sample        = props (a JSON object, embedded raw — not string-escaped)
+
+Scale note: the groupBy/collect_list here is *fixture scaffolding* (one
+message per user, bounded by the per-user event count); the engine's ingest
+path itself is shuffle-free (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Deterministic per-event offset expression, shared with the oracle SQL.
+OFFSET_MS_EXPR = "((event_id % 7) - 3) * 37000"
+
+# Edge-case messages (SURVEY §0 error paths): one malformed JSON value, one
+# message with an empty data array. Both must produce zero output rows.
+MALFORMED_MESSAGE = '{"datastream_id": oops'
+EMPTY_DATA_MESSAGE = '{"datastream_id": -1, "data": []}'
+
+
+def events_to_messages(events: DataFrame, include_edge_cases: bool = True) -> DataFrame:
+    """Wrap events into Kafka-shaped JSON message values (one per user).
+
+    Returns a single-column DataFrame ``value: string``, mirroring
+    ``CAST(value AS STRING)`` of a Kafka scan (SURVEY §2.1 op 3).
+    """
+    elements = events.select(
+        F.col("user_id"),
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("dateTime"),
+            F.expr(OFFSET_MS_EXPR).cast("int").alias("offset"),
+            # Parse the single-key props JSON so to_json embeds it as a raw
+            # object (not an escaped string). Fixture-only schema; the
+            # engine itself never imposes a schema on the payload.
+            F.from_json(F.col("props"), "k INT").alias("sample"),
+        ).alias("e"),
+    )
+    messages = (
+        elements.groupBy("user_id")
+        .agg(F.collect_list("e").alias("data"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("user_id").cast("int").alias("datastream_id"),
+                    F.col("data"),
+                )
+            ).alias("value")
+        )
+    )
+    if include_edge_cases:
+        spark = events.sparkSession
+        edge = spark.createDataFrame(
+            [(MALFORMED_MESSAGE,), (EMPTY_DATA_MESSAGE,)], "value string"
+        )
+        messages = messages.unionAll(edge)
+    return messages
+
+
+def write_message_files(events: DataFrame, path: str, num_files: int = 4) -> None:
+    """Materialize fixture messages as JSON-lines text files — the streaming
+    tests replay these through a file source standing in for Kafka."""
+    events_to_messages(events).repartition(num_files).write.mode("overwrite").text(path)

@@ -1,0 +1,70 @@
+"""Kafka source wrappers (SURVEY §2.1 ops 1-3).
+
+The reference consumes Kafka with a receiver-less direct stream over a
+comma-separated topic list, starting from the earliest offset, decoding both
+key and value as UTF-8 and discarding the key
+(``RawDataIngestion.java:80-110``). Structured Streaming's Kafka source is
+the idiomatic equivalent: one Kafka partition still maps to one Spark
+partition, multi-topic subscribe is native (``subscribe`` takes the same
+comma-separated list — the reference's source-level union, op 2), and
+``startingOffsets=earliest`` matches ``auto.offset.reset=smallest``
+(``RawDataIngestion.java:97``).
+
+No broker exists in the test environment, so these builders are exercised
+only for plan construction; tests replay fixture files through
+``message_file_stream`` instead (same downstream schema: ``value: string``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def kafka_value_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming scan of ``topics`` (comma-separated, op 2) projected to the
+    UTF-8 message value (op 3: drop key, keep value)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if min_partitions:
+        # At 100 TB/day a topic's partition count may lag the cluster size;
+        # minPartitions lets Spark split Kafka partitions for parallelism.
+        reader = reader.option("minPartitions", str(min_partitions))
+    return reader.load().select(F.col("value").cast("string").alias("value"))
+
+
+def kafka_value_batch(
+    spark: SparkSession, bootstrap_servers: str, topics: str
+) -> DataFrame:
+    """Batch twin of the streaming scan (backfills, reprocessing)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def message_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stand-in for Kafka used by the streaming tests: each text
+    line is one message value (schema identical to the Kafka projection)."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+        .select(F.col("value").cast("string").alias("value"))
+    )
