@@ -27,6 +27,12 @@ HEADLINE = [
     "ingest_normalize",
     "ingest_idempotency",
     "datapoint_day_rollup",
+    "agg_pricing_summary",
+    "join_fact_fact_revenue",
+    "join_broadcast_dims",
+    "window_topk_per_group",
+    "asof_join_purchase_click",
+    "set_operations",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Semantic spot-checks for the relational pack (the exhaustive value
+check is the DuckDB oracle gate — tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark import catalog
+from sparkstreaming_rawdataingestion_spark.operators import asof, relational
+
+
+def test_topk_per_group_bounded(spark, sf_dir):
+    df = relational.q_window_topk_per_group(spark, sf_dir)
+    per_group = df.groupBy("o_custkey").count()
+    assert per_group.agg(F.max("count")).first()[0] <= 3
+
+
+def test_rollup_includes_grand_total(spark, sf_dir):
+    df = relational.q_agg_rollup(spark, sf_dir)
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    grand = df.where(
+        F.col("l_returnflag").isNull() & F.col("l_linestatus").isNull()
+    ).collect()
+    assert len(grand) == 1
+    assert grand[0]["n"] == li.count()
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    c = catalog.load_table(spark, sf_dir, "customer")
+    with_orders = relational.q_join_semi(spark, sf_dir)  # totalprice>300k
+    no_orders = relational.q_join_anti(spark, sf_dir)
+    # anti + customers-with-any-order == all customers
+    o = catalog.load_table(spark, sf_dir, "orders")
+    any_order = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    assert no_orders.count() + any_order.count() == c.count()
+    assert with_orders.count() <= any_order.count()
+
+
+def test_asof_matches_are_latest_prior(spark, sf_dir):
+    out = asof.q_asof_join(spark, sf_dir).collect()
+    assert out, "expected at least one purchase with a prior click"
+    for r in out:
+        assert r["ts_right"] <= r["purchase_ts"]
+
+
+def test_asof_left_keeps_unmatched(spark, sf_dir):
+    ev = catalog.load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    left = asof.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts",
+        right_ts="ts", right_cols=["value"], how="left",
+    )
+    assert left.count() == purchases.count()

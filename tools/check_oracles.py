@@ -61,7 +61,8 @@ def main() -> int:
             srows = sdf.collect()
             scols = sorted(sdf.columns)
             sset = sorted(
-                tuple(normalize(r[c]) for c in scols) for r in srows
+                (tuple(normalize(r[c]) for c in scols) for r in srows),
+                key=repr,
             )
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
@@ -78,7 +79,8 @@ def main() -> int:
             order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = sorted(dcols_raw)
             dset = sorted(
-                tuple(normalize(r[i]) for i in order) for r in drows
+                (tuple(normalize(r[i]) for i in order) for r in drows),
+                key=repr,
             )
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
