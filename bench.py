@@ -33,6 +33,11 @@ HEADLINE = [
     "window_topk_per_group",
     "asof_join_purchase_click",
     "set_operations",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "multimodal_decode_meta",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Text-analysis operators over the ``documents`` table — the quality /
+filtering layer of an LLM training-data pipeline (BASELINE.json north star).
+
+Everything here is built-in ``pyspark.sql.functions`` column algebra — no
+Python UDFs — so the whole pack rides whole-stage codegen and scales as a
+pure map over document shards (zero shuffles; embarrassingly parallel at
+100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Tiny per-language marker lists for the n-gram/stopword language heuristic.
+# (The fixture corpus is synthetic word soup, so the *interesting* property
+# is determinism, not linguistic accuracy.)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+# BPE-ish tokenizer: runs of letters, runs of digits, or single other
+# non-space symbols — the standard pre-tokenization regex shape.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _marker_score(lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(
+        F.filter(_toks(), lambda t: t.isin(markers))
+    ).alias(f"score_{lang}")
+
+
+@_register(
+    "text_token_stats",
+    f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER)                          AS n_chars_measured,
+       CAST(len(string_split(text, ' ')) AS INTEGER)          AS n_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER)
+                                                              AS n_bpe_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                                                              AS n_unique_tokens,
+       round(length(replace(text, ' ', '')) * 1.0
+             / len(string_split(text, ' ')), 6)               AS avg_token_len
+FROM documents
+""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, uniques,
+    average token length."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            * F.lit(1.0)
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@_register(
+    "text_quality_score",
+    f"""
+SELECT doc_id,
+       n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(uniq_ratio, 6) AS unique_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(0.25 * CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+           + 0.25 * CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
+           + 0.25 * uniq_ratio
+           + 0.25 * (1.0 - punct_ratio), 6) AS quality_score
+FROM (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         len(list_filter(toks, t -> t IN ({_sql_list(STOPWORDS)}))) * 1.0
+           / len(toks)                                        AS stop_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks)           AS uniq_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+           / length(text)                                     AS punct_ratio
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+""",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: length band, stopword presence,
+    lexical diversity, punctuation density → weighted 0-1 score (the
+    Gopher/C4-style filter-feature pattern)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) * F.lit(1.0) / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+        * F.lit(1.0)
+        / F.length("text")
+    )
+    quality = (
+        F.lit(0.25) * F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+        + F.lit(0.25) * F.when(stop_ratio >= 0.01, 1.0).otherwise(0.0)
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+@_register(
+    "text_langid",
+    f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_es THEN 'de'
+         ELSE 'es'
+       END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["en"])}))) AS s_en,
+         len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["de"])}))) AS s_de,
+         len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["es"])}))) AS s_es
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a fixed priority tie-break (en>de>es)
+    and 'und' when no marker fires. A real deployment swaps the marker
+    lists for per-language n-gram profiles; the dataflow is identical."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    s = {lang: _marker_score(lang) for lang in ("en", "de", "es")}
+    d2 = d.select("doc_id", F.col("lang").alias("labeled_lang"), *s.values())
+    predicted = (
+        F.when(
+            (F.col("score_en") == 0)
+            & (F.col("score_de") == 0)
+            & (F.col("score_es") == 0),
+            "und",
+        )
+        .when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_es")),
+            "en",
+        )
+        .when(F.col("score_de") >= F.col("score_es"), "de")
+        .otherwise("es")
+    )
+    return d2.select("doc_id", "labeled_lang", predicted.alias("predicted_lang"))
+
+
+@_register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS content_fingerprint,
+       list_reduce([0::BIGINT] || [ascii(c)::BIGINT % 256 FOR c IN string_split(text, '')],
+                   (acc, x) -> (acc * 31 + x) % 1000000007)
+         AS rolling_hash
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: an order-insensitive content fingerprint
+    (sorted unique tokens → md5 — the OpenRefine 'fingerprint' method) and
+    an order-sensitive polynomial rolling hash over characters."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    content_fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    )
+    chars = F.split(F.col("text"), "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c) % 256) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        content_fp.alias("content_fingerprint"),
+        rolling.alias("rolling_hash"),
+    )

