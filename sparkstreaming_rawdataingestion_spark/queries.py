@@ -98,7 +98,15 @@ GROUP BY datastream_id, day
 }
 
 
-_OPERATOR_MODULES = ("relational", "asof", "dedup", "similarity", "text", "multimodal")
+_QUERY_MODULES = (
+    "operators.relational",
+    "operators.asof",
+    "operators.dedup",
+    "operators.similarity",
+    "operators.text",
+    "operators.multimodal",
+    "streaming.windows",
+)
 
 
 def _operator_registries(attr: str) -> dict:
@@ -106,9 +114,9 @@ def _operator_registries(attr: str) -> dict:
     import importlib
 
     registry: dict = {}
-    for mod in _OPERATOR_MODULES:
+    for mod in _QUERY_MODULES:
         try:
-            m = importlib.import_module(f"{__package__}.operators.{mod}")
+            m = importlib.import_module(f"{__package__}.{mod}")
         except ImportError:
             continue
         registry.update(getattr(m, attr, {}))
