@@ -1,0 +1,78 @@
+"""User-facing engine facade.
+
+A user of the reference ran one program: consume Kafka JSON → normalized
+day-bucketed table. This class packages that pipeline plus the full
+analytics surface (SQL over every table, the operator packs, streaming
+start/stop) behind one object:
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.1")
+    eng.register_views()                      # SQL frontend over all tables
+    eng.sql("SELECT count(*) FROM lineitem")
+    dp  = eng.ingest_batch(messages_df)       # value:string → DataPoint rows
+    q   = eng.ingest_stream(path, sink, ckpt) # the reference job, streaming
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog
+from .operators.ingest import ingest_normalize
+from .schemas import TABLES
+from .session import tune_for_session
+from .sinks import write_datapoints
+from .sources import kafka
+from .streaming import ingest_stream as _stream
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None) -> None:
+        self.spark = tune_for_session(spark)
+        self.sf_dir = sf_dir or catalog.DEFAULT_SF_DIR
+
+    # -- catalog / SQL frontend --------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return catalog.load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> None:
+        """Expose every synthetic table as a temp view → full Spark SQL
+        text access (the engine's SQL frontend)."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- the reference pipeline --------------------------------------------
+
+    def ingest_batch(self, values: DataFrame) -> DataFrame:
+        """value:string messages → normalized DataPoint rows (ops 3-10)."""
+        return ingest_normalize(values)
+
+    def ingest_to_table(self, values: DataFrame, path: str) -> None:
+        """Batch ingest + idempotent day-partitioned sink (op 11)."""
+        write_datapoints(ingest_normalize(values), path)
+
+    def ingest_stream(
+        self,
+        source_path: str,
+        sink_path: str,
+        checkpoint_path: str,
+        trigger_seconds: int | None = _stream.DEFAULT_TRIGGER_SECONDS,
+        kafka_servers: str | None = None,
+        kafka_topics: str | None = None,
+    ):
+        """The reference job: streaming messages → normalized parquet.
+        With ``kafka_servers``/``kafka_topics`` the source is a real Kafka
+        subscription (ops 1-2); otherwise ``source_path`` is a message
+        file directory (the test stand-in)."""
+        if kafka_servers and kafka_topics:
+            values = kafka.kafka_value_stream(
+                self.spark, kafka_servers, kafka_topics
+            )
+        else:
+            values = kafka.message_file_stream(self.spark, source_path)
+        return _stream.start_ingest_file_sink(
+            values, sink_path, checkpoint_path, trigger_seconds
+        )

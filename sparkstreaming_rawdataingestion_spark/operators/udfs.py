@@ -1,0 +1,144 @@
+"""Python UDF surface — the engine's version of the reference's four
+anonymous Function/FlatMapFunction closures (SURVEY §2.1 ops 3-5, 12).
+
+The reference's closures were row-at-a-time Java; the engine's rule is:
+built-in expressions first (everything in the ingest path), and when
+Python is genuinely needed, **Arrow-vectorized** pandas UDFs /
+``applyInPandas`` — never row-at-a-time Python in a hot path (10-100×
+slower; SURVEY §4 / pyspark guide).
+
+These queries exist to *prove the UDF machinery* with oracle-checkable
+semantics; their bodies are deliberately simple arithmetic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@pandas_udf(T.DoubleType())
+def discounted_price(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: whole Arrow batches, numpy arithmetic."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@_register(
+    "udf_vectorized_scalar",
+    """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6)
+         AS final_price
+FROM lineitem
+WHERE l_orderkey % 19 = 0
+""",
+)
+def q_udf_vectorized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 19 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            discounted_price("l_extendedprice", "l_discount", "l_tax"), 6
+        ).alias("final_price"),
+    )
+
+
+_SLOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("slope_per_day", T.DoubleType()),
+    ]
+)
+
+
+def _user_trend(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map UDAF (applyInPandas): least-squares slope of value over
+    time per user — classic per-entity model fit. Closed-form OLS in
+    float64, matching DuckDB's regr_slope formula."""
+    x = pdf["ts"].astype("int64") / 8.64e13  # ns → days
+    y = pdf["value"]
+    n = len(pdf)
+    denom = ((x - x.mean()) ** 2).sum()
+    slope = float(((x - x.mean()) * (y - y.mean())).sum() / denom) if denom else None
+    return pd.DataFrame(
+        {"user_id": [pdf["user_id"].iloc[0]], "n": [n], "slope_per_day": [slope]}
+    )
+
+
+@_register(
+    "udf_grouped_map_trend",
+    """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_ns(ts) / 8.64e13), 6) AS slope_per_day
+FROM events
+GROUP BY user_id
+""",
+)
+def q_udf_grouped_map_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: one pandas frame per user (the shuffle is the groupBy
+    key; group sizes are bounded by per-user event counts, so no group
+    outgrows an executor at scale)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    out = ev.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        _user_trend, schema=_SLOPE_SCHEMA
+    )
+    return out.select(
+        "user_id", "n", F.round("slope_per_day", 6).alias("slope_per_day")
+    )
+
+
+@_register("udf_approx_sketches")  # approximate → rows-only; bounds in tests
+def q_udf_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HLL distinct counts and
+    quantile sketches — constant memory per group where exact distinct /
+    exact percentile would need the full key set per group."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@_register(
+    "udf_exact_percentiles",
+    """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_udf_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (the small-group path; sketches above
+    are the at-scale variant)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )

@@ -105,6 +105,7 @@ _QUERY_MODULES = (
     "operators.similarity",
     "operators.text",
     "operators.multimodal",
+    "operators.udfs",
     "streaming.windows",
 )
 

@@ -1,0 +1,66 @@
+"""Engine facade + UDF-surface tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark.api import Engine
+from sparkstreaming_rawdataingestion_spark.operators import udfs
+from sparkstreaming_rawdataingestion_spark.sources import fixtures
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_sql_frontend(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    eng.register_views()
+    n = eng.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n == 6000
+    joined = eng.sql(
+        """
+        SELECT r_name, count(*) AS n FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+    assert joined.count() == 5
+
+
+def test_engine_batch_ingest_roundtrip(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir)
+    messages = fixtures.events_to_messages(eng.table("events"))
+    out = str(tmp_path / "dp")
+    eng.ingest_to_table(messages, out)
+    dp = spark.read.parquet(out)
+    assert dp.count() == eng.table("events").count()
+    assert set(dp.columns) == {"datastream_id", "day", "datetime", "offset", "sample"}
+    # day partitioning materialized on disk
+    assert any(p.name.startswith("day=") for p in (tmp_path / "dp").iterdir())
+
+
+def test_engine_stream_facade(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir)
+    msg_dir = str(tmp_path / "msgs")
+    fixtures.write_message_files(eng.table("events"), msg_dir)
+    q = eng.ingest_stream(
+        msg_dir,
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        trigger_seconds=None,  # availableNow drain
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == eng.table(
+        "events"
+    ).count()
+
+
+def test_approx_sketches_within_tolerance(spark):
+    rows = udfs.q_udf_approx_sketches(spark, SF01).collect()
+    for r in rows:
+        err = abs(r["approx_customers"] - r["exact_customers"]) / max(
+            r["exact_customers"], 1
+        )
+        assert err < 0.05, f"HLL error {err:.3f} too large"
+        q50, q95, q99 = r["price_quantiles"]
+        assert q50 <= q95 <= q99

@@ -142,6 +142,7 @@ def test_processing_time_trigger_runs(spark, message_dir, tmp_path):
         stream, sink, ckpt, trigger_seconds=1
     )
     try:
+        q.processAllAvailable()  # drain so stop() never aborts a mid-write batch
         deadline = time.time() + 30
         while time.time() < deadline:
             if any(p["numInputRows"] > 0 for p in q.recentProgress):
