@@ -1,0 +1,376 @@
+"""Second-wave relational coverage: generators (UDTF shapes), array/map
+algebra, pivot, extended window frames, casts, deterministic sampling,
+gap-filled downsampling, and the salted-aggregation skew pattern.
+
+The salted query is the load-bearing one for 100 TB: it *proves* (via the
+oracle) that the two-phase salt/combine rewrite is value-identical to the
+direct aggregation, which is exactly the rewrite you reach for when one
+group key carries a disproportionate share of a 100 TB table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Generators — the UDTF surface (op 5's explode, widened)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "generator_posexplode",
+    """
+SELECT p_partkey, CAST(x.s.pos AS INTEGER) AS pos, x.s.word AS word
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+     unnest([{'pos': i - 1, 'word': toks[i]}
+             FOR i IN range(1, len(toks) + 1)]) AS x(s)
+""",
+)
+def q_generator_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — correlated flatten carrying the element index."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@_register(
+    "generator_explode_outer",
+    """
+SELECT p_partkey, u.n AS number
+FROM part,
+     unnest(CASE WHEN len(regexp_extract_all(p_name, '[0-9]+')) = 0
+                 THEN [NULL]
+                 ELSE regexp_extract_all(p_name, '[0-9]+') END) AS u(n)
+""",
+)
+def q_generator_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — rows with empty arrays survive as NULL (explode
+    would drop them; the reference's loop had the drop semantics, op 5)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    nums = F.regexp_extract_all("p_name", F.lit("[0-9]+"), F.lit(0))
+    return p.select(
+        "p_partkey", F.explode_outer(nums).alias("number")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / map algebra
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "array_algebra_pack",
+    """
+SELECT p_partkey,
+       CAST(len(toks) AS INTEGER)                       AS n_toks,
+       list_contains(toks, 'spark')                     AS has_spark,
+       CAST(list_position(toks, toks[1]) AS INTEGER)    AS first_pos,
+       list_sort(toks)                                  AS toks_sorted,
+       list_reverse(toks)                               AS toks_rev,
+       toks[2:3]                                        AS middle,
+       toks || ['x']                                    AS appended,
+       array_to_string(toks, '|')                       AS joined
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+""",
+)
+def q_array_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = catalog.load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, toks[0]).cast("int").alias("first_pos"),
+        F.array_sort(toks).alias("toks_sorted"),
+        F.reverse(toks).alias("toks_rev"),
+        F.slice(toks, 2, 2).alias("middle"),
+        F.concat(toks, F.array(F.lit("x"))).alias("appended"),
+        F.array_join(toks, "|").alias("joined"),
+    )
+
+
+@_register(
+    "map_algebra_pack",
+    """
+SELECT event_id,
+       map(['type'], [event_type])['type'][1]  AS type_from_map,
+       CAST(cardinality(map(['a','b'], [value, value * 2])) AS INTEGER) AS map_size
+FROM events
+WHERE event_id % 11 = 0
+""",
+)
+def q_map_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 11 == 0
+    )
+    m1 = F.create_map(F.lit("type"), F.col("event_type"))
+    m2 = F.create_map(
+        F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m1, "type").alias("type_from_map"),
+        F.size(m2).alias("map_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pivot_status_counts",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list — the explicit list is
+    mandatory at scale (implicit pivot does a distinct scan first)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames, ranking family beyond row_number
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_frames_pack",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(dense_rank() OVER w AS BIGINT)             AS drk,
+       CAST(ntile(4) OVER w AS BIGINT)                 AS quartile,
+       round(percent_rank() OVER w, 6)                 AS pct_rank,
+       round(cume_dist() OVER w, 6)                    AS cdist,
+       first_value(o_orderkey) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+       last_value(o_orderkey) OVER
+         (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key,
+       nth_value(o_orderkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_frames_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / percent_rank / cume_dist / first / last / nth
+    with explicit ROWS frames (unique tiebreak keeps every function
+    deterministic under any partitioning)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w_run).alias("first_key"),
+        F.last("o_orderkey").over(w_fwd).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w_all).alias("second_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Casts / conditionals
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cast_conditional_pack",
+    """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_int,
+       TRY_CAST(event_type AS INTEGER)                         AS bad_cast,
+       CAST(value AS VARCHAR)                                  AS value_str,
+       CAST(CAST(ts AS DATE) AS VARCHAR)                       AS ts_date_str,
+       COALESCE(NULLIF(event_type, 'error'), 'was_error')      AS type_or_flag,
+       CASE WHEN value >= 100 THEN 'high'
+            WHEN value >= 50  THEN 'mid'
+            ELSE 'low' END                                     AS value_band,
+       (event_type IS NOT DISTINCT FROM 'click')               AS is_click_nullsafe
+FROM events
+WHERE event_id % 13 = 0
+""",
+)
+def q_cast_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 13 == 0
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("ts").cast("date").cast("string").alias("ts_date_str"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("was_error")).alias(
+            "type_or_flag"
+        ),
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.col("event_type").eqNullSafe("click").alias("is_click_nullsafe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "deterministic_sample",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (l_orderkey * 2654435761 % 4294967296) % 100 < 5
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% key-hash Bernoulli sample — deterministic and re-runnable (the
+    sampling contract a training-data pipeline needs for reproducibility;
+    Knuth multiplicative hash keeps it unbiased across key ranges)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    bucket = (F.col("l_orderkey") * F.lit(2654435761) % F.lit(4294967296)) % 100
+    return li.where(bucket < 5).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled downsampling (hypertable-style rollup)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "downsample_gapfill",
+    """
+WITH bounds AS (
+  SELECT min(time_bucket(INTERVAL '1 day', ts)) AS lo,
+         max(time_bucket(INTERVAL '1 day', ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT u.d AS bucket, user_id FROM bounds,
+       unnest(generate_series(lo, hi, INTERVAL '1 day')) AS u(d),
+       (SELECT DISTINCT user_id FROM events)
+)
+SELECT g.bucket AS bucket_start, g.user_id,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+FROM grid g
+LEFT JOIN (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, user_id,
+         count(*) AS n
+  FROM events GROUP BY 1, 2) e
+ON e.bucket = g.bucket AND e.user_id = g.user_id
+""",
+)
+def q_downsample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample to 1-day buckets with explicit zero-filled
+    gaps: the dense (bucket × entity) grid comes from sequence + explode —
+    the hypertable rollup shape. The grid is generated, never scanned."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    by_day = ev.select(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("bucket"),
+        "user_id",
+    ).groupBy("bucket", "user_id").agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket_start")
+    )
+    users = ev.select("user_id").distinct()
+    grid = days.crossJoin(users)
+    return (
+        grid.join(
+            by_day,
+            (by_day.bucket == grid.bucket_start)
+            & (by_day.user_id == grid.user_id),
+            "left",
+        )
+        .select(
+            grid.bucket_start,
+            grid.user_id,
+            F.coalesce(by_day.n, F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation — the skew pattern, value-proven
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+@_register(
+    "salted_agg_equivalence",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                          AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups on (key, salt) —
+    splitting any hot key across SALT_BUCKETS reducers — phase 2 combines
+    partials per key. The oracle is the *unsalted* aggregation: the rewrite
+    must be value-identical (decimal partials make it exactly so)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", (F.xxhash64("event_id") % SALT_BUCKETS).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )

@@ -106,6 +106,7 @@ _QUERY_MODULES = (
     "operators.text",
     "operators.multimodal",
     "operators.udfs",
+    "operators.extras",
     "streaming.windows",
 )
 
