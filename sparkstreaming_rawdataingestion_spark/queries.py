@@ -107,6 +107,7 @@ _QUERY_MODULES = (
     "operators.multimodal",
     "operators.udfs",
     "operators.extras",
+    "operators.analytics",
     "streaming.windows",
 )
 
