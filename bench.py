@@ -38,6 +38,11 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_quality_score",
     "multimodal_decode_meta",
+    "q5_regional_revenue",
+    "q10_returned_items",
+    "cdc_latest_per_key",
+    "window_frames_pack",
+    "downsample_gapfill",
 ]
 
 
@@ -54,13 +59,20 @@ def main() -> None:
     # warm-up: touch the IO + codegen paths once
     registry[names[0]](spark, SF_DIR).limit(1).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "1"))
+
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = registry[name](spark, SF_DIR)
         # force full execution without shipping payload rows to the driver
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        for _ in range(warm_runs):  # JIT/codegen warm-up, not timed
+            run_once(name)
+        timings[name] = round(run_once(name), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
