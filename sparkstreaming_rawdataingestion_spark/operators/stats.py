@@ -1,0 +1,190 @@
+"""Statistical & collection aggregates, unpivot, pattern-match filters.
+
+Variance/correlation are computed from *exact decimal power sums* and only
+converted to float at the last step — the same bits under any partitioning
+(Welford-style streaming moments would be order-dependent and can't be
+hash-compared across engines; the power-sum form is the distributed-safe
+formulation and is numerically fine at these magnitudes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(c: Column) -> Column:
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+def _dsum2(a: Column, b: Column) -> Column:
+    return F.sum(
+        a.cast("decimal(18,4)") * b.cast("decimal(18,4)")
+    ).cast("double")
+
+
+@_register(
+    "stats_moments_pack",
+    """
+SELECT o_orderstatus,
+       CAST(n AS BIGINT) AS n,
+       round(sx / n, 6)                                   AS mean_price,
+       round((sxx - sx * sx / n) / (n - 1), 4)            AS var_price,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6)      AS stddev_price,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                                                          AS corr_price_key
+FROM (
+  SELECT o_orderstatus,
+         count(*)::DOUBLE                                          AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)  AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)  AS sxx,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(18,4))) AS DOUBLE)     AS sy,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(19,4))
+                * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE)     AS syy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE)     AS sxy
+  FROM orders GROUP BY o_orderstatus)
+""",
+)
+def q_stats_moments_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev / Pearson correlation from exact
+    decimal power sums (one shuffle, map-side combinable, order-exact)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    price, key = F.col("o_totalprice"), F.col("o_custkey")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum(price).alias("sx"),
+        _dsum2(price, price).alias("sxx"),
+        _dsum(key).alias("sy"),
+        _dsum2(key, key).alias("syy"),
+        _dsum2(price, key).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "o_orderstatus",
+        n.cast("long").alias("n"),
+        F.round(sx / n, 6).alias("mean_price"),
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+        F.round(corr, 6).alias("corr_price_key"),
+    )
+
+
+@_register(
+    "agg_argminmax_collect",
+    """
+SELECT user_id,
+       arg_max(event_id, ts)                              AS latest_event_id,
+       arg_min(event_id, ts)                              AS first_event_id,
+       CAST(max_by_v AS DOUBLE)                           AS top_value,
+       list_sort(list(DISTINCT event_type))               AS types_sorted,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       bool_or(event_type = 'error')                      AS had_error,
+       bool_and(value >= 0)                               AS all_nonneg
+FROM events
+JOIN (SELECT user_id AS u2, max(value) AS max_by_v FROM events GROUP BY user_id)
+  ON u2 = user_id
+GROUP BY user_id, max_by_v
+""",
+)
+def q_agg_argminmax_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by, sorted collect_set, ordered string_agg, bool
+    aggregates. (ts is unique per user in the fixtures, so arg_min/arg_max
+    are deterministic.)"""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max("value").alias("top_value"),
+        F.sort_array(F.collect_set("event_type")).alias("types_sorted"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
+
+
+@_register(
+    "unpivot_measures",
+    """
+SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+WHERE l_orderkey % 101 = 0
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measures → long (measure, value) rows."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 101 == 0
+    )
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    mapping = F.create_map(
+        F.lit("l_quantity"), F.lit("quantity"),
+        F.lit("l_discount"), F.lit("discount"),
+        F.lit("l_tax"), F.lit("tax"),
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(mapping, F.col("measure")).alias("measure"),
+        F.round("val", 4).alias("val"),
+    )
+
+
+@_register(
+    "pattern_match_filters",
+    """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%spark%'
+   OR p_name ILIKE '%RED%'
+   OR regexp_matches(p_type, '^(small|large).*[0-9]$')
+   OR starts_with(p_brand, 'brand1')
+   OR p_type SIMILAR TO '.*(steel|brass)'
+""",
+)
+def q_pattern_match_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / ILIKE / regexp / prefix predicates (disjunctive — cannot all
+    push to parquet, but each is codegen'd; selective LIKEs that can push
+    do: see filter_project_pushdown for the pushdown-verified case)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_name").like("%spark%")
+        | F.col("p_name").ilike("%RED%")
+        | F.col("p_type").rlike("^(small|large).*[0-9]$")
+        | F.col("p_brand").startswith("brand1")
+        | F.col("p_type").rlike(".*(steel|brass)$")
+    ).select("p_partkey", "p_name", "p_type")

@@ -108,6 +108,7 @@ _QUERY_MODULES = (
     "operators.udfs",
     "operators.extras",
     "operators.analytics",
+    "operators.stats",
     "streaming.windows",
 )
 
