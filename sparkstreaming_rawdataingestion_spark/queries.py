@@ -50,8 +50,7 @@ def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the malformed-message and empty-array edge cases (both yield
     zero rows, unlike the reference's batch-killing NPE — SURVEY §0).
     """
-    events = catalog.load_table(spark, sf_dir, "events")
-    messages = fixtures.events_to_messages(events, include_edge_cases=True)
+    messages = fixtures.cached_messages(spark, sf_dir, include_edge_cases=True)
     return ingest.ingest_normalize(messages)
 
 
@@ -59,8 +58,7 @@ def q_ingest_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 11's upsert contract: ingesting the same messages twice (the
     at-least-once redelivery case) then PK-dedup yields the same table as
     ingesting once (Cassandra-upsert parity, RawDataIngestion.java:152)."""
-    events = catalog.load_table(spark, sf_dir, "events")
-    messages = fixtures.events_to_messages(events, include_edge_cases=True)
+    messages = fixtures.cached_messages(spark, sf_dir, include_edge_cases=True)
     doubled = messages.unionAll(messages)
     return dedup_on_pk(ingest.ingest_normalize(doubled))
 

@@ -1,0 +1,91 @@
+"""Ingest robustness: unicode, nulls, large arrays, boundary values —
+inputs a real sensor/Kafka feed will eventually contain."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark.operators import ingest
+
+
+def _msg(datastream_id=1, data=None):
+    return json.dumps({"datastream_id": datastream_id, "data": data or []})
+
+
+def test_unicode_payload_roundtrip(spark):
+    payloads = [{"txt": "héllo wörld"}, {"zh": "传感器"}, {"emoji": "🌡️"}]
+    rows = [
+        (_msg(data=[{"dateTime": 0, "offset": 0, "sample": p}]),)
+        for p in payloads
+    ]
+    out = ingest.ingest_normalize(
+        spark.createDataFrame(rows, "value string")
+    ).select("sample").collect()
+    assert [json.loads(r["sample"]) for r in out] == payloads
+
+
+def test_null_fields_inside_elements(spark):
+    """Null dateTime/offset/sample inside an element must not kill the
+    batch: the row survives with null columns (the reference NPE'd)."""
+    rows = [(_msg(data=[{"dateTime": None, "offset": None, "sample": None}]),)]
+    out = ingest.ingest_normalize(
+        spark.createDataFrame(rows, "value string")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["datetime"] is None and r["offset"] is None and r["sample"] is None
+
+
+def test_null_and_empty_values(spark):
+    df = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("null",), ("[]",)], "value string"
+    )
+    assert ingest.ingest_normalize(df).count() == 0
+
+
+def test_large_array_flatten(spark):
+    data = [
+        {"dateTime": 1704067200000 + i * 1000, "offset": 0, "sample": i}
+        for i in range(5000)
+    ]
+    out = ingest.ingest_normalize(
+        spark.createDataFrame([(_msg(data=data),)], "value string")
+    )
+    assert out.count() == 5000
+
+
+def test_epoch_boundaries(spark):
+    cases = [
+        (0, "19700101"),
+        (-1, "19691231"),  # 1ms before epoch
+        (253402300799999, "99991231"),  # end of year 9999
+    ]
+    rows = [
+        (_msg(data=[{"dateTime": ms, "offset": 0, "sample": 1}]),)
+        for ms, _ in cases
+    ]
+    out = ingest.ingest_normalize(
+        spark.createDataFrame(rows, "value string")
+    ).select("day").collect()
+    assert [r["day"] for r in out] == [d for _, d in cases]
+
+
+def test_extra_unknown_fields_ignored(spark):
+    """Schema-on-read: unknown top-level and element fields are dropped,
+    not errors (forward compatibility for evolving producers)."""
+    msg = json.dumps(
+        {
+            "datastream_id": 9,
+            "unknown_top": {"a": 1},
+            "data": [
+                {"dateTime": 0, "offset": 0, "sample": 1, "extra": "x"}
+            ],
+        }
+    )
+    out = ingest.ingest_normalize(
+        spark.createDataFrame([(msg,)], "value string")
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["datastream_id"] == 9
