@@ -1,15 +1,19 @@
 """Vector similarity search over ``embeddings`` (BASELINE.json north star;
 cf. PAPERS.md EDBT'20 / ICDE'21 top-k similarity search).
 
-Two paths, one semantics:
+Three paths, one semantics:
 
 - **brute force** — exact cosine top-k: broadcast the (small) query set,
   scan all vectors once, per-query row_number window. O(n·q) with a single
   scan; this is the in-bucket kernel and the ground truth.
-- **random-hyperplane LSH** — the 100 TB path: 32 fixed hyperplanes give a
-  signature; 4 bands × 8 bits bucket the vectors; only bucket-mates of a
-  query are ranked. Candidate generation is an equi-join on (band, bucket)
-  — never a cross join — so cost follows bucket occupancy, not n².
+- **random-hyperplane LSH** — 32 fixed hyperplanes give a signature;
+  8 bands × 4 bits bucket the vectors; only bucket-mates of a query are
+  ranked. Candidate generation is an equi-join on (band, bucket) — never a
+  cross join — so cost follows bucket occupancy, not n².
+- **IVF** — coarse k-means quantizer (deterministic seeding + one Lloyd
+  iteration), inverted lists keyed by nearest centroid, queries probe
+  their IVF_NPROBE closest lists. Search touches ~nprobe/K of the corpus;
+  cluster_id doubles as the partition key for the lists at scale.
 
 All vector math is built-in column algebra (zip_with/aggregate on
 array<double>) — JVM-side, no Python UDF in the scan.
@@ -182,6 +186,111 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         candidates.select("query_id", "neighbor_id", sim.alias("s"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(F.col("s"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(corpus: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: seed with the K lowest-id vectors,
+    run one Lloyd iteration (assign-all → element-wise mean). All built-in
+    ops: the element-wise mean is posexplode → groupBy(cluster, dim) →
+    re-assemble. One extra iteration is one more pass of the same shape —
+    at 100 TB you train the quantizer on a sample, then assignment is a
+    single broadcast-join scan."""
+    seeds = (
+        corpus.orderBy("neighbor_id")
+        .limit(IVF_CLUSTERS)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("neighbor_id"))
+            .alias("cluster_id"),
+            F.col("v_emb").alias("centroid"),
+        )
+    )
+    assigned = assign_clusters(corpus, seeds)
+    dims = assigned.select(
+        "cluster_id", F.posexplode("v_emb").alias("dim", "val")
+    )
+    means = dims.groupBy("cluster_id", "dim").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("dm")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def assign_clusters(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    one scan, max_by over the K cosines per vector."""
+    sim = cosine(F.col("v_emb"), F.col("centroid"))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("neighbor_id", "v_emb", "cluster_id", sim.alias("cs"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cluster_id", "cs").alias("cluster_id"),
+            F.first("v_emb").alias("v_emb"),
+        )
+    )
+
+
+@_register("similarity_topk_ivf")  # approximate → rows-only; recall in tests
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: corpus bucketed by nearest centroid; each query probes
+    its IVF_NPROBE closest clusters and ranks only those lists. Search
+    cost drops to ~nprobe/K of the corpus per query; the inverted lists
+    are the partition layout at scale (cluster_id as partition key)."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
+    )
+    centroids = ivf_centroids(corpus).localCheckpoint(eager=False)
+    inverted = assign_clusters(corpus, centroids)
+
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _emb_double().alias("q_emb")
+    )
+    qsim = cosine(F.col("q_emb"), F.col("centroid"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("qcs").desc(), F.col("cluster_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "q_emb", "cluster_id", qsim.alias("qcs"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "cluster_id")
+    )
+    sim = cosine(F.col("q_emb"), F.col("v_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("s"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(inverted, "cluster_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("s"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)
         .select(

@@ -90,6 +90,16 @@ def test_lsh_topk_recall(spark):
             assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-9
 
 
+def test_ivf_topk_recall(spark):
+    exact = similarity.q_similarity_topk_bruteforce(spark, SF01).collect()
+    ivf = similarity.q_similarity_topk_ivf(spark, SF01).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(ivf) == len(exact)  # full k returned per query
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.7, f"IVF top-k recall too low: {recall:.2f}"
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     media = multimodal.documents_as_media(spark, SF01).limit(2)
     with pytest.raises(Exception) as exc_info:
