@@ -209,21 +209,27 @@ def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sets: DataFrame) -> DataFrame:
-    """64-element minhash signature per doc: xxhash64 the shingle, then 64
-    fixed affine mixers over a Mersenne prime; min per mixer."""
-    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle")).select(
+    """64-element minhash signature per doc: xxhash64 the shingles once,
+    then each signature slot is an ``array_min`` over a mixed copy of the
+    hash array — a MAP-ONLY plan (no explode, no 64-way shuffle agg; the
+    equivalent explode+groupBy formulation is ~1.6× slower locally and
+    adds a full shuffle at cluster scale). Docs with no shingles (< n
+    tokens) are dropped, matching the explode formulation's semantics."""
+    hashed = sets.where(F.size("shingles") > 0).select(
         "doc_id",
-        F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1)).alias("h"),
+        F.transform(
+            "shingles",
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)),
+        ).alias("hs"),
     )
-    mixed = exploded.select(
+    return hashed.select(
         "doc_id",
         *[
-            ((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+            F.array_min(
+                F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % _P)
+            ).alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_MIXERS)
         ],
-    )
-    return mixed.groupBy("doc_id").agg(
-        *[F.min(f"m{i}").alias(f"m{i}") for i in range(len(MINHASH_MIXERS))]
     )
 
 
