@@ -15,7 +15,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog
 from .operators import ingest
 from .sinks import dedup_on_pk
 from .sources import fixtures

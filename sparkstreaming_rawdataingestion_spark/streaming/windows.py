@@ -14,7 +14,7 @@ follows active-window cardinality, not stream length.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 QUERIES: dict = {}
 ORACLES: dict = {}
