@@ -1,0 +1,143 @@
+"""Remaining SQL-surface corners: HAVING, explicit NULLS ordering,
+LIMIT/OFFSET pagination, JSON construction, month arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "having_filter",
+    """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= 45
+""",
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+        .where(F.col("n_lines") >= 45)
+    )
+
+
+@_register(
+    "nulls_ordering",
+    """
+SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT l_returnflag, l_linestatus, count(*) AS n
+  FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS LAST, n
+LIMIT 6
+""",
+)
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST over rollup output (sorting grouping
+    nulls deterministically is what makes rollup reports stable)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_last(),
+            F.col("n"),
+        )
+        .limit(6)
+    )
+
+
+@_register(
+    "limit_offset_pagination",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 20
+""",
+)
+def q_limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of a deterministic ordering (offset requires a total order —
+    fine for report pagination, an anti-pattern for table scans at scale)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_register(
+    "json_construction",
+    """
+SELECT event_id,
+       to_json({'id': event_id, 'kind': event_type}) AS as_json,
+       CAST(to_json([value, value * 2]) AS VARCHAR)  AS arr_json
+FROM events
+WHERE event_id % 17 = 0
+""",
+)
+def q_json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json over constructed structs/arrays — the write side of the
+    opaque-payload convention (op 9's inverse)."""
+    ev = catalog.load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 17 == 0
+    )
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("kind"))
+        ).alias("as_json"),
+        F.to_json(F.array(F.col("value"), F.col("value") * 2)).alias("arr_json"),
+    )
+
+
+@_register(
+    "month_arithmetic",
+    """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 MONTH                   AS plus_3m,
+       last_day(o_orderdate)                            AS month_end,
+       CAST(date_diff('month', o_orderdate,
+                      TIMESTAMP '1999-01-01') AS INTEGER) AS months_to_1999
+FROM orders
+WHERE o_orderkey % 23 = 0
+""",
+)
+def q_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 23 == 0
+    )
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        # Spark has no date_diff('month'); derive from year/month fields to
+        # match DuckDB's calendar-month difference semantics
+        (
+            (F.lit(1999) - F.year("o_orderdate")) * 12
+            + (F.lit(1) - F.month("o_orderdate"))
+        )
+        .cast("int")
+        .alias("months_to_1999"),
+    )
