@@ -1,0 +1,84 @@
+"""Regenerate PLANS.md — formatted physical plans for the queries whose
+scale-critical properties ARCHITECTURE.md claims (pushdown, broadcast,
+top-k, shuffle-free ingest, as-of merge).
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+PICKS = {
+    "filter_project_pushdown": (
+        "Predicate pushdown + column pruning: filters and the 7-column "
+        "ReadSchema reach the parquet scan."
+    ),
+    "join_broadcast_dims": (
+        "Dimension joins broadcast; the customer scan never shuffles for "
+        "the join."
+    ),
+    "topk_global": (
+        "ORDER BY + LIMIT runs TakeOrderedAndProject (per-partition "
+        "heaps), never a full sort."
+    ),
+    "ingest_normalize": (
+        "The reference pipeline itself: a single whole-stage-codegen map "
+        "pipeline (the only exchange below comes from the test fixture's "
+        "message wrap, not the engine path)."
+    ),
+    "asof_join_purchase_click": (
+        "Union-merge as-of join: one hash exchange on the key + window; "
+        "no nested-loop, no cartesian product."
+    ),
+}
+
+SKIP_PREFIXES = (
+    "Output", "Input", "Arguments", "Functions", "Aggregate Attributes",
+    "Results", "Keys", "Condition", "Join condition",
+)
+
+
+def main() -> None:
+    from sparkstreaming_rawdataingestion_spark import plans
+    from sparkstreaming_rawdataingestion_spark.queries import all_queries
+    from sparkstreaming_rawdataingestion_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    qs = all_queries()
+    out = [
+        "# PLANS — physical-plan evidence for the scale claims",
+        "",
+        "Generated from `df.explain('formatted')` at sf0.01 (plans are",
+        "identical in shape at any SF; AQE adjusts partition counts only).",
+        "Regenerate with `python tools/dump_plans.py`.",
+        "",
+    ]
+    for name, note in PICKS.items():
+        plan = plans.formatted_plan(qs[name](spark, sf))
+        lines: list[str] = []
+        for ln in plan.splitlines():
+            if ln.strip().startswith(SKIP_PREFIXES):
+                continue
+            lines.append(ln)
+            if len(lines) > 40:
+                lines.append("   ... (truncated)")
+                break
+        details = [
+            ln.strip()[:160]
+            for ln in plan.splitlines()
+            if any(k in ln for k in ("PushedFilters", "ReadSchema", "PartitionFilters"))
+        ][:6]
+        out += [f"## {name}", "", note, "", "```", *lines, "```", ""]
+        if details:
+            out += ["Scan details:", "", "```", *details, "```", ""]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(out)} lines)")
+
+
+if __name__ == "__main__":
+    main()
