@@ -141,3 +141,67 @@ def q_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("months_to_1999"),
     )
+
+
+@_register(
+    "array_advanced_pack",
+    """
+SELECT p_partkey,
+       list_filter(toks, t -> length(t) > 4)                      AS long_toks,
+       flatten([toks[1:2], toks[3:4]])                            AS reflat,
+       [upper(t) FOR t IN toks]                                   AS toks_upper,
+       len(list_distinct(toks)) != len(toks)                      AS had_dups,
+       len(toks) - len(list_distinct(toks))                       AS n_dup_toks,
+       coalesce(toks[2], '<none>')                                AS second_tok
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+""",
+)
+def q_array_advanced_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: filter/flatten/transform lambdas —
+    all JVM expressions, no Python."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.filter(toks, lambda t: F.length(t) > 4).alias("long_toks"),
+        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias(
+            "reflat"
+        ),
+        F.transform(toks, lambda t: F.upper(t)).alias("toks_upper"),
+        (F.size(F.array_distinct(toks)) != F.size(toks)).alias("had_dups"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_dup_toks"),
+        F.coalesce(F.element_at(toks, 2), F.lit("<none>")).alias("second_tok"),
+    )
+
+
+@_register(
+    "string_advanced_pack",
+    """
+SELECT p_partkey,
+       translate(p_brand, 'brand', 'BRAND')       AS brand_translated,
+       repeat('-', p_size % 5)                    AS dashes,
+       split_part(p_type, ' ', 1)                 AS type_head,
+       format('{:s}#{:d}', p_brand, p_size)       AS brand_tag,
+       left(p_name, 3)                            AS name_l3,
+       right(p_name, 3)                           AS name_r3,
+       md5(p_name)                                AS name_md5,
+       CAST(levenshtein(p_brand, 'brand12') AS INTEGER) AS lev_to_brand12
+FROM part
+WHERE p_partkey % 7 = 0
+""",
+)
+def q_string_advanced_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = catalog.load_table(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 7 == 0
+    )
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "brand", "BRAND").alias("brand_translated"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.format_string("%s#%d", "p_brand", "p_size").alias("brand_tag"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("name_r3"),
+        F.md5("p_name").alias("name_md5"),
+        F.levenshtein("p_brand", F.lit("brand12")).alias("lev_to_brand12"),
+    )
