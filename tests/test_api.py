@@ -64,3 +64,19 @@ def test_approx_sketches_within_tolerance(spark):
         assert err < 0.05, f"HLL error {err:.3f} too large"
         q50, q95, q99 = r["price_quantiles"]
         assert q50 <= q95 <= q99
+
+
+def test_cli_entrypoint_available_now(spark, sf_dir, tmp_path):
+    """The reference-job CLI: drain fixture messages once, exit 0, output
+    equals the event count."""
+    from sparkstreaming_rawdataingestion_spark.__main__ import main
+
+    msg_dir = str(tmp_path / "msgs")
+    fixtures.write_message_files(
+        Engine(spark, sf_dir).table("events"), msg_dir
+    )
+    sink = str(tmp_path / "cli_sink")
+    rc = main([sink, msg_dir, "--available-now"])
+    assert rc == 0
+    n = spark.read.parquet(sink).count()
+    assert n == Engine(spark, sf_dir).table("events").count()
