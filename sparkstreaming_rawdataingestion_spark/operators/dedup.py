@@ -403,3 +403,91 @@ def q_dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .where(sim >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components → canonical representative
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: every node ends
+    up labeled with the smallest doc_id reachable from it.
+
+    Each iteration is one join + one min-aggregation (both shuffles on
+    doc_id); iteration count is bounded by the graph diameter — near-dup
+    graphs are overwhelmingly tiny cliques/chains, so this converges in a
+    handful of rounds. The loop is driver-side control flow over lazily
+    built plans with a convergence check, the standard Spark iterative
+    pattern (GraphFrames does the same under the hood).
+    """
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id,
+       min(dest) AS cluster_rep,
+       (min(dest) = node) AS is_canonical
+FROM reach
+GROUP BY node
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph: each document labeled
+    with its cluster representative (min doc_id); ``is_canonical`` marks
+    the row a dedup pass would KEEP. This is the last stage of the
+    LSH dedup pipeline — pairs → clusters → keep one per cluster."""
+    pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )
