@@ -124,3 +124,17 @@ def test_quality_score_bounds(spark):
         F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
     ).first()
     assert 0.0 <= mm["lo"] <= mm["hi"] <= 1.0
+
+
+def test_token_stats_agree_with_stored_metadata(spark):
+    """Cross-check against the fixture's own n_chars column: the measured
+    character count must equal the stored metadata for every document."""
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    d = catalog.load_table(spark, SF01, "documents")
+    stats = text.q_text_token_stats(spark, SF01)
+    joined = d.select("doc_id", "n_chars").join(stats, "doc_id")
+    mismatches = joined.where(
+        F.col("n_chars") != F.col("n_chars_measured")
+    ).count()
+    assert mismatches == 0

@@ -54,3 +54,35 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """The engine exposes Spark's full join-strategy surface: hints must
+    flip the physical operator (merge vs shuffle-hash vs broadcast)."""
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    o = catalog.load_table(spark, sf_dir, "orders")
+    c = catalog.load_table(spark, sf_dir, "customer")
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plans.executed_plan(merged)
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plans.executed_plan(hashed)
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plans.executed_plan(bcast)
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE must be live: a tiny grouped aggregate's shuffle read is
+    coalesced at runtime (AQEShuffleRead), the knob that keeps small
+    reducers from dominating task overhead at scale."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    df = (
+        catalog.load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # AQE final plan materializes after execution
+    assert "AQEShuffleRead" in plans.executed_plan(df)
