@@ -40,6 +40,10 @@ HEADLINE = [
     "multimodal_decode_meta",
     "q5_regional_revenue",
     "q10_returned_items",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q18_large_orders",
+    "q21_waiting_supplier",
     "cdc_latest_per_key",
     "window_frames_pack",
     "downsample_gapfill",

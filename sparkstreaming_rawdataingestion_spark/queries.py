@@ -105,6 +105,7 @@ _QUERY_MODULES = (
     "operators.udfs",
     "operators.extras",
     "operators.analytics",
+    "operators.tpch",
     "operators.stats",
     "operators.misc",
     "streaming.windows",
