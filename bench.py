@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "similarity_topk_bruteforce",
     "text_quality_score",
+    "pipeline_curation",
     "multimodal_decode_meta",
     "q5_regional_revenue",
     "q10_returned_items",

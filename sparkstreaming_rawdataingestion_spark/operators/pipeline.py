@@ -1,0 +1,245 @@
+"""End-to-end training-data curation pipeline over ``documents`` — the
+flagship composition of the north-star operators (BASELINE.json): language
+ID → quality filter → exact dedup → near-dup removal, as ONE declarative
+DataFrame expression with a full DuckDB oracle.
+
+This is the query shape an LLM-pretraining data pipeline actually runs at
+100 TB, and the composition matters: every stage is built-in column
+algebra (no Python UDFs), so Catalyst fuses the langid + quality maps into
+one codegen stage over the scan, the exact-dedup window shuffles 32-byte
+keys once, and only the (tiny) post-filter survivor set pays the near-dup
+pair join. Filtering *before* dedup is the right order at scale — each
+stage shrinks the data the next (more expensive) stage touches.
+
+Stage semantics (deterministic, engine-portable):
+1. langid   — marker-token heuristic (operators/text.py), keep 'en'.
+2. quality  — Gopher/C4-style weighted score (operators/text.py), keep
+              rounded score ≥ 0.85 (≈ median of the fixture corpus).
+3. exact    — keep min doc_id per identical text (window, not groupBy, so
+              the surviving row keeps its per-doc stage columns).
+4. near-dup — 3-gram Jaccard ≥ 0.8 via the lossless inverted shingle
+              index (operators/dedup.py); greedy keep-lowest-doc_id: a doc
+              is dropped iff it is the higher id of any qualifying pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from .dedup import JACCARD_THRESHOLD, SHINGLE_N, _jaccard, _shingles
+from .text import LANG_MARKERS, STOPWORDS, _sql_list
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+QUALITY_MIN = 0.85
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared stage expressions (Spark side) — mirror operators/text.py exactly.
+# ---------------------------------------------------------------------------
+
+
+def _predicted_lang(toks: Column) -> Column:
+    s = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+        for lang in ("en", "de", "es")
+    }
+    return (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0), "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]), "en")
+        .when(s["de"] >= s["es"], "de")
+        .otherwise("es")
+    )
+
+
+def _quality(toks: Column) -> Column:
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) * F.lit(1.0) / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+        * F.lit(1.0)
+        / F.length("text")
+    )
+    return F.round(
+        F.lit(0.25) * F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+        + F.lit(0.25) * F.when(stop_ratio >= 0.01, 1.0).otherwise(0.0)
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "text",
+        _predicted_lang(toks).alias("predicted_lang"),
+        _quality(toks).alias("quality_score"),
+    )
+
+
+def _exact_kept(qual_kept: DataFrame) -> DataFrame:
+    w = Window.partitionBy("text")
+    return (
+        qual_kept.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count("*").over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _near_dropped(exact_kept: DataFrame) -> DataFrame:
+    """doc_ids that lose the greedy near-dup resolution (higher id of any
+    Jaccard ≥ threshold pair), via the lossless inverted shingle index."""
+    sets = exact_kept.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
+        eager=False
+    )
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    cand = (
+        inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(inverted.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(_jaccard(F.col("sh_a"), F.col("sh_b")) >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    scored = _scored(spark, sf_dir)
+    lang_kept = scored.where(F.col("predicted_lang") == "en")
+    qual_kept = lang_kept.where(F.col("quality_score") >= QUALITY_MIN)
+    exact_kept = _exact_kept(qual_kept)
+    final = exact_kept.join(_near_dropped(exact_kept), "doc_id", "left_anti")
+    return {
+        "total": scored,
+        "lang_en": lang_kept,
+        "quality": qual_kept,
+        "exact_dedup": exact_kept,
+        "near_dedup": final,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE chain (DuckDB) — stage-for-stage mirror of the above.
+# ---------------------------------------------------------------------------
+
+_ORACLE_STAGES = f"""
+WITH tokd AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted_lang,
+         round(0.25 * CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+             + 0.25 * CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
+             + 0.25 * uniq_ratio
+             + 0.25 * (1.0 - punct_ratio), 6) AS quality_score
+  FROM (
+    SELECT doc_id, text, toks,
+           len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["en"])}))) AS s_en,
+           len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["de"])}))) AS s_de,
+           len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["es"])}))) AS s_es,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           len(list_filter(toks, t -> t IN ({_sql_list(STOPWORDS)}))) * 1.0
+             / len(toks)                                       AS stop_ratio,
+           len(list_distinct(toks)) * 1.0 / len(toks)          AS uniq_ratio,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+             / length(text)                                    AS punct_ratio
+    FROM tokd)),
+lang_kept AS (SELECT * FROM scored WHERE predicted_lang = 'en'),
+qual_kept AS (SELECT * FROM lang_kept WHERE quality_score >= {QUALITY_MIN}),
+exact_kept AS (
+  SELECT doc_id, text, toks, predicted_lang, quality_score, n_copies FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY text) AS BIGINT)     AS n_copies
+    FROM qual_kept) WHERE rn = 1),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {SHINGLE_N - 2})]) AS shingles
+  FROM exact_kept),
+near_dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+        / len(list_distinct(a.shingles || b.shingles)) >= {JACCARD_THRESHOLD}),
+final AS (
+  SELECT * FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped))
+"""
+
+
+@_register(
+    "pipeline_curation",
+    _ORACLE_STAGES
+    + """
+SELECT doc_id, predicted_lang, quality_score, n_copies FROM final
+""",
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated output set: every document that survives all four
+    stages, with its language, quality score, and exact-copy count."""
+    final = _stages(spark, sf_dir)["near_dedup"]
+    return final.select("doc_id", "predicted_lang", "quality_score", "n_copies")
+
+
+@_register(
+    "pipeline_curation_funnel",
+    _ORACLE_STAGES
+    + """
+SELECT 1 AS stage_no, 'total'       AS stage, (SELECT CAST(count(*) AS BIGINT) FROM scored)     AS n_docs
+UNION ALL
+SELECT 2, 'lang_en',     (SELECT CAST(count(*) AS BIGINT) FROM lang_kept)
+UNION ALL
+SELECT 3, 'quality',     (SELECT CAST(count(*) AS BIGINT) FROM qual_kept)
+UNION ALL
+SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM exact_kept)
+UNION ALL
+SELECT 5, 'near_dedup',  (SELECT CAST(count(*) AS BIGINT) FROM final)
+""",
+)
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage retention funnel — the monitoring view a curation job
+    emits. Expressed as a union of aggregates (one Spark job, no
+    driver-side counting loop)."""
+    stages = _stages(spark, sf_dir)
+    parts = [
+        df.agg(
+            F.lit(i + 1).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+        for i, (name, df) in enumerate(stages.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

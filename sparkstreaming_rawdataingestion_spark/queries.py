@@ -106,6 +106,7 @@ _QUERY_MODULES = (
     "operators.extras",
     "operators.analytics",
     "operators.tpch",
+    "operators.pipeline",
     "operators.stats",
     "operators.misc",
     "streaming.windows",

@@ -1,0 +1,45 @@
+"""Curation-pipeline invariants the DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark import plans
+from sparkstreaming_rawdataingestion_spark.operators import pipeline
+
+
+def test_funnel_monotonically_shrinks(spark, sf_dir):
+    rows = sorted(
+        pipeline.q_pipeline_curation_funnel(spark, sf_dir).collect(),
+        key=lambda r: r.stage_no,
+    )
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0  # pipeline keeps something
+
+
+def test_final_set_properties(spark, sf_dir):
+    out = pipeline.q_pipeline_curation(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.predicted_lang == "en" for r in rows)
+    assert all(r.quality_score >= pipeline.QUALITY_MIN for r in rows)
+    # exact dedup happened: doc_ids unique
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_curation_is_idempotent(spark, sf_dir):
+    """Running the pipeline's dedup stages over an already-curated set
+    must be a no-op (the property that makes incremental re-curation of a
+    growing corpus safe)."""
+    final = pipeline._stages(spark, sf_dir)["near_dedup"]
+    again = final.join(pipeline._near_dropped(final), "doc_id", "left_anti")
+    assert again.count() == final.count()
+
+
+def test_no_python_udf_in_plan(spark, sf_dir):
+    """The whole funnel stays JVM-side: no BatchEvalPython / ArrowEval
+    stages (UDFs would break whole-stage codegen in the hot path)."""
+    plan = plans.executed_plan(pipeline.q_pipeline_curation(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
