@@ -183,24 +183,45 @@ def _verified_pairs(candidates: DataFrame, sets: DataFrame) -> DataFrame:
     )
 
 
+def count_verified_pairs(sets: DataFrame) -> DataFrame:
+    """Exact-Jaccard pairs straight from the inverted index, by counting:
+    |A∩B| is the number of co-occurring shingles — a pair-count
+    aggregation — and |A∪B| = |A| + |B| - |A∩B| (shingle arrays are
+    distinct per doc). The verification therefore shuffles (id, id, int)
+    triples only; the shingle arrays never travel. At 100 TB this is the
+    difference between shuffling integers and shuffling document content.
+    """
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        l.join(r, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("shared") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
 @_register("dedup_ngram_jaccard_pairs", _NGRAM_PAIRS_ORACLE)
 def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (3-gram Jaccard ≥ 0.8). Lossless inverted
     index prunes the pair space: only docs sharing ≥1 shingle are compared
-    (any pair with J ≥ 0.8 shares shingles, so nothing is missed)."""
+    (any pair with J ≥ 0.8 shares shingles, so nothing is missed); the
+    count-based verifier never materializes candidate pairs' arrays."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
-    inverted = sets.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
-    r = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
-    candidates = (
-        l.join(r, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return _verified_pairs(candidates, sets)
+    return count_verified_pairs(sets)
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
-from .dedup import JACCARD_THRESHOLD, SHINGLE_N, _jaccard, _shingles
+from .dedup import JACCARD_THRESHOLD, SHINGLE_N, _shingles, count_verified_pairs
 from .text import LANG_MARKERS, STOPWORDS, _sql_list
 
 QUERIES: dict = {}
@@ -84,8 +84,9 @@ def _quality(toks: Column) -> Column:
     )
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = catalog.load_table(spark, sf_dir, "documents")
+def score_documents(d: DataFrame) -> DataFrame:
+    """Stage-1+2 annotations for any documents-shaped DataFrame (batch or
+    micro-batch): predicted language + quality score."""
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
@@ -93,6 +94,10 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         _predicted_lang(toks).alias("predicted_lang"),
         _quality(toks).alias("quality_score"),
     )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_documents(catalog.load_table(spark, sf_dir, "documents"))
 
 
 def _exact_kept(qual_kept: DataFrame) -> DataFrame:
@@ -107,24 +112,14 @@ def _exact_kept(qual_kept: DataFrame) -> DataFrame:
 
 def _near_dropped(exact_kept: DataFrame) -> DataFrame:
     """doc_ids that lose the greedy near-dup resolution (higher id of any
-    Jaccard ≥ threshold pair), via the lossless inverted shingle index."""
+    Jaccard ≥ threshold pair), via the lossless inverted shingle index
+    with count-based verification (dedup.count_verified_pairs — shuffles
+    (id, id, int) triples, never the shingle arrays)."""
     sets = exact_kept.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
         eager=False
     )
-    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    cand = (
-        inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(inverted.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(_jaccard(F.col("sh_a"), F.col("sh_b")) >= JACCARD_THRESHOLD)
+        count_verified_pairs(sets)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

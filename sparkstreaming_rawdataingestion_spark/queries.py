@@ -107,6 +107,7 @@ _QUERY_MODULES = (
     "operators.analytics",
     "operators.tpch",
     "operators.pipeline",
+    "operators.lowlevel",
     "operators.stats",
     "operators.misc",
     "streaming.windows",

@@ -1,0 +1,125 @@
+"""Incremental (streaming) document curation — the micro-batch form of
+``operators/pipeline.py``: each arriving batch of documents is language-
+filtered, quality-filtered, exact-deduped and near-dup-checked against
+BOTH itself and the accumulated curated archive, then appended.
+
+Why foreachBatch and not a stateful operator: the dedup "state" here is
+the curated corpus itself (content hashes + shingle index), which at
+100 TB lives in the table, not in the state store. Reading the archive's
+lightweight columns per micro-batch (sha + shingles, never full text)
+and joining the small batch against them is the standard incremental-
+curation shape; a RocksDB state store would just duplicate the table.
+Archive reads prune to the two index columns (parquet column pruning),
+and the batch side of every join is micro-batch-sized → broadcastable.
+
+The archive always wins near-dup resolution (a new doc similar to an
+archived one is dropped regardless of ids), while within a batch the
+greedy keep-lowest-doc_id rule of the batch pipeline applies — so
+streaming the corpus in doc_id order reproduces batch-pipeline survivor
+semantics stage by stage.
+
+Guarantee: at-least-once delivery absorbed idempotently — replaying a
+processed batch appends nothing, because every replayed text is caught
+by the exact-sha anti-join (the content-addressed analog of the
+reference's Cassandra PK upsert, RawDataIngestion.java:152).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import JACCARD_THRESHOLD, _shingles, count_verified_pairs
+from ..operators.pipeline import QUALITY_MIN, _exact_kept, score_documents
+from .ingest_stream import _trigger_kwargs
+
+# What the curated archive stores per document. ``shingles`` is the
+# near-dup index (persisted so later batches never re-tokenize the
+# archive); ``text_sha256`` is the exact-dup index.
+ARCHIVE_COLUMNS = (
+    "doc_id", "text", "predicted_lang", "quality_score", "text_sha256", "shingles",
+)
+
+
+def read_archive(spark: SparkSession, sink_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(sink_dir)
+    except Exception:  # first batch: sink doesn't exist yet
+        return None
+
+
+def curate_increment(batch: DataFrame, archive: DataFrame | None) -> DataFrame:
+    """Curate one micro-batch of documents against the archive; returns
+    the rows to append (ARCHIVE_COLUMNS)."""
+    kept = score_documents(batch).where(
+        (F.col("predicted_lang") == "en")
+        & (F.col("quality_score") >= QUALITY_MIN)
+    )
+    kept = _exact_kept(kept).drop("n_copies")
+    kept = kept.withColumn("text_sha256", F.sha2("text", 256)).withColumn(
+        "shingles", _shingles()
+    )
+    if archive is not None:
+        # cross-batch exact dedup: content-addressed anti-join (32-byte keys)
+        kept = kept.join(
+            archive.select("text_sha256"), "text_sha256", "left_anti"
+        )
+    # within-batch near-dup (greedy keep-lowest-doc_id, as in the batch
+    # pipeline) via the count-based inverted-index verifier
+    batch_losers = (
+        count_verified_pairs(kept.select("doc_id", "shingles"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(batch_losers, "doc_id", "left_anti")
+    if archive is not None:
+        # cross-batch near-dup: batch shingles vs the archive's persisted
+        # shingle index; the archive always wins
+        arch = archive.select(
+            F.col("doc_id").alias("arch_id"), F.col("shingles").alias("arch_sh")
+        )
+        inv_new = kept.select("doc_id", F.explode("shingles").alias("shingle"))
+        inv_arch = arch.select("arch_id", F.explode("arch_sh").alias("shingle"))
+        shared = (
+            inv_new.join(inv_arch, "shingle")
+            .groupBy("doc_id", "arch_id")
+            .agg(F.count("*").alias("shared"))
+        )
+        sz_new = kept.select("doc_id", F.size("shingles").alias("n_new"))
+        sz_arch = arch.select("arch_id", F.size("arch_sh").alias("n_arch"))
+        j = F.col("shared") * F.lit(1.0) / (
+            F.col("n_new") + F.col("n_arch") - F.col("shared")
+        )
+        arch_losers = (
+            shared.join(F.broadcast(sz_new), "doc_id")
+            .join(sz_arch, "arch_id")
+            .where(j >= JACCARD_THRESHOLD)
+            .select("doc_id")
+            .distinct()
+        )
+        kept = kept.join(arch_losers, "doc_id", "left_anti")
+    return kept.select(*ARCHIVE_COLUMNS)
+
+
+def start_incremental_curation(
+    docs_stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming curation query: documents stream → curated archive.
+
+    foreachBatch is sequential across triggers, so the read-archive /
+    append-survivors cycle is race-free within one query."""
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        out = curate_increment(batch, read_archive(spark, sink_dir))
+        out.write.mode("append").parquet(sink_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**_trigger_kwargs(trigger_seconds))
+        .start()
+    )
