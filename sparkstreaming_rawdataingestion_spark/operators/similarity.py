@@ -300,3 +300,57 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s"), 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector scalar algebra — the per-row embedding ops (norms, dot products,
+# distances, normalization) every vector pipeline composes before any
+# search structure. Pure higher-order-function column algebra; map-only.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "vector_algebra_pack",
+    """
+SELECT vec_id,
+       round(sqrt(list_inner_product(a, a)), 6)          AS l2_norm,
+       round(list_inner_product(a, b), 6)                AS dot_ab,
+       round(list_cosine_similarity(a, b), 6)            AS cos_ab,
+       round(list_distance(a, b), 6)                     AS l2_dist,
+       round(a[1] / sqrt(list_inner_product(a, a)), 6)   AS unit_first
+FROM (SELECT vec_id,
+             CAST(embedding AS DOUBLE[])                 AS a,
+             list_reverse(CAST(embedding AS DOUBLE[]))   AS b
+      FROM embeddings)
+""",
+)
+def q_vector_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm, dot product, cosine, euclidean distance, and unit-vector
+    component over (embedding, reversed embedding) pairs. All JVM-side
+    (zip_with/aggregate) — the same expressions the top-k operators build
+    on, exposed as a standalone scalar pack."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    a = _emb_double()
+    b = F.reverse(_emb_double())
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    paired = e.select("vec_id", a.alias("a"), b.alias("b"))
+    norm_a = F.sqrt(dot(F.col("a"), F.col("a")))
+    return paired.select(
+        "vec_id",
+        F.round(norm_a, 6).alias("l2_norm"),
+        F.round(dot(F.col("a"), F.col("b")), 6).alias("dot_ab"),
+        F.round(cosine(F.col("a"), F.col("b")), 6).alias("cos_ab"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("a"), F.col("b"), lambda p, q: (p - q) * (p - q)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("l2_dist"),
+        F.round(F.element_at("a", 1) / norm_a, 6).alias("unit_first"),
+    )

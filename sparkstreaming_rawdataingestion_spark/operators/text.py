@@ -9,7 +9,7 @@ pure map over document shards (zero shuffles; embarrassingly parallel at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 
@@ -224,4 +224,61 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         content_fp.alias("content_fingerprint"),
         rolling.alias("rolling_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — the corpus-level statistic (term frequency × inverse document
+# frequency) behind keyword extraction and sparse retrieval. Unlike the
+# per-document packs above, this one is inherently distributed: document
+# frequency is a corpus aggregation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_tfidf_topterms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY round(tfidf, 9) DESC, term) AS rk
+      FROM scored)
+WHERE rk <= 3
+""",
+)
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    the scikit-learn convention). Two corpus aggregations (term counts,
+    document frequencies) + a broadcast of the tiny df/N side back onto
+    the tf stream; ranking rides a WindowGroupLimit. Ties rank by
+    9-decimal-rounded score then term, so the result is engine-portable."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"))
     )

@@ -33,6 +33,26 @@ PICKS = {
         "Union-merge as-of join: one hash exchange on the key + window; "
         "no nested-loop, no cartesian product."
     ),
+    "q6_forecast_revenue": (
+        "TPC-H Q6: all four predicates pushed to the parquet scan; "
+        "partial+final agg, nothing else."
+    ),
+    "q18_large_orders": (
+        "TPC-H Q18: the HAVING key set broadcasts into a left-semi join "
+        "ahead of the fact-fact join."
+    ),
+    "lateral_topk_per_group": (
+        "LATERAL correlated top-k decorrelates to WindowGroupLimit — "
+        "never a per-outer-row subquery."
+    ),
+    "pipeline_curation": (
+        "Curation funnel: langid+quality fused into the scan stage; "
+        "near-dup verify shuffles (id,id,count) triples, not arrays."
+    ),
+    "text_tfidf_topterms": (
+        "TF-IDF: df/N sides broadcast back onto the tf stream; per-doc "
+        "top-3 rides WindowGroupLimit."
+    ),
 }
 
 SKIP_PREFIXES = (
