@@ -113,14 +113,18 @@ def q_udf_grouped_map_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udf_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HLL distinct counts and
     quantile sketches — constant memory per group where exact distinct /
-    exact percentile would need the full key set per group."""
+    exact percentile would need the full key set per group.
+
+    Quantiles are emitted as scalar p50/p95/p99 columns (never an
+    array<double> — the driver's canonicalizer requires atomic columns)."""
     o = catalog.load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count_distinct("o_custkey").alias("exact_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
+        F.element_at(q, 3).alias("price_p99"),
     )
 
 

@@ -42,10 +42,26 @@ ARCHIVE_COLUMNS = (
 
 
 def read_archive(spark: SparkSession, sink_dir: str) -> DataFrame | None:
+    """Load the curated archive, or None if it doesn't exist yet.
+
+    Only the missing-path case (first batch) maps to None — any other read
+    failure re-raises. Swallowing transient errors here would silently skip
+    the exact-sha and near-dup anti-joins and let a replayed batch append
+    duplicates, breaking the idempotency guarantee."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(sink_dir)
-    except Exception:  # first batch: sink doesn't exist yet
-        return None
+    except AnalysisException as ex:
+        cls = ""
+        try:
+            getter = getattr(ex, "getCondition", None) or ex.getErrorClass
+            cls = getter() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(ex):
+            return None
+        raise
 
 
 def curate_increment(batch: DataFrame, archive: DataFrame | None) -> DataFrame:
