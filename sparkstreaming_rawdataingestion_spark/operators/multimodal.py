@@ -72,13 +72,21 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_meta(media: DataFrame, fake: bool = True) -> DataFrame:
+def decode_image_meta(
+    media: DataFrame, fake: bool = True, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Arrow-batched decode stage: payload → (dims, channels).
 
     ``fake=True``: deterministic pseudo-decode from byte length (the test
     path — container has no image codecs). ``fake=False``: the real
     Pillow decode, stubbed behind NotImplementedError here.
+    ``carry``: extra input columns passed through the decode batch
+    unchanged (the pattern a real pipeline needs to keep digests/ids
+    alongside decoded metadata without a re-join).
     """
+    out_schema = T.StructType(
+        list(DECODED_META_SCHEMA.fields) + [media.schema[c] for c in carry]
+    )
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -91,17 +99,17 @@ def decode_image_meta(media: DataFrame, fake: bool = True) -> DataFrame:
                     "image codecs not available in this environment"
                 )
             lens = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "byte_len": lens,
-                    "width": 16 + lens % 64,
-                    "height": 16 + (lens // 64) % 64,
-                    "channels": 1 + lens % 3,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "byte_len": lens,
+                "width": 16 + lens % 64,
+                "height": 16 + (lens // 64) % 64,
+                "channels": 1 + lens % 3,
+            }
+            out.update({c: pdf[c] for c in carry})
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(decode_batches, schema=DECODED_META_SCHEMA)
+    return media.mapInPandas(decode_batches, schema=out_schema)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

@@ -1,0 +1,1145 @@
+"""Consolidated verification packs — merged query surfaces built for the
+driver's 50-entry correctness window.
+
+The driver hash-checks at most 50 registry entries, so every operator
+family must be *inside* that window to count as verified. These packs
+merge sibling queries that share a source table into one column-wise
+projection (or a union with a ``mode``/``method`` tag) so each family
+still executes every underlying operator while occupying one registry
+slot. The originals remain exported and registered in the *extended*
+registry (``queries.extended_queries``), checked by
+``tools/check_oracles.py`` and pytest.
+
+Merging rules (all driven by driver-canonicalizer constraints):
+- outputs contain only atomic columns — arrays are serialized with
+  ``array_join``/``to_json`` (the canonicalizer sorts rows with pandas,
+  which cannot hash lists);
+- every aggregate over doubles accumulates in DECIMAL and casts back, so
+  the value hash is partitioning-independent (see relational.py);
+- union branches are tagged and projected to one shared schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from .relational import _davg, _dsum
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _join_ints(arr: Column, sep: str = "|") -> Column:
+    """Serialize an integer array to a string (atomic-output rule)."""
+    return F.array_join(F.transform(arr, lambda x: x.cast("string")), sep)
+
+
+# ---------------------------------------------------------------------------
+# agg_multidim_pack — ROLLUP + CUBE + GROUPING SETS + pivot/unpivot round
+# trip over orders, union-tagged. (Merges agg_rollup, agg_cube,
+# agg_grouping_sets, pivot_status_counts, unpivot_measures' melt shape.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "agg_multidim_pack",
+    """
+SELECT 'rollup' AS mode, o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'cube', o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'sets', o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT), NULL::DOUBLE
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+UNION ALL
+SELECT 'pivot', s.st, p.o_orderpriority, CAST(COALESCE(c.n, 0) AS BIGINT),
+       NULL::DOUBLE
+FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+CROSS JOIN (VALUES ('F'), ('O'), ('P')) s(st)
+LEFT JOIN (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1, 2) c
+  ON c.o_orderstatus = s.st AND c.o_orderpriority = p.o_orderpriority
+""",
+)
+def q_agg_multidim_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation surface in one union: rollup, cube,
+    grouping sets (via the SQL frontend), and an explicit-value-list
+    pivot whose wide result is immediately unpivoted back to long — the
+    round trip proves both reshapes are lossless. Each branch is one
+    shuffle on a tiny grouping key; the union is evaluation-parallel."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    cols = ["mode", "o_orderstatus", "o_orderpriority", "n", "sum_price"]
+
+    roll = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice", "sum_price"))
+        .select(F.lit("rollup").alias("mode"), *cols[1:])
+    )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice", "sum_price"))
+        .select(F.lit("cube").alias("mode"), *cols[1:])
+    )
+    sets = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    ).select(
+        F.lit("sets").alias("mode"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        F.lit(None).cast("double").alias("sum_price"),
+    )
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .unpivot(["o_orderpriority"], ["F", "O", "P"], "o_orderstatus", "npiv")
+        .select(
+            F.lit("pivot").alias("mode"),
+            "o_orderstatus",
+            "o_orderpriority",
+            F.coalesce(F.col("npiv"), F.lit(0)).alias("n"),
+            F.lit(None).cast("double").alias("sum_price"),
+        )
+    )
+    return roll.unionByName(cube).unionByName(sets).unionByName(piv)
+
+
+# ---------------------------------------------------------------------------
+# window_functions_pack — running totals, lag/lead navigation, and the full
+# ranking/frame family over events in ONE projection (two named windows).
+# (Merges window_running_total, window_lag_lead, window_frames_pack.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_functions_pack",
+    """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+            OVER (wts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)                                        AS running_value,
+       LAG(event_type)  OVER wts                              AS prev_type,
+       LEAD(event_type) OVER wts                              AS next_type,
+       CAST(date_diff('millisecond',
+            LAG(ts) OVER wts, ts) AS BIGINT)                  AS ms_since_prev,
+       CAST(dense_rank() OVER wv AS BIGINT)                   AS drk,
+       CAST(ntile(4) OVER wv AS BIGINT)                       AS quartile,
+       round(percent_rank() OVER wv, 6)                       AS pct_rank,
+       round(cume_dist() OVER wv, 6)                          AS cdist,
+       first_value(event_id) OVER
+         (wv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+       last_value(event_id) OVER
+         (wv ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key,
+       nth_value(event_id, 2) OVER
+         (wv ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                              AS second_key
+FROM events
+WINDOW wts AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wv  AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+""",
+)
+def q_window_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one pass: decimal-exact running sum
+    and lag/lead over event time, plus dense_rank / ntile / percent_rank /
+    cume_dist / first / last / nth_value over a value ranking — both
+    windows share ONE shuffle on user_id (Spark plans consecutive window
+    operators over the same partition key without re-shuffling). Unique
+    event_id tiebreaks keep every function deterministic."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    wts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    wts_run = wts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv_run = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv_fwd = wv.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wv_all = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prev_ts = F.lag("ts").over(wts)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(wts_run)
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_type").over(wts).alias("prev_type"),
+        F.lead("event_type").over(wts).alias("next_type"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(prev_ts.cast("timestamp"))
+        ).alias("ms_since_prev"),
+        F.dense_rank().over(wv).cast("long").alias("drk"),
+        F.ntile(4).over(wv).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("cdist"),
+        F.first("event_id").over(wv_run).alias("first_key"),
+        F.last("event_id").over(wv_fwd).alias("last_key"),
+        F.nth_value("event_id", 2).over(wv_all).alias("second_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_agg_pack — statistical moments, exact percentiles, deterministic
+# argmin/argmax, bool and ordered-string aggregates, one groupBy over
+# orders. (Merges stats_moments_pack, udf_exact_percentiles,
+# agg_argminmax_collect's aggregate surface.)
+# ---------------------------------------------------------------------------
+
+# Deterministic argmax sort key: cents are integers, so
+# round(price*100)*1e7 + orderkey is an exact integer < 2^53 in a double —
+# total order with a unique tiebreak, identical in both engines.
+_SKEY_SQL = "round(o_totalprice * 100) * 10000000 + o_orderkey"
+
+
+@_register(
+    "stats_agg_pack",
+    f"""
+SELECT o_orderstatus,
+       CAST(n AS BIGINT) AS n,
+       round(sx / n, 6)                                   AS mean_price,
+       round((sxx - sx * sx / n) / (n - 1), 4)            AS var_price,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6)      AS stddev_price,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                                                          AS corr_price_key,
+       round(p50, 4) AS p50,
+       round(p95, 4) AS p95,
+       top_order_key,
+       bottom_order_key,
+       priorities_csv,
+       has_big,
+       all_positive
+FROM (
+  SELECT o_orderstatus,
+         count(*)::DOUBLE                                          AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)  AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)  AS sxx,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(18,4))) AS DOUBLE)     AS sy,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(19,4))
+                * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE)     AS syy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE)     AS sxy,
+         quantile_cont(o_totalprice, 0.5)                          AS p50,
+         quantile_cont(o_totalprice, 0.95)                         AS p95,
+         arg_max(o_orderkey, {_SKEY_SQL})                          AS top_order_key,
+         arg_min(o_orderkey, {_SKEY_SQL})                          AS bottom_order_key,
+         string_agg(DISTINCT o_orderpriority, ','
+                    ORDER BY o_orderpriority)                      AS priorities_csv,
+         bool_or(o_totalprice > 300000)                            AS has_big,
+         bool_and(o_totalprice > 0)                                AS all_positive
+  FROM orders GROUP BY o_orderstatus)
+""",
+)
+def q_stats_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One grouped aggregation computing the statistical surface: mean /
+    sample variance / stddev / Pearson correlation from exact decimal
+    power sums (order-independent — see stats.py), exact continuous
+    percentiles, max_by/min_by with a total-order sort key, a sorted
+    distinct string_agg, and bool_or/bool_and. One shuffle, map-side
+    combinable except the exact percentiles (whose at-scale form is the
+    sketch in udf_approx_sketches)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    price, key = F.col("o_totalprice"), F.col("o_custkey")
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+    def dsum2(a: Column, b: Column) -> Column:
+        return F.sum(a.cast("decimal(19,4)") * b.cast("decimal(19,4)")).cast(
+            "double"
+        )
+
+    skey = F.round(price * 100, 0) * F.lit(10000000) + F.col("o_orderkey")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(price).alias("sx"),
+        dsum2(price, price).alias("sxx"),
+        dsum(key).alias("sy"),
+        dsum2(key, key).alias("syy"),
+        dsum2(price, key).alias("sxy"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        F.max_by("o_orderkey", skey).alias("top_order_key"),
+        F.min_by("o_orderkey", skey).alias("bottom_order_key"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities_csv"
+        ),
+        F.bool_or(price > 300000).alias("has_big"),
+        F.bool_and(price > 0).alias("all_positive"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "o_orderstatus",
+        n.cast("long").alias("n"),
+        F.round(sx / n, 6).alias("mean_price"),
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+        F.round(corr, 6).alias("corr_price_key"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        "top_order_key",
+        "bottom_order_key",
+        "priorities_csv",
+        "has_big",
+        "all_positive",
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_strings_pack — the full string-function surface over part, plus
+# pattern-match predicates as boolean columns. (Merges scalar_string_pack,
+# string_advanced_pack, pattern_match_filters.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_strings_pack",
+    """
+SELECT p_partkey,
+       upper(p_name)                          AS name_upper,
+       lower(p_brand)                         AS brand_lower,
+       length(p_name)                         AS name_len,
+       substr(p_name, 1, 5)                   AS name_prefix,
+       replace(p_type, ' ', '_')              AS type_snake,
+       concat(p_brand, ':', p_type)           AS brand_type,
+       ltrim(rtrim(p_name))                   AS name_trim,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
+       reverse(p_brand)                       AS brand_rev,
+       strpos(p_name, 'a')                    AS first_a,
+       regexp_extract(p_name, '([0-9]+)', 1)  AS first_number,
+       translate(p_brand, 'brand', 'BRAND')   AS brand_translated,
+       repeat('-', p_size % 5)                AS dashes,
+       split_part(p_type, ' ', 1)             AS type_head,
+       format('{:s}#{:d}', p_brand, p_size)   AS brand_tag,
+       left(p_name, 3)                        AS name_l3,
+       right(p_name, 3)                       AS name_r3,
+       md5(p_name)                            AS name_md5,
+       CAST(levenshtein(p_brand, 'brand12') AS INTEGER) AS lev_to_brand12,
+       (p_name LIKE '%spark%')                AS like_spark,
+       (p_name ILIKE '%RED%')                 AS ilike_red,
+       regexp_matches(p_type, '^(small|large).*[0-9]$') AS re_size_type,
+       starts_with(p_brand, 'brand1')         AS brand1_prefix,
+       (p_type SIMILAR TO '.*(steel|brass)')  AS steel_or_brass
+FROM part
+""",
+)
+def q_scalar_strings_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole string surface in one map-only codegen stage: case/trim/pad/
+    substring/concat/replace/reverse/position/regex extraction, translate/
+    repeat/split_part/printf/left/right/md5/levenshtein, and the LIKE /
+    ILIKE / regexp / prefix / SIMILAR TO predicate family as boolean
+    columns (their filter form is exercised by the TPC-H pack: q9 contains,
+    q13 NOT LIKE, q16 NOT LIKE)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_number"),
+        F.translate("p_brand", "brand", "BRAND").alias("brand_translated"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.format_string("%s#%d", "p_brand", "p_size").alias("brand_tag"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("name_r3"),
+        F.md5("p_name").alias("name_md5"),
+        F.levenshtein("p_brand", F.lit("brand12")).alias("lev_to_brand12"),
+        F.col("p_name").like("%spark%").alias("like_spark"),
+        F.col("p_name").ilike("%RED%").alias("ilike_red"),
+        F.col("p_type").rlike("^(small|large).*[0-9]$").alias("re_size_type"),
+        F.col("p_brand").startswith("brand1").alias("brand1_prefix"),
+        F.col("p_type").rlike(".*(steel|brass)$").alias("steel_or_brass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_numeric_temporal_pack — math, bitwise, try_-safe, cast/conditional
+# and date/interval functions over orders. (Merges scalar_math_pack,
+# scalar_date_pack, bitwise_pack, try_safe_arith_pack,
+# cast_conditional_pack, month_arithmetic.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_numeric_temporal_pack",
+    """
+SELECT o_orderkey,
+       abs(o_totalprice - 150000.0)                     AS price_dev,
+       CAST(floor(o_totalprice) AS BIGINT)              AS price_floor,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT)      AS price_k_ceil,
+       round(sqrt(o_totalprice), 4)                     AS price_sqrt,
+       round(ln(o_totalprice + 1), 6)                   AS price_ln,
+       power(o_orderkey % 10, 2)                        AS key_sq,
+       CAST(sign(o_totalprice - 150000.0) AS DOUBLE)    AS price_sign,
+       CAST(o_orderkey % 7 AS BIGINT)                   AS key_mod,
+       greatest(o_totalprice, 150000.0)                 AS price_hi,
+       least(o_totalprice, 100000.0)                    AS price_lo,
+       o_orderkey & 255                                 AS band,
+       o_orderkey | 4096                                AS bor,
+       xor(o_orderkey, 1365)                            AS bxor,
+       ~o_orderkey                                      AS bnot,
+       (o_orderkey % 1024) << 3                         AS shl,
+       o_orderkey >> 2                                  AS shr,
+       CAST(bit_count(o_orderkey) AS INTEGER)           AS popcount,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_orderkey % 5), 6) END AS safe_div,
+       TRY_CAST(o_orderstatus AS INTEGER)               AS bad_cast,
+       CASE WHEN o_orderkey % 2 = 1 THEN NULL
+            ELSE 9223372036854775807 END                AS overflow_add,
+       CAST(year(o_orderdate)  AS INTEGER)              AS order_year,
+       CAST(month(o_orderdate) AS INTEGER)              AS order_month,
+       CAST(day(o_orderdate)   AS INTEGER)              AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER)            AS order_quarter,
+       CAST(isodow(o_orderdate) AS INTEGER)             AS order_isodow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT)
+                                                        AS days_to_eoy,
+       o_orderdate + INTERVAL 30 DAY                    AS due_date,
+       strftime(o_orderdate, '%Y-%m')                   AS year_month,
+       o_orderdate + INTERVAL 3 MONTH                   AS plus_3m,
+       last_day(o_orderdate)                            AS month_end,
+       CAST(date_diff('month', o_orderdate,
+                      TIMESTAMP '1999-01-01') AS INTEGER) AS months_to_1999,
+       CAST(o_orderkey AS VARCHAR)                      AS key_str,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)       AS order_date_str,
+       COALESCE(NULLIF(o_orderstatus, 'F'), 'was_F')    AS status_or_flag,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 150000 THEN 'mid'
+            ELSE 'low' END                              AS price_band,
+       (o_orderstatus IS NOT DISTINCT FROM 'O')         AS is_open_nullsafe
+FROM orders
+WHERE o_orderkey % 3 = 0
+""",
+)
+def q_scalar_numeric_temporal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric + bitwise + error-safe + temporal + cast/conditional scalar
+    surface over one orders scan — all whole-stage codegen, zero shuffles.
+    The ``try_*`` family is the ANSI-mode per-row quarantine (divide-by-
+    zero, bad cast, bigint overflow each yield NULL instead of failing the
+    job — the modern form of the reference's catch-and-continue intent,
+    RawDataIngestion.java:117-123)."""
+    o = catalog.load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 3 == 0
+    )
+    price = F.col("o_totalprice")
+    key = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.abs(price - 150000.0).alias("price_dev"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price / 1000.0).alias("price_k_ceil"),
+        F.round(F.sqrt(price), 4).alias("price_sqrt"),
+        F.round(F.log(price + 1), 6).alias("price_ln"),
+        F.pow(key % 10, F.lit(2)).alias("key_sq"),
+        F.signum(price - 150000.0).alias("price_sign"),
+        (key % 7).alias("key_mod"),
+        F.greatest(price, F.lit(150000.0)).alias("price_hi"),
+        F.least(price, F.lit(100000.0)).alias("price_lo"),
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("bor"),
+        F.expr("o_orderkey ^ 1365").alias("bxor"),
+        F.expr("~o_orderkey").alias("bnot"),
+        F.expr("shiftleft(o_orderkey % 1024, 3)").alias("shl"),
+        F.expr("shiftright(o_orderkey, 2)").alias("shr"),
+        F.bit_count("o_orderkey").alias("popcount"),
+        F.round(F.try_divide(price, key % 5), 6).alias("safe_div"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.try_add(F.lit(9223372036854775807), key % 2).alias("overflow_add"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        ((F.dayofweek("o_orderdate") + 5) % 7 + 1).alias("order_isodow"),
+        F.date_trunc("month", "o_orderdate")
+        .cast("timestamp_ntz")
+        .alias("month_start"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_eoy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (
+            (F.lit(1999) - F.year("o_orderdate")) * 12
+            + (F.lit(1) - F.month("o_orderdate"))
+        )
+        .cast("int")
+        .alias("months_to_1999"),
+        key.cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date_str"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("F")), F.lit("was_F")).alias(
+            "status_or_flag"
+        ),
+        F.when(price >= 300000, "high")
+        .when(price >= 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.col("o_orderstatus").eqNullSafe("O").alias("is_open_nullsafe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar_semistructured_pack — generators + JSON + map + array algebra +
+# higher-order lambdas over events, arrays serialized to strings.
+# (Merges generator_posexplode, generator_explode_outer, scalar_json_pack,
+# json_construction, map_algebra_pack, array_algebra_pack,
+# array_set_ops_pack, array_advanced_pack.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_semistructured_pack",
+    """
+SELECT event_id,
+       CAST(u.s.pos AS INTEGER)                         AS pos,
+       CAST(u.s.elem AS BIGINT)                         AS elem,
+       json_extract_string(props, '$.k')                AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN)
+                                                        AS missing_is_null,
+       to_json({'id': event_id, 'kind': event_type})    AS as_json,
+       CAST(to_json([value, value * 2]) AS VARCHAR)     AS arr_json,
+       map(['type'], [event_type])['type'][1]           AS type_from_map,
+       CAST(cardinality(map(['a','b'], [value, value * 2])) AS INTEGER)
+                                                        AS map_size,
+       COALESCE(array_to_string(list_sort(list_distinct(a || b)), '|'), '')
+                                                        AS set_u,
+       COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), '|'), '')
+                                                        AS set_i,
+       COALESCE(array_to_string(list_sort(list_distinct(
+         list_filter(a, x -> NOT list_contains(b, x)))), '|'), '') AS set_d,
+       len(list_intersect(a, b)) > 0                    AS overlaps,
+       CAST(len(chars) AS INTEGER)                      AS n_chars,
+       COALESCE(array_to_string(list_filter(chars, c -> c >= 'l'), ''), '') AS high_chars,
+       array_to_string([upper(c) FOR c IN chars], '')   AS chars_upper,
+       array_to_string(flatten([chars[1:2], chars[3:4]]), '')     AS reflat,
+       len(list_distinct(chars)) != len(chars)          AS had_dups,
+       CAST(len(chars) - len(list_distinct(chars)) AS INTEGER)    AS n_dup_chars,
+       coalesce(chars[2], '<none>')                     AS second_char
+FROM (
+  SELECT event_id, event_type, value, props,
+         range(event_id % 5, event_id % 5 + 4)  AS a,
+         range(event_id % 3, event_id % 3 + 6)  AS b,
+         string_split(event_type, '')           AS chars,
+         CASE WHEN event_id % 7 = 0 THEN []
+              ELSE range(0, event_id % 3 + 1) END AS arr
+  FROM events WHERE event_id % 5 = 0),
+  unnest(CASE WHEN len(arr) = 0
+              THEN [{'pos': NULL, 'elem': NULL}]
+              ELSE [{'pos': i - 1, 'elem': arr[i]}
+                    FOR i IN range(1, len(arr) + 1)] END) AS u(s)
+""",
+)
+def q_scalar_semistructured_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface in one generator pass: posexplode_outer
+    (index-carrying flatten that keeps empty-array rows as NULLs — ops 5's
+    both variants at once), JSON extraction + construction (op 9's inverse),
+    map algebra, array set algebra, and higher-order lambdas
+    (filter/transform/flatten). Arrays are serialized with array_join
+    before output (driver canonicalizer requires atomic columns)."""
+    ev = catalog.load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 5 == 0
+    )
+    a = F.sequence(F.col("event_id") % 5, F.col("event_id") % 5 + 3)
+    b = F.sequence(F.col("event_id") % 3, F.col("event_id") % 3 + 5)
+    chars = F.split("event_type", "")
+    arr = F.when(
+        F.col("event_id") % 7 == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(F.lit(0).cast("bigint"), F.col("event_id") % 3))
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+        a.alias("a"),
+        b.alias("b"),
+        chars.alias("chars"),
+        arr.alias("arr"),
+    )
+    exploded = base.select(
+        "*", F.posexplode_outer("arr").alias("pos", "elem")
+    )
+    m1 = F.create_map(F.lit("type"), F.col("event_type"))
+    m2 = F.create_map(F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2)
+    ch = F.col("chars")
+    return exploded.select(
+        "event_id",
+        "pos",
+        "elem",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("kind"))
+        ).alias("as_json"),
+        F.to_json(F.array(F.col("value"), F.col("value") * 2)).alias("arr_json"),
+        F.element_at(m1, "type").alias("type_from_map"),
+        F.size(m2).alias("map_size"),
+        _join_ints(F.array_sort(F.array_union(F.col("a"), F.col("b")))).alias(
+            "set_u"
+        ),
+        _join_ints(F.array_sort(F.array_intersect(F.col("a"), F.col("b")))).alias(
+            "set_i"
+        ),
+        _join_ints(F.array_sort(F.array_except(F.col("a"), F.col("b")))).alias(
+            "set_d"
+        ),
+        F.arrays_overlap(F.col("a"), F.col("b")).alias("overlaps"),
+        F.size(ch).alias("n_chars"),
+        F.array_join(F.filter(ch, lambda c: c >= "l"), "").alias("high_chars"),
+        F.array_join(F.transform(ch, lambda c: F.upper(c)), "").alias(
+            "chars_upper"
+        ),
+        F.array_join(
+            F.flatten(F.array(F.slice(ch, 1, 2), F.slice(ch, 3, 2))), ""
+        ).alias("reflat"),
+        (F.size(F.array_distinct(ch)) != F.size(ch)).alias("had_dups"),
+        (F.size(ch) - F.size(F.array_distinct(ch))).alias("n_dup_chars"),
+        F.coalesce(F.element_at(ch, 2), F.lit("<none>")).alias("second_char"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal_join_pack — as-of join AND interval (range) join per purchase,
+# column-wise. (Merges asof_join_purchase_click, range_join_recent_clicks.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "temporal_join_pack",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'),
+aj AS (
+  SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+         r.ts AS last_click_ts, r.value AS last_click_value
+  FROM p ASOF LEFT JOIN c r
+    ON p.user_id = r.user_id AND p.ts >= r.ts),
+rng AS (
+  SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_recent_clicks
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+  GROUP BY p.event_id)
+SELECT aj.event_id, aj.user_id, aj.purchase_ts,
+       aj.last_click_ts, aj.last_click_value, rng.n_recent_clicks
+FROM aj JOIN rng USING (event_id)
+""",
+)
+def q_temporal_join_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase annotated with (a) its user's most recent prior-or-
+    same-time click via the union-merge as-of join (asof.py — ONE shuffle,
+    no range expansion) and (b) the count of clicks in the preceding hour
+    via an interval join whose equi-key rides the shuffle. The two
+    per-purchase results re-join on the unique event_id."""
+    from .asof import asof_join
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("event_id").alias("c_id")
+    )
+    asof = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "value"),
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["value"],
+        how="left",
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("ts_right").alias("last_click_ts"),
+        F.col("value_right").alias("last_click_value"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "c_id"
+    )
+    rng = (
+        purchases.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("purchase_ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("c_id").alias("n_recent_clicks"))
+    )
+    return asof.join(rng, "event_id").select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "last_click_ts",
+        "last_click_value",
+        "n_recent_clicks",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — text-keyed AND sha256-keyed exact dedup, union-tagged.
+# (Merges dedup_exact, dedup_exact_hash; at 100 TB only the sha256 branch
+# runs — you shuffle 32-byte digests, never document bodies.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+SELECT 'text' AS method, text AS dedup_key,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT)    AS n_copies
+FROM documents GROUP BY text
+UNION ALL
+SELECT 'sha256', sha256(text),
+       CAST(min(doc_id) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM documents GROUP BY sha256(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup both ways in one union: groupBy full text (small-corpus
+    form) and groupBy sha256 digest (the at-scale form — the shuffle moves
+    32-byte keys, not bodies). One representative (min doc_id) per group;
+    identical group structure proves the digest key is collision-free on
+    the corpus."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    by_text = d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).select(
+        F.lit("text").alias("method"),
+        F.col("text").alias("dedup_key"),
+        "keep_doc_id",
+        "n_copies",
+    )
+    by_hash = (
+        d.select(F.sha2("text", 256).alias("dedup_key"), "doc_id")
+        .groupBy("dedup_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select(F.lit("sha256").alias("method"), "dedup_key", "keep_doc_id", "n_copies")
+    )
+    return by_text.unionByName(by_hash)
+
+
+# ---------------------------------------------------------------------------
+# approx_methods_pack — the rows-only approximate family (SimHash pairs,
+# LSH top-k, IVF top-k) union-tagged. Hash values / probe sets are
+# engine-specific, so no SQL oracle exists for any branch; determinism and
+# recall/hamming bounds are pinned in tests.
+# ---------------------------------------------------------------------------
+
+
+@_register("approx_methods_pack")  # rows-only by design (approximate ops)
+def q_approx_methods_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One union over the three approximate operators: SimHash near-dup
+    pairs (method='simhash': id_a/id_b a doc pair, metric = hamming
+    distance), random-hyperplane LSH top-k (method='ann_lsh': id_a a
+    query, id_b a neighbor, metric = rank, score = cosine), and IVF top-k
+    (method='ann_ivf', same shape). Each branch's scale design is
+    documented on its operator (dedup.py / similarity.py); recall vs the
+    exact operators is asserted in tests."""
+    from .dedup import q_dedup_simhash_pairs
+    from .similarity import q_similarity_topk_ivf, q_similarity_topk_lsh
+
+    sim = q_dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("long").alias("metric"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    lsh = q_similarity_topk_lsh(spark, sf_dir).select(
+        F.lit("ann_lsh").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rk").alias("metric"),
+        F.col("cosine_sim").alias("score"),
+    )
+    ivf = q_similarity_topk_ivf(spark, sf_dir).select(
+        F.lit("ann_ivf").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rk").alias("metric"),
+        F.col("cosine_sim").alias("score"),
+    )
+    return sim.unionByName(lsh).unionByName(ivf)
+
+
+# ---------------------------------------------------------------------------
+# text_analysis_pack — token stats + quality + langid + fingerprints in ONE
+# scan of documents. (Merges text_token_stats, text_quality_score,
+# text_langid, text_fingerprint.)
+# ---------------------------------------------------------------------------
+
+
+def _text_analysis_oracle() -> str:
+    from .text import BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS, _sql_list
+
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER)                 AS n_chars_measured,
+       CAST(len(toks) AS INTEGER)                    AS n_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER)
+                                                     AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER)     AS n_unique_tokens,
+       round(length(replace(text, ' ', '')) * 1.0 / len(toks), 6)
+                                                     AS avg_token_len,
+       round(stop_ratio, 6)                          AS stopword_ratio,
+       round(uniq_ratio, 6)                          AS unique_ratio,
+       round(punct_ratio, 6)                         AS punct_ratio,
+       round(0.25 * CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+           + 0.25 * CASE WHEN stop_ratio >= 0.01 THEN 1.0 ELSE 0.0 END
+           + 0.25 * uniq_ratio
+           + 0.25 * (1.0 - punct_ratio), 6)          AS quality_score,
+       lang                                          AS labeled_lang,
+       CASE
+         WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_es THEN 'de'
+         ELSE 'es'
+       END                                           AS predicted_lang,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                                                     AS content_fingerprint,
+       list_reduce([0::BIGINT] ||
+                   [ascii(c)::BIGINT % 256 FOR c IN string_split(text, '')],
+                   (acc, x) -> (acc * 31 + x) % 1000000007)
+                                                     AS rolling_hash
+FROM (
+  SELECT doc_id, text, lang, toks,
+         len(list_filter(toks, t -> t IN ({_sql_list(STOPWORDS)}))) * 1.0
+           / len(toks)                               AS stop_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks)  AS uniq_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+           / length(text)                            AS punct_ratio,
+         len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["en"])}))) AS s_en,
+         len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["de"])}))) AS s_de,
+         len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["es"])}))) AS s_es
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents))
+"""
+
+
+def q_text_analysis_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis surface — token counting (whitespace,
+    BPE-ish regex, uniques), Gopher/C4-style quality scoring, marker-token
+    language ID, and both fingerprints (order-insensitive md5 + rolling
+    polynomial hash) — fused into ONE map-only projection over a single
+    scan. At 100 TB this runs embarrassingly parallel with zero shuffles;
+    computing the four packs separately would re-scan the corpus four
+    times. TF-IDF stays separate (text_tfidf_topterms): it is inherently a
+    corpus aggregation, not a per-document map."""
+    from .text import BPE_ISH_PATTERN, LANG_MARKERS, STOPWORDS
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) * F.lit(1.0) / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+        * F.lit(1.0)
+        / F.length("text")
+    )
+    quality = (
+        F.lit(0.25) * F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+        + F.lit(0.25) * F.when(stop_ratio >= 0.01, 1.0).otherwise(0.0)
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+    )
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+        for lang in ("en", "de", "es")
+    }
+    predicted = (
+        F.when(
+            (scores["en"] == 0) & (scores["de"] == 0) & (scores["es"] == 0), "und"
+        )
+        .when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), "en")
+        .when(scores["de"] >= scores["es"], "de")
+        .otherwise("es")
+    )
+    rolling = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c) % 256) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            * F.lit(1.0)
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "content_fingerprint"
+        ),
+        rolling.alias("rolling_hash"),
+    )
+
+
+QUERIES["text_analysis_pack"] = q_text_analysis_pack
+ORACLES["text_analysis_pack"] = _text_analysis_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_pack — JVM binary stats + Arrow mapInPandas decode in one
+# pass. (Merges multimodal_binary_stats, multimodal_decode_meta.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_pack",
+    """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INTEGER)            AS byte_len,
+       CAST(16 + octet_length(encode(text)) % 64 AS INTEGER)  AS width,
+       CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+       CAST(1 + octet_length(encode(text)) % 3 AS INTEGER)    AS channels,
+       sha256(text)                                           AS payload_sha256,
+       lower(hex(encode(substr(text, 1, 8))))                 AS prefix_hex
+FROM documents
+""",
+)
+def q_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline in one pass: the JVM metadata stage (length,
+    sha256 digest, prefix hex — what runs before any Python at scale)
+    computed on the scan, then carried through the Arrow-batched
+    mapInPandas decode stage (fake kernel — container has no codecs; see
+    multimodal.py) that adds width/height/channels. Proves the carry-
+    through batch schema a real decode stage needs."""
+    from .multimodal import decode_image_meta, documents_as_media
+
+    media = documents_as_media(spark, sf_dir).select(
+        "media_id",
+        "payload",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.lower(F.hex(F.substring("payload", 1, 8))).alias("prefix_hex"),
+    )
+    return decode_image_meta(media, fake=True, carry=("payload_sha256", "prefix_hex"))
+
+
+# ---------------------------------------------------------------------------
+# join_strategies_pack — all six join strategies (broadcast star, fact-fact
+# SMJ, semi, anti, left-outer agg, theta/range) union-tagged onto one
+# (kind, key, n, amount) schema, reusing the granular queries AND their
+# oracles verbatim. (Merges join_broadcast_dims, join_fact_fact_revenue,
+# join_semi, join_anti, join_left_outer_counts, join_theta_range.)
+# ---------------------------------------------------------------------------
+
+
+def _join_strategies_oracle() -> str:
+    from .relational import ORACLES as _RO
+
+    def wrap(kind: str, name: str, key: str, n: str = "NULL",
+             amount: str = "NULL") -> str:
+        return (
+            f"SELECT '{kind}' AS kind, CAST({key} AS VARCHAR) AS key, "
+            f"CAST({n} AS BIGINT) AS n, CAST({amount} AS DOUBLE) AS amount "
+            f"FROM ({_RO[name]})"
+        )
+
+    return "\nUNION ALL\n".join(
+        (
+            wrap("star", "join_broadcast_dims", "region_name",
+                 "n_customers", "sum_acctbal"),
+            wrap("fact_fact", "join_fact_fact_revenue", "o_orderpriority",
+                 "n_orders", "revenue"),
+            wrap("semi", "join_semi", "c_custkey"),
+            wrap("anti", "join_anti", "c_custkey"),
+            wrap("left_outer", "join_left_outer_counts", "c_custkey",
+                 "n_orders", "total_spent"),
+            wrap("theta", "join_theta_range", "p_partkey",
+                 "n_cheaper_suppliers"),
+        )
+    )
+
+
+def q_join_strategies_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every join strategy in one union, each branch the granular query
+    unchanged (broadcast-hash star join, shuffled sort-merge fact-fact,
+    left-semi existence, left-anti absence, left-outer with null-preserving
+    aggregates, and a theta/range join). The branches share scans where the
+    same table appears (Spark reuses the exchange); tagging projects each
+    result onto (kind, key, n, amount)."""
+    from .relational import (
+        q_join_anti,
+        q_join_broadcast_dims,
+        q_join_fact_fact_revenue,
+        q_join_left_outer_counts,
+        q_join_semi,
+        q_join_theta_range,
+    )
+
+    def tag(df: DataFrame, kind: str, key: str, n: str | None = None,
+            amount: str | None = None) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col(key).cast("string").alias("key"),
+            (F.col(n).cast("long") if n else F.lit(None).cast("long")).alias("n"),
+            (
+                F.col(amount).cast("double")
+                if amount
+                else F.lit(None).cast("double")
+            ).alias("amount"),
+        )
+
+    branches = (
+        tag(q_join_broadcast_dims(spark, sf_dir), "star", "region_name",
+            "n_customers", "sum_acctbal"),
+        tag(q_join_fact_fact_revenue(spark, sf_dir), "fact_fact",
+            "o_orderpriority", "n_orders", "revenue"),
+        tag(q_join_semi(spark, sf_dir), "semi", "c_custkey"),
+        tag(q_join_anti(spark, sf_dir), "anti", "c_custkey"),
+        tag(q_join_left_outer_counts(spark, sf_dir), "left_outer",
+            "c_custkey", "n_orders", "total_spent"),
+        tag(q_join_theta_range(spark, sf_dir), "theta", "p_partkey",
+            "n_cheaper_suppliers"),
+    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+QUERIES["join_strategies_pack"] = q_join_strategies_pack
+ORACLES["join_strategies_pack"] = _join_strategies_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_window_pack — the three event-time window batch twins
+# (tumbling, sliding, session), union-tagged. (Merges
+# tumbling_window_counts, sliding_window_counts, session_window_agg; the
+# identical helpers run as genuine watermark-bounded streaming queries in
+# tests/test_streaming*.py.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "streaming_window_pack",
+    """
+SELECT 'tumbling' AS kind,
+       time_bucket(INTERVAL '6 hours', ts)                    AS window_start,
+       time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR  AS window_end,
+       event_type                                             AS group_key,
+       CAST(count(*) AS BIGINT)                               AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)      AS sum_value
+FROM events GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'sliding', w, w + INTERVAL 12 HOUR, NULL::VARCHAR,
+       CAST(count(*) AS BIGINT), NULL::DOUBLE
+FROM (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS w FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '6 hours', ts) - INTERVAL 6 HOUR FROM events)
+GROUP BY 2
+UNION ALL
+SELECT 'session', min(ts), max(ts) + INTERVAL 30 MINUTE,
+       CAST(user_id AS VARCHAR),
+       CAST(count(*) AS BIGINT), NULL::DOUBLE
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events))
+GROUP BY user_id, session_id
+""",
+)
+def q_streaming_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twins of the three event-time window operators in one union:
+    tumbling (6h, per event_type, decimal-exact sums), sliding (12h window
+    / 6h slide), and session windows (30min gap). The same helper
+    functions run as watermark-bounded streaming queries with RocksDB-
+    backed state in tests — this query proves their *semantics* against
+    the SQL oracle; the streaming tests prove the incremental execution."""
+    from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    tumble = tumbling_counts(ev).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "window_end",
+        F.col("event_type").alias("group_key"),
+        "n_events",
+        "sum_value",
+    )
+    slide = sliding_counts(ev).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("group_key"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    session = session_windows(ev).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("group_key"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumble.unionByName(slide).unionByName(session)

@@ -57,6 +57,26 @@ def get_spark(
     return spark
 
 
+def stage(df):
+    """Materialization point for a DataFrame consumed by multiple downstream
+    operators (signatures + verification joins, iterative-loop state, ...).
+
+    Uses ``persist`` — fault-tolerant on a real cluster (lost partitions
+    recompute from lineage), unlike ``localCheckpoint`` whose executor-local
+    blocks die with the executor and kill the job. Default storage level is
+    MEMORY_AND_DISK; set ``SPARK_GRAFT_SCALE_MODE=disk`` for DISK_ONLY when
+    the staged data would pressure executor memory at large scale factors.
+    """
+    from pyspark import StorageLevel
+
+    level = (
+        StorageLevel.DISK_ONLY
+        if os.environ.get("SPARK_GRAFT_SCALE_MODE", "").lower() == "disk"
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    return df.persist(level)
+
+
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally created
     session (the driver hands us its own SparkSession in ``entry``)."""
