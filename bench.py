@@ -48,6 +48,14 @@ HEADLINE = [
     "cdc_latest_per_key",
     "window_frames_pack",
     "downsample_gapfill",
+    # consolidated family packs (round 2): each executes a whole operator
+    # family in one plan — the heavy representatives of the core window
+    "window_functions_pack",
+    "scalar_semistructured_pack",
+    "join_strategies_pack",
+    "text_analysis_pack",
+    "streaming_window_pack",
+    "dedup_ngram_jaccard_pairs",
 ]
 
 

@@ -23,14 +23,25 @@ Scale design per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
+from ..session import stage
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 JACCARD_THRESHOLD = 0.8
+# Document-frequency cap on shingles entering the inverted-index self-join.
+# A shingle shared by k docs yields k(k-1)/2 candidate rows, so one common
+# 3-gram ("of the X") skew-explodes the shuffle at scale; capping df bounds
+# the worst shingle's fan-out at max_df². Soundness bound: a J ≥ τ pair is
+# missed only if EVERY shingle it shares has df > max_df — i.e. the pair
+# sits inside a >max_df-sized template cluster, where pair enumeration is
+# itself quadratic and the clustering path (dedup_clusters via LSH) is the
+# right tool. Verification always counts |A∩B| against the FULL index, so
+# every reported Jaccard stays exact. No-op at fixture scale (df ≪ 1000).
+SHINGLE_MAX_DF = 1000
 # The synthetic fixture embeddings are near-orthogonal (max pairwise cosine
 # ≈ 0.51), so the near-dup threshold is tuned to exercise the operator on
 # this data; production near-dup uses 0.9+ with the identical plan.
@@ -158,68 +169,162 @@ def _shingle_sets(
     sets = d.select("doc_id", _shingles().alias("shingles"))
     if materialize:
         # The pair operators reuse the sets three times (signatures + both
-        # verification joins); materializing once (executor-local, lineage
-        # truncated) cuts ~40% off the pair-query wall time. At cluster
-        # scale the equivalent is persisting the shingle table explicitly.
-        sets = sets.localCheckpoint(eager=False)
+        # verification joins); persisting once cuts ~40% off the pair-query
+        # wall time, and unlike localCheckpoint it survives executor loss
+        # (lost partitions recompute from lineage).
+        sets = stage(sets)
     return sets
 
 
-def _verified_pairs(candidates: DataFrame, sets: DataFrame) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs back to shingle sets and keep
-    those with exact Jaccard ≥ threshold."""
-    a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    j = _jaccard(F.col("sh_a"), F.col("sh_b"))
+def _pair_shared_counts(candidates: DataFrame, inverted: DataFrame) -> DataFrame:
+    """|A∩B| per candidate (doc_a, doc_b) pair, by counting co-occurring
+    shingles of the candidate docs — the shuffle payload is (id, shingle)
+    rows and (id, id, int) triples; shingle ARRAYS never travel. The index
+    is semi-join-pruned to candidate docs before the fan-out."""
+    ia = inverted.join(
+        candidates.select(F.col("doc_a").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = inverted.join(
+        candidates.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("doc_b"), "shingle")
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(j >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
-    )
-
-
-def count_verified_pairs(sets: DataFrame) -> DataFrame:
-    """Exact-Jaccard pairs straight from the inverted index, by counting:
-    |A∩B| is the number of co-occurring shingles — a pair-count
-    aggregation — and |A∪B| = |A| + |B| - |A∩B| (shingle arrays are
-    distinct per doc). The verification therefore shuffles (id, id, int)
-    triples only; the shingle arrays never travel. At 100 TB this is the
-    difference between shuffling integers and shuffling document content.
-    """
-    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
-    l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
-    r = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        l.join(r, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        candidates.join(ia, "doc_a")
+        .join(ib, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
+
+
+def _jaccard_from_counts(shared: DataFrame, sets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared) → exact Jaccard via |A∪B| = |A|+|B|-|A∩B|
+    (shingle arrays are distinct per doc). No broadcast hint: the sizes
+    table is one row per doc — AQE broadcasts it while it fits and falls
+    back to a shuffled join at scale, where a forced broadcast would OOM."""
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     j = F.col("shared") * F.lit(1.0) / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(j >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
 
 
+def verify_candidates(candidates: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, count-based: the
+    candidates (from LSH banding or the capped index) are joined to the
+    full inverted index for exact |A∩B|, so no true pair among the
+    candidates is mis-scored and no false positive survives."""
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    return _jaccard_from_counts(_pair_shared_counts(candidates, inverted), sets)
+
+
+def count_verified_pairs(
+    sets: DataFrame, max_df: int | None = SHINGLE_MAX_DF
+) -> DataFrame:
+    """Exact-Jaccard pairs from the inverted shingle index, by counting.
+
+    Candidate generation self-joins the index on shingle, with shingles of
+    document frequency > ``max_df`` excluded to bound the per-shingle k²
+    fan-out (see SHINGLE_MAX_DF for the soundness argument; pass
+    ``max_df=None`` for the fully lossless join). Hot shingles still
+    contribute to |A∩B| via a patch join against the discovered pairs
+    only, so reported Jaccards are exact either way; when nothing is hot
+    the plan degenerates to the lossless single-phase count plus one df
+    aggregation.
+    """
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    def single_phase(idx: DataFrame) -> DataFrame:
+        l = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+        r = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+        return (
+            l.join(r, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared"))
+        )
+
+    if max_df is None:
+        return _jaccard_from_counts(single_phase(inverted), sets)
+
+    # Rare/hot decomposition: the self-join + pair count runs only over
+    # shingles with df <= max_df (the skew-bounded plan, identical to the
+    # lossless one when nothing is hot); the few hot shingles contribute
+    # |A∩B ∩ hot| via a join against just the discovered pairs, keeping
+    # every reported Jaccard exact. df comes from an unordered window
+    # count partitioned on shingle — the same hash partitioning the
+    # self-join needs, so the split costs no extra exchange.
+    windowed = inverted.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    rare_idx = windowed.where(F.col("df") <= max_df).drop("df")
+    shared_rare = single_phase(rare_idx)
+    hot_idx = windowed.where(F.col("df") > max_df).drop("df")
+    ha = hot_idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = hot_idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    hot_shared = (
+        shared_rare.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("hot_n"))
+    )
+    shared = (
+        shared_rare.join(hot_shared, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("shared") + F.coalesce(F.col("hot_n"), F.lit(0))).alias(
+                "shared"
+            ),
+        )
+    )
+    return _jaccard_from_counts(shared, sets)
+
+
+def index_candidates(
+    sets: DataFrame, max_df: int | None = SHINGLE_MAX_DF
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs sharing ≥1 shingle of
+    document frequency ≤ ``max_df``. The df count rides the same shingle
+    hash-partitioning as the self-join (window count, filter, join — one
+    exchange)."""
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        inverted = (
+            inverted.withColumn(
+                "df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
+    l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        l.join(r, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 @_register("dedup_ngram_jaccard_pairs", _NGRAM_PAIRS_ORACLE)
 def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-duplicate pairs (3-gram Jaccard ≥ 0.8). Lossless inverted
-    index prunes the pair space: only docs sharing ≥1 shingle are compared
-    (any pair with J ≥ 0.8 shares shingles, so nothing is missed); the
-    count-based verifier never materializes candidate pairs' arrays."""
+    """Exact near-duplicate pairs (3-gram Jaccard ≥ 0.8). The inverted
+    shingle index prunes the pair space — only docs sharing ≥1 (rare)
+    shingle are compared — with a document-frequency cap bounding the
+    hot-shingle k² fan-out (SHINGLE_MAX_DF); the count-based verifier
+    scores every candidate against the full index, never materializing
+    shingle arrays per pair."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
     return count_verified_pairs(sets)
 
@@ -260,13 +365,13 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(candidate) ≈ 1-(1-s⁴)¹⁶ — ≥ 0.9998 at s = 0.8 — and the exact
     Jaccard verification removes all false positives, so the output matches
     the exact-pairs oracle whenever no >τ pair slips every band (checked by
-    tests against the exact operator). Cost: signatures are one groupBy
-    over shingles; banding shuffles 16 small (band, hash) keys per doc —
-    never a cross join."""
+    tests against the exact operator). Cost: signatures are a map-only
+    pass; banding shuffles 16 small (band, hash) keys per doc — never a
+    cross join — and verification counts shared shingles per candidate
+    (verify_candidates), so the post-LSH shuffle carries (id, id, int)
+    triples, not shingle arrays."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
-    # signatures feed both the 16-band explode and (via candidates) the
-    # verification join — materialize once
-    sigs = minhash_signatures(sets).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sets)
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_MIXERS))])
     banded = sigs.select(
         "doc_id",
@@ -298,7 +403,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verified_pairs(candidates, sets)
+    return verify_candidates(candidates, sets)
 
 
 # ---------------------------------------------------------------------------
@@ -442,14 +547,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     built plans with a convergence check, the standard Spark iterative
     pattern (GraphFrames does the same under the hood).
     """
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    ).distinct().localCheckpoint(eager=False)
-    labels = (
+    edges = stage(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+    )
+    labels = stage(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -457,7 +563,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = stage(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -465,7 +571,6 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -473,6 +578,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
+from ..session import stage
 from .dedup import JACCARD_THRESHOLD, SHINGLE_N, _shingles, count_verified_pairs
 from .text import LANG_MARKERS, STOPWORDS, _sql_list
 
@@ -115,9 +116,7 @@ def _near_dropped(exact_kept: DataFrame) -> DataFrame:
     Jaccard ≥ threshold pair), via the lossless inverted shingle index
     with count-based verification (dedup.count_verified_pairs — shuffles
     (id, id, int) triples, never the shingle arrays)."""
-    sets = exact_kept.select("doc_id", _shingles().alias("shingles")).localCheckpoint(
-        eager=False
-    )
+    sets = stage(exact_kept.select("doc_id", _shingles().alias("shingles")))
     return (
         count_verified_pairs(sets)
         .select(F.col("doc_b").alias("doc_id"))

@@ -26,6 +26,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
+from ..session import stage
 from .dedup import cosine
 
 QUERIES: dict = {}
@@ -205,14 +206,18 @@ IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
 
-def ivf_centroids(corpus: DataFrame) -> DataFrame:
+IVF_LLOYD_ITERS = 2
+
+
+def ivf_centroids(corpus: DataFrame, n_iters: int = IVF_LLOYD_ITERS) -> DataFrame:
     """Deterministic coarse quantizer: seed with the K lowest-id vectors,
-    run one Lloyd iteration (assign-all → element-wise mean). All built-in
-    ops: the element-wise mean is posexplode → groupBy(cluster, dim) →
-    re-assemble. One extra iteration is one more pass of the same shape —
-    at 100 TB you train the quantizer on a sample, then assignment is a
+    then ``n_iters`` Lloyd iterations (assign-all → element-wise mean).
+    All built-in ops: the element-wise mean is posexplode →
+    groupBy(cluster, dim) → re-assemble; each iteration's centroids are
+    staged so the next assignment pass starts from materialized state.
+    At 100 TB you train the quantizer on a sample, then assignment is a
     single broadcast-join scan."""
-    seeds = (
+    centroids = (
         corpus.orderBy("neighbor_id")
         .limit(IVF_CLUSTERS)
         .select(
@@ -222,23 +227,25 @@ def ivf_centroids(corpus: DataFrame) -> DataFrame:
             F.col("v_emb").alias("centroid"),
         )
     )
-    assigned = assign_clusters(corpus, seeds)
-    dims = assigned.select(
-        "cluster_id", F.posexplode("v_emb").alias("dim", "val")
-    )
-    means = dims.groupBy("cluster_id", "dim").agg(F.avg("val").alias("m"))
-    return (
-        means.groupBy("cluster_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "m"))
-            ).alias("dm")
+    for _ in range(n_iters):
+        assigned = assign_clusters(corpus, centroids)
+        dims = assigned.select(
+            "cluster_id", F.posexplode("v_emb").alias("dim", "val")
         )
-        .select(
-            "cluster_id",
-            F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+        means = dims.groupBy("cluster_id", "dim").agg(F.avg("val").alias("m"))
+        centroids = stage(
+            means.groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "cluster_id",
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+            )
         )
-    )
+    return centroids
 
 
 def assign_clusters(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -266,7 +273,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
     )
-    centroids = ivf_centroids(corpus).localCheckpoint(eager=False)
+    centroids = stage(ivf_centroids(corpus))
     inverted = assign_clusters(corpus, centroids)
 
     queries = e.where(F.col("vec_id") < N_QUERIES).select(

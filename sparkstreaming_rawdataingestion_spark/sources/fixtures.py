@@ -48,9 +48,11 @@ def cached_messages(
     key = (id(spark._jsparkSession), sf_dir, include_edge_cases)
     if key not in _MESSAGE_CACHE:
         events = catalog.load_table(spark, sf_dir, "events")
-        _MESSAGE_CACHE[key] = events_to_messages(
-            events, include_edge_cases
-        ).localCheckpoint(eager=False)
+        from ..session import stage
+
+        _MESSAGE_CACHE[key] = stage(
+            events_to_messages(events, include_edge_cases)
+        )
     return _MESSAGE_CACHE[key]
 
 

@@ -62,8 +62,7 @@ def test_approx_sketches_within_tolerance(spark):
             r["exact_customers"], 1
         )
         assert err < 0.05, f"HLL error {err:.3f} too large"
-        q50, q95, q99 = r["price_quantiles"]
-        assert q50 <= q95 <= q99
+        assert r["price_p50"] <= r["price_p95"] <= r["price_p99"]
 
 
 def test_cli_entrypoint_available_now(spark, sf_dir, tmp_path):

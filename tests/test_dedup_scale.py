@@ -1,0 +1,90 @@
+"""Scale-shape guarantees for the dedup operators: the hot-shingle df cap
+bounds candidate fan-out without changing results, and the core registry
+window stays exactly 50 entries with the right contents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+    SHINGLE_MAX_DF,
+    _shingles,
+    count_verified_pairs,
+    index_candidates,
+)
+
+
+def _sets(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select("doc_id", _shingles().alias("shingles"))
+
+
+def _hot_shingle_corpus(n_docs: int = 40):
+    """Every doc shares one common 3-gram ("the common tail") but is
+    otherwise unique — the adversarial template case: one shingle with
+    df = n_docs, no pair anywhere near J >= 0.8."""
+    return [
+        f"doc {i} body token{i}a token{i}b token{i}c the common tail"
+        for i in range(n_docs)
+    ]
+
+
+def test_df_cap_bounds_candidate_fanout(spark):
+    sets = _sets(spark, _hot_shingle_corpus(40))
+    uncapped = index_candidates(sets, max_df=None).count()
+    capped = index_candidates(sets, max_df=5).count()
+    # the hot shingle alone yields 40*39/2 = 780 uncapped pairs
+    assert uncapped >= 780
+    # rare shingles are unique per doc here -> zero capped candidates
+    assert capped == 0
+
+
+def test_df_cap_preserves_pairs_sharing_rare_shingles(spark):
+    # a genuine duplicate pair (J = 1.0) inside the hot corpus — its rare
+    # shingles (df = 2) survive the cap even though the hot one doesn't
+    texts = _hot_shingle_corpus(20)
+    texts.append(texts[3])
+    sets = _sets(spark, texts)
+    exact = sorted(
+        count_verified_pairs(sets, max_df=None).collect(), key=str
+    )
+    capped = sorted(count_verified_pairs(sets, max_df=5).collect(), key=str)
+    assert len(exact) > 0
+    # the dup pair shares many rare shingles, so the cap loses nothing and
+    # every reported jaccard is identical (counted against the full index)
+    assert capped == exact
+
+
+def test_default_cap_is_noop_on_fixture_scale(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    sets = d.select("doc_id", _shingles().alias("shingles"))
+    max_df = (
+        sets.select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df < SHINGLE_MAX_DF
+
+
+def test_core_registry_window():
+    from sparkstreaming_rawdataingestion_spark.queries import (
+        CORE_ORDER,
+        all_oracles,
+        all_queries,
+        extended_queries,
+    )
+
+    q, o = all_queries(), all_oracles()
+    assert len(CORE_ORDER) == 50
+    assert len(set(CORE_ORDER)) == 50
+    # the driver checks the first 50 registry entries: they must be the core
+    assert list(q)[:50] == list(CORE_ORDER)
+    rows_only = {n for n in CORE_ORDER if n not in o}
+    # only genuinely non-SQL-expressible ops may lack an oracle
+    assert rows_only <= {"approx_methods_pack", "udf_approx_sketches"}
+    assert set(extended_queries()) == set(q) - set(CORE_ORDER)

@@ -91,13 +91,30 @@ def test_lsh_topk_recall(spark):
 
 
 def test_ivf_topk_recall(spark):
+    """Recall at the default nprobe, and the nprobe dial: probing more
+    inverted lists buys recall linearly in scan cost. The fixture
+    embeddings are near-orthogonal random vectors (no real cluster
+    structure — max pairwise cosine ≈ 0.51), which is the worst case for
+    any coarse quantizer; real embedding corpora cluster far better."""
     exact = similarity.q_similarity_topk_bruteforce(spark, SF01).collect()
-    ivf = similarity.q_similarity_topk_ivf(spark, SF01).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    ivf = similarity.q_similarity_topk_ivf(spark, SF01).collect()
     ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert len(ivf) == len(exact)  # full k returned per query
     recall = len(exact_set & ivf_set) / len(exact_set)
-    assert recall >= 0.7, f"IVF top-k recall too low: {recall:.2f}"
+    assert recall >= 0.8, f"IVF top-k recall too low: {recall:.2f}"
+
+    old = similarity.IVF_NPROBE
+    try:
+        similarity.IVF_NPROBE = 6
+        ivf6 = similarity.q_similarity_topk_ivf(spark, SF01).collect()
+    finally:
+        similarity.IVF_NPROBE = old
+    ivf6_set = {(r["query_id"], r["neighbor_id"]) for r in ivf6}
+    recall6 = len(exact_set & ivf6_set) / len(exact_set)
+    assert recall6 >= 0.9, f"IVF nprobe=6 recall too low: {recall6:.2f}"
+    assert recall6 >= recall
 
 
 def test_multimodal_real_decode_is_stubbed(spark):

@@ -53,6 +53,15 @@ PICKS = {
         "TF-IDF: df/N sides broadcast back onto the tf stream; per-doc "
         "top-3 rides WindowGroupLimit."
     ),
+    "dedup_minhash_lsh_pairs": (
+        "MinHash-LSH: map-only signature projection (no explode/agg), "
+        "banded equi-join candidates, count-based verification — no "
+        "shingle array in any exchange after the index build."
+    ),
+    "window_functions_pack": (
+        "Eleven window functions over two orderings of the same partition "
+        "key: ONE exchange on user_id feeds every Window operator."
+    ),
 }
 
 SKIP_PREFIXES = (
