@@ -1,0 +1,247 @@
+"""Dataset profiling, hierarchical rollup, and training-mix sampling —
+the operational layer a large-scale training-data pipeline runs around
+curation (BASELINE.json north star; generalizes the reference's per-batch
+debug inspection, RawDataIngestion.java:155-165, into real dataset
+observability).
+
+Scale design:
+
+- **table_profile**: ONE wide aggregation over one scan computes every
+  per-column metric (nulls, exact distincts, min/max), then a map-side
+  melt reshapes to one row per column. Profiling a 100 TB table costs a
+  single reduce — never one pass per column.
+- **rollup_time_hierarchy**: hour buckets aggregate the raw scan once;
+  day re-aggregates the hour output; month re-aggregates day. Each
+  coarser level reads the previous level's (tiny) result — the
+  hypertable/continuous-aggregate cascade — so raw data is scanned
+  exactly once no matter how many resolutions are served.
+- **stratified_sample**: per-stratum Bernoulli rates off a Knuth
+  multiplicative key hash — deterministic, re-runnable, join-free (the
+  mixing weights of a training-data recipe as a pure filter).
+- **quality_quantile_buckets**: curriculum binning via ntile over a
+  deterministic ordering; one shuffle on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from ..session import stage
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# table_profile — per-column dataset profile in one pass
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """One wide aggregation (single scan, single reduce) computing row
+    count, null count, exact distinct count, and min/max per column; the
+    result row is melted map-side into one row per column."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nn").cast("long").alias("n_null"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@_register(
+    "table_profile",
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}'                         AS column_name,
+       CAST(count(*) AS BIGINT)      AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                     AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR)     AS min_value,
+       CAST(max({c}) AS VARCHAR)     AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset observability primitive: the per-column profile every
+    ingestion run logs before training jobs consume a table."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# rollup_time_hierarchy — continuous-aggregate cascade hour → day → month
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_time_hierarchy",
+    """
+WITH hour AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         count(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sv
+  FROM events GROUP BY 1
+), day AS (
+  SELECT time_bucket(INTERVAL '1 day', bucket_start) AS bucket_start,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+  FROM hour GROUP BY 1
+), month AS (
+  SELECT CAST(date_trunc('month', bucket_start) AS TIMESTAMP) AS bucket_start,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
+  FROM day GROUP BY 1
+)
+SELECT 'hour' AS resolution, bucket_start,
+       CAST(n_events AS BIGINT) AS n_events, CAST(sv AS DOUBLE) AS sum_value
+FROM hour
+UNION ALL
+SELECT 'day', bucket_start, n_events, CAST(sv AS DOUBLE) FROM day
+UNION ALL
+SELECT 'month', bucket_start, n_events, CAST(sv AS DOUBLE) FROM month
+""",
+)
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour buckets aggregate the
+    raw scan ONCE; day aggregates hour's output; month aggregates day's.
+    At 100 TB the coarser levels cost ~nothing (they read thousands of
+    rows, not billions) and the decimal partials re-aggregate exactly."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    # Each level is staged: without materialization Spark would expand the
+    # union into three independent subtrees and scan the raw table three
+    # times (verified via executedPlan). Persisting hour/day is exactly
+    # what a continuous-aggregate store does with its materialized levels.
+    hour = stage(
+        ev.groupBy(
+            F.window("ts", "1 hour")["start"].alias("bucket_start")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        )
+    )
+    day = stage(
+        hour.groupBy(
+            F.window("bucket_start", "1 day")["start"].alias("bucket_start")
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    month = day.groupBy(
+        F.date_trunc("month", "bucket_start").cast("timestamp_ntz").alias(
+            "bucket_start"
+        )
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    def tag(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return tag(hour, "hour").unionByName(tag(day, "day")).unionByName(
+        tag(month, "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — per-stratum deterministic training-mix rates
+# ---------------------------------------------------------------------------
+
+# lang → percent kept (a training-data mixing recipe)
+_MIX_RATES = {"en": 50, "de": 100, "es": 25}
+_KNUTH = "2654435761"
+
+
+def _mix_case_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in _MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@_register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * {_KNUTH} % 4294967296) % 100 < {_mix_case_sql()}
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: each language stratum keeps its own
+    deterministic Bernoulli rate off a Knuth key hash — reproducible,
+    join-free, and embarrassingly parallel (a pure filter on the scan)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296)) % 100
+    rate = F.lit(0)
+    for lang, pct in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return d.where(bucket < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# quality_quantile_buckets — curriculum binning by quality score
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_quantile_buckets",
+    """
+SELECT doc_id, lang,
+       CAST(ntile(4) OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS quality_quartile
+FROM documents
+""",
+)
+def q_quality_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: per-language quality quartiles (n_chars as the
+    stored quality proxy; the computed score variant is
+    text_quality_score) with a unique tiebreak so bucket assignment is
+    deterministic under any partitioning."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.ntile(4).over(w).cast("long").alias("quality_quartile"),
+    )

@@ -111,6 +111,7 @@ _QUERY_MODULES = (
     "operators.stats",
     "operators.misc",
     "operators.packs",
+    "operators.profiling",
     "streaming.windows",
 )
 

@@ -1,0 +1,39 @@
+"""Profiling / rollup / sampling operator invariants (correctness vs
+DuckDB is covered by their oracles; these pin the operational contracts)."""
+
+from __future__ import annotations
+
+from sparkstreaming_rawdataingestion_spark.operators import profiling
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_stratified_sample_is_deterministic_and_mixed(spark):
+    a = sorted(r["doc_id"] for r in profiling.q_stratified_sample(spark, SF01).collect())
+    b = sorted(r["doc_id"] for r in profiling.q_stratified_sample(spark, SF01).collect())
+    assert a == b and len(a) > 0
+    rows = profiling.q_stratified_sample(spark, SF01).collect()
+    langs = {r["lang"] for r in rows}
+    # every stratum with a non-zero rate is represented
+    assert langs == set(profiling._MIX_RATES)
+
+
+def test_table_profile_one_row_per_column(spark):
+    rows = profiling.q_table_profile(spark, SF01).collect()
+    assert {r["column_name"] for r in rows} == set(profiling._PROFILE_COLS)
+    by_col = {r["column_name"]: r for r in rows}
+    # primary key: distinct == rows, no nulls
+    pk = by_col["o_orderkey"]
+    assert pk["n_distinct"] == pk["n_rows"] and pk["n_null"] == 0
+
+
+def test_rollup_hierarchy_levels_are_consistent(spark):
+    rows = profiling.q_rollup_time_hierarchy(spark, SF01).collect()
+    totals = {}
+    for r in rows:
+        t = totals.setdefault(r["resolution"], [0, 0.0])
+        t[0] += r["n_events"]
+        t[1] += r["sum_value"]
+    # every resolution preserves the grand total exactly (decimal partials)
+    assert totals["hour"][0] == totals["day"][0] == totals["month"][0]
+    assert abs(totals["hour"][1] - totals["month"][1]) < 1e-6
