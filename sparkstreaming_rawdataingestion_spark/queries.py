@@ -112,6 +112,7 @@ _QUERY_MODULES = (
     "operators.misc",
     "operators.packs",
     "operators.profiling",
+    "operators.packing",
     "streaming.windows",
 )
 
