@@ -547,9 +547,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     built plans with a convergence check, the standard Spark iterative
     pattern (GraphFrames does the same under the hood).
     """
+    # Both edge directions come from ONE explode over one pass of the
+    # pairs plan — a unionAll of two selects would execute the (expensive)
+    # pair-discovery subtree twice.
     edges = stage(
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels = stage(

@@ -86,3 +86,33 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     )
     df.collect()  # AQE final plan materializes after execution
     assert "AQEShuffleRead" in plans.executed_plan(df)
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Token-window chunking must stay a generator projection: zero
+    exchanges, no Python, whole plan parallel with the scan."""
+    from sparkstreaming_rawdataingestion_spark.operators import packing
+
+    df = packing.q_chunk_documents(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+    plan = plans.executed_plan(df)
+    assert "Python" not in plan  # no UDF in the hot path
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """The wide profile aggregation must scan the table once — one scan
+    node regardless of how many columns are profiled."""
+    from sparkstreaming_rawdataingestion_spark.operators import profiling
+
+    df = profiling.q_table_profile(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_window_pack_shares_one_exchange(spark, sf_dir):
+    """Both window orderings partition on user_id: Spark must plan them
+    over ONE exchange (re-sort, not re-shuffle)."""
+    from sparkstreaming_rawdataingestion_spark.operators import packs
+
+    df = packs.q_window_functions_pack(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
