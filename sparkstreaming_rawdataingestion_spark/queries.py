@@ -113,6 +113,7 @@ _QUERY_MODULES = (
     "operators.packs",
     "operators.profiling",
     "operators.packing",
+    "operators.modern",
     "streaming.windows",
 )
 
