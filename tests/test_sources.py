@@ -78,3 +78,25 @@ def test_kafka_builder_without_connector(spark):
         kafka.kafka_value_stream(spark, "broker:9092", "t1,t2")
     msg = str(ei.value)
     assert "kafka" in msg.lower()
+
+
+def test_dynamic_partition_pruning_on_day_join(spark, tmp_path):
+    """Runtime partition pruning: joining the day-partitioned sink with a
+    dimension filtered on a NON-key column must inject a dynamicpruning
+    subquery on `day` — the fact scan reads only the days the (runtime)
+    dim rows name. This is the 100 TB star-join path: a filter the
+    optimizer cannot propagate statically still prunes partitions."""
+    events = catalog.load_table(spark, SF, "events")
+    dp_path = str(tmp_path / "dp")
+    write_datapoints(
+        ingest_normalize(fixtures.events_to_messages(events)), dp_path
+    )
+    dp = spark.read.parquet(dp_path)
+    dim_path = str(tmp_path / "dim")
+    dp.select("day").distinct().withColumn(
+        "tag", F.when(F.col("day") == "20240115", "keep").otherwise("drop")
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+    joined = dp.join(dim, "day")
+    assert "dynamicpruning" in plans.formatted_plan(joined).lower()
+    assert joined.count() > 0
