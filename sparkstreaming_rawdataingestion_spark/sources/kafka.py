@@ -26,6 +26,7 @@ def kafka_value_stream(
     topics: str,
     starting_offsets: str = "earliest",
     min_partitions: int | None = None,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming scan of ``topics`` (comma-separated, op 2) projected to the
     UTF-8 message value (op 3: drop key, keep value)."""
@@ -39,6 +40,14 @@ def kafka_value_stream(
         # At 100 TB/day a topic's partition count may lag the cluster size;
         # minPartitions lets Spark split Kafka partitions for parallelism.
         reader = reader.option("minPartitions", str(min_partitions))
+    if max_offsets_per_trigger:
+        # Backpressure: caps records per micro-batch so a backlog replay
+        # (startingOffsets=earliest after downtime) cannot produce an
+        # unbounded first batch — the knob that keeps batch time under the
+        # trigger interval, the reference's implied SLO (BASELINE.md).
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
     return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
