@@ -188,3 +188,36 @@ def q_pattern_match_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("p_brand").startswith("brand1")
         | F.col("p_type").rlike(".*(steel|brass)$")
     ).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches — the scale-native distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register("sketch_mergeable_hll")  # estimates engine-specific → rows-only
+def q_sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL re-aggregation: per-day customer sketches merged up
+    to per-status totals via hll_union_agg. The point is mergeability —
+    daily DISTINCT COUNTS cannot be re-aggregated (they double-count),
+    daily SKETCHES can, which is how a 100 TB pipeline serves distinct
+    counts at any rollup level from one pass of partials. The estimate
+    error vs the exact distinct is pinned in tests (rows-only to the
+    driver: sketch binary/estimates are engine-specific)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sk")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d, o_orderstatus,
+                 hll_sketch_agg(o_custkey) AS sk,
+                 count(DISTINCT o_custkey) AS day_exact
+          FROM orders_sk GROUP BY 1, 2
+        )
+        SELECT o_orderstatus,
+               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+                 AS approx_customers,
+               CAST(sum(day_exact) AS BIGINT) AS naive_sum_of_daily_distincts
+        FROM daily GROUP BY 1
+        """
+    )

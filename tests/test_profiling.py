@@ -37,3 +37,29 @@ def test_rollup_hierarchy_levels_are_consistent(spark):
     # every resolution preserves the grand total exactly (decimal partials)
     assert totals["hour"][0] == totals["day"][0] == totals["month"][0]
     assert abs(totals["hour"][1] - totals["month"][1]) < 1e-6
+
+
+def test_hll_sketch_merge_is_accurate_where_naive_sum_is_not(spark):
+    """Merged daily sketches must estimate the true per-status distinct
+    within HLL tolerance, while summing daily distinct counts
+    over-counts (the reason sketches, not counts, are what you roll up)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        q_sketch_mergeable_hll,
+    )
+
+    got = {r["o_orderstatus"]: r for r in q_sketch_mergeable_hll(spark, SF01).collect()}
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in catalog.load_table(spark, SF01, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for status, n_exact in exact.items():
+        approx = got[status]["approx_customers"]
+        assert abs(approx - n_exact) / n_exact < 0.05
+        # the naive rollup over-counts repeat customers across days
+        assert got[status]["naive_sum_of_daily_distincts"] > n_exact
