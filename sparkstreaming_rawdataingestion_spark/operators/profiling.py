@@ -245,3 +245,66 @@ def q_quality_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.ntile(4).over(w).cast("long").alias("quality_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split — train/valid/test assignment by near-dup CLUSTER
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE = (
+    "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' "
+    "ELSE 'test' END"
+)
+
+
+def _leakage_split_oracle() -> str:
+    from .dedup import _NGRAM_PAIRS_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS (SELECT node AS doc_id, min(dest) AS cluster_rep FROM reach GROUP BY node)
+SELECT doc_id, group_id, {_SPLIT_CASE} AS split
+FROM (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_rep, d.doc_id)                        AS group_id,
+         (COALESCE(c.cluster_rep, d.doc_id) * 2654435761
+            % 4294967296) % 100                                   AS b
+  FROM documents d LEFT JOIN clusters c USING (doc_id))
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split keyed on the near-dup CLUSTER representative,
+    not the document id: a deterministic Knuth-hash bucket of the cluster
+    rep puts every member of a duplicate cluster in the same split, so
+    near-identical text can never sit on both sides of an eval boundary —
+    the leakage-prevention contract a training pipeline needs from its
+    dedup stage. Singleton docs are their own group. 80/10/10 rates."""
+    from .dedup import q_dedup_clusters
+
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    gid = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    bucket = (gid * F.lit(2654435761) % F.lit(4294967296)) % 100
+    return d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        gid.alias("group_id"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+ORACLES["leakage_safe_split"] = _leakage_split_oracle()

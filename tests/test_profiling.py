@@ -63,3 +63,23 @@ def test_hll_sketch_merge_is_accurate_where_naive_sum_is_not(spark):
         assert abs(approx - n_exact) / n_exact < 0.05
         # the naive rollup over-counts repeat customers across days
         assert got[status]["naive_sum_of_daily_distincts"] > n_exact
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    rows = profiling.q_leakage_safe_split(spark, SF01).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    # no near-dup cluster straddles a split boundary
+    assert all(len(s) == 1 for s in by_group.values())
+    # multi-member groups exist (the fixture corpus has near-dups)
+    sizes = {}
+    for r in rows:
+        sizes[r["group_id"]] = sizes.get(r["group_id"], 0) + 1
+    assert max(sizes.values()) > 1
+    # all three splits populated at the 80/10/10 rates (loose bounds)
+    frac = {}
+    for r in rows:
+        frac[r["split"]] = frac.get(r["split"], 0) + 1
+    n = len(rows)
+    assert 0.6 < frac["train"] / n < 0.95 and frac["valid"] and frac["test"]
