@@ -361,3 +361,63 @@ def q_vector_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l2_dist"),
         F.round(F.element_at("a", 1) / norm_a, 6).alias("unit_first"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization — the storage/serving compression step a
+# vector pipeline runs before writing an index. Symmetric per-vector
+# scheme: scale = max|v|/127, q = clamp(floor(v/scale + 0.5), ±127).
+# floor(x + 0.5) is used instead of round() on BOTH sides so the
+# half-way rule is engine-independent. Map-only column algebra.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "embedding_quantization",
+    """
+WITH q AS (
+  SELECT vec_id, a,
+         list_max(list_transform(a, x -> abs(x))) / 127.0 AS scale
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings)),
+dq AS (
+  SELECT vec_id, a, scale,
+         list_transform(a, x -> greatest(least(floor(x / scale + 0.5),
+                                               127.0), -127.0) * scale) AS d
+  FROM q)
+SELECT vec_id,
+       round(scale, 9)                                            AS scale,
+       round(list_max(list_transform(list_zip(a, d),
+             p -> abs(p[1] - p[2]))), 9)                  AS max_abs_err,
+       round(list_cosine_similarity(a, d), 6)                     AS cos_preserved
+FROM dq
+""",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    report: scale = max|v|/127, quantize, dequantize, then emit the max
+    absolute error and the cosine between original and reconstruction.
+    One map-only scan (transform/zip_with/aggregate — no UDF, no
+    shuffle); at 100 TB this is the compression pass before the IVF
+    lists are written, and it fuses into the same scan stage."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    a = F.col("a")
+    scale = F.array_max(F.transform(a, F.abs)) / F.lit(127.0)
+    base = e.select("vec_id", _emb_double().alias("a")).select(
+        "vec_id", a, scale.alias("scale")
+    )
+    dq = F.transform(
+        a,
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("scale") + 0.5).cast("double"), F.lit(127.0)),
+            F.lit(-127.0),
+        )
+        * F.col("scale"),
+    )
+    return base.select("vec_id", a, "scale", dq.alias("d")).select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.round(
+            F.array_max(F.zip_with(a, F.col("d"), lambda p, q: F.abs(p - q))), 9
+        ).alias("max_abs_err"),
+        F.round(cosine(a, F.col("d")), 6).alias("cos_preserved"),
+    )

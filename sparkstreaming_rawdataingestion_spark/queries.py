@@ -111,6 +111,7 @@ _QUERY_MODULES = (
     "operators.stats",
     "operators.misc",
     "operators.packs",
+    "operators.filters",
     "operators.profiling",
     "operators.packing",
     "operators.modern",
