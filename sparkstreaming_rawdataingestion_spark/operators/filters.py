@@ -283,3 +283,122 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("redacted"), F.lit("<IP>")).cast("long").alias("n_ips"),
         F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_filters_pack — one core-window slot executing all four filter
+# operators (packs.py merging rules: union-tagged, atomic columns only).
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+rep AS (
+  SELECT doc_id,
+         round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_ratio,
+         round(list_max([len(list_filter(ws, x -> x = u))
+                         FOR u IN list_distinct(ws)]) * 1.0 / len(ws), 6) AS top_frac,
+         round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup_bg
+  FROM (SELECT doc_id, ws,
+               [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bg FROM w)),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {SHINGLE_N - 2})]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < {BENCH_MAX_DOC_ID}),
+con AS (
+  SELECT d.doc_id, len(d.s) AS total,
+         (SELECT count(*) FROM unnest(d.s) AS u(g)
+          WHERE g IN (SELECT g FROM bench)) AS shared
+  FROM sh d WHERE d.doc_id >= {BENCH_MAX_DOC_ID}),
+inj AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.' || doc_id % 256 || '.0.' || (doc_id * 7) % 256 ||
+         ' ' || text AS t
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{PII_EMAIL}')) AS ne,
+         len(regexp_extract_all(t, '{PII_PHONE}')) AS np,
+         regexp_replace(regexp_replace(regexp_replace(
+           t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IP}', '<IP>', 'g') AS redacted
+  FROM inj),
+qv AS (
+  SELECT vec_id, a, list_max(list_transform(a, x -> abs(x))) / 127.0 AS scale
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings)),
+qd AS (
+  SELECT vec_id, a, scale,
+         list_transform(a, x -> greatest(least(floor(x / scale + 0.5),
+                                               127.0), -127.0) * scale) AS d
+  FROM qv)
+SELECT 'repetition' AS component, doc_id AS id,
+       distinct_ratio AS v1, top_frac AS v2, dup_bg AS v3,
+       CAST(distinct_ratio < {REP_MIN_DISTINCT_RATIO}
+            OR top_frac > {REP_MAX_TOP_WORD_FRAC} AS VARCHAR) AS s1
+FROM rep
+UNION ALL
+SELECT 'contamination', doc_id, CAST(total AS DOUBLE), CAST(shared AS DOUBLE),
+       round(shared * 1.0 / total, 6),
+       CAST(shared * 1.0 / total >= {CONTAMINATION_TAU} AS VARCHAR)
+FROM con
+UNION ALL
+SELECT 'pii', doc_id, CAST(ne AS DOUBLE), CAST(np AS DOUBLE),
+       CAST(len(regexp_extract_all(redacted, '<IP>')) AS DOUBLE),
+       sha256(redacted)
+FROM red
+UNION ALL
+SELECT 'quantization', vec_id, round(scale, 9),
+       round(list_max(list_transform(list_zip(a, d),
+                                     p -> abs(p[1] - p[2]))), 9),
+       round(list_cosine_similarity(a, d), 6), NULL
+FROM qd
+"""
+
+
+@_register("curation_filters_pack", _PACK_ORACLE)
+def q_curation_filters_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated filter surface for the driver's core window: executes
+    repetition metrics, benchmark decontamination, PII redaction, and
+    int8 quantization in one union-tagged plan (see packs.py merging
+    rules). Each branch is the registered operator's own DataFrame,
+    projected to the shared (component, id, v1, v2, v3, s1) schema."""
+    from .similarity import q_embedding_quantization
+
+    D = "double"
+    rep = q_text_repetition_filters(spark, sf_dir).select(
+        F.lit("repetition").alias("component"),
+        F.col("doc_id").alias("id"),
+        F.col("distinct_word_ratio").alias("v1"),
+        F.col("top_word_frac").alias("v2"),
+        F.col("dup_bigram_frac").alias("v3"),
+        F.col("repetitive").cast("string").alias("s1"),
+    )
+    con = q_contamination_check(spark, sf_dir).select(
+        F.lit("contamination").alias("component"),
+        F.col("doc_id").alias("id"),
+        F.col("n_shingles").cast(D).alias("v1"),
+        F.col("shared_shingles").cast(D).alias("v2"),
+        F.col("contamination_ratio").alias("v3"),
+        F.col("contaminated").cast("string").alias("s1"),
+    )
+    pii = q_pii_redaction(spark, sf_dir).select(
+        F.lit("pii").alias("component"),
+        F.col("doc_id").alias("id"),
+        F.col("n_emails").cast(D).alias("v1"),
+        F.col("n_phones").cast(D).alias("v2"),
+        F.col("n_ips").cast(D).alias("v3"),
+        F.col("redacted_sha").alias("s1"),
+    )
+    qz = q_embedding_quantization(spark, sf_dir).select(
+        F.lit("quantization").alias("component"),
+        F.col("vec_id").alias("id"),
+        F.col("scale").alias("v1"),
+        F.col("max_abs_err").alias("v2"),
+        F.col("cos_preserved").alias("v3"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return rep.unionAll(con).unionAll(pii).unionAll(qz)

@@ -145,7 +145,10 @@ CORE_ORDER: tuple[str, ...] = (
     "scalar_semistructured_pack",
     "temporal_join_pack",
     "join_strategies_pack",
-    "dedup_exact",
+    # dedup_exact rotated out (green in CORRECTNESS_r01; its semantics stay
+    # verified inside pipeline_curation's exact stage) in favor of the new
+    # filter pack (repetition / decontamination / PII / quantization)
+    "curation_filters_pack",
     "approx_methods_pack",
     "text_analysis_pack",
     "multimodal_pack",

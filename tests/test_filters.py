@@ -59,3 +59,12 @@ def test_quantization_reconstruction_error_is_bounded(spark):
         # since max|v|/scale == 127 exactly)
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
         assert r["cos_preserved"] > 0.999, "int8 must preserve direction"
+
+
+def test_curation_filters_pack_covers_all_components(spark):
+    rows = filters.q_curation_filters_pack(spark, SF01).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp[r["component"]] = by_comp.get(r["component"], 0) + 1
+    assert set(by_comp) == {"repetition", "contamination", "pii", "quantization"}
+    assert by_comp["repetition"] == by_comp["pii"] == 500
