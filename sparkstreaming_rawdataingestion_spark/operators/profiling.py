@@ -308,3 +308,97 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["leakage_safe_split"] = q_leakage_safe_split
 ORACLES["leakage_safe_split"] = _leakage_split_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware canonicalization of near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from .dedup import _NGRAM_PAIRS_ORACLE
+    from .text import ORACLES as _TEXT_ORACLES
+
+    quality_sql = _TEXT_ORACLES["text_quality_score"]
+    return f"""
+WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS (SELECT node AS doc_id, min(dest) AS cluster_rep FROM reach GROUP BY node),
+q AS ({quality_sql}),
+member AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_rep, d.doc_id) AS group_id,
+         q.quality_score
+  FROM documents d
+  LEFT JOIN clusters c USING (doc_id)
+  JOIN q USING (doc_id)),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY quality_score DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY group_id) AS n_members
+  FROM member)
+SELECT group_id,
+       doc_id AS kept_doc_id,
+       quality_score AS kept_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: within each near-dup cluster keep
+    the HIGHEST-quality member (doc_id tiebreak), not the lowest id —
+    the selection rule a curation pipeline actually wants from its dedup
+    stage (drop the boilerplate copy, keep the clean one). Composes the
+    cluster labels with the quality scores, then one window rank per
+    group; the per-group state is (group_id, score) pairs, so the
+    shuffle is key-sized regardless of document length."""
+    from .dedup import q_dedup_clusters
+    from .text import q_text_quality_score
+
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    quality = q_text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    member = (
+        d.join(clusters, "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("group_id"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("group_id")
+    return (
+        member.select(
+            "group_id",
+            "doc_id",
+            "quality_score",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality_score").alias("kept_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = _keep_best_oracle()

@@ -83,3 +83,25 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         frac[r["split"]] = frac.get(r["split"], 0) + 1
     n = len(rows)
     assert 0.6 < frac["train"] / n < 0.95 and frac["valid"] and frac["test"]
+
+
+def test_dedup_keep_best_keeps_the_highest_quality_member(spark):
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        q_text_quality_score,
+    )
+
+    kept = {r["group_id"]: r for r in profiling.q_dedup_keep_best(spark, SF01).collect()}
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in q_text_quality_score(spark, SF01).collect()
+    }
+    groups = {}
+    for r in profiling.q_leakage_safe_split(spark, SF01).collect():
+        groups.setdefault(r["group_id"], []).append(r["doc_id"])
+    assert set(kept) == set(groups)
+    for gid, members in groups.items():
+        assert kept[gid]["n_members"] == len(members)
+        assert kept[gid]["kept_quality"] == max(quality[m] for m in members)
+    # at least one multi-member cluster keeps a non-minimal doc_id somewhere
+    multi = [g for g, m in groups.items() if len(m) > 1]
+    assert multi
