@@ -1,0 +1,303 @@
+"""Data-quality validation, SCD2 dimension history, time-series anomaly
+detection, and key-skew diagnostics — the guardrail layer a production
+pipeline runs before/around ingestion (generalizes the reference's
+implicit trust in upstream data, RawDataIngestion.java:113-126, where a
+single malformed record killed the batch, into declared + measured
+expectations).
+
+Scale design:
+
+- **data_quality_checks**: every single-table constraint (completeness,
+  uniqueness, range, accepted-values) folds into ONE conditional
+  aggregation over ONE scan — a 100 TB audit costs a single reduce, not
+  one job per rule (the Deequ design: arXiv 1812.04577 computes all
+  constraint metrics in a shared scan). The referential-integrity rule
+  is the only join, and the dim side broadcasts.
+- **scd2_dimension_history**: changelog → type-2 validity intervals via
+  two window passes over the SAME (key × time) partitioning — Catalyst
+  reuses one exchange, so history reconstruction is one shuffle no
+  matter how many snapshots it serves.
+- **timeseries_anomaly_zscore**: per-key moments from decimal partial
+  sums (exact, order-independent — safe under AQE re-partitioning),
+  broadcast back over the raw scan; nothing quadratic, no window over
+  the full table.
+- **key_skew_report**: the diagnostic that decides salting/AQE-skew
+  strategy upstream: per-key counts are map-side-combined, the total
+  rides a broadcast scalar, and top-k is TakeOrderedAndProject (never a
+  global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# data_quality_checks — Deequ-style constraint suite in one scan
+# ---------------------------------------------------------------------------
+
+# (check_name, violation predicate as Spark SQL expr over ``orders``)
+_ORDER_CHECKS = (
+    ("complete_custkey", "o_custkey IS NULL"),
+    ("positive_totalprice", "o_totalprice <= 0"),
+    ("accepted_status", "o_orderstatus NOT IN ('F','O','P')"),
+    ("price_below_cap", "o_totalprice > 25000"),
+    ("date_in_window", "o_orderdate > TIMESTAMP '1998-12-31 00:00:00'"),
+)
+
+
+def check_suite(df: DataFrame, checks, unique_key: str) -> DataFrame:
+    """All declared constraints as ONE conditional aggregation (single
+    scan, single reduce), melted map-side into one row per check; the
+    uniqueness rule rides the same pass via count - count_distinct."""
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(unique_key)))
+        .cast("long")
+        .alias("__dup"),
+    ]
+    for name, pred in checks:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__{name}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(f"unique_{unique_key}").alias("check_name"),
+            F.col("__n").alias("n_rows"),
+            F.col("__dup").alias("n_violations"),
+        )
+    ]
+    for name, _ in checks:
+        rows.append(
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__{name}").alias("n_violations"),
+            )
+        )
+    melted = wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+    return melted.withColumn("passed", F.col("n_violations") == 0)
+
+
+_QUALITY_ORACLE = (
+    "\nUNION ALL\n".join(
+        ["""
+SELECT 'unique_o_orderkey' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders"""]
+        + [
+            f"""
+SELECT '{name}' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders"""
+            for name, pred in _ORDER_CHECKS
+        ]
+        + ["""
+SELECT 'ri_custkey_in_customer' AS check_name,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""]
+    )
+)
+
+_QUALITY_ORACLE = f"""
+SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+FROM ({_QUALITY_ORACLE})
+"""
+
+
+@_register("data_quality_checks", _QUALITY_ORACLE)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over ``orders``: completeness, uniqueness, value
+    ranges, accepted values (one shared scan), plus referential
+    integrity against ``customer`` (broadcast left-anti count)."""
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    customer = catalog.load_table(spark, sf_dir, "customer")
+
+    suite = check_suite(orders, _ORDER_CHECKS, unique_key="o_orderkey")
+
+    # Referential integrity: fact-side orphans. The dim key set is small
+    # relative to the fact (always broadcast-able after distinct).
+    orphans = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey").distinct()),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    n_rows = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    ri = (
+        orphans.crossJoin(F.broadcast(n_rows))
+        .select(
+            F.lit("ri_custkey_in_customer").alias("check_name"),
+            "n_rows",
+            "n_violations",
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+    return suite.unionByName(ri)
+
+
+# ---------------------------------------------------------------------------
+# scd2_dimension_history — changelog → type-2 validity intervals
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+versions AS (
+  SELECT user_id, event_id, value, ts AS effective_from
+  FROM changes
+  WHERE prev IS NULL OR value <> prev
+)
+SELECT user_id, event_id, value,
+       effective_from,
+       lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id)
+         AS effective_to,
+       lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id)
+         IS NULL AS is_current
+FROM versions
+"""
+
+
+@_register("scd2_dimension_history", _SCD2_ORACLE)
+def q_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension reconstruction from a changelog:
+    collapse no-op updates (value unchanged vs previous version), then
+    close each version with the next one's start. Both window passes
+    share the (user_id × time) sort, so Catalyst reuses one exchange —
+    history reconstruction is ONE shuffle (the batch twin of
+    ``cdc_latest_per_key``, which keeps only the open version)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+    ).where(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_anomaly_zscore — per-key z-score outliers
+# ---------------------------------------------------------------------------
+
+# Moments accumulate in DECIMAL (exact, reduction-order-independent); the
+# closed-form mean/variance is then evaluated in float64 with the SAME
+# expression shape on both engines, so the doubles match bit-for-bit.
+_ANOMALY_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, ts, value, z
+FROM (
+  SELECT e.event_id, e.event_type, e.ts, e.value,
+         round((CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE) - sv / n)
+               / sqrt((svv - sv * sv / n) / (n - 1)), 6) AS z
+  FROM events e JOIN s USING (event_type)
+) e
+WHERE abs(z) > 2.5
+"""
+
+
+@_register("timeseries_anomaly_zscore", _ANOMALY_ORACLE)
+def q_timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5). The per-key moments
+    are ONE aggregation producing a handful of rows, broadcast back over
+    the raw scan — at 100 TB this is a scan + tiny broadcast join, with
+    no window over the full table and no second shuffle."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vdec).cast("double").alias("sv"),
+        F.sum(vdec * vdec).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    sd = F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1))
+    z = F.round((vdec.cast("double") - mean) / sd, 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "ts", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > 2.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report — heavy-hitter diagnostic for join/agg planning
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+SELECT l_orderkey AS key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lineitem), 9) AS share
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY n_rows DESC, key ASC
+LIMIT 20
+"""
+
+
+@_register("key_skew_report", _SKEW_ORACLE)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter keys with their share of the table — the
+    measurement that decides whether a downstream join needs salting or
+    AQE skew handling. Counts are map-side combined, the total is a
+    broadcast scalar, and the top-k is TakeOrderedAndProject (no global
+    sort). Deterministic tiebreak on key keeps the cut stable."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = li.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 9).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(20)
+    )

@@ -115,6 +115,7 @@ _QUERY_MODULES = (
     "operators.profiling",
     "operators.packing",
     "operators.modern",
+    "operators.validation",
     "streaming.windows",
 )
 

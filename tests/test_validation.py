@@ -1,0 +1,153 @@
+"""Invariants and plan pins for the validation/guardrail operators
+(data-quality suite, SCD2 history, anomaly detection, skew report)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark import plans
+from sparkstreaming_rawdataingestion_spark.operators import validation
+
+
+# ---------------------------------------------------------------------------
+# data_quality_checks
+# ---------------------------------------------------------------------------
+
+
+def test_quality_suite_one_row_per_check(spark, sf_dir):
+    rows = validation.q_data_quality_checks(spark, sf_dir).collect()
+    names = {r.check_name for r in rows}
+    assert len(rows) == len(names) == len(validation._ORDER_CHECKS) + 2
+    n_rows = {r.n_rows for r in rows}
+    assert len(n_rows) == 1  # every check audited the same table
+    for r in rows:
+        assert r.passed == (r.n_violations == 0)
+        assert 0 <= r.n_violations <= r.n_rows
+
+
+def test_quality_suite_detects_seeded_violations(spark):
+    """The suite must actually fire on bad data, not just report clean."""
+    bad = spark.createDataFrame(
+        [
+            (1, 10, "F", 5.0, "1995-01-01"),
+            (1, None, "X", -2.0, "1999-06-01"),  # dup key, null, bad status,
+            # negative price, date outside window
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    out = {
+        r.check_name: r.n_violations
+        for r in validation.check_suite(
+            bad, validation._ORDER_CHECKS, unique_key="o_orderkey"
+        ).collect()
+    }
+    assert out["unique_o_orderkey"] == 1
+    assert out["complete_custkey"] == 1
+    assert out["positive_totalprice"] == 1
+    assert out["accepted_status"] == 1
+    assert out["date_in_window"] == 1
+
+
+def test_quality_suite_single_scan(spark, sf_dir):
+    """All single-table constraints fold into one aggregation: exactly one
+    exchange below the suite branch (the single reduce), however many
+    rules are declared."""
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    suite = validation.check_suite(
+        orders, validation._ORDER_CHECKS, unique_key="o_orderkey"
+    )
+    # count_distinct adds an expand+partial pair; the point is that the
+    # scan count is 1 — profiling never re-reads the table per rule.
+    plan = plans.executed_plan(suite)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_quality_ri_join_broadcasts(spark, sf_dir):
+    df = validation.q_data_quality_checks(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+# ---------------------------------------------------------------------------
+# scd2_dimension_history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_are_contiguous_and_single_current(spark, sf_dir):
+    rows = validation.q_scd2_dimension_history(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r.effective_from)
+        # exactly one open (current) version per key, and it's the last
+        currents = [r for r in versions if r.is_current]
+        assert len(currents) == 1 and currents[0] is versions[-1]
+        for a, b in zip(versions, versions[1:]):
+            assert a.effective_to == b.effective_from  # no gaps, no overlap
+        # no-op changes collapsed: consecutive versions differ in value
+        for a, b in zip(versions, versions[1:]):
+            assert a.value != b.value
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both window passes share the (user_id × time) sort — Catalyst must
+    reuse one exchange, not shuffle twice."""
+    df = validation.q_scd2_dimension_history(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_scd2_matches_cdc_latest(spark, sf_dir):
+    """The open SCD2 version per key is exactly what cdc_latest_per_key
+    returns (same changelog, two views of it)."""
+    from sparkstreaming_rawdataingestion_spark.operators import analytics
+
+    scd2 = validation.q_scd2_dimension_history(spark, sf_dir)
+    current = {
+        r.user_id: r.value for r in scd2.where("is_current").collect()
+    }
+    latest = {
+        r.user_id: r.latest_value
+        for r in analytics.QUERIES["cdc_latest_per_key"](spark, sf_dir)
+        .select("user_id", "latest_value")
+        .collect()
+    }
+    assert current == latest
+
+
+# ---------------------------------------------------------------------------
+# timeseries_anomaly_zscore
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_zscores_exceed_threshold(spark, sf_dir):
+    rows = validation.q_timeseries_anomaly_zscore(spark, sf_dir).collect()
+    assert rows, "fixture tail must produce some outliers"
+    assert all(abs(r.z) > 2.5 for r in rows)
+    # one-sided data (value >= 0, right-skewed): outliers are the big values
+    assert all(r.z > 0 for r in rows)
+
+
+def test_anomaly_stats_join_broadcasts(spark, sf_dir):
+    df = validation.q_timeseries_anomaly_zscore(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_topk_and_shares(spark, sf_dir):
+    rows = validation.q_key_skew_report(spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 < r.share < 1 for r in rows)
+
+
+def test_skew_report_no_global_sort(spark, sf_dir):
+    df = validation.q_key_skew_report(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
