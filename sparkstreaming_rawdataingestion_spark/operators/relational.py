@@ -361,6 +361,105 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_full_outer_balance",
+    """
+WITH hv AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+),
+o96 AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders_1996
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(hv.c_custkey, o96.o_custkey) AS custkey,
+       hv.c_acctbal AS acctbal,
+       o96.n_orders_1996,
+       hv.c_custkey IS NULL  AS only_active,
+       o96.o_custkey IS NULL AS only_high_balance
+FROM hv FULL OUTER JOIN o96 ON hv.c_custkey = o96.o_custkey
+""",
+)
+def q_join_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: high-balance customers vs customers active in
+    1996 — both unmatched sides survive with nulls (144 high-balance
+    inactives, 655 active low-balance at sf0.01). Both inputs pre-shrink
+    before the join (filter / pre-aggregate), so the full-outer shuffle
+    moves keys + one number, never fact rows — the shape that survives
+    100 TB. Full outer can't broadcast (both sides must preserve
+    unmatched rows), so co-partitioning is the only lever."""
+    c = catalog.load_table(spark, sf_dir, "customer")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    hv = c.where(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    o96 = (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_1996"))
+    )
+    return hv.join(
+        o96, hv.c_custkey == o96.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        "n_orders_1996",
+        F.col("c_custkey").isNull().alias("only_active"),
+        F.col("o_custkey").isNull().alias("only_high_balance"),
+    )
+
+
+@_register(
+    "join_nullsafe_keys",
+    """
+WITH keyed AS (
+  SELECT nullif(o_orderstatus, 'P') AS status_key, o_totalprice
+  FROM orders
+),
+dim AS (
+  SELECT status_key,
+         CAST(count(*) AS BIGINT) AS n_in_group
+  FROM keyed GROUP BY status_key
+)
+SELECT k.status_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(d.n_in_group) AS BIGINT) AS group_size
+FROM keyed k
+JOIN dim d ON k.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY k.status_key
+""",
+)
+def q_join_nullsafe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics an
+    upsert/reconciliation pipeline needs when the join key is genuinely
+    nullable. The NULL group (status 'P' nulled via nullif) must appear
+    in the output with group_size == n_rows; a plain equi-join would
+    lose it. Catalyst rewrites <=> into a coalesce-keyed hash join, so
+    the plan stays a normal shuffled join — no nested loop."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key"),
+        "o_totalprice",
+    )
+    dim = keyed.groupBy("status_key").agg(F.count("*").alias("n_in_group"))
+    return (
+        keyed.alias("k")
+        .join(
+            dim.alias("d"),
+            F.col("k.status_key").eqNullSafe(F.col("d.status_key")),
+        )
+        .groupBy(F.col("k.status_key").alias("status_key"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("d.n_in_group").alias("group_size"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions / top-k
 # ---------------------------------------------------------------------------

@@ -56,3 +56,25 @@ def test_asof_left_keeps_unmatched(spark, sf_dir):
         right_ts="ts", right_cols=["value"], how="left",
     )
     assert left.count() == purchases.count()
+
+
+def test_full_outer_keeps_both_unmatched_sides(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import relational
+
+    rows = relational.QUERIES["join_full_outer_balance"](spark, sf_dir).collect()
+    assert any(r.only_active for r in rows), "right-only rows must survive"
+    assert any(r.only_high_balance for r in rows), "left-only rows must survive"
+    assert all(
+        (r.acctbal is None) == r.only_active
+        and (r.n_orders_1996 is None) == r.only_high_balance
+        for r in rows
+    )
+
+
+def test_nullsafe_join_matches_null_keys(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import relational
+
+    rows = relational.QUERIES["join_nullsafe_keys"](spark, sf_dir).collect()
+    null_rows = [r for r in rows if r.status_key is None]
+    assert len(null_rows) == 1, "NULL key group must not be dropped"
+    assert all(r.n_rows == r.group_size for r in rows)

@@ -84,3 +84,36 @@ def test_gapfill_grid_is_dense(spark):
     n_users = out.select("user_id").distinct().count()
     assert out.count() == n_days * n_users  # dense grid, gaps zero-filled
     assert out.where(F.col("n_events") == 0).count() > 0
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """A selective dim-side filter should inject a runtime bloom filter
+    into the fact scan (Spark's InjectRuntimeFilter) — at 100 TB this
+    skips most of the probe-side shuffle for free. The size thresholds
+    that gate it in production are lowered to make the tiny fixture
+    qualify; the assertion is that the rewrite fires at all."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        o = catalog.load_table(spark, SF01, "orders").where(
+            "o_totalprice > 24000"  # selective creation side
+        )
+        li = catalog.load_table(spark, SF01, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count("*").alias("n"))
+        plan = plans.executed_plan(joined)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
