@@ -116,6 +116,7 @@ _QUERY_MODULES = (
     "operators.packing",
     "operators.modern",
     "operators.validation",
+    "operators.layout",
     "streaming.windows",
 )
 

@@ -117,15 +117,6 @@ def test_ivf_topk_recall(spark):
     assert recall6 >= recall
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = multimodal.documents_as_media(spark, SF01).limit(2)
-    with pytest.raises(Exception) as exc_info:
-        multimodal.decode_image_meta(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "not available" in str(
-        exc_info.value
-    )
-
-
 def test_multimodal_frame_sampling_fanout(spark):
     media = multimodal.documents_as_media(spark, SF01)
     frames = multimodal.sample_frames(media, every_n_bytes=100)
