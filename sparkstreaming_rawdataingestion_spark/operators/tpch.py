@@ -5,8 +5,10 @@ columns, p_type is a single word, p_name is "adjective noun").
 
 Together with ``agg_pricing_summary`` (Q1 shape, operators/relational.py)
 and ``q5_regional_revenue`` / ``q10_returned_items`` (operators/
-analytics.py), this pack brings the engine to 21-of-22 TPC-H query-shape
-coverage (Q11 is partsupp-only and has no faithful analog here).
+analytics.py), this pack brings the engine to full 22-of-22 TPC-H query-shape
+coverage (Q11's partsupp stock value is re-expressed over lineitem
+shipped value — the scalar-subquery concentration shape is intact; the
+adaptation is documented at the query).
 
 Scale notes baked into every query (the 100 TB story):
 - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
@@ -29,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .. import catalog
+from .. import catalog, session
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -396,6 +398,68 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 analog — part value concentration for one nation's suppliers.
+# (No partsupp ⇒ ps_supplycost * ps_availqty becomes shipped value
+# l_extendedprice * l_quantity from lineitem; the query SHAPE — grouped
+# value vs a scalar-subquery fraction of the global total — is intact.)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q11_part_value_concentration",
+    """
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * CAST(l.l_quantity AS DECIMAL(18,4))) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_8'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM val
+WHERE CAST(value_dec AS DOUBLE)
+    > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val) * 0.0005
+""",
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (partsupp stock value → lineitem shipped value): parts
+    whose value for NATION_8's suppliers exceeds a fraction of that
+    nation's total. The per-part aggregate feeds BOTH the detail rows
+    and the global total, so it is staged (persisted) — without that,
+    Catalyst plans two full lineitem scans (the detail branch's pushed
+    isnotnull filter defeats exchange reuse). At 100 TB this is one
+    fact scan + shuffle, then a 1-row scalar broadcast over the tiny
+    staged aggregate. Exact decimal accumulation on both sides, double
+    conversion only at the compare/output boundary
+    (reduction-order-independent)."""
+    t = catalog.load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_suppliers = t["supplier"].join(
+        F.broadcast(t["nation"].where(F.col("n_name") == "NATION_8")),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    )
+    val = (
+        t["lineitem"]
+        .join(
+            F.broadcast(nat_suppliers.select("s_suppkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("value_dec"))
+    )
+    val = session.stage(val)
+    total = val.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value_dec").cast("double") > F.col("total") * 0.0005)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
     )
 
 

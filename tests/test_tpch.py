@@ -70,4 +70,18 @@ def test_q8_share_bounded(spark, sf_dir):
 
 def test_pack_registered_with_oracles():
     assert set(tpch.ORACLES) == set(tpch.QUERIES)  # every query oracle-checked
-    assert len(tpch.QUERIES) == 18
+    assert len(tpch.QUERIES) == 19
+
+
+def test_q11_stages_aggregate_single_fact_scan(spark, sf_dir):
+    """The staged per-part aggregate must feed both the detail rows and
+    the scalar total — one lineitem scan, semi-join pushdown, no
+    cartesian product (the 1-row scalar broadcast is the only BNLJ)."""
+    df = tpch.q11_part_value_concentration(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # both consumers (detail rows + scalar total) read the staged cache;
+    # the parquet scan only appears inside the cached relation's lineage
+    assert plan.count("InMemoryTableScan") >= 2
+    assert df.count() > 0
