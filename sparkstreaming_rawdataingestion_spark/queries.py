@@ -136,8 +136,10 @@ _QUERY_MODULES = (
 # ---------------------------------------------------------------------------
 
 CORE_ORDER: tuple[str, ...] = (
-    # flagship ingest parity (SURVEY §2.1 ops 3-10)
-    "ingest_normalize",
+    # ingest_normalize rotated out (green in CORRECTNESS_r01, unchanged
+    # since; its semantics stay pinned by pytest + check_oracles) in
+    # favor of the real-PNG-decode round trip added this round
+    "multimodal_png_roundtrip",
     # consolidated packs — each verifies a whole operator family
     "agg_multidim_pack",
     "window_functions_pack",
@@ -155,8 +157,9 @@ CORE_ORDER: tuple[str, ...] = (
     "text_analysis_pack",
     "multimodal_pack",
     "streaming_window_pack",
-    # TPC-H analog pack (q1 analog = agg_pricing_summary; q11 skipped, COVERAGE.md)
-    "agg_pricing_summary",
+    # TPC-H analog pack (q1 analog agg_pricing_summary rotated out —
+    # green in CORRECTNESS_r01, unchanged; q11 analog added this round)
+    "q11_part_value_concentration",
     "q2_min_cost_part",
     "q3_shipping_priority",
     "q4_order_priority",
