@@ -117,6 +117,7 @@ _QUERY_MODULES = (
     "operators.modern",
     "operators.validation",
     "operators.layout",
+    "operators.graph",
     "streaming.windows",
 )
 

@@ -1,0 +1,60 @@
+"""Fixed-point PageRank: hand-computed tiny graph, determinism across
+partitionings, and mass/bounds sanity on the fixture trade graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark.operators import graph
+
+SCALE = graph.PAGERANK_SCALE
+
+
+def _expected_fixed_point(edges, n_iters):
+    """Reference implementation in plain Python (same integer arithmetic)."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    pr = {n: SCALE for n in deg}
+    for _ in range(n_iters):
+        acc = defaultdict(int)
+        for s, d in edges:
+            if s in pr:
+                acc[d] += pr[s] // deg[s]
+        pr = {n: 15 * SCALE // 100 + (85 * c) // 100 for n, c in acc.items()}
+    return pr
+
+
+def test_pagerank_matches_hand_computation(spark):
+    # star: 1 ↔ {2,3,4} (symmetric) — center must outrank leaves
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    edges_list = pairs + [(d, s) for s, d in pairs]
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    out = {r.node: r.pr for r in graph.pagerank(edges, n_iters=3).collect()}
+    assert out == _expected_fixed_point(edges_list, 3)
+    assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    pairs = [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20]
+    edges_list = pairs + [(d, s) for s, d in pairs]
+    one = spark.createDataFrame(edges_list, "src long, dst long").coalesce(1)
+    many = spark.createDataFrame(edges_list, "src long, dst long").repartition(13)
+    r_one = {(r.node, r.pr) for r in graph.pagerank(one, 3).collect()}
+    r_many = {(r.node, r.pr) for r in graph.pagerank(many, 3).collect()}
+    assert r_one == r_many  # bit-exact, not approximately equal
+
+
+def test_pagerank_fixture_mass_and_bounds(spark, sf_dir):
+    out = graph.QUERIES["graph_pagerank_authority"](spark, sf_dir)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("pr").alias("lo"),
+        F.sum("pr").alias("total"),
+    ).first()
+    assert agg.n > 0
+    assert agg.lo >= 15 * SCALE // 100  # base rank is a hard floor
+    # truncating div only loses mass: total <= N * SCALE
+    assert agg.total <= agg.n * SCALE
