@@ -196,3 +196,52 @@ def q_in_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l.l_partkey = p_partkey AND l.l_discount = 0)
         """
     )
+
+
+@_register(
+    "sessionize_events",
+    """
+WITH flags AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM flags
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: every event tagged with its per-user
+    session ordinal (gap > 30 min ⇒ new session) — the assignment form a
+    conversation-grouping / trajectory-building pipeline needs, unlike
+    ``session_window`` which only emits per-session aggregates. The
+    lag + running-sum pair shares ONE window spec, so Catalyst plans a
+    single shuffle on user_id and a single in-partition sort — there is
+    no global sort anywhere, which is what keeps this viable at 100 TB
+    (each user's timeline sorts locally within its hash partition)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .select("event_id", "user_id", "session_seq")
+    )

@@ -6,6 +6,16 @@ capabilities its per-record ``dateTime`` implies. State design for 100 TB
 streams: keyed state lives in the state store (RocksDB in production),
 bounded by watermark-driven timeouts — state size tracks active keys, not
 stream history.
+
+Environment note: Spark 4.1's newer arbitrary-state API
+(``transformWithStateInPandas`` / StatefulProcessor, with ValueState/
+ListState/MapState + timers) is present in this PySpark build but its
+Python state-server protocol requires ``google.protobuf``, which is
+broken in this container (``ImportError: cannot import name
+'descriptor'`` crashes the TransformWithStateInPySpark driver worker;
+no pip installs allowed). ``applyInPandasWithState`` below covers the
+same semantics (keyed state + per-batch emission) and is what these
+operators use.
 """
 
 from __future__ import annotations

@@ -116,3 +116,14 @@ def test_window_pack_shares_one_exchange(spark, sf_dir):
 
     df = packs.q_window_functions_pack(spark, sf_dir)
     assert plans.count_exchanges(df) == 1
+
+
+def test_sessionize_single_shuffle_no_global_sort(spark, sf_dir):
+    """lag + running-sum share one window spec: exactly one hash
+    exchange on user_id, local sorts only (no range partitioning)."""
+    from sparkstreaming_rawdataingestion_spark.operators import analytics
+
+    df = analytics.QUERIES["sessionize_events"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
