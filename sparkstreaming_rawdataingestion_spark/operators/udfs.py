@@ -146,3 +146,68 @@ def q_udf_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
     )
+
+
+@_register(
+    "udtf_sentence_split",
+    r"""
+WITH sent AS (
+  -- fixture text has no punctuation: synthesize sentence boundaries by
+  -- replacing a frequent word with '.' (identically in both engines)
+  SELECT doc_id, replace(text, ' table ', ' . ') AS t FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         string_split(replace(replace(t, '!', '.'), '?', '.'), '.') AS parts
+  FROM sent
+),
+raw AS (
+  SELECT doc_id,
+         x.s.i AS i,
+         trim(x.s.p, ' ' || chr(9) || chr(10) || chr(13)) AS sentence
+  FROM cleaned,
+       unnest([{'i': i, 'p': parts[i]}
+               FOR i IN range(1, len(parts) + 1)]) AS x(s)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+            AS INTEGER) AS pos,
+       sentence,
+       CAST(len(regexp_split_to_array(sentence, '\s+')) AS INTEGER) AS n_words
+FROM raw
+WHERE sentence <> ''
+""",
+)
+def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native Python UDTF (table function): one document row →
+    N sentence rows, consumed through SQL's LATERAL correlation — the
+    user-defined generator surface beyond built-in explode/posexplode
+    (operators/extras.py). The UDTF itself is stateless per row, so it
+    parallelizes as a pure map over input splits; the oracle re-derives
+    the identical split/trim/count semantics in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_words int")
+    class SplitSentences:
+        def eval(self, text):
+            import re
+
+            if text is None:
+                return
+            pos = 0
+            for part in text.replace("!", ".").replace("?", ".").split("."):
+                part = part.strip(" \t\n\r")
+                if part:
+                    yield pos, part, len(re.findall(r"\S+", part))
+                    pos += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = catalog.load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence, s.n_words
+        FROM documents d,
+             LATERAL split_sentences(replace(d.text, ' table ', ' . ')) s
+        """
+    )

@@ -79,3 +79,16 @@ def test_cli_entrypoint_available_now(spark, sf_dir, tmp_path):
     assert rc == 0
     n = spark.read.parquet(sink).count()
     assert n == Engine(spark, sf_dir).table("events").count()
+
+
+def test_udtf_sentence_split_fans_out_with_contiguous_positions(spark):
+    out = udfs.QUERIES["udtf_sentence_split"](spark, SF01)
+    rows = out.collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert len(rows) > n_docs  # genuine 1→N generation
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    for positions in by_doc.values():
+        assert sorted(positions) == list(range(len(positions)))
+    assert all(r.n_words >= 1 and r.sentence for r in rows)
