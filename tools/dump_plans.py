@@ -62,6 +62,28 @@ PICKS = {
         "Eleven window functions over two orderings of the same partition "
         "key: ONE exchange on user_id feeds every Window operator."
     ),
+    "q11_part_value_concentration": (
+        "TPC-H Q11: staged per-part aggregate feeds detail rows AND the "
+        "scalar total from InMemoryTableScan — one fact scan, 1-row "
+        "scalar broadcast."
+    ),
+    "sessionize_events": (
+        "Row-level sessionization: lag + running-sum share one window "
+        "spec — a single hash exchange on user_id, local sorts only."
+    ),
+    "layout_zorder_key": (
+        "Morton interleave is pure shift/and/or inside whole-stage "
+        "codegen — a map-only stage, zero exchanges."
+    ),
+    "graph_pagerank_authority": (
+        "Fixed-point PageRank: staged degree-annotated edges reused per "
+        "iteration; each superstep is one shuffle of (dst, bigint) "
+        "contributions."
+    ),
+    "multimodal_png_roundtrip": (
+        "Real PNG decode: two Arrow-batched map stages (encode, decode) "
+        "over input splits — zero shuffles, parallelism = splits."
+    ),
 }
 
 SKIP_PREFIXES = (
