@@ -374,3 +374,57 @@ def q_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("sum_value"),
     )
+
+
+@_register(
+    "salted_join_equivalence",
+    """
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def q_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join — the hot-key mitigation for fact-fact joins:
+    the big (probe) side gets a deterministic salt in [0, SALT_BUCKETS),
+    the build side is replicated once per salt value, and the join runs
+    on (key, salt) so one hot order key spreads across SALT_BUCKETS
+    reducers instead of melting one. ``merge`` hints force a genuine
+    sort-merge shuffle join (broadcast would make salting moot). The
+    oracle is the PLAIN join aggregate: the rewrite must be
+    value-identical (decimal accumulation makes it exactly so).
+    AQE's skew-join split handles *detected* skew at runtime; explicit
+    salting is the tool when skew is known a priori or a single key
+    exceeds what one task can hold at all."""
+    n_salt = 8
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    salted_li = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    replicated_o = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        salted_li.hint("merge")
+        .join(
+            replicated_o.hint("merge"),
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (salted_li["_salt"] == replicated_o["_salt"]),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )

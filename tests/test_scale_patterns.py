@@ -117,3 +117,23 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_runs_shuffled_and_spreads_keys(spark):
+    """The salted join must be a genuine SortMergeJoin on (key, salt) —
+    broadcast would defeat the salting — and every salt bucket must
+    carry rows (the hot key actually spreads)."""
+    from sparkstreaming_rawdataingestion_spark.operators import extras
+
+    df = extras.QUERIES["salted_join_equivalence"](spark, SF01)
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" in plan
+    li = catalog.load_table(spark, SF01, "lineitem")
+    n_buckets = (
+        li.select(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
