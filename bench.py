@@ -56,6 +56,12 @@ HEADLINE = [
     "text_analysis_pack",
     "streaming_window_pack",
     "dedup_ngram_jaccard_pairs",
+    # round-2 session additions: real codec round trip, iterative graph,
+    # row-level sessionization, TPC-H scalar-concentration shape
+    "multimodal_png_roundtrip",
+    "graph_pagerank_authority",
+    "sessionize_events",
+    "q11_part_value_concentration",
 ]
 
 
