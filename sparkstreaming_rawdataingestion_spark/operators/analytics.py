@@ -245,3 +245,65 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# subquery_pack — the three subquery-decorrelation shapes (correlated
+# scalar, IN + EXISTS, LATERAL top-k) union-tagged onto one schema,
+# reusing the granular queries and oracles verbatim. Catalyst rewrites
+# each into a join (no per-row re-execution) — the plans are pinned in
+# tests/test_plans.py. (Merges correlated_subquery_above_avg,
+# in_exists_subqueries, lateral_topk_per_group.)
+# ---------------------------------------------------------------------------
+
+
+def _subquery_pack_oracle() -> str:
+    from .lowlevel import ORACLES as _LOWLEVEL_ORACLES
+
+    return f"""
+SELECT 'correlated_scalar' AS shape,
+       CAST(l_orderkey AS VARCHAR)      AS k1,
+       CAST(l_partkey AS VARCHAR)       AS k2,
+       CAST(l_extendedprice AS DOUBLE)  AS amount
+FROM ({ORACLES["correlated_subquery_above_avg"]})
+UNION ALL
+SELECT 'in_exists', CAST(p_partkey AS VARCHAR), p_name, CAST(NULL AS DOUBLE)
+FROM ({ORACLES["in_exists_subqueries"]})
+UNION ALL
+SELECT 'lateral_topk', n_name, CAST(c_custkey AS VARCHAR),
+       CAST(c_acctbal AS DOUBLE)
+FROM ({_LOWLEVEL_ORACLES["lateral_topk_per_group"]})
+"""
+
+
+def q_subquery_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery-decorrelation surface in one union: a correlated scalar
+    subquery (per-partkey average) Catalyst turns into an aggregate +
+    join, IN/EXISTS membership predicates planned as left-semi joins, and
+    a LATERAL per-group top-k planned as WindowGroupLimit — never a
+    per-row loop."""
+    from .lowlevel import q_lateral_topk_per_group
+
+    corr = q_correlated_subquery(spark, sf_dir).select(
+        F.lit("correlated_scalar").alias("shape"),
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.col("l_partkey").cast("string").alias("k2"),
+        F.col("l_extendedprice").cast("double").alias("amount"),
+    )
+    inex = q_in_exists_subqueries(spark, sf_dir).select(
+        F.lit("in_exists").alias("shape"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.col("p_name").alias("k2"),
+        F.lit(None).cast("double").alias("amount"),
+    )
+    lat = q_lateral_topk_per_group(spark, sf_dir).select(
+        F.lit("lateral_topk").alias("shape"),
+        F.col("n_name").alias("k1"),
+        F.col("c_custkey").cast("string").alias("k2"),
+        F.col("c_acctbal").cast("double").alias("amount"),
+    )
+    return corr.unionByName(inex).unionByName(lat)
+
+
+QUERIES["subquery_pack"] = q_subquery_pack
+ORACLES["subquery_pack"] = _subquery_pack_oracle()

@@ -428,3 +428,105 @@ def q_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skew_equivalence_pack — both skew-mitigation equivalence proofs (salted
+# pre-aggregation and salted shuffle join) union-tagged onto one schema.
+# Each branch asserts the salted plan produces byte-identical results to
+# the plain plan by RETURNING the salted side while the oracle computes
+# the plain aggregation — the driver's hash match IS the equivalence
+# proof. (Merges salted_agg_equivalence, salted_join_equivalence.)
+# ---------------------------------------------------------------------------
+
+
+def _skew_equivalence_oracle() -> str:
+    return f"""
+SELECT 'salted_agg' AS method, key,
+       CAST(n AS BIGINT) AS n, CAST(amount AS DOUBLE) AS amount
+FROM (SELECT event_type AS key, n, sum_value AS amount
+      FROM ({ORACLES["salted_agg_equivalence"]}))
+UNION ALL
+SELECT 'salted_join', o_orderstatus, CAST(n_lines AS BIGINT),
+       CAST(revenue AS DOUBLE)
+FROM ({ORACLES["salted_join_equivalence"]})
+"""
+
+
+def q_skew_equivalence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation surface in one union: two-stage salted aggregation
+    (decimal partials re-aggregate exactly across the salt split) and the
+    salted shuffle join (fact keys salted k ways, dim rows replicated k
+    ways — the manual form of AQE's skew-join split). Both branches hash-
+    match the unsalted oracle, proving salting changes the physical plan
+    only."""
+    agg = q_salted_agg_equivalence(spark, sf_dir).select(
+        F.lit("salted_agg").alias("method"),
+        F.col("event_type").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("amount"),
+    )
+    join = q_salted_join_equivalence(spark, sf_dir).select(
+        F.lit("salted_join").alias("method"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("n_lines").cast("long").alias("n"),
+        F.col("revenue").cast("double").alias("amount"),
+    )
+    return agg.unionByName(join)
+
+
+QUERIES["skew_equivalence_pack"] = q_skew_equivalence_pack
+ORACLES["skew_equivalence_pack"] = _skew_equivalence_oracle()
+
+
+# ---------------------------------------------------------------------------
+# timeseries_pack — time-bucket downsampling with gap fill + row-level
+# sessionization union-tagged onto one schema. (Merges downsample_gapfill,
+# sessionize_events — the batch time-series reshapes; the windowed
+# streaming twins live in streaming_window_pack.)
+# ---------------------------------------------------------------------------
+
+
+def _timeseries_oracle() -> str:
+    from .analytics import ORACLES as _ANALYTICS_ORACLES
+
+    return f"""
+SELECT 'gapfill' AS op,
+       CAST(user_id AS BIGINT)        AS user_id,
+       CAST(NULL AS BIGINT)           AS event_id,
+       CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       CAST(n_events AS BIGINT)       AS n
+FROM ({ORACLES["downsample_gapfill"]})
+UNION ALL
+SELECT 'sessionize', CAST(user_id AS BIGINT), CAST(event_id AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(session_seq AS BIGINT)
+FROM ({_ANALYTICS_ORACLES["sessionize_events"]})
+"""
+
+
+def q_timeseries_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch time-series surface in one union: dense time-bucket
+    downsampling (generated bucket grid left-joined so silent periods
+    appear as zero rows) and gap-based row-level sessionization (session
+    ordinal per user via the lag/cumsum idiom — one shuffle on user_id)."""
+    from .analytics import q_sessionize_events
+
+    gap = q_downsample_gapfill(spark, sf_dir).select(
+        F.lit("gapfill").alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("bucket_start").alias("bucket_start"),
+        F.col("n_events").cast("long").alias("n"),
+    )
+    sess = q_sessionize_events(spark, sf_dir).select(
+        F.lit("sessionize").alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("bucket_start"),
+        F.col("session_seq").cast("long").alias("n"),
+    )
+    return gap.unionByName(sess)
+
+
+QUERIES["timeseries_pack"] = q_timeseries_pack
+ORACLES["timeseries_pack"] = _timeseries_oracle()

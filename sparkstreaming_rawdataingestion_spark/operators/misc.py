@@ -205,3 +205,79 @@ def q_string_advanced_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("p_name").alias("name_md5"),
         F.levenshtein("p_brand", F.lit("brand12")).alias("lev_to_brand12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# query_shapes_pack — the small SQL-surface corner shapes (HAVING,
+# NULLS FIRST/LAST ordering, LIMIT/OFFSET pagination, deterministic
+# hash sampling) union-tagged onto one schema, reusing the granular
+# queries and oracles verbatim. (Merges having_filter, nulls_ordering,
+# limit_offset_pagination, deterministic_sample.)
+# ---------------------------------------------------------------------------
+
+
+def _query_shapes_oracle() -> str:
+    from .extras import ORACLES as _EXTRAS_ORACLES
+
+    return f"""
+SELECT 'having' AS shape, CAST(l_partkey AS VARCHAR) AS k1,
+       CAST(NULL AS VARCHAR) AS k2, CAST(n_lines AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS amount
+FROM ({ORACLES["having_filter"]})
+UNION ALL
+SELECT 'nulls_ordering', l_returnflag, l_linestatus, CAST(n AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ({ORACLES["nulls_ordering"]})
+UNION ALL
+SELECT 'pagination', CAST(o_orderkey AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(o_totalprice AS DOUBLE)
+FROM ({ORACLES["limit_offset_pagination"]})
+UNION ALL
+SELECT 'hash_sample', CAST(l_orderkey AS VARCHAR),
+       CAST(l_linenumber AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(l_quantity AS DOUBLE)
+FROM ({_EXTRAS_ORACLES["deterministic_sample"]})
+"""
+
+
+def q_query_shapes_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL corner shapes in one union: post-aggregation HAVING, explicit
+    NULLS FIRST/LAST ordering (hash-checked as a set; the ordering
+    semantics stay pinned by the granular query's sorted output), keyset-
+    stable LIMIT/OFFSET pagination, and deterministic hash-bucket sampling
+    (reproducible under any partitioning, unlike rand())."""
+    from .extras import q_deterministic_sample
+
+    hav = q_having_filter(spark, sf_dir).select(
+        F.lit("having").alias("shape"),
+        F.col("l_partkey").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_lines").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("amount"),
+    )
+    nul = q_nulls_ordering(spark, sf_dir).select(
+        F.lit("nulls_ordering").alias("shape"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("amount"),
+    )
+    pag = q_limit_offset_pagination(spark, sf_dir).select(
+        F.lit("pagination").alias("shape"),
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("o_totalprice").cast("double").alias("amount"),
+    )
+    samp = q_deterministic_sample(spark, sf_dir).select(
+        F.lit("hash_sample").alias("shape"),
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.col("l_linenumber").cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("l_quantity").cast("double").alias("amount"),
+    )
+    return hav.unionByName(nul).unionByName(pag).unionByName(samp)
+
+
+QUERIES["query_shapes_pack"] = q_query_shapes_pack
+ORACLES["query_shapes_pack"] = _query_shapes_oracle()

@@ -117,3 +117,78 @@ def q_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variant_get(parse_json(props), '$.k', 'string') IS NOT NULL"
         ).alias("has_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# modern_sql_pack — the modern-SQL engine surface (recursive CTE graph
+# traversal, VARIANT semi-structured type, native Python UDTF with
+# LATERAL correlation) union-tagged onto one schema, reusing the granular
+# queries and oracles verbatim. (Merges recursive_event_chains,
+# variant_pack, udtf_sentence_split.)
+# ---------------------------------------------------------------------------
+
+
+def _modern_sql_oracle() -> str:
+    from .udfs import ORACLES as _UDF_ORACLES
+
+    return f"""
+SELECT 'recursive_cte' AS feature,
+       CAST(user_id AS BIGINT)       AS id,
+       CAST(longest_chain AS BIGINT) AS n,
+       CAST(n_paths AS BIGINT)       AS n2,
+       CAST(NULL AS VARCHAR)         AS s1,
+       CAST(NULL AS VARCHAR)         AS s2,
+       CAST(NULL AS BOOLEAN)         AS flag
+FROM ({ORACLES["recursive_event_chains"]})
+UNION ALL
+SELECT 'variant', CAST(event_id AS BIGINT), CAST(k_int AS BIGINT),
+       CAST(missing_int AS BIGINT), k_str, canonical_json, has_k
+FROM ({ORACLES["variant_pack"]})
+UNION ALL
+SELECT 'python_udtf', CAST(doc_id AS BIGINT), CAST(pos AS BIGINT),
+       CAST(n_words AS BIGINT), sentence, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BOOLEAN)
+FROM ({_UDF_ORACLES["udtf_sentence_split"]})
+"""
+
+
+def q_modern_sql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL surface in one union: a recursive CTE walking event
+    chains to a fixed point, the VARIANT open-schema type (parse /
+    typed extraction / canonical re-serialization), and a native Python
+    UDTF applied per-row via LATERAL correlation (arrow-batched,
+    one-to-many)."""
+    from .udfs import q_udtf_sentence_split
+
+    rec = q_recursive_event_chains(spark, sf_dir).select(
+        F.lit("recursive_cte").alias("feature"),
+        F.col("user_id").cast("long").alias("id"),
+        F.col("longest_chain").cast("long").alias("n"),
+        F.col("n_paths").cast("long").alias("n2"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    var = q_variant_pack(spark, sf_dir).select(
+        F.lit("variant").alias("feature"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("k_int").cast("long").alias("n"),
+        F.col("missing_int").cast("long").alias("n2"),
+        F.col("k_str").alias("s1"),
+        F.col("canonical_json").alias("s2"),
+        F.col("has_k").alias("flag"),
+    )
+    udtf = q_udtf_sentence_split(spark, sf_dir).select(
+        F.lit("python_udtf").alias("feature"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("pos").cast("long").alias("n"),
+        F.col("n_words").cast("long").alias("n2"),
+        F.col("sentence").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return rec.unionByName(var).unionByName(udtf)
+
+
+QUERIES["modern_sql_pack"] = q_modern_sql_pack
+ORACLES["modern_sql_pack"] = _modern_sql_oracle()

@@ -753,3 +753,62 @@ def q_scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_variants_pack — the null-semantics join corners (full-outer balance
+# reconciliation + null-safe-key grouping join) union-tagged onto one
+# schema, reusing the granular queries AND their oracles verbatim so both
+# occupy ONE core-window slot. (Merges join_full_outer_balance,
+# join_nullsafe_keys; the six mainstream strategies live in
+# join_strategies_pack.)
+# ---------------------------------------------------------------------------
+
+
+def _join_variants_oracle() -> str:
+    return f"""
+SELECT 'full_outer' AS kind,
+       CAST(custkey AS VARCHAR)      AS key,
+       CAST(n_orders_1996 AS BIGINT) AS n,
+       CAST(NULL AS BIGINT)          AS group_size,
+       CAST(acctbal AS DOUBLE)       AS amount,
+       only_active,
+       only_high_balance
+FROM ({ORACLES["join_full_outer_balance"]})
+UNION ALL
+SELECT 'nullsafe', status_key, CAST(n_rows AS BIGINT),
+       CAST(group_size AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+FROM ({ORACLES["join_nullsafe_keys"]})
+"""
+
+
+def q_join_variants_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics join corners in one union: the full-outer
+    reconciliation (rows existing on either side, with side-membership
+    flags) and the null-safe equality join (<=> keeps NULL==NULL groups
+    together). Each branch is the granular query unchanged, tagged and
+    projected onto (kind, key, n, group_size, amount, flags)."""
+    fo = q_join_full_outer_balance(spark, sf_dir).select(
+        F.lit("full_outer").alias("kind"),
+        F.col("custkey").cast("string").alias("key"),
+        F.col("n_orders_1996").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("group_size"),
+        F.col("acctbal").cast("double").alias("amount"),
+        "only_active",
+        "only_high_balance",
+    )
+    ns = q_join_nullsafe_keys(spark, sf_dir).select(
+        F.lit("nullsafe").alias("kind"),
+        F.col("status_key").alias("key"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.col("group_size").cast("long").alias("group_size"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(None).cast("boolean").alias("only_active"),
+        F.lit(None).cast("boolean").alias("only_high_balance"),
+    )
+    return fo.unionByName(ns)
+
+
+QUERIES["join_variants_pack"] = q_join_variants_pack
+ORACLES["join_variants_pack"] = _join_variants_oracle()

@@ -301,3 +301,107 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# validation_pack — the data-quality/observability surface (rule-based
+# quality checks, SCD2 dimension history, z-score anomaly detection,
+# key-skew report) union-tagged onto one schema, reusing the granular
+# queries and oracles verbatim. (Merges data_quality_checks,
+# scd2_dimension_history, timeseries_anomaly_zscore, key_skew_report.)
+# ---------------------------------------------------------------------------
+
+
+def _validation_pack_oracle() -> str:
+    return f"""
+SELECT 'quality_check' AS op, check_name AS key,
+       CAST(n_violations AS BIGINT)   AS k2,
+       CAST(NULL AS TIMESTAMP)        AS ts,
+       CAST(NULL AS TIMESTAMP)        AS ts2,
+       CAST(n_rows AS BIGINT)         AS n,
+       CAST(NULL AS DOUBLE)           AS amount,
+       CAST(NULL AS DOUBLE)           AS amount2,
+       passed                         AS flag,
+       CAST(NULL AS VARCHAR)          AS s1
+FROM ({ORACLES["data_quality_checks"]})
+UNION ALL
+SELECT 'scd2', CAST(user_id AS VARCHAR), CAST(event_id AS BIGINT),
+       CAST(effective_from AS TIMESTAMP), CAST(effective_to AS TIMESTAMP),
+       CAST(NULL AS BIGINT), CAST(value AS DOUBLE), CAST(NULL AS DOUBLE),
+       is_current, CAST(NULL AS VARCHAR)
+FROM ({ORACLES["scd2_dimension_history"]})
+UNION ALL
+SELECT 'zscore_anomaly', CAST(event_id AS VARCHAR), CAST(event_id AS BIGINT),
+       CAST(ts AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS BIGINT), CAST(value AS DOUBLE), CAST(z AS DOUBLE),
+       CAST(NULL AS BOOLEAN), event_type
+FROM ({ORACLES["timeseries_anomaly_zscore"]})
+UNION ALL
+SELECT 'key_skew', CAST(key AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(n_rows AS BIGINT), CAST(share AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+FROM ({ORACLES["key_skew_report"]})
+"""
+
+
+def q_validation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality & observability surface in one union: rule-based
+    quality checks (each rule one map-side predicate aggregated in a
+    single pass), type-2 slowly-changing-dimension history (effective
+    ranges via lead()), per-key z-score anomaly flags (mean/stddev from
+    one grouped pass re-joined map-side), and the key-skew report the
+    salting threshold feeds on."""
+    dq = q_data_quality_checks(spark, sf_dir).select(
+        F.lit("quality_check").alias("op"),
+        F.col("check_name").alias("key"),
+        F.col("n_violations").cast("long").alias("k2"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(None).cast("double").alias("amount2"),
+        F.col("passed").alias("flag"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    scd = q_scd2_dimension_history(spark, sf_dir).select(
+        F.lit("scd2").alias("op"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("long").alias("k2"),
+        F.col("effective_from").alias("ts"),
+        F.col("effective_to").alias("ts2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("value").cast("double").alias("amount"),
+        F.lit(None).cast("double").alias("amount2"),
+        F.col("is_current").alias("flag"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    z = q_timeseries_anomaly_zscore(spark, sf_dir).select(
+        F.lit("zscore_anomaly").alias("op"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("event_id").cast("long").alias("k2"),
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("value").cast("double").alias("amount"),
+        F.col("z").cast("double").alias("amount2"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.col("event_type").alias("s1"),
+    )
+    skew = q_key_skew_report(spark, sf_dir).select(
+        F.lit("key_skew").alias("op"),
+        F.col("key").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.col("share").cast("double").alias("amount"),
+        F.lit(None).cast("double").alias("amount2"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return dq.unionByName(scd).unionByName(z).unionByName(skew)
+
+
+QUERIES["validation_pack"] = q_validation_pack
+ORACLES["validation_pack"] = _validation_pack_oracle()
