@@ -30,11 +30,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # parquet timestamp[ns] read as raw nanos (BIGINT) → µs → NTZ.
-        # ``div`` truncates like the reference's integer division semantics.
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # Normalize ts to TIMESTAMP_NTZ whatever the generator wrote:
+        # timestamp[ns] parquet arrives as raw BIGINT nanos (via the
+        # nanosAsLong legacy conf) and is truncated to µs; timestamp[us]
+        # arrives as a timestamp type and only needs the NTZ cast.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # ``div`` truncates like the reference's integer division.
+            df = df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

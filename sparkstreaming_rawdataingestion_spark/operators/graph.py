@@ -55,22 +55,33 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     Damping 0.85 in the per-node form ``pr'(v) = 0.15*SCALE +
     0.85 * sum(pr(u) div outdeg(u))`` — total mass ≈ N*SCALE, no global
     N division, all arithmetic truncating-integer (``div``), so results
-    are exactly reproducible. Nodes appear in the output if they have at
-    least one in-edge (feed a symmetric edge list for "every node" —
-    then in-degree ≥ 1 ⟺ degree ≥ 1).
+    are exactly reproducible. Every node of the graph (src ∪ dst) is
+    carried through every iteration: a source-only node keeps its
+    0.15*SCALE teleport rank and keeps contributing to its out-neighbors,
+    rather than vanishing after iteration 1 on asymmetric graphs.
+    Dangling-node mass is dropped (the standard damped variant without
+    dangling redistribution); on a symmetrized edge list the result is
+    identical to the in-edge-only formulation.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = session.stage(edges.join(deg, "src"))
-    pr = deg.select(F.col("src").alias("node"), F.lit(PAGERANK_SCALE).alias("pr"))
+    nodes = session.stage(
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pr = nodes.select("node", F.lit(PAGERANK_SCALE).alias("pr"))
+    base = 15 * PAGERANK_SCALE // 100
     for _ in range(n_iters):
         contrib = ed.join(pr, ed.src == pr.node).select(
             "dst", F.expr("pr div deg").alias("c")
         )
-        pr = contrib.groupBy(F.col("dst").alias("node")).agg(
-            (
-                F.expr(f"{15 * PAGERANK_SCALE} div 100")
-                + F.expr("(85 * sum(c)) div 100")
-            ).alias("pr")
+        in_rank = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.expr("(85 * sum(c)) div 100").alias("in_pr")
+        )
+        pr = nodes.join(in_rank, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("in_pr"), F.lit(0))).alias("pr"),
         )
     return pr
 
