@@ -320,13 +320,70 @@ def index_candidates(
 @_register("dedup_ngram_jaccard_pairs", _NGRAM_PAIRS_ORACLE)
 def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (3-gram Jaccard ≥ 0.8). The inverted
-    shingle index prunes the pair space — only docs sharing ≥1 (rare)
-    shingle are compared — with a document-frequency cap bounding the
-    hot-shingle k² fan-out (SHINGLE_MAX_DF); the count-based verifier
-    scores every candidate against the full index, never materializing
-    shingle arrays per pair."""
+    shingle index prunes the pair space — only docs sharing ≥1 shingle
+    are compared — and the count-based verifier scores every candidate
+    against the full index, never materializing shingle arrays per pair.
+
+    Runs LOSSLESS (``max_df=None``) so the operator matches its exact
+    oracle at any corpus size; the skew-bounded variant (df-capped index,
+    ``SHINGLE_MAX_DF``) is the scale default for the curation pipeline,
+    and ``hot_shingle_report`` quantifies exactly what a given cap would
+    exclude before anyone turns it on."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
-    return count_verified_pairs(sets)
+    return count_verified_pairs(sets, max_df=None)
+
+
+@_register(
+    "dedup_hot_shingle_report",
+    f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {SHINGLE_N - 2})]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+dfreq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+  GROUP BY shingle
+)
+SELECT CAST(2 AS BIGINT)                                   AS max_df,
+       CAST(count(*) AS BIGINT)                            AS n_shingles,
+       CAST(count(*) FILTER (WHERE df > 2) AS BIGINT)      AS n_hot_shingles,
+       CAST(COALESCE(sum(df) FILTER (WHERE df > 2), 0) AS BIGINT)
+                                                           AS hot_postings,
+       CAST(max(df) AS BIGINT)                             AS max_doc_freq
+FROM dfreq
+""",
+)
+def q_dedup_hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the df-capped near-dup index: how many shingles a
+    given ``max_df`` cap would exclude from candidate generation, and how
+    many index postings they carry. Run this before enabling the cap on a
+    new corpus — nonzero ``n_hot_shingles`` means pairs whose EVERY shared
+    shingle is hot would be missed (the SHINGLE_MAX_DF soundness bound).
+    One explode + one agg; the report itself is a single reduce at any
+    scale. Fixture threshold 2 keeps the report non-trivial at sf0.01."""
+    return hot_shingle_report(
+        _shingle_sets(spark, sf_dir, materialize=False), max_df=2
+    )
+
+
+def hot_shingle_report(sets: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFrame:
+    """One-row df-distribution summary of the inverted shingle index
+    relative to a candidate-generation cap (see q_dedup_hot_shingle_report)."""
+    inverted = sets.select(F.explode("shingles").alias("shingle"))
+    dfreq = inverted.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = F.col("df") > max_df
+    return dfreq.agg(
+        F.lit(max_df).cast("long").alias("max_df"),
+        F.count("*").alias("n_shingles"),
+        F.count_if(hot).alias("n_hot_shingles"),
+        F.coalesce(F.sum(F.when(hot, F.col("df"))), F.lit(0)).alias(
+            "hot_postings"
+        ),
+        F.max("df").alias("max_doc_freq"),
+    )
 
 
 # ---------------------------------------------------------------------------

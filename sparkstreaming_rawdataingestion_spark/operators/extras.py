@@ -264,15 +264,21 @@ def q_cast_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_orderkey, l_linenumber, l_quantity
 FROM lineitem
-WHERE (l_orderkey * 2654435761 % 4294967296) % 100 < 5
+WHERE ((l_orderkey % 4294967296) * 1540483477 % 4294967296) % 100 < 5
 """,
 )
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~5% key-hash Bernoulli sample — deterministic and re-runnable (the
-    sampling contract a training-data pipeline needs for reproducibility;
-    Knuth multiplicative hash keeps it unbiased across key ranges)."""
+    sampling contract a training-data pipeline needs for reproducibility).
+    Key reduced mod 2^32 before multiplying by a sub-2^31 multiplier
+    (MurmurHash2's 1540483477) so int64 never overflows at full-scale key
+    ranges — see operators/profiling.py for the derivation."""
     li = catalog.load_table(spark, sf_dir, "lineitem")
-    bucket = (F.col("l_orderkey") * F.lit(2654435761) % F.lit(4294967296)) % 100
+    bucket = (
+        (F.col("l_orderkey") % F.lit(4294967296))
+        * F.lit(1540483477)
+        % F.lit(4294967296)
+    ) % 100
     return li.where(bucket < 5).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )

@@ -186,7 +186,22 @@ def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # lang → percent kept (a training-data mixing recipe)
 _MIX_RATES = {"en": 50, "de": 100, "es": 25}
-_KNUTH = "2654435761"
+
+# Multiplicative key hash, overflow-safe at 100 TB id ranges: the key is
+# reduced mod 2^32 BEFORE multiplying, and the multiplier (MurmurHash2's
+# 0x5BD1E995 = 1540483477 < 2^31) keeps the product < 2^63, so int64
+# arithmetic never wraps in either engine (a Knuth 2654435761 multiplier on
+# a raw int64 key overflows for keys ≳ 3.5e9 — ANSI mode errors, non-ANSI
+# wraps differently from DuckDB's int128).
+_MMH2 = 1540483477
+
+
+def _bucket_sql(key: str) -> str:
+    return f"(({key} % 4294967296) * {_MMH2} % 4294967296) % 100"
+
+
+def _bucket_col(key):
+    return (key % F.lit(4294967296)) * F.lit(_MMH2) % F.lit(4294967296) % 100
 
 
 def _mix_case_sql() -> str:
@@ -201,15 +216,16 @@ def _mix_case_sql() -> str:
     f"""
 SELECT doc_id, lang
 FROM documents
-WHERE (doc_id * {_KNUTH} % 4294967296) % 100 < {_mix_case_sql()}
+WHERE {_bucket_sql("doc_id")} < {_mix_case_sql()}
 """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: each language stratum keeps its own
-    deterministic Bernoulli rate off a Knuth key hash — reproducible,
-    join-free, and embarrassingly parallel (a pure filter on the scan)."""
+    deterministic Bernoulli rate off a multiplicative key hash —
+    reproducible, join-free, and embarrassingly parallel (a pure filter
+    on the scan)."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296)) % 100
+    bucket = _bucket_col(F.col("doc_id"))
     rate = F.lit(0)
     for lang, pct in _MIX_RATES.items():
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
@@ -277,8 +293,7 @@ SELECT doc_id, group_id, {_SPLIT_CASE} AS split
 FROM (
   SELECT d.doc_id,
          COALESCE(c.cluster_rep, d.doc_id)                        AS group_id,
-         (COALESCE(c.cluster_rep, d.doc_id) * 2654435761
-            % 4294967296) % 100                                   AS b
+         {_bucket_sql("COALESCE(c.cluster_rep, d.doc_id)")}       AS b
   FROM documents d LEFT JOIN clusters c USING (doc_id))
 """
 
@@ -295,7 +310,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
     gid = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
-    bucket = (gid * F.lit(2654435761) % F.lit(4294967296)) % 100
+    bucket = _bucket_col(gid)
     return d.join(clusters, "doc_id", "left").select(
         "doc_id",
         gid.alias("group_id"),

@@ -169,13 +169,14 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_ORACLE = """
 WITH changes AS (
   SELECT user_id, event_id, ts, value,
-         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ),
 versions AS (
   SELECT user_id, event_id, value, ts AS effective_from
   FROM changes
-  WHERE prev IS NULL OR value <> prev
+  WHERE rn = 1 OR value IS DISTINCT FROM prev
 )
 SELECT user_id, event_id, value,
        effective_from,
@@ -190,20 +191,28 @@ FROM versions
 @_register("scd2_dimension_history", _SCD2_ORACLE)
 def q_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension reconstruction from a changelog:
-    collapse no-op updates (value unchanged vs previous version), then
-    close each version with the next one's start. Both window passes
-    share the (user_id × time) sort, so Catalyst reuses one exchange —
-    history reconstruction is ONE shuffle (the batch twin of
-    ``cdc_latest_per_key``, which keeps only the open version)."""
+    collapse no-op updates (value unchanged vs previous version,
+    null-safe — a genuine transition to or from NULL opens a new version,
+    a NULL→NULL repeat does not), then close each version with the next
+    one's start. All window passes share the (user_id × time) sort, so
+    Catalyst reuses one exchange — history reconstruction is ONE shuffle
+    (the batch twin of ``cdc_latest_per_key``, which keeps only the open
+    version)."""
     ev = catalog.load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        F.lag("value").over(w).alias("prev"),
-    ).where(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    changes = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.lag("value").over(w).alias("prev"),
+            F.row_number().over(w).alias("rn"),
+        )
+        # first version always opens; afterwards a null-safe inequality
+        # (NOT value <=> prev) so NULL-valued changelogs behave
+        .where((F.col("rn") == 1) | ~F.col("value").eqNullSafe(F.col("prev")))
+    )
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",

@@ -136,70 +136,78 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
+# Round-3 rotation: rounds 1+2 put 92 distinct queries on the driver's
+# green record (CORRECTNESS_r01 ∪ r02); this window holds the ~50 queries
+# that have never had a driver row — everything else rotates to the
+# extended region with its green row already on record (all 150 queries
+# re-verified locally by tools/check_oracles.py before this rotation).
 CORE_ORDER: tuple[str, ...] = (
-    # ingest_normalize rotated out (green in CORRECTNESS_r01, unchanged
-    # since; its semantics stay pinned by pytest + check_oracles) in
-    # favor of the real-PNG-decode round trip added this round
-    "multimodal_png_roundtrip",
-    # consolidated packs — each verifies a whole operator family
-    "agg_multidim_pack",
-    "window_functions_pack",
-    "stats_agg_pack",
-    "scalar_strings_pack",
-    "scalar_numeric_temporal_pack",
-    "scalar_semistructured_pack",
-    "temporal_join_pack",
-    "join_strategies_pack",
-    # dedup_exact rotated out (green in CORRECTNESS_r01; its semantics stay
-    # verified inside pipeline_curation's exact stage) in favor of the new
-    # filter pack (repetition / decontamination / PII / quantization)
-    "curation_filters_pack",
-    "approx_methods_pack",
-    "text_analysis_pack",
-    "multimodal_pack",
-    "streaming_window_pack",
-    # TPC-H analog pack (q1 analog agg_pricing_summary rotated out —
-    # green in CORRECTNESS_r01, unchanged; q11 analog added this round)
-    "q11_part_value_concentration",
-    "q2_min_cost_part",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # analytics / subquery decorrelation
-    "cdc_latest_per_key",
-    "correlated_subquery_above_avg",
-    "in_exists_subqueries",
-    "lateral_topk_per_group",
-    # query shapes
-    "having_filter",
-    "nulls_ordering",
-    "limit_offset_pagination",
-    "deterministic_sample",
-    "downsample_gapfill",
-    "salted_agg_equivalence",
-    # LLM-data curation flagship
-    "pipeline_curation",
-    "pipeline_curation_funnel",
-    # near-dup operators re-verified after this round's scale changes
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "udf_approx_sketches",
+    # join variants beyond the verified strategies pack
+    "join_full_outer_balance",
+    "join_nullsafe_keys",
+    "join_variants_pack",
+    # embeddings / multimodal / text-generator surface
+    "embedding_quantization",
+    "multimodal_wav_roundtrip",
+    "udtf_sentence_split",
+    # scalar/collection packs not yet driver-checked
+    "array_algebra_pack",
+    "map_algebra_pack",
+    "cast_conditional_pack",
+    "bitwise_pack",
+    "try_safe_arith_pack",
+    "array_set_ops_pack",
+    "array_advanced_pack",
+    "string_advanced_pack",
+    "json_construction",
+    "month_arithmetic",
+    "pattern_match_filters",
+    # reshaping
+    "pivot_status_counts",
+    "unpivot_measures",
+    # windows / time series / sessions
+    "window_frames_pack",
+    "timeseries_pack",
+    "sessionize_events",
+    "rollup_time_hierarchy",
+    "timeseries_anomaly_zscore",
+    "recursive_event_chains",
+    # skew-handling equivalence proofs
+    "salted_join_equivalence",
+    "skew_equivalence_pack",
+    "key_skew_report",
+    # stats / aggregation extensions
+    "stats_moments_pack",
+    "agg_argminmax_collect",
+    # LLM-curation operational layer
+    "text_repetition_filters",
+    "contamination_check",
+    "pii_redaction",
+    "table_profile",
+    "stratified_sample",
+    "quality_quantile_buckets",
+    "leakage_safe_split",
+    "dedup_keep_best",
+    "dedup_hot_shingle_report",
+    "chunk_documents",
+    # modern-SQL / variant / validation surface
+    "variant_pack",
+    "modern_sql_pack",
+    "data_quality_checks",
+    "scd2_dimension_history",
+    "validation_pack",
+    "layout_zorder_key",
+    # graph + streaming batch twins
+    "graph_pagerank_authority",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_agg",
+    # --- driver checks the first 50 entries; below: rows-only ops and
+    # queries whose shapes are already covered by verified kin ---
+    "sketch_mergeable_hll",
+    "pack_documents",
+    "subquery_pack",
+    "query_shapes_pack",
 )
 
 
@@ -217,12 +225,32 @@ def _operator_registries(attr: str) -> dict:
     return registry
 
 
+def _released(fn: QueryFn) -> QueryFn:
+    """Wrap a registry query so that, before it builds its plan, every
+    DataFrame the PREVIOUS query staged (persisted) is unpersisted. The
+    driver and bench run registry entries sequentially and collect each
+    result before calling the next, so by wrapper-entry time the prior
+    staged inputs are dead weight — without this a 50-query session
+    accumulates persisted shingle sets / edges / centroids for its whole
+    lifetime (executor memory/disk pressure at scale)."""
+    import functools
+
+    from . import session
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        session.release_staged()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Full registry, core verification window first (see CORE_ORDER)."""
     reg = {**INGEST_QUERIES, **_operator_registries("QUERIES")}
     core = {name: reg[name] for name in CORE_ORDER}
     rest = {name: fn for name, fn in reg.items() if name not in core}
-    return {**core, **rest}
+    return {name: _released(fn) for name, fn in {**core, **rest}.items()}
 
 
 def extended_queries() -> dict[str, QueryFn]:

@@ -57,6 +57,15 @@ def get_spark(
     return spark
 
 
+# Every DataFrame persisted via ``stage`` is tracked here so a long-lived
+# session (the driver runs 50 registry queries back to back) doesn't
+# accumulate dead cached shingle sets / edges / centroids for its whole
+# lifetime. ``release_staged`` is called by the query-registry wrapper at
+# the START of the next query — by then the previous query's result has
+# been collected, so its staged inputs are safe to drop.
+_STAGED: list = []
+
+
 def stage(df):
     """Materialization point for a DataFrame consumed by multiple downstream
     operators (signatures + verification joins, iterative-loop state, ...).
@@ -76,7 +85,22 @@ def stage(df):
         if os.environ.get("SPARK_GRAFT_SCALE_MODE", "").lower() == "disk"
         else StorageLevel.MEMORY_AND_DISK_DESER
     )
-    return df.persist(level)
+    staged = df.persist(level)
+    _STAGED.append(staged)
+    return staged
+
+
+def release_staged() -> int:
+    """Unpersist every DataFrame staged since the last call (async — no
+    blocking wait on block eviction). Returns how many were released."""
+    n = len(_STAGED)
+    for df in _STAGED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _STAGED.clear()
+    return n
 
 
 def tune_for_session(spark: SparkSession) -> SparkSession:

@@ -44,16 +44,22 @@ def cached_messages(
     spark, sf_dir: str, include_edge_cases: bool = True
 ) -> DataFrame:
     from .. import catalog
+    from ..session import stage
 
     key = (id(spark._jsparkSession), sf_dir, include_edge_cases)
-    if key not in _MESSAGE_CACHE:
+    df = _MESSAGE_CACHE.get(key)
+    if df is None:
         events = catalog.load_table(spark, sf_dir, "events")
-        from ..session import stage
-
-        _MESSAGE_CACHE[key] = stage(
-            events_to_messages(events, include_edge_cases)
-        )
-    return _MESSAGE_CACHE[key]
+        df = events_to_messages(events, include_edge_cases)
+        _MESSAGE_CACHE[key] = df
+    # ``release_staged`` may have unpersisted it between registry queries —
+    # re-stage on demand so multi-consumer ingest queries (idempotency's
+    # doubled union) still read a materialized fixture.
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = stage(df)
+        _MESSAGE_CACHE[key] = df
+    return df
 
 
 def events_to_messages(events: DataFrame, include_edge_cases: bool = True) -> DataFrame:
