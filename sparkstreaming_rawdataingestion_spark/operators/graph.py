@@ -10,10 +10,13 @@ that makes an iterative distributed computation *verifiable* (the DuckDB
 oracle unrolls the same iterations and must match exactly; float
 PageRank could only ever be compared approximately).
 
-Scale shape per iteration: one shuffle (contributions grouped by dst).
-The degree-annotated edge list is staged once (session.stage) and reused
-by every iteration — at 100 TB that is the big payload you must not
-recompute; rank vectors are one BIGINT per node. Spark's default is the
+Scale shape: the edge list is staged once (session.stage) — at 100 TB
+that is the big payload you must not recompute — and ONE aggregation
+over it yields both degree vectors (out-degree for contribution
+division, in-degree for source-only detection). Each iteration is a
+node-sized join (rank × degree, co-partitioned; AQE broadcasts while
+small) followed by the single edge-sized aggregation shuffle
+(contributions grouped by dst); rank vectors are one BIGINT per node. Spark's default is the
 right loop structure here (compare GraphX/Pregel: same
 join-aggregate-per-superstep, no driver-side data).
 
@@ -62,26 +65,58 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     Dangling-node mass is dropped (the standard damped variant without
     dangling redistribution); on a symmetrized edge list the result is
     identical to the in-edge-only formulation.
+
+    ``edges`` is consumed three times (degrees, the staged edge-degree
+    join, the source-only probe) — pass a cheap or already-staged plan
+    (q_graph_pagerank_authority stages the underlying pair list once and
+    derives the symmetrized edges as a map-only union over the cache).
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = session.stage(edges.join(deg, "src"))
-    nodes = session.stage(
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    pr = nodes.select("node", F.lit(PAGERANK_SCALE).alias("pr"))
+    edges = session.stage(edges)  # the big payload: materialized ONCE
     base = 15 * PAGERANK_SCALE // 100
+    # ONE aggregation over the (exploded) edge list yields both degree
+    # vectors — out-degree for contribution division, in-degree to find
+    # source-only nodes. Source-only nodes (out-edges, no in-edges)
+    # receive nothing, so from iteration 2 on their rank is the constant
+    # teleport base — carried as a tiny static union branch, not a
+    # per-iteration join against the full node set. Iteration 1 still
+    # sees their initial SCALE rank via pr0 (every contributing node has
+    # out_deg > 0).
+    node_stats = session.stage(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("s")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("s")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.s")
+        .groupBy("node")
+        .agg(
+            F.sum("s").alias("out_deg"),
+            F.sum(1 - F.col("s")).alias("in_deg"),
+        )
+    )
+    deg = node_stats.where(F.col("out_deg") > 0).select(
+        F.col("node").alias("src"), F.col("out_deg").alias("deg")
+    )
+    src_only = node_stats.where(
+        (F.col("in_deg") == 0) & (F.col("out_deg") > 0)
+    ).select("node")
+    pr = deg.select(F.col("src").alias("node"), F.lit(PAGERANK_SCALE).alias("pr"))
     for _ in range(n_iters):
-        contrib = ed.join(pr, ed.src == pr.node).select(
-            "dst", F.expr("pr div deg").alias("c")
+        # per-source outgoing contribution: a NODE-sized join (rank vector
+        # × degree vector — co-partitioned on the same key, AQE broadcasts
+        # it while small), so the edge list is touched by exactly one
+        # map-side probe + one aggregation shuffle per iteration
+        csum = pr.join(deg, pr.node == deg.src).select(
+            "src", F.expr("pr div deg").alias("c")
         )
-        in_rank = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.expr("(85 * sum(c)) div 100").alias("in_pr")
-        )
-        pr = nodes.join(in_rank, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("in_pr"), F.lit(0))).alias("pr"),
+        pr = (
+            edges.join(csum, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(base) + F.expr("(85 * sum(c)) div 100")).alias("pr"))
+            .unionAll(src_only.select("node", F.lit(base).alias("pr")))
         )
     return pr
 
@@ -133,15 +168,29 @@ def q_graph_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     flooring ``//`` agree."""
     o = catalog.load_table(spark, sf_dir, "orders")
     li = catalog.load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+    # Symmetrize BEFORE the distinct via a 2-row explode, so the expensive
+    # part (the orders⋈lineitem join) runs once — not once per union
+    # branch — and pagerank's edge staging materializes a single
+    # join+explode+distinct plan (the edge build, not the rank loop,
+    # dominates wall time on this graph).
+    j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (F.col("o_custkey") * 2).alias("cnode"),
+        (F.col("l_suppkey") * 2 + 1).alias("snode"),
+    )
+    edges = (
+        j.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("snode").alias("src"), F.col("cnode").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
     return pagerank(edges, n_iters=3)
