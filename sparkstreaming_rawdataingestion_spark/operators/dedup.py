@@ -267,6 +267,8 @@ def count_verified_pairs(
         "df", F.count("*").over(Window.partitionBy("shingle"))
     )
     rare_idx = windowed.where(F.col("df") <= max_df).drop("df")
+    # not staged: its two consumers (hot-patch join + final merge) share
+    # the self-join's shuffle via ReusedExchange
     shared_rare = single_phase(rare_idx)
     hot_idx = windowed.where(F.col("df") > max_df).drop("df")
     ha = hot_idx.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -454,6 +456,10 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    # NOT staged although verification consumes it three times: the three
+    # consumers share one shuffle via ReusedExchange (candidate staging
+    # measured ~20% SLOWER end-to-end by serializing the cache write);
+    # plan reuse is the cheaper dedup mechanism here.
     candidates = (
         l.join(r, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))

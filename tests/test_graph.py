@@ -11,19 +11,25 @@ SCALE = graph.PAGERANK_SCALE
 
 
 def _expected_fixed_point(edges, n_iters):
-    """Reference implementation in plain Python (same integer arithmetic)."""
+    """Reference implementation in plain Python (same integer arithmetic).
+    Source-only nodes (out-edges, no in-edges) hold the constant teleport
+    base from iteration 1 on and keep contributing — the general-graph
+    semantics the engine implements."""
     from collections import defaultdict
 
     deg = defaultdict(int)
     for s, _ in edges:
         deg[s] += 1
+    src_only = set(deg) - {d for _, d in edges}
+    base = 15 * SCALE // 100
     pr = {n: SCALE for n in deg}
     for _ in range(n_iters):
         acc = defaultdict(int)
         for s, d in edges:
             if s in pr:
                 acc[d] += pr[s] // deg[s]
-        pr = {n: 15 * SCALE // 100 + (85 * c) // 100 for n, c in acc.items()}
+        pr = {n: base + (85 * c) // 100 for n, c in acc.items()}
+        pr.update({n: base for n in src_only})
     return pr
 
 
@@ -35,6 +41,23 @@ def test_pagerank_matches_hand_computation(spark):
     out = {r.node: r.pr for r in graph.pagerank(edges, n_iters=3).collect()}
     assert out == _expected_fixed_point(edges_list, 3)
     assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_pagerank_asymmetric_source_only_nodes(spark):
+    # chain 1 → 2 → 3 plus feeder 4 → 2: nodes 1 and 4 have out-edges but
+    # no in-edges. They must (a) appear in the output at the teleport
+    # base, and (b) keep contributing base-scaled mass to node 2 in every
+    # iteration — not vanish after iteration 1 (the general-graph case
+    # the symmetrized fixture never exercises).
+    edges_list = [(1, 2), (2, 3), (4, 2)]
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    for n_iters in (1, 2, 3):
+        out = {r.node: r.pr for r in graph.pagerank(edges, n_iters).collect()}
+        assert out == _expected_fixed_point(edges_list, n_iters)
+    base = 15 * SCALE // 100
+    assert out[1] == out[4] == base
+    # node 2 receives from both source-only nodes even at iteration 3
+    assert out[2] == base + (85 * (2 * base)) // 100
 
 
 def test_pagerank_deterministic_across_partitioning(spark):

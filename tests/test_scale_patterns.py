@@ -137,3 +137,23 @@ def test_salted_join_runs_shuffled_and_spreads_keys(spark):
         .count()
     )
     assert n_buckets == 8
+
+
+def test_release_staged_between_registry_queries(spark, sf_dir):
+    """A long-lived session running registry queries back to back must not
+    accumulate persisted staging: the registry wrapper releases the
+    previous query's stage() output at the next query's entry."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.queries import all_queries
+
+    reg = all_queries()
+    session.release_staged()
+    assert reg["dedup_ngram_jaccard_pairs"](spark, sf_dir).count() > 0
+    staged = list(session._STAGED)
+    assert staged, "near-dup query should stage its shingle sets"
+    # a stage()-less query's entry drops the previous staging
+    assert reg["having_filter"](spark, sf_dir).count() > 0
+    assert not session._STAGED
+    for df in staged:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
