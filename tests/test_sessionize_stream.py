@@ -1,0 +1,165 @@
+"""Streaming sessionization vs its batch twin, and incremental IVF index
+maintenance — completed sessions must match the batch gap computation
+exactly; index assignments must match the batch operator exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from sparkstreaming_rawdataingestion_spark import catalog
+from sparkstreaming_rawdataingestion_spark.streaming import sessionize_stream
+
+SF = "/root/testdata/sf0.001"
+GAP = sessionize_stream.SESSION_GAP_MS
+
+
+def _batch_sessions(events):
+    """Reference: gap > 30 min closes a session (same arithmetic as the
+    oracle-checked sessionize_events, aggregated to one row per session)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > GAP * 1000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.withColumn("session_seq", F.sum("is_new").over(w2))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _rows(df):
+    return {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in df.collect()
+    }
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    events = catalog.load_table(spark, SF, "events")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    events.select("user_id", "event_id", "ts").coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream.sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = _rows(_batch_sessions(events))
+    got = _rows(spark.read.parquet(out))
+    # every emission must be a true session (gap-closed in batch, or
+    # timer-closed once availableNow advanced the watermark to
+    # global-max − delay); sessions whose gap horizon is clearly beyond
+    # that final watermark must still be open in state
+    assert got <= want
+    wm_final = max(s[2] for s in want).timestamp() - 1.0  # 1 s delay
+    margin = 2.0
+    gap_s = GAP / 1000
+    surely_closed = {
+        s for s in want if s[2].timestamp() + gap_s < wm_final - margin
+    }
+    surely_open = {
+        s for s in want if s[2].timestamp() + gap_s > wm_final + margin
+    }
+    assert surely_closed <= got
+    assert not (surely_open & got)
+
+    # a later batch that advances the watermark fires the event-time
+    # timers: every pending session closes, none is emitted twice
+    future = events.agg(
+        (F.unix_millis(F.max(F.col("ts").cast("timestamp"))) + 10 * GAP)
+        .alias("ms")
+    ).first()["ms"]
+    spark.createDataFrame(
+        [(999_999, 1, future)], "user_id long, event_id long, ms long"
+    ).select(
+        "user_id", "event_id", F.timestamp_millis("ms").alias("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q2 = (
+        sessionize_stream.sessionize_stream(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = _rows(spark.read.parquet(out).where(F.col("user_id") != 999_999))
+    assert got2 == want
+
+
+def test_ivf_index_stream_matches_batch_assignment(spark, tmp_path):
+    from sparkstreaming_rawdataingestion_spark.operators.similarity import (
+        assign_clusters,
+        ivf_centroids,
+    )
+    from sparkstreaming_rawdataingestion_spark.streaming.index_stream import (
+        start_ivf_index_stream,
+    )
+
+    e = catalog.load_table(spark, SF, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v_emb"),
+    )
+    centroids = ivf_centroids(corpus)
+    centroids.count()  # freeze the offline-trained quantizer
+
+    src = str(tmp_path / "embs")
+    corpus.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    index_path = str(tmp_path / "ivf_index")
+    q = start_ivf_index_stream(
+        stream, centroids, index_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(index_path)
+    want = assign_clusters(corpus, centroids)
+    # partition-column type inference is disabled engine-wide (keeps the
+    # day bucket a string), so the partition key reads back as string
+    g = {r.neighbor_id: int(r.cluster_id) for r in got.collect()}
+    w = {r.neighbor_id: r.cluster_id for r in want.collect()}
+    assert g == w
+    # inverted lists are partition directories → nprobe reads prune
+    import os
+
+    lists = [d for d in os.listdir(index_path) if d.startswith("cluster_id=")]
+    assert len(lists) > 1
