@@ -105,6 +105,48 @@ def zorder_layout(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "day",
+    target_files: int = 1,
+    partitions: list[str] | None = None,
+) -> None:
+    """Small-file compaction for append-mode (streaming) sinks.
+
+    A micro-batch file sink writes one-or-more files per trigger, so a
+    day partition accumulates hundreds of small files — at 100 TB the
+    scan's task-scheduling and footer-read overhead comes to dominate.
+    This maintenance pass rewrites the targeted partitions with at most
+    ``target_files`` files each and leaves every other partition's files
+    untouched (dynamic partition overwrite — the same mechanism as the
+    upsert sink, sinks.py).
+
+    Layout mechanics: rows are shuffled on (partition, bucket) where
+    bucket is a DETERMINISTIC hash of the data columns mod
+    ``target_files`` — each partition's rows land in ≤ target_files
+    reduce tasks, hence ≤ target_files output files, and a re-run
+    produces the identical layout (idempotent maintenance). The input is
+    pinned with an eager localCheckpoint before the overwrite — Spark
+    refuses a plan that reads the path it overwrites; a mid-job failure
+    loses only the checkpoint and the next run starts from the intact
+    (partially compacted) table, so the single-job caveat of
+    localCheckpoint does not affect durability.
+    """
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.where(F.col(partition_col).isin(partitions))
+    data_cols = [c for c in df.columns if c != partition_col]
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), target_files)
+    pinned = df.repartition(F.col(partition_col), bucket).localCheckpoint()
+    (
+        pinned.write.partitionBy(partition_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 @_register(
     "layout_zorder_key",
     """

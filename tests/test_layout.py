@@ -94,3 +94,47 @@ def test_zorder_layout_skips_files_on_2d_box(spark, tmp_path):
 def test_zorder_query_registered(spark):
     rows = layout.QUERIES["layout_zorder_key"](spark, SF01)
     assert rows.count() == catalog.load_table(spark, SF01, "orders").count()
+
+
+def test_compact_partitions_bounds_files_and_preserves_data(spark, tmp_path):
+    """Streaming-sink small files → compaction bounds per-partition file
+    count, preserves the exact row multiset, leaves untargeted partitions
+    untouched, and re-runs idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators.layout import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "sink")
+    df = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") * 7 % 100).alias("value"),
+    )
+    # simulate many appends: 10 small files per partition per append
+    for _ in range(2):
+        df.repartition(10).write.partitionBy("day").mode("append").parquet(path)
+
+    def files_in(day):
+        d = os.path.join(path, f"day={day}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in(0)) >= 10
+    before = sorted(
+        map(tuple, spark.read.parquet(path).collect()), key=repr
+    )
+    untouched_before = sorted(files_in(2))
+
+    compact_partitions(spark, path, "day", target_files=2, partitions=["0", "1"])
+    assert len(files_in(0)) <= 2 and len(files_in(1)) <= 2
+    assert sorted(files_in(2)) == untouched_before
+    after = sorted(map(tuple, spark.read.parquet(path).collect()), key=repr)
+    assert after == before
+
+    # idempotent: same data, still bounded
+    compact_partitions(spark, path, "day", target_files=2, partitions=["0", "1"])
+    assert len(files_in(0)) <= 2
+    assert sorted(map(tuple, spark.read.parquet(path).collect()), key=repr) == before
