@@ -76,9 +76,35 @@ PICKS = {
         "codegen — a map-only stage, zero exchanges."
     ),
     "graph_pagerank_authority": (
-        "Fixed-point PageRank: staged degree-annotated edges reused per "
-        "iteration; each superstep is one shuffle of (dst, bigint) "
+        "Fixed-point PageRank: staged edge list + one exploded "
+        "aggregation for both degree vectors; each superstep is a "
+        "node-sized rank-degree join plus one shuffle of (dst, bigint) "
         "contributions."
+    ),
+    "scd2_dimension_history": (
+        "SCD2 reconstruction: lag, row_number and lead all share ONE "
+        "(user_id × time) exchange and sort — history rebuild is a "
+        "single shuffle."
+    ),
+    "timeseries_anomaly_zscore": (
+        "Z-score outliers: per-key moments are one tiny aggregate "
+        "broadcast back over the raw scan — no window over the full "
+        "table, no second shuffle."
+    ),
+    "table_profile": (
+        "Per-column profiling: every metric for every column in ONE wide "
+        "aggregation over one scan; the per-column reshape is a map-side "
+        "melt of a 1-row result."
+    ),
+    "salted_join_equivalence": (
+        "Skew-safe join: the hot key is salted N ways, the small side "
+        "replicated per salt — the plan shows the salted key in the "
+        "exchange, and the result hash-matches the plain join."
+    ),
+    "stratified_sample": (
+        "Training-mix sampling: a pure filter on the scan (overflow-safe "
+        "multiplicative hash) — map-only, no shuffle, embarrassingly "
+        "parallel."
     ),
     "multimodal_png_roundtrip": (
         "Real PNG decode: two Arrow-batched map stages (encode, decode) "
