@@ -105,3 +105,26 @@ def test_dedup_keep_best_keeps_the_highest_quality_member(spark):
     # at least one multi-member cluster keeps a non-minimal doc_id somewhere
     multi = [g for g, m in groups.items() if len(m) > 1]
     assert multi
+
+
+def test_bucket_hash_is_overflow_safe_at_full_scale_ids(spark):
+    """Spark 4 runs ANSI mode: a raw Knuth multiply on int64 keys ERRORS
+    with ARITHMETIC_OVERFLOW for ids ≳ 3.5e9 (verified while fixing this)
+    — plausible ids at 100 TB. The shipped hash reduces the key mod 2^32
+    before a sub-2^31 multiplier, so it must evaluate for the full int64
+    domain and stay in [0, 100)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators.profiling import (
+        _bucket_col,
+    )
+
+    ids = [0, 1, 4_000_000_000, 2**32, 2**40 + 7, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = df.select(
+        "doc_id", _bucket_col(F.col("doc_id")).alias("b")
+    ).collect()
+    assert len(rows) == len(ids)
+    assert all(0 <= r.b < 100 for r in rows)
+    # and it actually discriminates (not a constant)
+    assert len({r.b for r in rows}) > 1
