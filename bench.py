@@ -74,6 +74,12 @@ HEADLINE = [
     "graph_pagerank_authority",
     "sessionize_events",
     "q11_part_value_concentration",
+    # round-3 additions: SCD2 history rebuild, one-pass profiling,
+    # recursive-CTE closure, deterministic training-mix sampling
+    "scd2_dimension_history",
+    "table_profile",
+    "recursive_event_chains",
+    "stratified_sample",
 ]
 
 
