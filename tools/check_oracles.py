@@ -4,7 +4,11 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at the given sf dir, comparing row count, column names and an
 order-insensitive value multiset (columns sorted by name, rows sorted).
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--plain] [sf_dir] [query ...]
+
+``--plain`` runs against a bare SparkSession (no UTC pin, no
+nanosAsLong, default shuffle partitions) — the worst-case driver
+environment; queries must pass BOTH ways before entering CORE_ORDER.
 """
 
 from __future__ import annotations
@@ -35,12 +39,27 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as e
-    from sparkstreaming_rawdataingestion_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark()
+    if plain:
+        # worst-case driver simulation: a bare session; queries() still
+        # applies tune_for_session, catalog handles the nanos fallback
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check-oracles-plain")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from sparkstreaming_rawdataingestion_spark.session import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
