@@ -233,6 +233,66 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# upsample_mix — deterministic FRACTIONAL epoch mixing (weights > 1 allowed)
+# ---------------------------------------------------------------------------
+
+# lang → mix weight in percent: en 1.5 epochs, de 2.0, es 0.25 (a real
+# training recipe mixes strata at fractional epoch counts, not just
+# keep/drop rates — stratified_sample is the ≤ 1.0 special case)
+_UPSAMPLE_RATES = {"en": 150, "de": 200, "es": 25}
+
+
+def _upsample_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}"
+        for lang, rate in _UPSAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 100 END"
+
+
+@_register(
+    "upsample_mix",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         {_upsample_case_sql()}     AS rate,
+         {_bucket_sql("doc_id")}    AS b
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         rate // 100 + CASE WHEN b < rate % 100 THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, lang, CAST(t.copy AS BIGINT) AS copy
+FROM n, UNNEST(range(1, n_copies + 1)) AS t(copy)
+""",
+)
+def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling: stratum weight w emits each
+    doc ``floor(w)`` times plus one more for the key-hash fraction of
+    docs selected by ``frac(w)`` — so a 1.5-epoch stratum repeats exactly
+    the same half of its documents on every run (reproducible epoch
+    mixing, the general form of ``stratified_sample``). Map-only
+    sequence+explode: no shuffle, no join; output carries the copy
+    ordinal so downstream packing can interleave epochs."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    rate = F.lit(100)
+    for lang, pct in _UPSAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    bucket = _bucket_col(F.col("doc_id"))
+    n_copies = (rate.cast("long") / 100).cast("long") + F.when(
+        bucket < rate % 100, 1
+    ).otherwise(0)
+    copies = F.when(n_copies > 0, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array()
+    )
+    return d.select("doc_id", "lang", F.explode(copies).alias("copy")).select(
+        "doc_id", "lang", F.col("copy").cast("long").alias("copy")
+    )
+
+
+# ---------------------------------------------------------------------------
 # quality_quantile_buckets — curriculum binning by quality score
 # ---------------------------------------------------------------------------
 

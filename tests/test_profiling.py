@@ -128,3 +128,29 @@ def test_bucket_hash_is_overflow_safe_at_full_scale_ids(spark):
     assert all(0 <= r.b < 100 for r in rows)
     # and it actually discriminates (not a constant)
     assert len({r.b for r in rows}) > 1
+
+
+def test_upsample_mix_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators.profiling import (
+        _UPSAMPLE_RATES,
+        QUERIES,
+    )
+
+    out = QUERIES["upsample_mix"](spark, "/root/testdata/sf0.01")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in _UPSAMPLE_RATES.items():
+        if lang not in base:
+            continue
+        # hash-selected fraction → within a few % of rate on 100+ docs
+        ratio = got.get(lang, 0) / base[lang]
+        assert abs(ratio - rate / 100) < 0.15, (lang, ratio, rate)
+    # exact determinism: rerun yields the identical multiset
+    again = QUERIES["upsample_mix"](spark, "/root/testdata/sf0.01")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # every doc with weight >= 1 appears at least floor(w) times
+    en_min = out.where(F.col("lang") == "en").groupBy("doc_id").count()
+    assert en_min.agg(F.min("count")).first()[0] >= 1
