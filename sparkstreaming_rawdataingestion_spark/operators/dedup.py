@@ -371,6 +371,57 @@ def q_dedup_hot_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.85
+
+
+@_register(
+    "dedup_containment_pairs",
+    f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {SHINGLE_N - 2})]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / least(len(a.shingles), len(b.shingles)), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND len(list_intersect(a.shingles, b.shingles)) * 1.0
+      / least(len(a.shingles), len(b.shingles)) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.85 — the
+    asymmetric overlap measure that catches a document NESTED inside a
+    larger one (boilerplate-wrapped copies, quote-expanded posts), which
+    symmetric Jaccard dilutes below threshold as the host grows. Same
+    inverted-index + count-based kernel as the Jaccard path (the shuffle
+    carries (id, id, int) triples); only the normalization differs, so
+    the operator inherits the identical 100 TB shape."""
+    sets = _shingle_sets(spark, sf_dir, materialize=True)
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        l.join(r, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    c = F.col("shared") * F.lit(1.0) / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(c >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(c, 6).alias("containment"))
+    )
+
+
 def hot_shingle_report(sets: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFrame:
     """One-row df-distribution summary of the inverted shingle index
     relative to a candidate-generation cap (see q_dedup_hot_shingle_report)."""

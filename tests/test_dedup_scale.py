@@ -98,3 +98,62 @@ def test_core_registry_window():
             seen |= set(json.load(open(path)))
     assert not seen & set(CORE_ORDER[:50])
     assert set(extended_queries()) == set(q) - set(CORE_ORDER)
+
+
+def test_containment_catches_nested_docs_jaccard_misses(spark):
+    """A document nested inside a 4× larger host: containment = 1.0 but
+    Jaccard ≈ 0.25 — the asymmetric measure must flag the pair, the
+    symmetric one must not."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        JACCARD_THRESHOLD,
+        _shingles,
+        count_verified_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    inner = " ".join(words)
+    host = " ".join(words + [f"pad{i}" for i in range(120)])
+    docs = spark.createDataFrame(
+        [(1, inner), (2, host), (3, "entirely different text here")],
+        "doc_id long, text string",
+    )
+    sets = docs.select("doc_id", _shingles().alias("shingles"))
+
+    jac = count_verified_pairs(sets, max_df=None).collect()
+    assert not any(
+        {r.doc_a, r.doc_b} == {1, 2} and r.jaccard >= JACCARD_THRESHOLD
+        for r in jac
+    )
+
+    inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        l.join(r, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    c = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("shared") / F.least("n_a", "n_b")).alias("c"),
+        )
+        .collect()
+    )
+    flagged = {
+        frozenset((r.doc_a, r.doc_b)) for r in c if r.c >= CONTAINMENT_THRESHOLD
+    }
+    assert frozenset((1, 2)) in flagged
+    assert frozenset((1, 3)) not in flagged
