@@ -399,7 +399,12 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard dilutes below threshold as the host grows. Same
     inverted-index + count-based kernel as the Jaccard path (the shuffle
     carries (id, id, int) triples); only the normalization differs, so
-    the operator inherits the identical 100 TB shape."""
+    the operator inherits the identical 100 TB shape — including the
+    hot-shingle caveat: at scale, bound the self-join with the same
+    df-cap candidate generation (SHINGLE_MAX_DF / index_candidates) and
+    audit the cap with hot_shingle_report first. NB containment pairs
+    within a >max_df template cluster need the clustering path, exactly
+    as for Jaccard."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
     inverted = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     l = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -281,7 +281,7 @@ def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, pct in _UPSAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
     bucket = _bucket_col(F.col("doc_id"))
-    n_copies = (rate.cast("long") / 100).cast("long") + F.when(
+    n_copies = F.floor(rate / 100).cast("long") + F.when(
         bucket < rate % 100, 1
     ).otherwise(0)
     copies = F.when(n_copies > 0, F.sequence(F.lit(1), n_copies)).otherwise(
