@@ -313,6 +313,79 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distribution_drift_ks — two-sample Kolmogorov-Smirnov drift per key
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+cum AS (
+  SELECT event_type, value, in_a,
+         sum(in_a)     OVER w AS ca,
+         sum(1 - in_a) OVER w AS cb,
+         sum(in_a)     OVER (PARTITION BY event_type) AS na,
+         sum(1 - in_a) OVER (PARTITION BY event_type) AS nb
+  FROM tagged
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM cum
+GROUP BY event_type
+"""
+
+
+@_register("distribution_drift_ks", _DRIFT_ORACLE)
+def q_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per key: split each
+    event_type's values into two cohorts (hash split here; in production,
+    yesterday-vs-today) and compute sup|F̂_a − F̂_b| exactly — the
+    standard distribution-drift gate a data-quality pipeline runs before
+    training jobs consume a table.
+
+    Exact and single-shuffle: a RANGE-framed cumulative count (peers
+    share the count, so ties are handled per the empirical CDF
+    definition) gives both CDFs in one window over (event_type, value);
+    the sup is a plain max aggregation. The window is PARTITIONED BY the
+    drift key — per-key local sorts, never a global sort — so the
+    operator parallelizes across keys at 100 TB."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    cum = tagged.select(
+        "event_type",
+        F.sum("in_a").over(w).alias("ca"),
+        F.sum(1 - F.col("in_a")).over(w).alias("cb"),
+        F.sum("in_a").over(wp).alias("na"),
+        F.sum(1 - F.col("in_a")).over(wp).alias("nb"),
+    )
+    d = F.abs(
+        F.col("ca") * F.lit(1.0) / F.col("na")
+        - F.col("cb") * F.lit(1.0) / F.col("nb")
+    )
+    return cum.groupBy("event_type").agg(
+        F.round(F.max(d), 6).alias("ks_stat"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # validation_pack — the data-quality/observability surface (rule-based
 # quality checks, SCD2 dimension history, z-score anomaly detection,
 # key-skew report) union-tagged onto one schema, reusing the granular

@@ -151,3 +151,31 @@ def test_skew_report_topk_and_shares(spark, sf_dir):
 def test_skew_report_no_global_sort(spark, sf_dir):
     df = validation.q_key_skew_report(spark, sf_dir)
     assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_ks_drift_separates_shifted_from_identical(spark):
+    """KS sanity on synthetic cohorts: an identical distribution split in
+    half scores near 0; a mean-shifted cohort scores near 1."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    rows = []
+    for i in range(1000):
+        rows.append((i, "same", float(i % 100)))           # both halves alike
+        rows.append((i, "shifted", float(i % 100 + (1000 if i % 2 == 0 else 0))))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    import sparkstreaming_rawdataingestion_spark.catalog as cat
+
+    orig = cat.load_table
+    cat.load_table = lambda s, d, n: df
+    try:
+        out = {
+            r.event_type: r.ks_stat
+            for r in validation.QUERIES["distribution_drift_ks"](spark, "x").collect()
+        }
+    finally:
+        cat.load_table = orig
+    assert out["same"] < 0.05
+    assert out["shifted"] > 0.9
