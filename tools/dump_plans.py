@@ -106,6 +106,11 @@ PICKS = {
         "multiplicative hash) — map-only, no shuffle, embarrassingly "
         "parallel."
     ),
+    "distribution_drift_ks": (
+        "KS drift: both empirical CDFs from ONE range-framed window "
+        "partitioned by the drift key (per-key local sorts, no global "
+        "sort), sup taken by a plain max aggregation."
+    ),
     "multimodal_png_roundtrip": (
         "Real PNG decode: two Arrow-batched map stages (encode, decode) "
         "over input splits — zero shuffles, parallelism = splits."
