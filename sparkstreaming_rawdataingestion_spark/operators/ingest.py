@@ -62,3 +62,27 @@ def flatten_datapoints(parsed: DataFrame) -> DataFrame:
 def ingest_normalize(values: DataFrame) -> DataFrame:
     """The full value-string → DataPoint pipeline (ops 3-10)."""
     return flatten_datapoints(parse_messages(values))
+
+
+def observed_ingest_normalize(values: DataFrame):
+    """ingest_normalize with parse-error observability: returns
+    ``(datapoints, observation)`` where the Observation carries
+    ``n_messages`` / ``n_parsed`` / ``n_dropped`` after the first action.
+
+    The reference's only visibility into bad input was a stacktrace print
+    before the batch died (RawDataIngestion.java:121); ``df.observe``
+    attaches the counts to the SAME job (no second pass over the data —
+    metrics ride the task metrics channel), which is the shape a 100 TB
+    ingest needs: you cannot afford a separate count() over the firehose
+    just to know the drop rate."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest")
+    parsed_flag = F.from_json(F.col("value"), MESSAGE_SCHEMA)["data"].isNotNull()
+    observed = values.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count_if(parsed_flag).alias("n_parsed"),
+        F.count_if(~parsed_flag).alias("n_dropped"),
+    )
+    return ingest_normalize(observed), obs

@@ -114,3 +114,26 @@ def test_ingest_plan_is_shuffle_free(spark, sf_dir):
     df = spark.createDataFrame([("x",)], "value string")
     plan = ingest.ingest_normalize(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_observed_ingest_counts_drops_in_the_same_job(spark):
+    """df.observe rides the ingest job itself (no second pass): the
+    malformed and empty-array fixtures must show up in n_dropped/n_parsed
+    exactly, and n_messages must equal the input count."""
+    from sparkstreaming_rawdataingestion_spark.operators.ingest import (
+        observed_ingest_normalize,
+    )
+    from sparkstreaming_rawdataingestion_spark.sources import fixtures
+
+    messages = fixtures.cached_messages(
+        spark, "/root/testdata/sf0.001", include_edge_cases=True
+    )
+    n_in = messages.count()
+    dp, obs = observed_ingest_normalize(messages)
+    dp.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_messages"] == n_in
+    # the two edge-case messages: one malformed JSON (null data), one
+    # empty array (parses fine, explodes to zero rows)
+    assert got["n_dropped"] == 1
+    assert got["n_parsed"] == n_in - 1
