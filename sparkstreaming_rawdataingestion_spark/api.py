@@ -76,3 +76,37 @@ class Engine:
         return _stream.start_ingest_file_sink(
             values, sink_path, checkpoint_path, trigger_seconds
         )
+
+    # -- named analytics queries -------------------------------------------
+
+    def query(self, name: str) -> DataFrame:
+        """Run any registered operator query by name against this
+        engine's tables (`queries.all_queries` is the full inventory)."""
+        from .queries import all_queries
+
+        return all_queries()[name](self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        from .queries import all_queries
+
+        return list(all_queries())
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(
+        self,
+        path: str,
+        partitions: list[str] | None = None,
+        target_files: int = 1,
+    ) -> None:
+        """Small-file compaction of a day-partitioned sink
+        (operators/layout.py::compact_partitions)."""
+        from .operators.layout import compact_partitions
+
+        compact_partitions(
+            self.spark,
+            path,
+            partition_col="day",
+            target_files=target_files,
+            partitions=partitions,
+        )

@@ -92,3 +92,29 @@ def test_udtf_sentence_split_fans_out_with_contiguous_positions(spark):
     for positions in by_doc.values():
         assert sorted(positions) == list(range(len(positions)))
     assert all(r.n_words >= 1 and r.sentence for r in rows)
+
+
+def test_engine_named_queries_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.api import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    assert "ingest_normalize" in eng.query_names()
+    assert eng.query("dedup_exact_hash").count() > 0
+
+    sink = str(tmp_path / "dp")
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).cast("string").alias("day"),
+    )
+    for _ in range(2):
+        df.repartition(5).write.partitionBy("day").mode("append").parquet(sink)
+    eng.compact(sink, target_files=1)
+    import os
+
+    files = [
+        f for f in os.listdir(os.path.join(sink, "day=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) <= 1
