@@ -179,3 +179,20 @@ def test_ks_drift_separates_shifted_from_identical(spark):
         cat.load_table = orig
     assert out["same"] < 0.05
     assert out["shifted"] > 0.9
+
+
+def test_ks_drift_plan_is_one_partitioned_shuffle(spark):
+    """Both CDFs and the partition totals must ride ONE hash exchange on
+    the drift key — no global sort, no second shuffle of the raw rows
+    (the property that keeps per-key drift viable at 100 TB)."""
+    from sparkstreaming_rawdataingestion_spark import plans
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    df = validation.QUERIES["distribution_drift_ks"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = plans.executed_plan(df)
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+    # one shuffle for the windows over event_type + the final tiny
+    # aggregation exchange at most
+    assert plans.count_exchanges(df) <= 2
