@@ -146,19 +146,31 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup: exact n-gram Jaccard via inverted shingle index
 # ---------------------------------------------------------------------------
 
+# Inverted-index formulation — the same algebra as the engine (|A∩B| by
+# counting shared shingles, |A∪B| = |A|+|B|−|A∩B|), so DuckDB runs an
+# equi-join + count instead of the O(n²) all-pairs list_intersect scan
+# (the naive form was the gate's slowest oracle and impractical at sf0.1).
 _NGRAM_PAIRS_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
                         FOR i IN range(1, len(toks) - {SHINGLE_N - 2})]) AS shingles
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-      / len(list_distinct(a.shingles || b.shingles)) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -382,14 +394,21 @@ WITH sh AS (
          list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
                         FOR i IN range(1, len(toks) - {SHINGLE_N - 2})]) AS shingles
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-             / least(len(a.shingles), len(b.shingles)), 6) AS containment
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-  AND len(list_intersect(a.shingles, b.shingles)) * 1.0
-      / least(len(a.shingles), len(b.shingles)) >= {CONTAINMENT_THRESHOLD}
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / least(sa.n, sb.n), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
 """,
 )
 def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
