@@ -75,11 +75,14 @@ HEADLINE = [
     "sessionize_events",
     "q11_part_value_concentration",
     # round-3 additions: SCD2 history rebuild, one-pass profiling,
-    # recursive-CTE closure, deterministic training-mix sampling
+    # recursive-CTE closure, deterministic training-mix sampling,
+    # containment near-dup, per-key KS distribution drift
     "scd2_dimension_history",
     "table_profile",
     "recursive_event_chains",
     "stratified_sample",
+    "dedup_containment_pairs",
+    "distribution_drift_ks",
 ]
 
 
