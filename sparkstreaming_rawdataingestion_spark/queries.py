@@ -202,12 +202,17 @@ CORE_ORDER: tuple[str, ...] = (
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_window_agg",
-    # --- driver checks the first 50 entries; below: rows-only ops and
-    # queries whose shapes are already covered by verified kin ---
+    # --- driver checks the first 50 entries; below: rows-only ops,
+    # queries whose shapes are already covered by verified kin, and
+    # operators added after this round's rotation was locked (next
+    # round's window candidates, in priority order) ---
     "sketch_mergeable_hll",
     "pack_documents",
     "subquery_pack",
     "query_shapes_pack",
+    "dedup_containment_pairs",
+    "distribution_drift_ks",
+    "upsample_mix",
 )
 
 
