@@ -25,6 +25,20 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
+def _ntz_from_epoch_micros(us):
+    """TIMESTAMP_NTZ holding the UTC wall clock of an epoch-µs instant,
+    built with pure interval arithmetic — NO timezone conversion at any
+    point, so the result is bit-identical under any
+    ``spark.sql.session.timeZone`` (a cast LTZ→NTZ renders in the session
+    zone, and to_utc_timestamp/convert_timezone round trips are off by an
+    hour for instants landing in a DST gap/ambiguous hour)."""
+    secs = us.cast("decimal(20,0)") / F.lit(1000000)
+    epoch = F.make_timestamp_ntz(
+        F.lit(1970), F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0)
+    )
+    return epoch + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing timestamp columns to NTZ."""
     _ensure_nanos_conf(spark)
@@ -33,16 +47,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Normalize ts to TIMESTAMP_NTZ whatever the generator wrote:
         # timestamp[ns] parquet arrives as raw BIGINT nanos (via the
         # nanosAsLong legacy conf) and is truncated to µs; timestamp[us]
-        # arrives as a timestamp type and only needs the NTZ cast.
+        # arrives as LTZ and goes through the same tz-free rebuild
+        # (``div`` truncates like the reference's integer division).
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
-            # ``div`` truncates like the reference's integer division.
             df = df.withColumn(
-                "ts",
-                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+                "ts", _ntz_from_epoch_micros(F.expr("ts div 1000"))
             )
         elif ts_type != "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            df = df.withColumn(
+                "ts", _ntz_from_epoch_micros(F.unix_micros(F.col("ts")))
+            )
     return df
 
 

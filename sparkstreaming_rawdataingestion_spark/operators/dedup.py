@@ -342,7 +342,12 @@ def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle at any corpus size; the skew-bounded variant (df-capped index,
     ``SHINGLE_MAX_DF``) is the scale default for the curation pipeline,
     and ``hot_shingle_report`` quantifies exactly what a given cap would
-    exclude before anyone turns it on."""
+    exclude before anyone turns it on.
+
+    VERIFICATION CORPORA ONLY: with ``max_df=None`` the candidate join is
+    quadratic inside any template cluster larger than the cap — never
+    point this parity form at an uncapped production corpus; production
+    entry points (pipeline.py, curation_stream) keep ``SHINGLE_MAX_DF``."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
     return count_verified_pairs(sets, max_df=None)
 

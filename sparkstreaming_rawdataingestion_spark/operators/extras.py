@@ -82,15 +82,20 @@ SELECT p_partkey,
        CAST(len(toks) AS INTEGER)                       AS n_toks,
        list_contains(toks, 'spark')                     AS has_spark,
        CAST(list_position(toks, toks[1]) AS INTEGER)    AS first_pos,
-       list_sort(toks)                                  AS toks_sorted,
-       list_reverse(toks)                               AS toks_rev,
-       toks[2:3]                                        AS middle,
-       toks || ['x']                                    AS appended,
+       array_to_string(list_sort(toks), '|')            AS toks_sorted,
+       array_to_string(list_reverse(toks), '|')         AS toks_rev,
+       coalesce(array_to_string(toks[2:3], '|'), '')    AS middle,
+       array_to_string(toks || ['x'], '|')              AS appended,
        array_to_string(toks, '|')                       AS joined
 FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
 """,
 )
 def q_array_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra (size/contains/position/sort/reverse/slice/concat).
+
+    Array-valued results are serialized with array_join — the driver's
+    pandas canonicalizer cannot hash list cells, so every top-level output
+    column must be scalar (the array *operations* are unchanged)."""
     p = catalog.load_table(spark, sf_dir, "part")
     toks = F.split("p_name", " ")
     return p.select(
@@ -98,10 +103,12 @@ def q_array_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_position(toks, toks[0]).cast("int").alias("first_pos"),
-        F.array_sort(toks).alias("toks_sorted"),
-        F.reverse(toks).alias("toks_rev"),
-        F.slice(toks, 2, 2).alias("middle"),
-        F.concat(toks, F.array(F.lit("x"))).alias("appended"),
+        F.array_join(F.array_sort(toks), "|").alias("toks_sorted"),
+        F.array_join(F.reverse(toks), "|").alias("toks_rev"),
+        F.array_join(F.slice(toks, 2, 2), "|").alias("middle"),
+        F.array_join(F.concat(toks, F.array(F.lit("x"))), "|").alias(
+            "appended"
+        ),
         F.array_join(toks, "|").alias("joined"),
     )
 

@@ -74,15 +74,23 @@ def observed_ingest_normalize(values: DataFrame):
     attaches the counts to the SAME job (no second pass over the data —
     metrics ride the task metrics channel), which is the shape a 100 TB
     ingest needs: you cannot afford a separate count() over the firehose
-    just to know the drop rate."""
+    just to know the drop rate.
+
+    The JSON parse happens exactly ONCE per row: the parsed struct is
+    projected first, the CollectMetrics node counts on that column, and
+    the normalize path below it reuses the same column (common-subexpression
+    elimination does not span the observe boundary, so counting on a fresh
+    ``from_json(value, ...)`` would parse the firehose twice — and JSON
+    parsing is the dominant ingest cost at 100 TB)."""
     from pyspark.sql import Observation
 
     obs = Observation("ingest")
-    parsed_flag = F.from_json(F.col("value"), MESSAGE_SCHEMA)["data"].isNotNull()
-    observed = values.observe(
+    parsed = values.select(F.from_json(F.col("value"), MESSAGE_SCHEMA).alias("m"))
+    observed = parsed.observe(
         obs,
         F.count(F.lit(1)).alias("n_messages"),
-        F.count_if(parsed_flag).alias("n_parsed"),
-        F.count_if(~parsed_flag).alias("n_dropped"),
+        F.count_if(F.col("m.data").isNotNull()).alias("n_parsed"),
+        F.count_if(F.col("m.data").isNull()).alias("n_dropped"),
     )
-    return ingest_normalize(observed), obs
+    datapoints = flatten_datapoints(observed.where(F.col("m.data").isNotNull()))
+    return datapoints, obs

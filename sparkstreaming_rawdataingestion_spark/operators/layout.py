@@ -126,25 +126,46 @@ def compact_partitions(
     bucket is a DETERMINISTIC hash of the data columns mod
     ``target_files`` — each partition's rows land in ≤ target_files
     reduce tasks, hence ≤ target_files output files, and a re-run
-    produces the identical layout (idempotent maintenance). The input is
-    pinned with an eager localCheckpoint before the overwrite — Spark
-    refuses a plan that reads the path it overwrites; a mid-job failure
-    loses only the checkpoint and the next run starts from the intact
-    (partially compacted) table, so the single-job caveat of
-    localCheckpoint does not affect durability.
+    produces the identical layout (idempotent maintenance).
+
+    Durability: the compacted data is first written COMPLETELY to a
+    sibling temp directory (the source partitions stay untouched while
+    the job runs — no read-your-own-overwrite, no checkpointing), then
+    each partition directory is swapped in with two filesystem metadata
+    ops (delete old, rename new). A failure during the write phase
+    leaves the table intact; a failure mid-swap can lose at most the one
+    partition whose delete committed before its rename — its files
+    remain in the temp directory for recovery, and the temp directory is
+    only removed after every swap succeeds. (Plain parquet has no atomic
+    multi-file commit; a table format — Delta/Iceberg — is the fully
+    atomic version of this maintenance pass.)
     """
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.where(F.col(partition_col).isin(partitions))
     data_cols = [c for c in df.columns if c != partition_col]
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), target_files)
-    pinned = df.repartition(F.col(partition_col), bucket).localCheckpoint()
+    tmp = path.rstrip("/") + "._compact_tmp"
     (
-        pinned.write.partitionBy(partition_col)
-        .option("partitionOverwriteMode", "dynamic")
+        df.repartition(F.col(partition_col), bucket)
+        .write.partitionBy(partition_col)
         .mode("overwrite")
-        .parquet(path)
+        .parquet(tmp)
     )
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.listStatus(HPath(tmp)):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(f"{partition_col}=")):
+            continue
+        dest = HPath(path.rstrip("/"), name)
+        fs.delete(dest, True)
+        fs.rename(status.getPath(), dest)
+    # all swaps committed — the temp dir (now only _SUCCESS etc.) can go;
+    # on a mid-swap failure this line is never reached and the temp dir
+    # keeps the recovery copy.
+    fs.delete(HPath(tmp), True)
 
 
 @_register(

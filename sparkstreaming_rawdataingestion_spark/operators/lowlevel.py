@@ -117,10 +117,12 @@ def q_try_safe_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_set_ops_pack",
     """
 SELECT event_id,
-       list_sort(list_distinct(a || b))                              AS u,
-       list_sort(list_distinct(list_intersect(a, b)))                AS i,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS d,
-       len(list_intersect(a, b)) > 0                                 AS overlaps
+       coalesce(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS u,
+       coalesce(array_to_string(
+           list_sort(list_distinct(list_intersect(a, b))), ','), '')    AS i,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_filter(a, x -> NOT list_contains(b, x)))), ','), '')    AS d,
+       len(list_intersect(a, b)) > 0                                    AS overlaps
 FROM (
   SELECT event_id,
          range(event_id % 5, event_id % 5 + 4)  AS a,
@@ -130,15 +132,23 @@ FROM (
 )
 def q_array_set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_union / array_intersect / array_except / arrays_overlap over
-    synthesized integer ranges (sequence), canonicalized by array_sort."""
+    synthesized integer ranges (sequence), canonicalized by array_sort and
+    serialized via array_join (the driver's pandas canonicalizer cannot
+    hash list cells — output columns must be scalar)."""
     ev = catalog.load_table(spark, sf_dir, "events")
     a = F.sequence(F.col("event_id") % 5, F.col("event_id") % 5 + 3)
     b = F.sequence(F.col("event_id") % 3, F.col("event_id") % 3 + 5)
+
+    def joined(arr):
+        return F.array_join(
+            F.transform(F.array_sort(arr), lambda x: x.cast("string")), ","
+        )
+
     return ev.select(
         "event_id",
-        F.array_sort(F.array_union(a, b)).alias("u"),
-        F.array_sort(F.array_intersect(a, b)).alias("i"),
-        F.array_sort(F.array_except(a, b)).alias("d"),
+        joined(F.array_union(a, b)).alias("u"),
+        joined(F.array_intersect(a, b)).alias("i"),
+        joined(F.array_except(a, b)).alias("d"),
         F.arrays_overlap(a, b).alias("overlaps"),
     )
 

@@ -147,9 +147,10 @@ def q_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_advanced_pack",
     """
 SELECT p_partkey,
-       list_filter(toks, t -> length(t) > 4)                      AS long_toks,
-       flatten([toks[1:2], toks[3:4]])                            AS reflat,
-       [upper(t) FOR t IN toks]                                   AS toks_upper,
+       coalesce(array_to_string(
+           list_filter(toks, t -> length(t) > 4), '|'), '')         AS long_toks,
+       coalesce(array_to_string(flatten([toks[1:2], toks[3:4]]), '|'), '') AS reflat,
+       coalesce(array_to_string([upper(t) FOR t IN toks], '|'), '') AS toks_upper,
        len(list_distinct(toks)) != len(toks)                      AS had_dups,
        len(toks) - len(list_distinct(toks))                       AS n_dup_toks,
        coalesce(toks[2], '<none>')                                AS second_tok
@@ -158,16 +159,21 @@ FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
 )
 def q_array_advanced_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: filter/flatten/transform lambdas —
-    all JVM expressions, no Python."""
+    all JVM expressions, no Python. Array results serialized by
+    array_join: the driver canonicalizer cannot hash list cells."""
     p = catalog.load_table(spark, sf_dir, "part")
     toks = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.filter(toks, lambda t: F.length(t) > 4).alias("long_toks"),
-        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias(
-            "reflat"
+        F.array_join(
+            F.filter(toks, lambda t: F.length(t) > 4), "|"
+        ).alias("long_toks"),
+        F.array_join(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))), "|"
+        ).alias("reflat"),
+        F.array_join(F.transform(toks, lambda t: F.upper(t)), "|").alias(
+            "toks_upper"
         ),
-        F.transform(toks, lambda t: F.upper(t)).alias("toks_upper"),
         (F.size(F.array_distinct(toks)) != F.size(toks)).alias("had_dups"),
         (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_dup_toks"),
         F.coalesce(F.element_at(toks, 2), F.lit("<none>")).alias("second_tok"),

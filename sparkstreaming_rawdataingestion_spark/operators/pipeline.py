@@ -102,7 +102,14 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_kept(qual_kept: DataFrame) -> DataFrame:
-    w = Window.partitionBy("text")
+    """Exact-dedup keeper selection, windowed over sha2(text) rather than
+    the raw text: rows still carry the text forward, but the PARTITIONER
+    hashes a fixed 64-hex-char digest instead of arbitrary-length bodies,
+    keeping shuffle-key work bounded and skew-resistant at 100 TB.
+    (Digest equality == text equality for dedup purposes; SHA-256
+    collisions are below hardware-error rates — same contract as
+    dedup_exact_hash, dedup.py.)"""
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
     return (
         qual_kept.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
         .withColumn("n_copies", F.count("*").over(w))

@@ -98,7 +98,7 @@ SELECT user_id,
        arg_max(event_id, ts)                              AS latest_event_id,
        arg_min(event_id, ts)                              AS first_event_id,
        CAST(max_by_v AS DOUBLE)                           AS top_value,
-       list_sort(list(DISTINCT event_type))               AS types_sorted,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types_sorted,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
        bool_or(event_type = 'error')                      AS had_error,
        bool_and(value >= 0)                               AS all_nonneg
@@ -111,13 +111,16 @@ GROUP BY user_id, max_by_v
 def q_agg_argminmax_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by, sorted collect_set, ordered string_agg, bool
     aggregates. (ts is unique per user in the fixtures, so arg_min/arg_max
-    are deterministic.)"""
+    are deterministic.) The collect_set result is serialized via
+    array_join — scalar output columns only, for the driver canonicalizer."""
     ev = catalog.load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.max_by("event_id", "ts").alias("latest_event_id"),
         F.min_by("event_id", "ts").alias("first_event_id"),
         F.max("value").alias("top_value"),
-        F.sort_array(F.collect_set("event_type")).alias("types_sorted"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias(
+            "types_sorted"
+        ),
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
             "types_csv"
         ),

@@ -321,6 +321,7 @@ WITH tagged AS (
   SELECT event_type, value,
          CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
   FROM events
+  WHERE value IS NOT NULL
 ),
 cum AS (
   SELECT event_type, value, in_a,
@@ -331,6 +332,9 @@ cum AS (
   FROM tagged
   WINDOW w AS (PARTITION BY event_type ORDER BY value
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  -- single-cohort keys must be dropped BEFORE the outer select's decimal
+  -- division evaluates (DuckDB errors on decimal division by zero)
+  QUALIFY na > 0 AND nb > 0
 )
 SELECT event_type,
        round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat,
@@ -338,6 +342,7 @@ SELECT event_type,
        CAST(max(nb) AS BIGINT) AS n_b
 FROM cum
 GROUP BY event_type
+HAVING max(na) > 0 AND max(nb) > 0
 """
 
 
@@ -354,9 +359,14 @@ def q_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition) gives both CDFs in one window over (event_type, value);
     the sup is a plain max aggregation. The window is PARTITIONED BY the
     drift key — per-key local sorts, never a global sort — so the
-    operator parallelizes across keys at 100 TB."""
+    operator parallelizes across keys at 100 TB.
+
+    Totality guards: NULL values are excluded (Spark sorts NULLS FIRST,
+    DuckDB NULLS LAST — and a NULL has no place in an empirical CDF), and
+    keys whose events all land in one cohort are dropped (na or nb = 0
+    would make the statistic 0/0)."""
     ev = catalog.load_table(spark, sf_dir, "events")
-    tagged = ev.select(
+    tagged = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "value",
         F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
@@ -378,10 +388,14 @@ def q_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ca") * F.lit(1.0) / F.col("na")
         - F.col("cb") * F.lit(1.0) / F.col("nb")
     )
-    return cum.groupBy("event_type").agg(
-        F.round(F.max(d), 6).alias("ks_stat"),
-        F.max("na").cast("long").alias("n_a"),
-        F.max("nb").cast("long").alias("n_b"),
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.round(F.max(d), 6).alias("ks_stat"),
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
 
 

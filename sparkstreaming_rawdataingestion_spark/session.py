@@ -66,6 +66,21 @@ def get_spark(
 _STAGED: list = []
 
 
+def staging_storage_level():
+    """The storage level every engine-managed persist uses: DISK_ONLY
+    under ``SPARK_GRAFT_SCALE_MODE=disk`` (large staged data must not
+    pressure executor memory), else MEMORY_AND_DISK_DESER (deserialized
+    reads measure ~10% faster than the serialized default on the
+    staged-index workloads)."""
+    from pyspark import StorageLevel
+
+    return (
+        StorageLevel.DISK_ONLY
+        if os.environ.get("SPARK_GRAFT_SCALE_MODE", "").lower() == "disk"
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
+
+
 def stage(df):
     """Materialization point for a DataFrame consumed by multiple downstream
     operators (signatures + verification joins, iterative-loop state, ...).
@@ -78,14 +93,7 @@ def stage(df):
     ``SPARK_GRAFT_SCALE_MODE=disk`` for DISK_ONLY when the staged data
     would pressure executor memory at large scale factors.
     """
-    from pyspark import StorageLevel
-
-    level = (
-        StorageLevel.DISK_ONLY
-        if os.environ.get("SPARK_GRAFT_SCALE_MODE", "").lower() == "disk"
-        else StorageLevel.MEMORY_AND_DISK_DESER
-    )
-    staged = df.persist(level)
+    staged = df.persist(staging_storage_level())
     _STAGED.append(staged)
     return staged
 

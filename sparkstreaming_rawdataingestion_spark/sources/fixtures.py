@@ -43,7 +43,7 @@ _MESSAGE_CACHE: dict = {}
 def cached_messages(
     spark, sf_dir: str, include_edge_cases: bool = True
 ) -> DataFrame:
-    from .. import catalog
+    from .. import catalog, session
 
     key = (id(spark._jsparkSession), sf_dir, include_edge_cases)
     df = _MESSAGE_CACHE.get(key)
@@ -57,10 +57,11 @@ def cached_messages(
     # session-lifetime fixture cache (one entry per (session, sf_dir)),
     # and the Kafka-message wrap it amortizes is a fixture cost shared by
     # every ingest-family query, not an engine cost. Re-persist if some
-    # caller unpersisted it.
+    # caller unpersisted it — at the same storage level the engine's
+    # stage() uses, so SPARK_GRAFT_SCALE_MODE=disk governs this cache too.
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
-        df = df.persist()
+        df = df.persist(session.staging_storage_level())
         _MESSAGE_CACHE[key] = df
     return df
 

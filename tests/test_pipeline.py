@@ -43,3 +43,19 @@ def test_no_python_udf_in_plan(spark, sf_dir):
     plan = plans.executed_plan(pipeline.q_pipeline_curation(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_partitions_by_digest_not_text(spark, sf_dir):
+    """Plan pin for the exact-dedup stage: the window's shuffle key must
+    be sha2(text) — a fixed 64-char digest — never the raw document body
+    (partitioning 100 TB of rows by full text is the payload-heavy
+    shuffle dedup_exact_hash exists to avoid)."""
+    import re
+
+    staged = pipeline._exact_kept(pipeline._scored(spark, sf_dir))
+    plan = plans.executed_plan(staged)
+    # the digest is projected (as _w0) before the exchange...
+    assert re.search(r"sha2\(cast\(text#\d+ as binary\), 256\)", plan)
+    # ...and no exchange partitions directly on the raw text column
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\btext#\d+", m.group(1))

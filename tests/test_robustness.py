@@ -89,3 +89,38 @@ def test_extra_unknown_fields_ignored(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["datastream_id"] == 9
+
+
+def test_events_ts_load_is_session_timezone_independent(spark, tmp_path):
+    """ADVICE r3: the LTZ→NTZ conversion in catalog.load_table must yield
+    the UTC wall clock whatever spark.sql.session.timeZone is — a bare
+    driver session on a non-UTC host must read the same naive timestamps
+    DuckDB does."""
+    import datetime
+    import os
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    sf = str(tmp_path)
+    base = datetime.datetime(2024, 3, 9, 12, 34, 56, 789000)  # spans US DST
+    rows = [(i, base + datetime.timedelta(hours=i * 7)) for i in range(8)]
+    # write an LTZ (plain timestamp) events table — the generator-variant
+    # path that triggers the elif cast branch
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.createDataFrame(rows, "event_id long, ts timestamp").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf, "events.parquet"))
+        utc_read = {
+            r.event_id: r.ts
+            for r in catalog.load_table(spark, sf, "events").collect()
+        }
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_read = {
+            r.event_id: r.ts
+            for r in catalog.load_table(spark, sf, "events").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert ny_read == utc_read == dict(rows)
