@@ -1,0 +1,281 @@
+"""Behavioral / event-sequence analytics over the events stream.
+
+The reference pipeline lands per-user event streams (DataPoint rows keyed
+on datastream_id — RawDataIngestion.java:134-152); these operators are the
+standard questions a product/analytics consumer asks of that table once it
+is in the warehouse: ordered-funnel completion, cohort retention, event
+lateness (the watermark-sizing diagnostic), and OHLC time-bucket
+downsampling.
+
+Scale shape — every operator here shuffles on ``user_id`` (or the
+bucket/type key) exactly once and stays inside whole-stage codegen:
+
+- **funnel_pattern_match**: three grouped passes re-joined on ``user_id``
+  — the join keys are identical, so the exchanges are reused, and each
+  stage's state is one row per qualifying user (monotonically shrinking).
+  Never a per-user sort of full event arrays.
+- **retention_cohorts**: one grouped min per user (the cohort
+  assignment), one fact-side join on ``user_id`` (broadcastable — the
+  cohort table is |users| rows), one count-distinct aggregation.
+- **event_lateness_audit**: per-user RANGE/ROWS window over arrival
+  order — per-key local sorts, no global sort; this is the exact
+  measurement that sizes ``withWatermark`` for the streaming twins
+  (streaming/windows.py).
+- **ohlc_downsample**: single groupBy over (series, bucket); open/close
+  are struct-min/max aggregates (lexicographic (ts, event_id, value)
+  ordering — deterministic under timestamp ties), so no window pass and
+  no per-bucket sorting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# funnel_pattern_match — ordered view → click → purchase completion
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(v.t_view) AS t_view, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(c.t_view) AS t_view, min(c.t_click) AS t_click,
+         min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CAST(floor(epoch(t_purchase - t_view)) AS BIGINT) AS funnel_sec
+FROM p
+"""
+
+
+@_register("funnel_pattern_match", _FUNNEL_ORACLE)
+def q_funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel completion: users whose events contain
+    view → click → purchase in strict timestamp order, with the greedy
+    (first-completion) timestamps of each stage.
+
+    Greedy semantics — first view, then first click strictly after it,
+    then first purchase strictly after that — make the answer unique and
+    SQL-checkable (pattern-matching engines like MATCH_RECOGNIZE default
+    to the same skip-to-first semantics).
+
+    Plan: three grouped min-aggregations chained by joins on ``user_id``.
+    All three exchanges hash the same key, so the shuffle is effectively
+    one; intermediate state is one row per still-qualifying user. The
+    funnel duration is a DayTimeInterval cast to seconds — pure interval
+    arithmetic on TIMESTAMP_NTZ, no timezone involvement."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_view").alias("t_view"), F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("ts").alias("t_purchase"),
+        )
+    )
+    return p.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (F.col("t_purchase") - F.col("t_view"))
+        .cast("long")
+        .alias("funnel_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — first-activity cohort × day-offset retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+         AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f ON f.user_id = e.user_id
+WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+GROUP BY 1, 2
+"""
+
+
+@_register("retention_cohorts", _RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-activity day,
+    counted distinct on each of the next 7 day offsets.
+
+    The cohort table is one row per user (grouped min), so the fact-side
+    join is node-sized and broadcastable; the distinct count shuffles
+    (cohort_day, offset, user_id) triples — partial distinct runs
+    map-side. Date arithmetic is field-level (CAST ts AS DATE), so the
+    operator is timezone-free on NTZ timestamps."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    joined = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias(
+            "day_offset"
+        ),
+    )
+    return (
+        joined.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_lateness_audit — out-of-orderness measurement (watermark sizing)
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_max
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE ts < seen_max) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN ts < seen_max
+                              THEN CAST(floor(epoch(seen_max - ts)) AS BIGINT)
+                         END), 0) AS BIGINT) AS max_lateness_sec
+FROM seq
+GROUP BY user_id
+"""
+
+
+@_register("event_lateness_audit", _LATENESS_ORACLE)
+def q_event_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is each user's stream? An event is *late* if an
+    event with a LATER timestamp already arrived (arrival order =
+    event_id). Reports per-user late counts and the maximum lateness in
+    whole seconds — exactly the statistic that sizes
+    ``withWatermark('ts', ...)`` in the streaming twins: a watermark
+    below the observed p-max lateness silently drops those events.
+
+    Plan: one per-user window over arrival order (per-key local sort —
+    parallel across users at any scale), one grouped aggregation on the
+    same key, exchange reused. Lateness is interval arithmetic on NTZ —
+    timezone-free."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id", "ts", F.max("ts").over(w).alias("seen_max")
+    )
+    late = F.col("ts") < F.col("seen_max")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(late).alias("n_late"),
+        F.coalesce(
+            F.max(
+                F.when(late, (F.col("seen_max") - F.col("ts")).cast("long"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_lateness_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ohlc_downsample — open/high/low/close per (event_type, hour) bucket
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       (min(struct_pack(t := ts, eid := event_id, v := value))).v AS open,
+       max(value)  AS high,
+       min(value)  AS low,
+       (max(struct_pack(t := ts, eid := event_id, v := value))).v AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("ohlc_downsample", _OHLC_ORACLE)
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling: per (series, hour) bucket the
+    opening/closing values plus high/low/count/volume — the canonical
+    lossy compaction for dashboarding a 100 TB metric stream down to
+    bucket rows.
+
+    Open/close are struct-min/max over (ts, event_id, value): one
+    aggregation pass, no per-bucket sort, and the event_id tie-break
+    keeps the answer deterministic even with duplicate timestamps inside
+    a bucket. (min_by(value, ts) alone would be nondeterministic on
+    ties — the same trap as any unordered first()/last().)"""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    tagged = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.min(tagged).getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(tagged).getField("v").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("volume"),
+    )

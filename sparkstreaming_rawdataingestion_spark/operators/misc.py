@@ -3,7 +3,7 @@ LIMIT/OFFSET pagination, JSON construction, month arithmetic."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 
@@ -287,3 +287,66 @@ def q_query_shapes_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["query_shapes_pack"] = q_query_shapes_pack
 ORACLES["query_shapes_pack"] = _query_shapes_oracle()
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto_brand — per-brand Pareto frontier (min price, max size)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_brand, p.p_partkey, round(p.p_retailprice, 2) AS price, 
+       CAST(p.p_size AS INTEGER) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND ((q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+      OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+)
+"""
+
+
+@_register("skyline_pareto_brand", _SKYLINE_ORACLE)
+def q_skyline_pareto_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) per brand: parts not dominated on
+    (cheaper price, bigger size) by any same-brand part.
+
+    The oracle states the textbook NOT EXISTS definition (quadratic);
+    the engine computes the identical set with two RANGE-framed window
+    maxima over the price ordering — one per-key local sort, zero joins:
+    a row is dominated iff a strictly-cheaper row has size ≥ its own
+    (running max over the strict-predecessor frame) or a
+    cheaper-or-equal row has size > its own (running max over the
+    inclusive frame — the row itself never beats this test). Prices are
+    compared in exact integer cents so the RANGE frame bound -1 means
+    'strictly cheaper'. Partitioned by brand → embarrassingly parallel
+    across keys at 100 TB."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w_strict = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("_cents"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    annotated = p.withColumn("_cents", cents).select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w_strict).alias("_max_strict"),
+        F.max("p_size").over(w_incl).alias("_max_incl"),
+    )
+    dominated = (F.col("_max_strict") >= F.col("p_size")) | (
+        F.col("_max_incl") > F.col("p_size")
+    )
+    return annotated.where(~F.coalesce(dominated, F.lit(False))).select(
+        "p_brand",
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )

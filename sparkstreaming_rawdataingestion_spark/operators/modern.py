@@ -192,3 +192,93 @@ def q_modern_sql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["modern_sql_pack"] = q_modern_sql_pack
 ORACLES["modern_sql_pack"] = _modern_sql_oracle()
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_apply — MERGE INTO semantics (insert/update/delete changeset)
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 2
+),
+changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 2 THEN 'I'
+              WHEN o_orderkey % 3 = 0 THEN 'U'
+              ELSE 'D' END AS action,
+         o_custkey, round(o_totalprice + 10.0, 2) AS new_price
+  FROM orders
+  WHERE o_orderkey % 3 = 2 OR o_orderkey % 3 = 0
+     OR (o_orderkey % 3 = 1 AND o_custkey % 2 = 1)
+)
+SELECT b.o_orderkey, b.o_custkey,
+       round(CASE WHEN c.action = 'U' THEN c.new_price
+                  ELSE b.o_totalprice END, 2) AS totalprice,
+       CASE WHEN c.action = 'U' THEN 'updated' ELSE 'kept' END AS status
+FROM base b LEFT JOIN changes c ON c.o_orderkey = b.o_orderkey
+WHERE c.action IS NULL OR c.action != 'D'
+UNION ALL
+SELECT c.o_orderkey, c.o_custkey, c.new_price, 'inserted'
+FROM changes c WHERE c.action = 'I'
+"""
+
+
+@_register("merge_upsert_apply", _MERGE_ORACLE)
+def q_merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: apply an
+    insert/update/delete changeset to a base table in one pass —
+    ``WHEN MATCHED AND action='U' THEN UPDATE / ... 'D' THEN DELETE /
+    WHEN NOT MATCHED THEN INSERT`` — without a table format.
+
+    Plan shape: ONE left join base⋈changes on the primary key (both
+    sides hash-partitioned on the key; this is exactly the shuffle a
+    Delta/Iceberg MERGE does under the hood), a map-side CASE for the
+    update/delete arms, and a union with the insert arm (a filter of the
+    changeset — no join needed because NOT-MATCHED keys can't be in
+    base). The changeset is derived deterministically from orders so the
+    oracle can reproduce it."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 3 != 2).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    m3 = F.col("o_orderkey") % 3
+    changes = (
+        o.where(
+            (m3 == 2)
+            | (m3 == 0)
+            | ((m3 == 1) & (F.col("o_custkey") % 2 == 1))
+        )
+        .select(
+            "o_orderkey",
+            F.when(m3 == 2, "I").when(m3 == 0, "U").otherwise("D").alias(
+                "action"
+            ),
+            F.col("o_custkey").alias("c_custkey"),
+            F.round(F.col("o_totalprice") + 10.0, 2).alias("new_price"),
+        )
+    )
+    merged = (
+        base.join(changes, "o_orderkey", "left")
+        .where(F.col("action").isNull() | (F.col("action") != "D"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(
+                F.when(F.col("action") == "U", F.col("new_price")).otherwise(
+                    F.col("o_totalprice")
+                ),
+                2,
+            ).alias("totalprice"),
+            F.when(F.col("action") == "U", "updated")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    inserts = changes.where(F.col("action") == "I").select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("new_price").alias("totalprice"),
+        F.lit("inserted").alias("status"),
+    )
+    return merged.unionByName(inserts)

@@ -1,0 +1,205 @@
+"""Retrieval / matching operators: BM25 keyword scoring and blocked
+string-similarity self-join.
+
+LLM-pipeline context: corpus-level keyword retrieval (BM25) is the
+standard first-stage ranker for building eval sets and for
+contamination probes ("which training docs score high against this
+benchmark query?"); blocked edit-distance joins are the workhorse of
+entity resolution in metadata curation.
+
+Scale shape:
+- **bm25_keyword_search**: per-term tf columns are computed by
+  size(filter(tokens)) — no explode, no per-term shuffle. The corpus
+  statistics (N, avgdl, per-term df) reduce to ONE single-row aggregate
+  that is broadcast back; the scan is touched twice (once for stats,
+  once for scoring) and both passes are full-codegen. Top-k via
+  TakeOrderedAndProject — never a global sort.
+- **string_similarity_join_brand**: the candidate space is blocked on
+  brand equality (equi-join — hash-partitioned both sides) and a length
+  filter; the quadratic levenshtein only runs inside a block. At 100 TB
+  the block key bounds every task's pair count; a hot block shows up in
+  key_skew_report and gets salted or df-capped like any other skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# bm25_keyword_search — Okapi BM25 over the documents corpus
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "vector", "stream")
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    # literals carry e0 suffixes so DuckDB evaluates in DOUBLE (not
+    # DECIMAL) and the grouping parenthesization matches the Spark
+    # expression exactly — bit-identical float algebra on both engines
+    score_terms = " + ".join(
+        f"""ln((stats.n - stats.df_{i} + 0.5e0) / (stats.df_{i} + 0.5e0) + 1.0e0)
+            * ((d.tf_{i} * {BM25_K1 + 1}e0)
+               / (d.tf_{i} + {BM25_K1}e0
+                  * ((1e0 - {BM25_B}e0) + {BM25_B}e0 * d.dl / stats.avgdl)))"""
+        for i in range(len(BM25_TERMS))
+    )
+    any_match = " + ".join(f"d.tf_{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM d
+)
+SELECT d.doc_id, round({score_terms}, 6) AS bm25
+FROM d, stats
+WHERE {any_match} > 0
+ORDER BY bm25 DESC, d.doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@_register("bm25_keyword_search", _bm25_oracle())
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 for a fixed 3-term keyword
+    query, scored over the whole corpus in two codegen passes.
+
+    tf per term is size(filter(tokens)) — a per-row expression, no
+    explode and no (doc, term) shuffle; document frequency, corpus size
+    and average length reduce to ONE single-row aggregate cross-joined
+    back as a broadcast. Deterministic tie-break on doc_id so the top-k
+    edge is stable. The exact same algebra (and float rounding) runs on
+    the DuckDB oracle."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def tf(term):
+        # NB: the lambda must be unary — a second parameter (even a bound
+        # default) makes pyspark pass the ELEMENT INDEX as arg 2
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf(term).alias(f"tf_{i}") for i, term in enumerate(BM25_TERMS)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(
+                f"df_{i}"
+            )
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * (
+            F.col(f"tf_{i}")
+            * F.lit(BM25_K1 + 1)
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(BM25_K1)
+                * (
+                    1
+                    - F.lit(BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        score = part if score is None else score + part
+    matched = sum(F.col(f"tf_{i}") for i in range(len(BM25_TERMS)))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(matched > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# string_similarity_join_brand — blocked edit-distance self-join
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 3
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@_register("string_similarity_join_brand", _SIMJOIN_ORACLE)
+def q_string_similarity_join_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity-resolution self-join: near-identical part names (edit
+    distance ≤ 3) within a brand. Brand equality is the blocking key —
+    the join is a plain hash equi-join on p_brand, and the O(block²)
+    levenshtein work is confined to one task's block; the length
+    pre-filter (|Δlen| ≤ 3 is NECESSARY for dist ≤ 3) prunes cheaply
+    before the dynamic-programming distance runs. The same lossless
+    blocking is in the oracle, so both engines score identical pairs."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 3
+            )
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )

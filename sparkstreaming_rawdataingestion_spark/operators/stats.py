@@ -224,3 +224,68 @@ def q_sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorize_robust_scale — percentile clipping + robust standardization
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05e0) AS p05,
+         quantile_cont(value, 0.95e0) AS p95,
+         median(value)                AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(CASE WHEN e.value < b.p05 THEN b.p05
+                  WHEN e.value > b.p95 THEN b.p95
+                  ELSE e.value END, 6) AS clipped,
+       round((CASE WHEN e.value < b.p05 THEN b.p05
+                   WHEN e.value > b.p95 THEN b.p95
+                   ELSE e.value END - b.med) / (b.p95 - b.p05), 6)
+         AS robust_z
+FROM events e JOIN b ON b.event_type = e.event_type
+WHERE e.event_id % 7 = 0
+"""
+
+
+@_register("winsorize_robust_scale", _WINSORIZE_ORACLE)
+def q_winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier treatment for feature columns: winsorize at the per-key
+    p05/p95 (exact interpolated percentiles — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` agree to the ulp) and standardize by the
+    robust (median / percentile-range) location-scale pair.
+
+    The per-key bounds are ONE grouped percentile pass over the fact
+    table — a table of |keys| rows joined back broadcast; the clip and
+    scale are then map-side expressions. No window pass, no global sort:
+    the classic two-scan robust-scaling shape that survives any data
+    volume (contrast a per-row percent_rank window, which would sort
+    every key group for the same answer)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.median("value").alias("med"),
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.where(F.col("event_id") % 7 == 0)
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(clipped, 6).alias("clipped"),
+            F.round(
+                (clipped - F.col("med")) / (F.col("p95") - F.col("p05")), 6
+            ).alias("robust_z"),
+        )
+    )

@@ -118,6 +118,8 @@ _QUERY_MODULES = (
     "operators.validation",
     "operators.layout",
     "operators.graph",
+    "operators.behavior",
+    "operators.retrieval",
     "streaming.windows",
 )
 
@@ -136,83 +138,88 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-3 rotation: rounds 1+2 put 92 distinct queries on the driver's
-# green record (CORRECTNESS_r01 ∪ r02); this window holds the ~50 queries
-# that have never had a driver row — everything else rotates to the
-# extended region with its green row already on record (all 150 queries
-# re-verified locally by tools/check_oracles.py before this rotation).
+# Round-4 rotation, three bands:
+#   1-9   the queries that have never had a driver-green row — the four
+#         array packs re-emitted as array_join strings (the round-3
+#         canonicalizer reds) plus the round-3 tail entries that sat past
+#         position 50.
+#   10-19 operators NEW this round (behavior / retrieval / robust-stats /
+#         merge / triangles).
+#   20-50 INTENTIONAL re-verification of queries whose inputs or plans
+#         changed this round: the events.ts load was rebuilt as tz-free
+#         interval arithmetic (catalog.py — affects every events-reading
+#         query), the curation pipeline's dedup shuffle key moved to
+#         sha2(text), and the ingest observe path was restructured; a
+#         representative slice of each changed surface re-enters the
+#         window (their prior green rows are from the OLD code).
+# Everything else rotates to the extended region with its driver row on
+# record; all 50 validated via check_oracles (engine + --plain) before
+# this rotation was locked.
 CORE_ORDER: tuple[str, ...] = (
-    # join variants beyond the verified strategies pack
-    "join_full_outer_balance",
-    "join_nullsafe_keys",
-    "join_variants_pack",
-    # embeddings / multimodal / text-generator surface
-    "embedding_quantization",
-    "multimodal_wav_roundtrip",
-    "udtf_sentence_split",
-    # scalar/collection packs not yet driver-checked
+    # -- band 1: never driver-green ------------------------------------
     "array_algebra_pack",
-    "map_algebra_pack",
-    "cast_conditional_pack",
-    "bitwise_pack",
-    "try_safe_arith_pack",
     "array_set_ops_pack",
     "array_advanced_pack",
-    "string_advanced_pack",
-    "json_construction",
-    "month_arithmetic",
-    "pattern_match_filters",
-    # reshaping
-    "pivot_status_counts",
-    "unpivot_measures",
-    # windows / time series / sessions
-    "window_frames_pack",
+    "agg_argminmax_collect",
+    "subquery_pack",
+    "query_shapes_pack",
+    "upsample_mix",
+    "dedup_containment_pairs",
+    "distribution_drift_ks",
+    # -- band 2: new round-4 operators ---------------------------------
+    "funnel_pattern_match",
+    "retention_cohorts",
+    "event_lateness_audit",
+    "ohlc_downsample",
+    "bm25_keyword_search",
+    "string_similarity_join_brand",
+    "winsorize_robust_scale",
+    "skyline_pareto_brand",
+    "merge_upsert_apply",
+    "graph_triangle_count",
+    # -- band 3: re-verification of round-4-changed surfaces -----------
+    # pipeline dedup key + observe restructure + fixture persist policy
+    "pipeline_curation",
+    "pipeline_curation_funnel",
+    "ingest_normalize",
+    "ingest_idempotency",
+    "datapoint_day_rollup",
+    # multimodal PNG (round-3 verdict asked for a fresh driver row)
+    "multimodal_png_roundtrip",
+    # events.ts conversion path: time-series / windows / sessions
     "timeseries_pack",
     "sessionize_events",
     "rollup_time_hierarchy",
     "timeseries_anomaly_zscore",
     "recursive_event_chains",
-    # skew-handling equivalence proofs
-    "salted_join_equivalence",
-    "skew_equivalence_pack",
-    "key_skew_report",
-    # stats / aggregation extensions
-    "stats_moments_pack",
-    "agg_argminmax_collect",
-    # LLM-curation operational layer
-    "text_repetition_filters",
-    "contamination_check",
-    "pii_redaction",
-    "table_profile",
-    "stratified_sample",
-    "quality_quantile_buckets",
-    "leakage_safe_split",
-    "dedup_keep_best",
-    "dedup_hot_shingle_report",
-    "chunk_documents",
-    # modern-SQL / variant / validation surface
-    "variant_pack",
-    "modern_sql_pack",
-    "data_quality_checks",
-    "scd2_dimension_history",
-    "validation_pack",
-    "layout_zorder_key",
-    # graph + streaming batch twins
-    "graph_pagerank_authority",
+    "window_frames_pack",
+    "window_functions_pack",
+    "downsample_gapfill",
+    "temporal_join_pack",
+    "streaming_window_pack",
+    "asof_join_purchase_click",
+    "range_join_recent_clicks",
+    # events.ts conversion path: streaming batch twins
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_window_agg",
-    # --- driver checks the first 50 entries; below: rows-only ops,
-    # queries whose shapes are already covered by verified kin, and
-    # operators added after this round's rotation was locked (next
-    # round's window candidates, in priority order) ---
+    "cdc_latest_per_key",
+    # events.ts conversion path: validation / observability
+    "scd2_dimension_history",
+    "key_skew_report",
+    "data_quality_checks",
+    "validation_pack",
+    # events.ts conversion path: scalar packs reading ts
+    "map_algebra_pack",
+    "cast_conditional_pack",
+    "bitwise_pack",
+    "try_safe_arith_pack",
+    "json_construction",
+    # --- driver checks the first 50 entries; below: rows-only ops
+    # (sketches/packing are engine-specific or sequential-state by
+    # design — the driver records their weaker rows-only check) ---
     "sketch_mergeable_hll",
     "pack_documents",
-    "subquery_pack",
-    "query_shapes_pack",
-    "dedup_containment_pairs",
-    "distribution_drift_ks",
-    "upsample_mix",
 )
 
 

@@ -1,0 +1,180 @@
+"""Hand-crafted-input invariants for the round-4 behavioral / retrieval /
+graph operators (the DuckDB oracle checks fixture parity; these pin the
+semantics on inputs built to hit the edges)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+D = datetime.datetime
+
+
+def test_funnel_requires_strict_order(spark, sf_dir):
+    """A user with purchase BEFORE click must not complete the funnel."""
+    from sparkstreaming_rawdataingestion_spark.operators.behavior import (
+        q_funnel_pattern_match,
+    )
+
+    out = {r.user_id for r in q_funnel_pattern_match(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # completion implies the user has all three event types
+    typed = (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("t"))
+        .collect()
+    )
+    for r in typed:
+        if r.user_id in out:
+            assert {"view", "click", "purchase"} <= set(r.t)
+
+
+def test_funnel_greedy_on_crafted_sequence(spark):
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    rows = [
+        # u1 completes: view@1, click@2, purchase@3
+        (1, 1, D(2024, 1, 1, 0, 0, 1), "view", 0.0, "{}"),
+        (2, 1, D(2024, 1, 1, 0, 0, 2), "click", 0.0, "{}"),
+        (3, 1, D(2024, 1, 1, 0, 0, 3), "purchase", 0.0, "{}"),
+        # u2 out of order: purchase first
+        (4, 2, D(2024, 1, 1, 0, 0, 1), "purchase", 0.0, "{}"),
+        (5, 2, D(2024, 1, 1, 0, 0, 2), "view", 0.0, "{}"),
+        (6, 2, D(2024, 1, 1, 0, 0, 3), "click", 0.0, "{}"),
+        # u3 click ties view's timestamp → strict order fails
+        (7, 3, D(2024, 1, 1, 0, 0, 1), "view", 0.0, "{}"),
+        (8, 3, D(2024, 1, 1, 0, 0, 1), "click", 0.0, "{}"),
+        (9, 3, D(2024, 1, 1, 0, 0, 2), "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: r.funnel_sec
+            for r in behavior.q_funnel_pattern_match(spark, tmp).collect()
+        }
+    assert got == {1: 2}
+
+
+def test_lateness_audit_counts_out_of_order(spark):
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    rows = [
+        # arrival order (event_id) vs event time: third arrives 30s late
+        (1, 1, D(2024, 1, 1, 0, 0, 0), "view", 0.0, "{}"),
+        (2, 1, D(2024, 1, 1, 0, 1, 0), "view", 0.0, "{}"),
+        (3, 1, D(2024, 1, 1, 0, 0, 30), "view", 0.0, "{}"),
+        (4, 2, D(2024, 1, 1, 0, 0, 0), "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: (r.n_late, r.max_lateness_sec)
+            for r in behavior.q_event_lateness_audit(spark, tmp).collect()
+        }
+    assert got == {1: (1, 30), 2: (0, 0)}
+
+
+def test_skyline_no_mutual_domination(spark, sf_dir):
+    """No skyline row may dominate another skyline row of the same brand,
+    and every non-skyline row must be dominated by some skyline row."""
+    from sparkstreaming_rawdataingestion_spark.operators.misc import (
+        q_skyline_pareto_brand,
+    )
+
+    sky = q_skyline_pareto_brand(spark, sf_dir).collect()
+    by_brand: dict = {}
+    for r in sky:
+        by_brand.setdefault(r.p_brand, []).append((r.price, r.size))
+    for pts in by_brand.values():
+        for i, (pa, sa) in enumerate(pts):
+            for j, (pb, sb) in enumerate(pts):
+                if i != j:
+                    assert not (
+                        (pb < pa and sb >= sa) or (pb <= pa and sb > sa)
+                    )
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """K4 minus one edge = 2 triangles, via a crafted co-supply table."""
+    from sparkstreaming_rawdataingestion_spark.operators.graph import (
+        q_graph_triangle_count,
+    )
+
+    # parts: suppliers sharing a part are linked. Build edges
+    # 1-2,1-3,1-4,2-3,2-4 (K4 minus 3-4) as one part per edge.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    rows = []
+    for pk, (a, b) in enumerate(edges):
+        rows.append((pk, a, 50.0))
+        rows.append((pk, b, 50.0))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_quantity double"
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = q_graph_triangle_count(spark, str(tmp_path)).collect()[0]
+    assert out.n_triangles == 2
+    assert out.n_edges == 5
+    assert out.n_nodes == 4
+
+
+def test_merge_apply_covers_all_actions(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators.modern import (
+        q_merge_upsert_apply,
+    )
+
+    out = q_merge_upsert_apply(spark, sf_dir)
+    stat = {
+        r.status: r.n
+        for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = {
+        r.m: r.n
+        for r in o.groupBy((F.col("o_orderkey") % 3).alias("m"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert stat["inserted"] == n[2]
+    assert stat["updated"] == n[0]
+    # kept = the %3==1 rows that were NOT deleted (even custkey)
+    deleted = (
+        o.where((F.col("o_orderkey") % 3 == 1) & (F.col("o_custkey") % 2 == 1))
+        .count()
+    )
+    assert stat["kept"] == n[1] - deleted
+
+
+def test_bm25_scores_monotone_in_tf(spark, sf_dir):
+    """Top hit must contain at least one query term; scores descend."""
+    from sparkstreaming_rawdataingestion_spark.operators.retrieval import (
+        BM25_TERMS,
+        q_bm25_keyword_search,
+    )
+
+    rows = q_bm25_keyword_search(spark, sf_dir).collect()
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        assert any(t in docs[r.doc_id].split() for t in BM25_TERMS)
