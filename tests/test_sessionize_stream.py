@@ -54,12 +54,21 @@ def _rows(df):
     }
 
 
-def test_streaming_sessions_match_batch(spark, tmp_path):
-    events = catalog.load_table(spark, SF, "events")
+@pytest.mark.parametrize(
+    "sf", [SF, "/root/testdata/sf0.1"], ids=["sf0.001", "sf0.1"]
+)
+def test_streaming_sessions_match_batch(spark, tmp_path, sf):
+    """Stream-vs-batch sessionization parity; the sf0.1 variant runs the
+    same contract at 100× the smoke scale (round-3 verdict item 7 —
+    ~95k sessions through the applyInPandasWithState fold)."""
+    events = catalog.load_table(spark, sf, "events")
     src = str(tmp_path / "src")
     out = str(tmp_path / "sessions")
     ckpt = str(tmp_path / "ckpt")
-    events.select("user_id", "event_id", "ts").coalesce(1).write.parquet(src)
+    n_files = 1 if sf == SF else 4
+    events.select("user_id", "event_id", "ts").coalesce(n_files).write.parquet(
+        src
+    )
 
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
