@@ -115,6 +115,51 @@ PICKS = {
         "Real PNG decode: two Arrow-batched map stages (encode, decode) "
         "over input splits — zero shuffles, parallelism = splits."
     ),
+    "funnel_pattern_match": (
+        "Ordered funnel: three grouped mins chained on the SAME user_id "
+        "key — the stage joins are node-sized (one row per qualifying "
+        "user), never a per-user event-array sort."
+    ),
+    "event_lateness_audit": (
+        "Lateness audit: one per-user window over arrival order plus a "
+        "grouped agg on the same key — per-key local sorts, the exchange "
+        "is shared."
+    ),
+    "ohlc_downsample": (
+        "OHLC: open/close via struct-min/max aggregates — ONE "
+        "aggregation exchange on (series, bucket), no window, no "
+        "per-bucket sort, deterministic under ts ties."
+    ),
+    "bm25_keyword_search": (
+        "BM25: tf columns are size(filter()) expressions in the scan "
+        "stage; corpus stats reduce to a 1-row broadcast; top-20 rides "
+        "TakeOrderedAndProject."
+    ),
+    "string_similarity_join_brand": (
+        "Blocked edit-distance join: hash equi-join on the brand "
+        "blocking key; levenshtein runs only inside a block, after the "
+        "length pre-filter."
+    ),
+    "skyline_pareto_brand": (
+        "Skyline: two RANGE-framed window maxima share ONE (brand × "
+        "cents) sort — the quadratic NOT-EXISTS semantics computed in a "
+        "single per-key pass."
+    ),
+    "merge_upsert_apply": (
+        "MERGE semantics: one keyed left join (the same shuffle a table "
+        "format's MERGE does), CASE arms map-side, inserts unioned "
+        "without a join."
+    ),
+    "graph_triangle_count": (
+        "Triangles: staged oriented edge list feeds wedge join, closure "
+        "probe and degree agg from InMemoryTableScan — three equi-joins, "
+        "nothing quadratic in nodes."
+    ),
+    "winsorize_robust_scale": (
+        "Winsorization: per-key exact percentiles in one grouped pass, "
+        "broadcast back over the scan; clip + robust-z are map-side "
+        "expressions."
+    ),
 }
 
 SKIP_PREFIXES = (
