@@ -110,3 +110,21 @@ class Engine:
             target_files=target_files,
             partitions=partitions,
         )
+
+    # -- CDC maintenance ---------------------------------------------------
+
+    def cdc_apply_stream(
+        self,
+        changes: DataFrame,
+        base_path: str,
+        checkpoint_path: str,
+        trigger_seconds: float | None = None,
+    ):
+        """MERGE-semantics maintenance of a keyed table from an I/U/D
+        change stream (streaming/cdc_stream.py); seed the table first
+        with ``cdc_stream.seed_base_table``."""
+        from .streaming.cdc_stream import start_cdc_apply_stream
+
+        return start_cdc_apply_stream(
+            changes, base_path, checkpoint_path, trigger_seconds
+        )
