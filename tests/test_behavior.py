@@ -178,3 +178,78 @@ def test_bm25_scores_monotone_in_tf(spark, sf_dir):
     )
     for r in rows:
         assert any(t in docs[r.doc_id].split() for t in BM25_TERMS)
+
+
+def test_skyline_matches_bruteforce_on_random_data(spark, tmp_path):
+    """Seeded random (price, size) clouds incl. duplicate points and
+    price ties — window-based skyline == quadratic reference."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for pk in range(400):
+        brand = f"B{rng.randrange(5)}"
+        price = round(rng.uniform(1, 50), 2)
+        size = rng.randrange(1, 20)
+        rows.append((pk, f"part {pk}", brand, "t", size, price))
+    # force exact duplicates and price ties
+    rows.append((400, "dup a", "B0", "t", rows[0][4], rows[0][5]))
+    rows.append((401, "tie", "B0", "t", rows[0][4] + 1, rows[0][5]))
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    from sparkstreaming_rawdataingestion_spark.operators.misc import (
+        q_skyline_pareto_brand,
+    )
+
+    got = {
+        (r.p_brand, r.p_partkey)
+        for r in q_skyline_pareto_brand(spark, str(tmp_path)).collect()
+    }
+    want = set()
+    for pk, _, brand, _, size, price in rows:
+        dominated = any(
+            b2 == brand
+            and ((p2 < price and s2 >= size) or (p2 <= price and s2 > size))
+            for _, _, b2, _, s2, p2 in rows
+        )
+        if not dominated:
+            want.add((brand, pk))
+    assert got == want
+
+
+def test_merge_matches_reference_on_random_changeset(spark, tmp_path):
+    """Seeded random orders → derived changeset; engine MERGE == dict
+    reference."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (k, rng.randrange(1, 50), round(rng.uniform(10, 1000), 2))
+        for k in range(1, 301)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    from sparkstreaming_rawdataingestion_spark.operators.modern import (
+        q_merge_upsert_apply,
+    )
+
+    got = {
+        r.o_orderkey: (r.o_custkey, r.totalprice, r.status)
+        for r in q_merge_upsert_apply(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for k, c, p in rows:
+        if k % 3 == 2:
+            want[k] = (c, round(p + 10.0, 2), "inserted")
+        elif k % 3 == 0:
+            want[k] = (c, round(p + 10.0, 2), "updated")
+        elif c % 2 == 0:  # %3==1, even custkey: kept
+            want[k] = (c, round(p, 2), "kept")
+        # %3==1 odd custkey: deleted
+    assert got == want
