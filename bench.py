@@ -105,6 +105,8 @@ HEADLINE = [
     "string_similarity_join_brand",
     "merge_upsert_apply",
     "graph_triangle_count",
+    "timeseries_twap",
+    "upsample_interpolate",
 ]
 
 

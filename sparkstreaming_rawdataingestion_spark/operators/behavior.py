@@ -279,3 +279,190 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_twap — time-weighted average per (series, day)
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH iv AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(floor(epoch(
+             lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) - ts)) AS BIGINT) AS w
+  FROM events
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(w) AS BIGINT)   AS covered_sec,
+       round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) AS twap
+FROM iv
+WHERE w IS NOT NULL
+GROUP BY event_type, day
+HAVING sum(w) > 0
+"""
+
+
+@_register("timeseries_twap", _TWAP_ORACLE)
+def q_timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (series, day) — the correct mean
+    for irregularly sampled sensor streams (a plain avg over-weights
+    bursts; the reference's DataPoint rows are exactly such a stream).
+
+    Each sample holds its value until the next sample: weight = whole
+    seconds to the successor inside the partition (lead over one per-key
+    window — local sorts only). The weighted sum accumulates in
+    DECIMAL(18,6)·seconds, so the aggregate is EXACT under any partition
+    or reduction order (same engineering as stats_moments_pack) and only
+    the final division is float. Last sample of a day carries no
+    interval and is excluded; single-sample days drop via the sum(w) > 0
+    guard."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w_next = (
+        Window.partitionBy("event_type", day)
+        .orderBy("ts", "event_id")
+    )
+    iv = ev.select(
+        "event_type",
+        day.cast("date").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead("ts").over(w_next) - F.col("ts")).cast("long").alias("w"),
+    ).where(F.col("w").isNotNull())
+    return (
+        iv.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("w").cast("long").alias("covered_sec"),
+            F.round(
+                F.sum(F.col("v") * F.col("w")).cast("double") / F.sum("w"), 6
+            ).alias("twap"),
+        )
+        .where(F.col("covered_sec") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# upsample_interpolate — hourly grid with linear interpolation (union-merge)
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, u.g AS g
+  FROM bounds, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS u(g)
+),
+u AS (
+  SELECT user_id, ts, value, 0 AS is_grid FROM events
+  UNION ALL
+  SELECT user_id, g, NULL, 1 FROM grid
+),
+filled AS (
+  SELECT user_id, ts, is_grid,
+         last_value(value IGNORE NULLS) OVER wp AS prev_val,
+         last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+           OVER wp AS prev_ts,
+         first_value(value IGNORE NULLS) OVER wf AS next_val,
+         first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+           OVER wf AS next_ts
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts AS grid_ts,
+       floor((prev_val + (next_val - prev_val)
+              * (CAST(floor(epoch(ts - prev_ts)) AS BIGINT) * 1.0e0
+                 / CAST(floor(epoch(next_ts - prev_ts)) AS BIGINT)))
+             * 1.0e6) / 1.0e6
+         AS value_interp
+FROM filled
+WHERE is_grid = 1 AND prev_ts IS NOT NULL AND next_ts IS NOT NULL
+"""
+
+
+@_register("upsample_interpolate", _INTERP_ORACLE)
+def q_upsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular stream onto an hourly grid with
+    linear interpolation between the surrounding samples.
+
+    The neighbor search is the UNION-MERGE as-of pattern (asof.py):
+    grid points are unioned into the stream and one forward + one
+    backward IGNORE-NULLS window fills the surrounding (ts, value)
+    pairs — no range join, no per-grid-point probe; cost is one per-user
+    sort, linear in |events| + |grid|. Events sort before grid points on
+    timestamp ties (is_grid ordinal), so a sample exactly on a grid line
+    interpolates to itself (fraction 0). Grid points before the first or
+    at/after the last sample are dropped (no extrapolation). The
+    interpolation fraction uses whole-second offsets (identical floor
+    algebra in the oracle), and the value algebra is parenthesized
+    identically on both engines."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "ts"
+        ),
+    )
+    u = ev.select(
+        "user_id", "ts", "value", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
+    filled = u.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(ev_ts, ignorenulls=True).over(wp).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(ev_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    frac = (
+        (F.col("ts") - F.col("prev_ts")).cast("long") * F.lit(1.0)
+        / (F.col("next_ts") - F.col("prev_ts")).cast("long")
+    )
+    filled_rows = filled.where(
+        (F.col("is_grid") == 1)
+        & F.col("prev_ts").isNotNull()
+        & F.col("next_ts").isNotNull()
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    return filled_rows.select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        # floor-truncate to 6dp instead of round(): round() half-breaking
+        # on doubles differs between Spark (BigDecimal HALF_UP) and
+        # DuckDB when the product lands EXACTLY on a .5 ulp boundary
+        # (observed: 33.5271875); floor has no tie to break
+        (F.floor(interp * F.lit(1.0e6)) / F.lit(1.0e6)).alias(
+            "value_interp"
+        ),
+    )

@@ -177,6 +177,8 @@ CORE_ORDER: tuple[str, ...] = (
     "skyline_pareto_brand",
     "merge_upsert_apply",
     "graph_triangle_count",
+    "timeseries_twap",
+    "upsample_interpolate",
     # -- band 3: re-verification of round-4-changed surfaces -----------
     # pipeline dedup key + observe restructure + fixture persist policy
     "pipeline_curation",
@@ -212,8 +214,6 @@ CORE_ORDER: tuple[str, ...] = (
     # events.ts conversion path: scalar packs reading ts
     "map_algebra_pack",
     "cast_conditional_pack",
-    "bitwise_pack",
-    "try_safe_arith_pack",
     "json_construction",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by

@@ -253,3 +253,56 @@ def test_merge_matches_reference_on_random_changeset(spark, tmp_path):
             want[k] = (c, round(p, 2), "kept")
         # %3==1 odd custkey: deleted
     assert got == want
+
+
+def test_twap_equals_plain_mean_on_uniform_spacing(spark, tmp_path):
+    """With evenly spaced samples the time-weighted mean of the
+    non-terminal samples equals their arithmetic mean."""
+    from sparkstreaming_rawdataingestion_spark.operators.behavior import (
+        q_timeseries_twap,
+    )
+
+    rows = [
+        (i, 1, D(2024, 1, 1, 0, 10 * i), "m", float(v), "{}")
+        for i, v in enumerate([10.0, 20.0, 40.0, 90.0])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_timeseries_twap(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_intervals == 3
+    assert r.covered_sec == 3 * 600
+    assert abs(r.twap - (10.0 + 20.0 + 40.0) / 3) < 1e-6  # twap is 6dp
+
+
+def test_interpolation_hits_samples_and_midpoints(spark, tmp_path):
+    """A sample exactly on a grid line interpolates to itself; a grid
+    point midway between two samples gets their midpoint value."""
+    from sparkstreaming_rawdataingestion_spark.operators.behavior import (
+        q_upsample_interpolate,
+    )
+
+    rows = [
+        (1, 1, D(2024, 1, 1, 1, 0), "m", 10.0, "{}"),
+        (2, 1, D(2024, 1, 1, 3, 0), "m", 30.0, "{}"),
+        (3, 1, D(2024, 1, 1, 3, 30), "m", 50.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.grid_ts: r.value_interp
+        for r in q_upsample_interpolate(spark, str(tmp_path)).collect()
+    }
+    assert got[D(2024, 1, 1, 1, 0)] == 10.0   # exact sample hit
+    assert got[D(2024, 1, 1, 2, 0)] == 20.0   # midpoint of 10 → 30
+    # 03:00 exact hit on the 30.0 sample
+    assert got[D(2024, 1, 1, 3, 0)] == 30.0
+    # grid stops at floor(hour(max)) = 03:00; nothing extrapolated
+    assert max(got) == D(2024, 1, 1, 3, 0)
