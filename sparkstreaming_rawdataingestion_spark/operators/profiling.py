@@ -477,3 +477,59 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
 ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
+
+# ---------------------------------------------------------------------------
+# numeric_histogram — equi-width value distribution per key
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_BINS = 10
+
+_HISTOGRAM_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+)
+SELECT event_type,
+       CAST(LEAST(CAST(floor((value - lo) * {HISTOGRAM_BINS}e0 / (hi - lo))
+                       AS INTEGER), {HISTOGRAM_BINS - 1}) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT)  AS n,
+       round(min(value), 6)      AS bin_min,
+       round(max(value), 6)      AS bin_max
+FROM events, bounds
+GROUP BY 1, 2
+"""
+
+
+@_register("numeric_histogram", _HISTOGRAM_ORACLE)
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``value`` per event_type over the GLOBAL
+    [min, max] range (shared bin edges make per-key distributions
+    comparable — the profiling shape quality dashboards plot).
+
+    The bounds are a 1-row aggregate broadcast back over the scan; bin
+    assignment is pure map-side arithmetic (floor((v−lo)·B/(hi−lo)),
+    top edge clamped into the last bin) — identical float algebra on
+    the oracle, so bin ids match exactly. One aggregation shuffle on
+    (key, bin): at 100 TB this is the cheapest possible distribution
+    profile — contrast ntile/percent_rank, which sort every key group
+    (quality_quantile_buckets exists for when exact quantile EDGES are
+    the requirement)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_id = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            * F.lit(float(HISTOGRAM_BINS))
+            / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+        F.lit(HISTOGRAM_BINS - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+    )

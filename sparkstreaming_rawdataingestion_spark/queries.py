@@ -179,6 +179,7 @@ CORE_ORDER: tuple[str, ...] = (
     "graph_triangle_count",
     "timeseries_twap",
     "upsample_interpolate",
+    "numeric_histogram",
     # -- band 3: re-verification of round-4-changed surfaces -----------
     # pipeline dedup key + observe restructure + fixture persist policy
     "pipeline_curation",
@@ -214,7 +215,6 @@ CORE_ORDER: tuple[str, ...] = (
     # events.ts conversion path: scalar packs reading ts
     "map_algebra_pack",
     "cast_conditional_pack",
-    "json_construction",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
     # design — the driver records their weaker rows-only check) ---
