@@ -107,6 +107,7 @@ HEADLINE = [
     "graph_triangle_count",
     "timeseries_twap",
     "upsample_interpolate",
+    "numeric_histogram",
 ]
 
 

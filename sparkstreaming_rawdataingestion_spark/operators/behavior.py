@@ -411,9 +411,19 @@ def q_upsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
+    # integer sequence + timestamp_add, NOT sequence(lo, hi, interval):
+    # the temporal sequence expression is interpreted per element
+    # (measured 2.2 s vs 0.4 s for the ~1M-point grid at sf0.1)
+    n_hours = ((F.col("hi") - F.col("lo")).cast("long") / F.lit(3600)).cast(
+        "long"
+    )
     grid = bounds.select(
         "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+        "lo",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_hours)).alias("k"),
+    ).select(
+        "user_id",
+        F.timestamp_add("HOUR", F.col("k").cast("int"), F.col("lo")).alias(
             "ts"
         ),
     )
@@ -430,10 +440,17 @@ def q_upsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_grid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "first following" expressed as a CUMULATIVE frame over the REVERSED
+    # ordering: Spark evaluates [1 FOLLOWING, UNBOUNDED FOLLOWING] frames
+    # by rescanning to the partition end for every row — O(n²) per user
+    # (measured 4.6 s at sf0.1); the descending cumulative frame keeps
+    # running state — O(n) — at the cost of a second sort (4.6 → 1.5 s).
+    # The oracle keeps the straightforward FOLLOWING spelling (DuckDB
+    # evaluates it fine); results are identical.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
     filled = u.select(
@@ -442,8 +459,8 @@ def q_upsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
         F.last(ev_ts, ignorenulls=True).over(wp).alias("prev_ts"),
-        F.first("value", ignorenulls=True).over(wf).alias("next_val"),
-        F.first(ev_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.last("value", ignorenulls=True).over(wf).alias("next_val"),
+        F.last(ev_ts, ignorenulls=True).over(wf).alias("next_ts"),
     )
     frac = (
         (F.col("ts") - F.col("prev_ts")).cast("long") * F.lit(1.0)
