@@ -178,3 +178,35 @@ def q_session_window_agg(spark, sf_dir):
     from .. import catalog
 
     return session_windows(catalog.load_table(spark, sf_dir, "events"))
+
+
+def ohlc_windows(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Streaming/batch OHLC downsampling (the streaming twin of
+    operators/behavior.py::q_ohlc_downsample): open/close are struct
+    min/max over (ts, event_id, value) — per-window state is two tagged
+    structs plus three scalars, so the state store stays O(1) per
+    (window, series) whatever the event rate."""
+    df = with_watermark(events)
+    tagged = F.struct(
+        F.col("ts").alias("t"), F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        df.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.min(tagged).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(tagged).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

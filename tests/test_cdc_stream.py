@@ -151,3 +151,31 @@ def test_cdc_touches_only_changed_buckets(spark, tmp_path):
     assert after[f"bucket={changed_bucket}"] != before[
         f"bucket={changed_bucket}"
     ]
+
+
+def test_cdc_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop after batch 1, append batch 2, restart with the SAME
+    checkpoint: only the new files are processed and the final table
+    equals the straight-through run (exactly-once across restarts)."""
+    path = str(tmp_path / "base")
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    base = _seed(spark, path)
+
+    spark.createDataFrame(CHANGES_B1, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_stream(spark, src, path, ckpt)
+    mid = _table(spark, path)
+    assert mid[3] == (103, 333.0)  # batch-1 effect visible at the cut
+
+    spark.createDataFrame(CHANGES_B2, CHANGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_stream(spark, src, path, ckpt)  # SAME checkpoint → resume
+
+    want = _reference_apply(
+        [(r.o_orderkey, r.o_custkey, r.totalprice) for r in base.collect()],
+        CHANGES_B1 + CHANGES_B2,
+    )
+    assert _table(spark, path) == want

@@ -66,3 +66,23 @@ def test_session_windows_streaming(spark, staged_events, tmp_path):
     )
     closed_set = set(map(tuple, closed.select(cols).collect()))
     assert closed_set <= got_set
+
+
+def test_ohlc_streaming_matches_batch(spark, staged_events, tmp_path):
+    """Streaming OHLC (struct-min/max open/close in windowed state) —
+    watermark-closed buckets must match the batch twin exactly."""
+    got = _run_stream(spark, staged_events, windows.ohlc_windows, tmp_path, "ohlc")
+    batch = windows.ohlc_windows(spark.read.parquet(staged_events))
+    want = {
+        (r.bucket, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in batch.collect()
+    }
+    emitted = {
+        (r.bucket, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in got.collect()
+    }
+    # availableNow closes every window whose end precedes final watermark
+    assert emitted.items() <= want.items()
+    wm_end = max(b for b, _ in want)  # newest bucket stays open
+    closed = {k: v for k, v in want.items() if k[0] < wm_end}
+    assert closed.items() <= emitted.items()

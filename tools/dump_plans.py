@@ -160,6 +160,20 @@ PICKS = {
         "broadcast back over the scan; clip + robust-z are map-side "
         "expressions."
     ),
+    "timeseries_twap": (
+        "TWAP: interval weights from one per-key lead window; weighted "
+        "sums accumulate in DECIMAL — exact under any reduction order."
+    ),
+    "upsample_interpolate": (
+        "Linear interpolation via union-merge: grid unioned into the "
+        "stream, both neighbors from cumulative IGNORE-NULLS windows "
+        "(the following-frame O(n²) trap avoided by a reversed "
+        "ordering) — no range join anywhere."
+    ),
+    "numeric_histogram": (
+        "Equi-width histogram: 1-row bounds broadcast, map-side bin "
+        "arithmetic, one (key, bin) aggregation — no per-key sort."
+    ),
 }
 
 SKIP_PREFIXES = (
