@@ -108,6 +108,7 @@ HEADLINE = [
     "timeseries_twap",
     "upsample_interpolate",
     "numeric_histogram",
+    "growth_accounting",
 ]
 
 

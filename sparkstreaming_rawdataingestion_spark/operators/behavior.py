@@ -483,3 +483,61 @@ def q_upsample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_interp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting — daily new / returning / resurrected actives
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+seq AS (
+  SELECT user_id, d,
+         lag(d)  OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+         min(d)  OVER (PARTITION BY user_id)            AS first_d
+  FROM days
+)
+SELECT d AS day,
+       CAST(count(*) AS BIGINT)                                 AS active,
+       CAST(count(*) FILTER (WHERE d = first_d) AS BIGINT)      AS new_users,
+       CAST(count(*) FILTER (WHERE prev_d = d - 1) AS BIGINT)   AS returning,
+       CAST(count(*) FILTER (WHERE prev_d IS NOT NULL
+                               AND prev_d < d - 1) AS BIGINT)   AS resurrected
+FROM seq
+GROUP BY d
+"""
+
+
+@_register("growth_accounting", _GROWTH_ORACLE)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the standard active-user decomposition:
+    every active user on day d is NEW (first activity), RETURNING
+    (active yesterday) or RESURRECTED (active before, but not
+    yesterday). active = new + returning + resurrected, per day.
+
+    Plan: the distinct (user, day) activity matrix (one aggregation —
+    state bounded by users × days, not events), a per-user lag/min
+    window (local sorts on the same user_id partitioning — exchange
+    reused from the distinct), and a day-grouped conditional count.
+    Pure integer counts: no float parity surface at all."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    wp = Window.partitionBy("user_id")
+    seq = days.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.min("d").over(wp).alias("first_d"),
+    )
+    day_before = F.date_sub(F.col("d"), 1)
+    return seq.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("active"),
+        F.count_if(F.col("d") == F.col("first_d")).alias("new_users"),
+        F.count_if(F.col("prev_d") == day_before).alias("returning"),
+        F.count_if(
+            F.col("prev_d").isNotNull() & (F.col("prev_d") < day_before)
+        ).alias("resurrected"),
+    )

@@ -180,6 +180,7 @@ CORE_ORDER: tuple[str, ...] = (
     "timeseries_twap",
     "upsample_interpolate",
     "numeric_histogram",
+    "growth_accounting",
     # -- band 3: re-verification of round-4-changed surfaces -----------
     # pipeline dedup key + observe restructure + fixture persist policy
     "pipeline_curation",
@@ -214,7 +215,6 @@ CORE_ORDER: tuple[str, ...] = (
     "validation_pack",
     # events.ts conversion path: scalar packs reading ts
     "map_algebra_pack",
-    "cast_conditional_pack",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
     # design — the driver records their weaker rows-only check) ---
