@@ -109,6 +109,14 @@ HEADLINE = [
     "upsample_interpolate",
     "numeric_histogram",
     "growth_accounting",
+    # round-4 mining batch: basket co-occurrence, PSI drift, corpus-LM
+    # scoring, sequential-recurrence EWMA (the applyInPandas kernel),
+    # deterministic epoch-shuffle layout
+    "market_basket_pairs",
+    "psi_drift",
+    "unigram_logprob_quality",
+    "ewma_smoothing",
+    "training_shuffle_order",
 ]
 
 

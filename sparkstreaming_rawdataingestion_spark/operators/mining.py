@@ -1,0 +1,662 @@
+"""Pattern-mining / dataset-preparation operators.
+
+Once the reference's ingest lands per-user event streams and a document
+corpus in the warehouse (RawDataIngestion.java:134-152 → DataPoint rows),
+the next consumer layer asks mining-shaped questions: which events
+co-occur, how do users transition between states, has the value
+distribution drifted, and how do we draw weighted / shuffled training
+samples from the corpus. Everything here is built-in column algebra —
+no Python in any hot path except the one declared sequential recurrence
+(EWMA), which runs as an Arrow-batched ``applyInPandas`` kernel.
+
+Scale shape per operator:
+
+- **market_basket_pairs**: the item-pair self-join is keyed on the
+  basket id (user_id, day) — co-partitioned, so the quadratic blowup is
+  bounded by the per-basket distinct-item count (≤ |event types|, a
+  small constant), never by corpus size. Item totals are a
+  |item|-row aggregate → broadcast back.
+- **markov_transitions**: one per-user window (local sorts), one
+  (cur, next) count aggregation, one |states|-row totals broadcast.
+- **psi_drift**: fixed-width binning against reference-cohort bounds —
+  counts shuffle (type, cohort, bin) triples only; the bin grid is
+  generated, not scanned. Per-bin terms accumulate in DECIMAL so the
+  sum is exact under any reduction order.
+- **weighted_sample_poisson**: sequential Poisson sampling (Ohlsson) —
+  a pure map assigns each row priority u/w from an overflow-safe
+  multiplicative hash, then one TakeOrderedAndProject picks k. No joins,
+  no global sort (top-k heap per partition + driver merge of k·p rows).
+- **training_shuffle_order**: deterministic epoch shuffle as hash-range
+  layout — rank runs INSIDE (epoch, bucket) partitions, so there is no
+  single-partition global row_number bottleneck; bucket files are the
+  unit a trainer reads.
+- **unigram_logprob_quality**: corpus LM scoring — token frequencies are
+  one vocabulary-sized aggregate joined back on the token key; per-doc
+  mean log-probability accumulates in DECIMAL (order-independent).
+- **ewma_smoothing**: the one genuinely sequential recurrence
+  (y_t = α·x_t + (1-α)·y_{t-1}); closed-form window tricks overflow
+  (1-α)^-t at real stream lengths, so it runs per-key in Arrow batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from .profiling import _MMH2
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# market_basket_pairs — event-type co-occurrence with support and lift
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+  FROM events
+),
+n AS (
+  SELECT count(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, d FROM baskets)
+),
+items AS (
+  SELECT event_type, count(*) AS n_item FROM baskets GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         count(*) AS n_pair
+  FROM baskets a
+  JOIN baskets b ON a.user_id = b.user_id AND a.d = b.d
+                AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.n_pair AS BIGINT) AS n_pair,
+       CAST(ia.n_item AS BIGINT) AS n_a,
+       CAST(ib.n_item AS BIGINT) AS n_b,
+       round(CAST(p.n_pair AS DOUBLE) / n.n_baskets, 6) AS support,
+       round(CAST(p.n_pair * n.n_baskets AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN items ia ON ia.event_type = p.item_a
+JOIN items ib ON ib.event_type = p.item_b
+CROSS JOIN n
+"""
+
+
+@_register("market_basket_pairs", _BASKET_ORACLE)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: baskets are (user, day) activity
+    sets; for every unordered event-type pair report how many baskets
+    contain both, the pair's support, and its lift
+    (P(a,b) / (P(a)·P(b)) — >1 means the events attract).
+
+    Plan: the basket matrix is one distinct aggregation; the pair
+    enumeration is a self-join ON THE BASKET KEY (co-partitioned — one
+    shuffle feeds both sides), so per-basket fan-out is C(k,2) with
+    k ≤ |event types|, independent of corpus size. Item totals and the
+    basket count are tiny aggregates broadcast back onto the pair
+    counts. Lift's numerator/denominator are exact BIGINT products;
+    only the final division is float (correctly rounded identically on
+    both engines)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    n_baskets = baskets.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    items = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = items.select(
+        F.col("event_type").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = items.select(
+        F.col("event_type").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                (F.col("n_pair") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions — first-order state-transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events
+),
+t AS (
+  SELECT cur_state, next_state, count(*) AS n_trans
+  FROM seq WHERE next_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cur_state, next_state,
+       CAST(n_trans AS BIGINT) AS n_trans,
+       round(CAST(n_trans AS DOUBLE)
+             / sum(n_trans) OVER (PARTITION BY cur_state), 6) AS prob
+FROM t
+"""
+
+
+@_register("markov_transitions", _MARKOV_ORACLE)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), with counts.
+
+    Plan: one per-user lead window (per-key local sorts), one
+    (cur, next) count aggregation — |states|² rows — and the row
+    normalization is a window over that tiny matrix (sum per cur_state),
+    not a second pass over events. Probabilities divide exact BIGINT
+    counts as doubles; division is correctly rounded identically on
+    both engines."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    ).where(F.col("next_state").isNotNull())
+    t = seq.groupBy("cur_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wrow = Window.partitionBy("cur_state")
+    return t.select(
+        "cur_state",
+        "next_state",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(wrow), 6
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# psi_drift — population stability index per series (ref vs current)
+# ---------------------------------------------------------------------------
+
+# Cohort split: first half of January is the reference window, the rest is
+# the current window (the fixture stream spans 2024-01-01 .. 2024-01-30).
+_PSI_SPLIT = "2024-01-16"
+_PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT} 00:00:00'
+              THEN 0 ELSE 1 END AS cohort
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM tagged WHERE cohort = 0 GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type, t.cohort,
+         least({_PSI_BINS - 1}, greatest(0, CAST(floor(
+             (t.value - b.lo) / ((b.hi - b.lo) / {_PSI_BINS}.0e0)
+         ) AS BIGINT))) AS bin
+  FROM tagged t JOIN bounds b ON b.event_type = t.event_type
+),
+grid AS (
+  SELECT event_type, c.cohort, g.bin
+  FROM bounds,
+       (SELECT unnest(range(2)) AS cohort) c,
+       (SELECT unnest(range({_PSI_BINS})) AS bin) g
+),
+counts AS (
+  SELECT g.event_type, g.cohort, g.bin,
+         count(b.event_type) AS cnt
+  FROM grid g
+  LEFT JOIN binned b ON b.event_type = g.event_type
+                    AND b.cohort = g.cohort AND b.bin = g.bin
+  GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT event_type, cohort, sum(cnt) AS n
+  FROM counts GROUP BY 1, 2
+),
+props AS (
+  SELECT c.event_type, c.bin,
+         max(CASE WHEN c.cohort = 0 THEN
+             (c.cnt + 0.5e0) / (t.n + {_PSI_BINS / 2.0}e0) END) AS p_ref,
+         max(CASE WHEN c.cohort = 1 THEN
+             (c.cnt + 0.5e0) / (t.n + {_PSI_BINS / 2.0}e0) END) AS p_cur
+  FROM counts c
+  JOIN totals t ON t.event_type = c.event_type AND t.cohort = c.cohort
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       round(CAST(sum(CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 9)
+                          AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+       CAST(round(CAST(sum(CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 9)
+                          AS DECIMAL(18,9))) AS DOUBLE), 6) > 0.1
+            AS BOOLEAN) AS drifted
+FROM props
+GROUP BY event_type
+"""
+
+
+@_register("psi_drift", _PSI_ORACLE)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per series: bin each series' values
+    into 10 fixed-width bins sized on the REFERENCE cohort (first half
+    of the stream), Laplace-smooth both cohorts' bin proportions
+    (+0.5/bin, so empty bins never hit ln(0)) and report
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with the standard
+    PSI > 0.1 drift flag. Complements distribution_drift_ks: PSI is the
+    binned, smoothed industry form (robust to tails, cheap to maintain
+    incrementally), KS the exact nonparametric one.
+
+    Plan: bounds are a |series|-row reference aggregate broadcast onto
+    a single binning pass; counts shuffle (series, cohort, bin) triples
+    only; the dense bin grid is GENERATED (sequence × series) and
+    left-joined so absent bins count 0 on both engines. Per-bin terms
+    are rounded to 9 dp and summed as DECIMAL(18,9) — exact under any
+    reduction order (the stats_moments_pack engineering) — before the
+    final 6 dp rounding."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.when(
+            F.col("ts") < F.lit(f"{_PSI_SPLIT} 00:00:00").cast(
+                "timestamp_ntz"
+            ),
+            0,
+        )
+        .otherwise(1)
+        .alias("cohort"),
+    )
+    bounds = (
+        tagged.where(F.col("cohort") == 0)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_PSI_BINS))
+    binned = tagged.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "cohort",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            ),
+        ).alias("bin"),
+    )
+    grid = (
+        bounds.select("event_type")
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(2).select(
+                    F.col("id").cast("int").alias("cohort")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(_PSI_BINS).select(
+                    F.col("id").alias("bin")
+                )
+            )
+        )
+    )
+    counts = (
+        grid.join(
+            binned.groupBy("event_type", "cohort", "bin").agg(
+                F.count(F.lit(1)).alias("c")
+            ),
+            ["event_type", "cohort", "bin"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "cohort",
+            "bin",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wtot = Window.partitionBy("event_type", "cohort")
+    smooth = F.lit(_PSI_BINS / 2.0)
+    props = (
+        counts.select(
+            "event_type",
+            "cohort",
+            "bin",
+            (
+                (F.col("cnt") + F.lit(0.5))
+                / (F.sum("cnt").over(wtot) + smooth)
+            ).alias("p"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max(F.when(F.col("cohort") == 0, F.col("p"))).alias("p_ref"),
+            F.max(F.when(F.col("cohort") == 1, F.col("p"))).alias("p_cur"),
+        )
+    )
+    term = F.round(
+        (F.col("p_cur") - F.col("p_ref"))
+        * F.log(F.col("p_cur") / F.col("p_ref")),
+        9,
+    ).cast("decimal(18,9)")
+    psi = F.round(F.sum(term).cast("double"), 6)
+    return props.groupBy("event_type").agg(
+        psi.alias("psi"), (psi > F.lit(0.1)).alias("drifted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_poisson — sequential Poisson weighted sampling
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+
+# Priority = u / w with u a deterministic uniform from the overflow-safe
+# multiplicative hash (profiling._MMH2 rationale). Division of IEEE doubles
+# is correctly rounded, so priorities — and therefore the selected set —
+# are bit-identical across engines; no transcendental (the -ln(u)/w
+# exponential-key variant would ride libm differences).
+_WSAMPLE_PRIORITY_SQL = f"""
+(((doc_id % 4294967296) * {_MMH2} % 4294967296) + 0.5e0) / 4294967296.0e0
+  / n_chars
+"""
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       round({_WSAMPLE_PRIORITY_SQL} * 1.0e6, 6) AS priority_ppm
+FROM documents
+ORDER BY {_WSAMPLE_PRIORITY_SQL}, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@_register("weighted_sample_poisson", _WSAMPLE_ORACLE)
+def q_weighted_sample_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of k=100 documents, selection probability
+    ≈ proportional to length (n_chars) — sequential Poisson sampling
+    (Ohlsson 1998): priority = u/w for a deterministic per-key uniform
+    u, keep the k smallest. Reproducible across runs, engines and
+    cluster sizes, and mergeable: the k smallest of a union is the
+    k smallest of each part's k smallest, so the plan is a
+    TakeOrderedAndProject (per-partition top-k heaps + driver merge of
+    k·p candidates), never a global sort.
+
+    The uniform comes from the overflow-safe multiplicative hash
+    (mod 2³² before a sub-2³¹ multiplier — profiling.py rationale);
+    priority uses only IEEE-exact ops (add/divide), so both engines
+    compute bit-identical keys. doc_id breaks (impossible-in-fixture)
+    priority ties deterministically."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            (F.col("doc_id") % F.lit(4294967296))
+            * F.lit(_MMH2)
+            % F.lit(4294967296)
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    priority = u / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(priority * F.lit(1.0e6), 6).alias("priority_ppm"),
+            priority.alias("_p"),
+        )
+        .orderBy("_p", "doc_id")
+        .limit(_WSAMPLE_K)
+        .drop("_p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training_shuffle_order — deterministic epoch shuffle as hash-range layout
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_EPOCHS = 2
+_SHUFFLE_BUCKETS = 8
+
+# Two multiplicative rounds over (doc_id + epoch); every intermediate stays
+# below 2^63 (operand reduced mod 2^32 before the sub-2^31 multiplier).
+_SHUFFLE_HASH_SQL = (
+    f"((((doc_id % 4294967296) + epoch) * {_MMH2} % 4294967296)"
+    f" * {_MMH2} % 4294967296)"
+)
+
+_SHUFFLE_ORACLE = f"""
+WITH e AS (
+  SELECT d.doc_id, c.epoch,
+         {_SHUFFLE_HASH_SQL} AS h
+  FROM documents d, (SELECT unnest(range({_SHUFFLE_EPOCHS})) AS epoch) c
+)
+SELECT epoch, doc_id,
+       CAST(h % {_SHUFFLE_BUCKETS} AS BIGINT) AS bucket,
+       CAST(row_number() OVER (
+           PARTITION BY epoch, h % {_SHUFFLE_BUCKETS}
+           ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM e
+"""
+
+
+@_register("training_shuffle_order", _SHUFFLE_ORACLE)
+def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: every document gets a
+    hash position for each epoch, materialized as (bucket, pos) — the
+    layout a trainer consumes by reading bucket files in pos order.
+    Re-running yields byte-identical epochs (resumable training);
+    different epochs decorrelate via the epoch-mixed two-round
+    multiplicative hash.
+
+    Scale design: the rank runs INSIDE (epoch, bucket) hash partitions
+    — a global ORDER BY row_number would serialize 100 TB through one
+    partition; here each bucket sorts locally and in parallel, and the
+    bucket count is the only knob (set it to the trainer's reader
+    parallelism). Integer-only arithmetic, overflow-safe at any int64
+    doc_id (mod-2³² reduction before each sub-2³¹ multiplier)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    epochs = d.sparkSession.range(_SHUFFLE_EPOCHS).select(
+        F.col("id").alias("epoch")
+    )
+    h = (
+        ((F.col("doc_id") % F.lit(4294967296)) + F.col("epoch"))
+        * F.lit(_MMH2)
+        % F.lit(4294967296)
+        * F.lit(_MMH2)
+        % F.lit(4294967296)
+    )
+    e = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", h.alias("h")
+    )
+    w = Window.partitionBy("epoch", F.col("h") % _SHUFFLE_BUCKETS).orderBy(
+        "h", "doc_id"
+    )
+    return e.select(
+        "epoch",
+        "doc_id",
+        (F.col("h") % _SHUFFLE_BUCKETS).alias("bucket"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob_quality — corpus-LM document scoring
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+),
+n AS (SELECT count(*) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(CAST(f.n_tok AS DOUBLE) / n.n_total), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@_register("unigram_logprob_quality", _UNIGRAM_ORACLE)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: train a unigram language model on the
+    corpus itself (token frequency / total tokens) and score each
+    document by its mean token log-probability — the classic cheap
+    perplexity proxy for surfacing gibberish / outlier documents before
+    expensive model-based filters.
+
+    Plan: one explode pass; token frequencies are a vocabulary-sized
+    aggregate (vocabulary ≪ corpus — Heaps' law) joined back on the
+    token key (AQE broadcasts it when small); per-doc aggregation
+    shuffles (doc_id, logprob) pairs. Per-token log-probs round to 9 dp
+    and accumulate in DECIMAL(18,9), so the per-doc mean is exact under
+    any reduction order; ln/division inputs are identical exact BIGINT
+    ratios on both engines."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = F.round(
+        F.log(F.col("n_tok").cast("double") / F.col("n_total")), 9
+    ).cast("decimal(18,9)")
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ewma_smoothing — exponentially weighted moving average (stateful recurrence)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+# The oracle replays the recurrence with a recursive CTE; the engine side
+# replays it with the SAME double expression (0.3·x + 0.7·y), so results
+# are bit-identical (both multiply-adds are individually correctly
+# rounded with identical operands — no libm involvement).
+_EWMA_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ew AS (
+  SELECT user_id, event_id, rn, value AS y
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         {_EWMA_ALPHA}e0 * s.value + {1 - _EWMA_ALPHA}e0 * ew.y
+  FROM seq s JOIN ew ON s.user_id = ew.user_id AND s.rn = ew.rn + 1
+)
+SELECT user_id, event_id, round(y, 6) AS ewma
+FROM ew
+"""
+
+
+@_register("ewma_smoothing", _EWMA_ORACLE)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the value stream —
+    y_t = α·x_t + (1−α)·y_{t−1}, α = 0.3 — the standard denoiser for
+    irregular sensor streams (and the batch twin of what a stateful
+    streaming smoother keeps in its key state).
+
+    This is the one genuinely sequential recurrence in the repo: the
+    closed-form window spelling y_t = Σ α(1−α)^{t−i}x_i needs
+    (1−α)^{−i} factors that overflow double past ~2¹⁰ elements, so it
+    cannot ship at real per-key stream lengths. Instead each key's
+    series runs through an Arrow-batched ``applyInPandas`` kernel —
+    keys process in parallel (the shuffle is the groupBy), state is
+    O(1) per key, and the recurrence uses the exact double expression
+    the oracle's recursive CTE uses (bit-identical results; both
+    multiply-adds are correctly rounded with identical operands)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+
+    def smooth(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy(dtype="float64")
+        y = np.empty_like(x)
+        acc = x[0] if len(x) else 0.0
+        for i, v in enumerate(x):
+            acc = v if i == 0 else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc
+            y[i] = acc
+        out = pdf[["user_id", "event_id"]].copy()
+        out["ewma"] = np.floor(y * 1e6 + 0.5) / 1e6
+        return out
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(smooth, "user_id long, event_id long, ewma double")
+    )

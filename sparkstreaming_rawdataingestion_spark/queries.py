@@ -120,6 +120,7 @@ _QUERY_MODULES = (
     "operators.graph",
     "operators.behavior",
     "operators.retrieval",
+    "operators.mining",
     "streaming.windows",
 )
 
@@ -217,7 +218,11 @@ CORE_ORDER: tuple[str, ...] = (
     "map_algebra_pack",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
-    # design — the driver records their weaker rows-only check) ---
+    # design — the driver records their weaker rows-only check).
+    # Round-5 window candidates (new this session, check_oracles-green
+    # at sf0.01 engine+plain and sf0.1): market_basket_pairs,
+    # markov_transitions, psi_drift, weighted_sample_poisson,
+    # training_shuffle_order, unigram_logprob_quality, ewma_smoothing ---
     "sketch_mergeable_hll",
     "pack_documents",
 )
