@@ -117,6 +117,11 @@ HEADLINE = [
     "unigram_logprob_quality",
     "ewma_smoothing",
     "training_shuffle_order",
+    # warehouse/behavioral batch: windowed last-touch attribution,
+    # snapshot reconciliation diff, wedge-join link prediction
+    "attribution_last_touch",
+    "snapshot_diff",
+    "graph_common_neighbors",
 ]
 
 

@@ -541,3 +541,90 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_d").isNotNull() & (F.col("prev_d") < day_before)
         ).alias("resurrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch — marketing attribution with lookback window
+# ---------------------------------------------------------------------------
+
+_ATTRIB_WINDOW_SEC = 7 * 24 * 3600
+
+_ATTRIB_ORACLE = f"""
+WITH touches AS (
+  SELECT user_id, ts AS tts,
+         (max(struct_pack(eid := event_id, et := event_type))).et AS channel0
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN t.tts IS NOT NULL
+             AND floor(epoch(p.ts - t.tts)) <= {_ATTRIB_WINDOW_SEC}
+            THEN t.channel0 ELSE 'direct' END AS channel,
+       CASE WHEN t.tts IS NOT NULL
+             AND floor(epoch(p.ts - t.tts)) <= {_ATTRIB_WINDOW_SEC}
+            THEN t.tts END AS touch_ts
+FROM p ASOF LEFT JOIN touches t
+  ON p.user_id = t.user_id AND p.ts >= t.tts
+"""
+
+
+@_register("attribution_last_touch", _ATTRIB_ORACLE)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent view-or-click at or before it, but only
+    within a 7-day lookback — otherwise the purchase is 'direct'.
+
+    The as-of probe is the union-merge kernel (asof.asof_join — one
+    per-user sorted window, no range join, no per-purchase probe).
+    Competing touchstones at the exact same timestamp are collapsed
+    first (struct-max by event_id per (user, ts)) so the as-of match is
+    deterministic on both engines; the lookback guard is whole-second
+    interval arithmetic applied AFTER the match — semantically "latest
+    touch, then test the window", the standard last-touch rule (a
+    window-filtered as-of would instead skip past stale touches to even
+    staler ones)."""
+    from .asof import asof_join
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("tts"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+            .getField("et")
+            .alias("channel0")
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    matched = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="tts",
+        right_cols=["channel0"],
+        how="left",
+    )
+    within = F.col("tts_right").isNotNull() & (
+        (F.col("ts") - F.col("tts_right")).cast("long")
+        <= F.lit(_ATTRIB_WINDOW_SEC)
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("channel0_right"))
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        F.when(within, F.col("tts_right")).alias("touch_ts"),
+    )

@@ -289,3 +289,106 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_common_neighbors — link prediction over the co-supply graph
+# ---------------------------------------------------------------------------
+
+_LINKPRED_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS s
+  FROM lineitem WHERE l_quantity >= 48
+),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s
+),
+sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+),
+cand AS (
+  SELECT n1.v AS a, n2.v AS c, CAST(count(*) AS BIGINT) AS common
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT cd.a, cd.c, cd.common
+  FROM cand cd ANTI JOIN e ON e.u = cd.a AND e.v = cd.c
+)
+SELECT na.a AS node_a, na.c AS node_b, na.common,
+       round(CAST(na.common AS DOUBLE)
+             / (da.d + dc.d - na.common), 6) AS jaccard
+FROM nonadj na
+JOIN deg da ON da.node = na.a
+JOIN deg dc ON dc.node = na.c
+WHERE na.common >= 2
+"""
+
+
+@_register("graph_common_neighbors", _LINKPRED_ORACLE)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the same co-supply graph as
+    graph_triangle_count: for every NON-adjacent node pair at distance
+    2, the common-neighbor count and the neighborhood Jaccard score —
+    the classic "who should be connected next" primitive.
+
+    Plan: the oriented edge list is staged once and symmetrized as a
+    map-only union over the cache; candidates come from one wedge
+    equi-join on the shared center (never an all-pairs product — only
+    distance-2 pairs materialize), existing edges drop via a LEFT ANTI
+    join on the oriented pair, and degrees broadcast back from a
+    node-sized aggregate. The common >= 2 floor keeps the output the
+    interesting candidates (and bounds it at scale); Jaccard divides
+    exact BIGINT counts as doubles."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= 48
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select("pk", F.col("s").alias("u"))
+    b = ps.select("pk", F.col("s").alias("v"))
+    edges = session.stage(
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym = edges.unionAll(edges.select(F.col("v"), F.col("u")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n1 = sym.select(F.col("u").alias("ctr"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("ctr"), F.col("v").alias("c"))
+    cand = (
+        n1.join(n2, "ctr")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonadj = cand.join(
+        edges,
+        (F.col("a") == F.col("u")) & (F.col("c") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    return (
+        nonadj.where(F.col("common") >= 2)
+        .join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("c").alias("node_b"),
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -104,37 +104,35 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain both, the pair's support, and its lift
     (P(a,b) / (P(a)·P(b)) — >1 means the events attract).
 
-    Plan: the basket matrix is one distinct aggregation; the pair
-    enumeration is a self-join ON THE BASKET KEY (co-partitioned — one
-    shuffle feeds both sides), so per-basket fan-out is C(k,2) with
-    k ≤ |event types|, independent of corpus size. Item totals and the
-    basket count are tiny aggregates broadcast back onto the pair
-    counts. Lift's numerator/denominator are exact BIGINT products;
-    only the final division is float (correctly rounded identically on
-    both engines)."""
+    Plan: ONE scan and ONE shuffle — the per-basket item sets
+    materialize once (grouped collect_set, staged for the three
+    consumers); pair enumeration is a map-side double explode of each
+    basket's set (fan-out C(k,2) with k ≤ |event types|, independent of
+    corpus size — no self-join at all), and item totals / the basket
+    count are tiny aggregates over the same staged sets, broadcast back
+    onto the pair counts. (The self-join-on-basket-key spelling was
+    rejected: without staging Catalyst planned it as FOUR separate
+    scans + distinct shuffles of the basket matrix.) Lift's
+    numerator/denominator are exact BIGINT products; only the final
+    division is float (correctly rounded identically on both
+    engines)."""
+    from .. import session
+
     ev = catalog.load_table(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id", F.to_date("ts").alias("d"), "event_type"
-    ).distinct()
-    n_baskets = baskets.select("user_id", "d").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
+    sets = session.stage(
+        ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+            F.collect_set("event_type").alias("items")
+        )
     )
-    items = baskets.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_item")
-    )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    items = sets.select(F.explode("items").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("item_a"),
-            F.col("b.event_type").alias("item_b"),
-        )
+        sets.select(F.col("items"), F.explode("items").alias("item_a"))
+        .select("item_a", F.explode("items").alias("item_b"))
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
     ia = items.select(
@@ -563,19 +561,26 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity proxy for surfacing gibberish / outlier documents before
     expensive model-based filters.
 
-    Plan: one explode pass; token frequencies are a vocabulary-sized
-    aggregate (vocabulary ≪ corpus — Heaps' law) joined back on the
-    token key (AQE broadcasts it when small); per-doc aggregation
-    shuffles (doc_id, logprob) pairs. Per-token log-probs round to 9 dp
-    and accumulate in DECIMAL(18,9), so the per-doc mean is exact under
-    any reduction order; ln/division inputs are identical exact BIGINT
-    ratios on both engines."""
+    Plan: two corpus passes total — one explode feeding the
+    vocabulary-sized frequency aggregate (vocabulary ≪ corpus — Heaps'
+    law), one explode joined back on the token key (AQE broadcasts the
+    frequency table when small); per-doc aggregation shuffles
+    (doc_id, logprob) pairs. The frequency table is STAGED (persisted)
+    so the corpus token total is a sum over the cached vocabulary, not a
+    third corpus scan. Per-token log-probs round
+    to 9 dp and accumulate in DECIMAL(18,9), so the per-doc mean is
+    exact under any reduction order; ln/division inputs are identical
+    exact BIGINT ratios on both engines."""
     d = catalog.load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    from .. import session
+
+    freq = session.stage(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n = freq.agg(F.sum("n_tok").cast("long").alias("n_total"))
     lp = F.round(
         F.log(F.col("n_tok").cast("double") / F.col("n_total")), 9
     ).cast("decimal(18,9)")

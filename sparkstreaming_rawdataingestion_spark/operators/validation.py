@@ -501,3 +501,119 @@ def q_validation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["validation_pack"] = q_validation_pack
 ORACLES["validation_pack"] = _validation_pack_oracle()
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — table reconciliation between two snapshots
+# ---------------------------------------------------------------------------
+
+# Two overlapping activity windows play the role of two snapshot versions
+# of a per-user summary table (the fixture stream spans Jan 1-30).
+_DIFF_OLD = ("2024-01-01", "2024-01-21")
+_DIFF_NEW = ("2024-01-11", "2024-01-31")
+
+_DIFF_SNAP_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE)
+         AS total
+FROM events
+WHERE ts >= TIMESTAMP '{lo} 00:00:00' AND ts < TIMESTAMP '{hi} 00:00:00'
+GROUP BY user_id
+"""
+
+_DIFF_ORACLE = f"""
+WITH old AS ({_DIFF_SNAP_SQL.format(lo=_DIFF_OLD[0], hi=_DIFF_OLD[1])}),
+new AS ({_DIFF_SNAP_SQL.format(lo=_DIFF_NEW[0], hi=_DIFF_NEW[1])})
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.n_events = n.n_events AND o.total = n.total
+              THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+             AND NOT (o.n_events = n.n_events AND o.total = n.total)
+            THEN concat_ws(',',
+                 CASE WHEN o.n_events IS DISTINCT FROM n.n_events
+                      THEN 'n_events' END,
+                 CASE WHEN o.total IS DISTINCT FROM n.total
+                      THEN 'total' END) END AS changed_cols,
+       o.n_events AS n_events_old, n.n_events AS n_events_new,
+       o.total AS total_old, n.total AS total_new
+FROM old o FULL OUTER JOIN new n ON n.user_id = o.user_id
+"""
+
+
+@_register("snapshot_diff", _DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation: diff two snapshot versions of a keyed
+    summary table into added / removed / changed / unchanged rows with a
+    per-row list of which columns changed — the audit primitive behind
+    CDC validation, migration sign-off and "what did yesterday's
+    pipeline change" reports.
+
+    Plan: both snapshots aggregate per key, then ONE full-outer join on
+    the key (the same single shuffle a MERGE would pay); the change
+    classification and column mask are map-side CASE expressions. The
+    compared measure accumulates in DECIMAL(18,6) before a final double
+    cast, so equality is exact under any partitioning — a float
+    accumulation would misclassify 'changed' vs 'unchanged'
+    nondeterministically at scale."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            ev.where(
+                (F.col("ts") >= F.lit(f"{lo} 00:00:00").cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(f"{hi} 00:00:00").cast("timestamp_ntz"))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    o = snap(*_DIFF_OLD).select(
+        F.col("user_id").alias("o_uid"),
+        F.col("n_events").alias("n_events_old"),
+        F.col("total").alias("total_old"),
+    )
+    n = snap(*_DIFF_NEW).select(
+        F.col("user_id").alias("n_uid"),
+        F.col("n_events").alias("n_events_new"),
+        F.col("total").alias("total_new"),
+    )
+    j = o.join(n, F.col("n_uid") == F.col("o_uid"), "full_outer")
+    same = (F.col("n_events_old") == F.col("n_events_new")) & (
+        F.col("total_old") == F.col("total_new")
+    )
+    both = F.col("o_uid").isNotNull() & F.col("n_uid").isNotNull()
+    return j.select(
+        F.coalesce(F.col("o_uid"), F.col("n_uid")).alias("user_id"),
+        F.when(F.col("o_uid").isNull(), "added")
+        .when(F.col("n_uid").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.when(
+            both & ~same,
+            F.concat_ws(
+                ",",
+                F.when(
+                    ~F.col("n_events_old").eqNullSafe(F.col("n_events_new")),
+                    F.lit("n_events"),
+                ),
+                F.when(
+                    ~F.col("total_old").eqNullSafe(F.col("total_new")),
+                    F.lit("total"),
+                ),
+            ),
+        ).alias("changed_cols"),
+        "n_events_old",
+        "n_events_new",
+        "total_old",
+        "total_new",
+    )

@@ -222,7 +222,8 @@ CORE_ORDER: tuple[str, ...] = (
     # Round-5 window candidates (new this session, check_oracles-green
     # at sf0.01 engine+plain and sf0.1): market_basket_pairs,
     # markov_transitions, psi_drift, weighted_sample_poisson,
-    # training_shuffle_order, unigram_logprob_quality, ewma_smoothing ---
+    # training_shuffle_order, unigram_logprob_quality, ewma_smoothing,
+    # attribution_last_touch, snapshot_diff, graph_common_neighbors ---
     "sketch_mergeable_hll",
     "pack_documents",
 )

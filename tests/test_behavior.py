@@ -306,3 +306,46 @@ def test_interpolation_hits_samples_and_midpoints(spark, tmp_path):
     assert got[D(2024, 1, 1, 3, 0)] == 30.0
     # grid stops at floor(hour(max)) = 03:00; nothing extrapolated
     assert max(got) == D(2024, 1, 1, 3, 0)
+
+
+def test_attribution_window_and_tie_rules(spark):
+    """Touch just inside the 7-day window attributes; outside → direct;
+    same-timestamp competing touches pick the max-event_id one."""
+    import os
+    import tempfile
+
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    rows = [
+        # u1: click 2 days before purchase → attributed to click
+        (1, 1, D(2024, 1, 10, 0, 0, 0), "click", 0.0, "{}"),
+        (2, 1, D(2024, 1, 12, 0, 0, 0), "purchase", 0.0, "{}"),
+        # u2: view 8 days before purchase → direct
+        (3, 2, D(2024, 1, 1, 0, 0, 0), "view", 0.0, "{}"),
+        (4, 2, D(2024, 1, 9, 0, 0, 1), "purchase", 0.0, "{}"),
+        # u3: view and click at the SAME instant → higher event_id wins
+        (5, 3, D(2024, 1, 10, 0, 0, 0), "view", 0.0, "{}"),
+        (6, 3, D(2024, 1, 10, 0, 0, 0), "click", 0.0, "{}"),
+        (7, 3, D(2024, 1, 10, 0, 0, 5), "purchase", 0.0, "{}"),
+        # u4: no touch at all → direct
+        (8, 4, D(2024, 1, 10, 0, 0, 0), "purchase", 0.0, "{}"),
+        # u5: touch exactly AT the purchase timestamp → attributed
+        (9, 5, D(2024, 1, 10, 0, 0, 0), "view", 0.0, "{}"),
+        (10, 5, D(2024, 1, 10, 0, 0, 0), "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: (r.channel, r.touch_ts)
+            for r in behavior.q_attribution_last_touch(spark, tmp).collect()
+        }
+    assert got[1] == ("click", D(2024, 1, 10))
+    assert got[2] == ("direct", None)
+    assert got[3][0] == "click"  # event_id 6 > 5 at the tied instant
+    assert got[4] == ("direct", None)
+    assert got[5] == ("view", D(2024, 1, 10))

@@ -81,3 +81,36 @@ def test_pagerank_fixture_mass_and_bounds(spark, sf_dir):
     assert agg.lo >= 15 * SCALE // 100  # base rank is a hard floor
     # truncating div only loses mass: total <= N * SCALE
     assert agg.total <= agg.n * SCALE
+
+
+def test_common_neighbors_on_crafted_graph(spark, tmp_path):
+    """Path graph 1-2-3-4 plus hub 5 adjacent to {1,3}: (1,3) share
+    {2,5}, (2,4) share {3}; adjacent pairs never appear."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import graph
+
+    # encode edges via the co-supply projection: a part shipped by both
+    # suppliers of the edge, quantity >= 48
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5), (3, 5)]
+    rows = []
+    for i, (u, v) in enumerate(edges):
+        rows.append((1000 + i, u, 50.0))
+        rows.append((1000 + i, v, 50.0))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_quantity double"
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        (r.node_a, r.node_b): (r.common, r.jaccard)
+        for r in graph.q_graph_common_neighbors(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # two pairs clear the common >= 2 floor: (1,3) via {2,5} and
+    # (2,5) via {1,3}; adjacent pairs and single-wedge pairs never appear
+    assert set(out) == {(1, 3), (2, 5)}
+    # deg(1)=2 {2,5}, deg(3)=3 {2,4,5} → jaccard = 2/(2+3-2)
+    assert out[(1, 3)] == (2, round(2 / 3, 6))
+    # deg(2)=2 {1,3}, deg(5)=2 {1,3} → identical neighborhoods, jaccard 1
+    assert out[(2, 5)] == (2, 1.0)

@@ -196,3 +196,50 @@ def test_ks_drift_plan_is_one_partitioned_shuffle(spark):
     # one shuffle for the windows over event_type + the final tiny
     # aggregation exchange at most
     assert plans.count_exchanges(df) <= 2
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    """Crafted windows: a user only in the old window is removed, only in
+    the new added, overlapping-but-different changed (with the column
+    mask), overlapping-identical unchanged."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    D = datetime.datetime
+    rows = [
+        # u1: events only before Jan 11 → removed (old-only)
+        (1, 1, D(2024, 1, 5), "view", 1.0, "{}"),
+        # u2: events only after Jan 21 → added (new-only)
+        (2, 2, D(2024, 1, 25), "view", 1.0, "{}"),
+        # u3: identical single event inside the overlap → unchanged
+        (3, 3, D(2024, 1, 15), "view", 2.5, "{}"),
+        # u4: one event in overlap + one extra in the new tail →
+        # changed, both n_events and total move
+        (4, 4, D(2024, 1, 15), "view", 1.0, "{}"),
+        (5, 4, D(2024, 1, 25), "view", 9.0, "{}"),
+        # u5: same count, different totals (one event in each exclusive
+        # region) → changed, total only
+        (6, 5, D(2024, 1, 5), "view", 1.0, "{}"),
+        (7, 5, D(2024, 1, 25), "view", 2.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: (r.change_type, r.changed_cols)
+            for r in validation.q_snapshot_diff(spark, tmp).collect()
+        }
+    assert got[1] == ("removed", None)
+    assert got[2] == ("added", None)
+    assert got[3] == ("unchanged", None)
+    assert got[4] == ("changed", "n_events,total")
+    assert got[5] == ("changed", "total")

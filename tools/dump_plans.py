@@ -174,6 +174,37 @@ PICKS = {
         "Equi-width histogram: 1-row bounds broadcast, map-side bin "
         "arithmetic, one (key, bin) aggregation — no per-key sort."
     ),
+    "market_basket_pairs": (
+        "Basket co-occurrence: per-basket item sets staged once (one "
+        "scan, one shuffle); pair enumeration is a map-side double "
+        "explode bounded by per-basket item count — no self-join; item "
+        "totals broadcast back."
+    ),
+    "psi_drift": (
+        "PSI drift: reference bounds broadcast onto one binning pass; "
+        "counts shuffle (series, cohort, bin) triples; the dense bin "
+        "grid is generated, not scanned; DECIMAL-exact term sums."
+    ),
+    "weighted_sample_poisson": (
+        "Weighted sampling: priority is a map-side expression on a "
+        "2-column scan; selection is TakeOrderedAndProject (per-"
+        "partition heaps) — no global sort, no shuffle of the corpus."
+    ),
+    "training_shuffle_order": (
+        "Epoch shuffle layout: broadcast epoch fan-out, integer hash in "
+        "codegen, rank INSIDE (epoch, bucket) partitions — parallel "
+        "local sorts, never a single-partition global row_number."
+    ),
+    "unigram_logprob_quality": (
+        "Corpus-LM scoring: two corpus passes total — the staged "
+        "vocabulary-sized frequency table serves both the token join "
+        "(broadcast) and the corpus total (cached sum)."
+    ),
+    "ewma_smoothing": (
+        "EWMA recurrence: ONE exchange on the key feeding an Arrow "
+        "FlatMapGroupsInPandas kernel — the declared sequential "
+        "operator; keys process in parallel, state O(1) per key."
+    ),
 }
 
 SKIP_PREFIXES = (
