@@ -128,3 +128,14 @@ class Engine:
         return start_cdc_apply_stream(
             changes, base_path, checkpoint_path, trigger_seconds
         )
+
+    # -- streaming smoothing ----------------------------------------------
+
+    def ewma_stream(self, events: DataFrame) -> DataFrame:
+        """Per-key streaming EWMA of ``value`` (streaming/ewma_stream.py)
+        — the O(1)-state incremental twin of the ``ewma_smoothing``
+        batch query; returns the smoothed-value stream to hand to
+        ``writeStream``."""
+        from .streaming.ewma_stream import ewma_stream
+
+        return ewma_stream(events)
