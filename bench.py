@@ -122,6 +122,8 @@ HEADLINE = [
     "attribution_last_touch",
     "snapshot_diff",
     "graph_common_neighbors",
+    # compressed-index ANN: PQ codebook training + ADC + exact re-rank
+    "similarity_topk_pq",
 ]
 
 

@@ -421,3 +421,241 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_abs_err"),
         F.round(cosine(a, F.col("d")), 6).alias("cos_preserved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — PQ codebooks, ADC shortlist, exact re-rank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                      # subspaces (64 dims → 8 × 8-dim blocks)
+PQ_K = 16                     # codes per subspace (4-bit codes)
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_LLOYD_ITERS = 2
+# ADC candidates re-ranked exactly. The shortlist is the recall dial:
+# on this deliberately near-orthogonal fixture (recon cosine ≈ 0.65 —
+# the HARD case for PQ) measured recall@10 at sf0.01 is 0.74/0.94/0.98
+# for 50/100/150; real embedding corpora cluster far tighter, so the
+# production fraction is much smaller than the 20% used here.
+PQ_SHORTLIST = 100
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Explode each vector into its PQ_M subspace blocks: (id, m, sv)."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                    "sv"
+                ),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(blocks).alias("b")
+    ).select(id_col, F.col("b.m").alias("m"), F.col("b.sv").alias("sv"))
+
+
+def pq_codebooks(corpus: DataFrame, n_iters: int = PQ_LLOYD_ITERS) -> DataFrame:
+    """Deterministic per-subspace codebooks: seed each subspace with its
+    PQ_K lowest-id subvectors, then Lloyd iterations run for ALL
+    subspaces at once (m is just another grouping key — one assignment
+    join and one mean aggregation per iteration, not M of them).
+    Returns (m, code, centroid). At 100 TB the codebooks train on a
+    sample; encoding is then a single broadcast-join scan."""
+    sub = _subvectors(corpus, "neighbor_id", "v_emb")
+    seed_w = Window.partitionBy("m").orderBy("neighbor_id")
+    books = (
+        sub.withColumn("rn", F.row_number().over(seed_w))
+        .where(F.col("rn") <= PQ_K)
+        .select("m", F.col("rn").alias("code"), F.col("sv").alias("centroid"))
+    )
+    for _ in range(n_iters):
+        assigned = pq_encode(sub, books)
+        dims = assigned.join(sub, ["neighbor_id", "m"]).select(
+            "m", "code", F.posexplode("sv").alias("dim", "val")
+        )
+        means = dims.groupBy("m", "code", "dim").agg(F.avg("val").alias("v"))
+        books = stage(
+            means.groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+            .select(
+                "m",
+                "code",
+                F.transform(F.col("dv"), lambda s: s["v"]).alias("centroid"),
+            )
+        )
+    return books
+
+
+def pq_encode(sub: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): broadcast the
+    M×K codebook, min-distance with deterministic (dist, code) ties.
+    Output (neighbor_id, m, code) — the 4-bit-per-subspace compressed
+    representation (8 codes ≈ 4 bytes/vector vs 256 for raw floats)."""
+    d = _l2sq(F.col("sv"), F.col("centroid"))
+    return (
+        sub.join(F.broadcast(books), "m")
+        .select(
+            "neighbor_id",
+            "m",
+            F.struct(F.round(d, 9).alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("neighbor_id", "m")
+        .agg(F.min("dc").getField("code").alias("code"))
+    )
+
+
+@_register("similarity_topk_pq")  # approximate → rows-only; recall in tests
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k: asymmetric-distance (ADC) shortlist over 4-byte PQ
+    codes, then exact re-rank of the shortlist — the standard
+    compressed-index search pipeline (cf. IVF-PQ).
+
+    Scale shape: the corpus-sized side of the search carries ONLY
+    (id, m, code) triples — never float arrays; per-query partial dots
+    and squared centroid norms come from a broadcast (query × M × K)
+    lookup table built once per query set, and the ADC score is one
+    (query, id) aggregation of M partials:
+    dot(q, recon) = Σ_m dot(q_m, c_{m,code}), ‖recon‖² = Σ_m ‖c_{m,code}‖².
+    Only the PQ_SHORTLIST survivors per query touch original vectors for
+    the exact re-rank. No reconstruction materializes anywhere."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
+    )
+    books = stage(pq_codebooks(corpus))
+    codes = pq_encode(
+        _subvectors(corpus, "neighbor_id", "v_emb"), books
+    )
+
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _emb_double().alias("q_emb")
+    )
+    qnorm = queries.select(
+        "query_id",
+        F.sqrt(
+            F.aggregate(
+                F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ).alias("qn"),
+    )
+    qsub = _subvectors(queries, "query_id", "q_emb").withColumnRenamed(
+        "sv", "qv"
+    )
+    lut = (
+        qsub.join(books, "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("pdot"),
+            F.aggregate(
+                F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x
+            ).alias("c2"),
+        )
+    )
+    scores = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").alias("sdot"), F.sum("c2").alias("r2"))
+        .join(F.broadcast(qnorm), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("sdot") / (F.col("qn") * F.sqrt(F.col("r2")))).alias(
+                "adc_cos"
+            ),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_cos"), 9).desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scores.withColumn("sr", F.row_number().over(sw))
+        .where(F.col("sr") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("v_emb")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("s"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(F.col("s"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+@_register("pq_reconstruction_report")  # engine-trained codebooks → rows-only
+def q_pq_reconstruction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PQ fidelity report: per-subspace quantization MSE and
+    the corpus mean/min cosine between each vector and its PQ
+    reconstruction — the acceptance gate run before swapping an index to
+    compressed codes. One codebook training + one encode pass; the
+    per-vector cosine aggregates (id-grouped) shuffle scalar partials,
+    not arrays."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
+    )
+    books = stage(pq_codebooks(corpus))
+    sub = _subvectors(corpus, "neighbor_id", "v_emb")
+    joined = pq_encode(sub, books).join(sub, ["neighbor_id", "m"]).join(
+        F.broadcast(books), ["m", "code"]
+    )
+    per_sub = joined.select(
+        "neighbor_id",
+        "m",
+        _l2sq(F.col("sv"), F.col("centroid")).alias("errsq"),
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("centroid"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("pdot"),
+        F.aggregate(F.col("sv"), F.lit(0.0), lambda a, x: a + x * x).alias(
+            "v2"
+        ),
+        F.aggregate(
+            F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("c2"),
+    )
+    per_vec = per_sub.groupBy("neighbor_id").agg(
+        (
+            F.sum("pdot") / (F.sqrt(F.sum("v2")) * F.sqrt(F.sum("c2")))
+        ).alias("recon_cos"),
+        F.sum("errsq").alias("errsq"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("recon_cos"), 6).alias("mean_recon_cos"),
+        F.round(F.min("recon_cos"), 6).alias("min_recon_cos"),
+        F.round(F.avg("errsq"), 6).alias("mean_sq_err"),
+    )

@@ -146,3 +146,43 @@ def test_token_stats_agree_with_stored_metadata(spark):
         F.col("n_chars") != F.col("n_chars_measured")
     ).count()
     assert mismatches == 0
+
+
+def test_pq_topk_recall_and_fidelity(spark):
+    """PQ ADC shortlist + exact re-rank: recall@10 vs brute force on the
+    near-orthogonal fixture (PQ's hard case — reconstruction cosine
+    ≈ 0.65) must clear 0.9 at the documented shortlist; the
+    reconstruction report's corpus stats must sit in sane ranges and
+    the code alphabet must be the declared 4-bit one."""
+    from sparkstreaming_rawdataingestion_spark.operators import similarity
+
+    exact = similarity.QUERIES["similarity_topk_bruteforce"](spark, SF01)
+    pq = similarity.QUERIES["similarity_topk_pq"](spark, SF01)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    pq_set = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    recall = len(exact_set & pq_set) / len(exact_set)
+    assert recall >= 0.9, f"PQ top-k recall too low: {recall:.2f}"
+
+    rep = similarity.QUERIES["pq_reconstruction_report"](spark, SF01).first()
+    assert rep.n_vectors == 500
+    assert 0.0 < rep.min_recon_cos <= rep.mean_recon_cos < 1.0
+    assert rep.mean_sq_err > 0.0
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    e = catalog.load_table(spark, SF01, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("v_emb"),
+    )
+    books = similarity.pq_codebooks(corpus)
+    codes = similarity.pq_encode(
+        similarity._subvectors(corpus, "neighbor_id", "v_emb"), books
+    )
+    stats = codes.agg(
+        F.min("code"), F.max("code"), F.count(F.lit(1))
+    ).first()
+    assert stats[0] >= 1 and stats[1] <= similarity.PQ_K
+    assert stats[2] == 500 * similarity.PQ_M  # one code per subspace
