@@ -139,3 +139,26 @@ class Engine:
         from .streaming.ewma_stream import ewma_stream
 
         return ewma_stream(events)
+
+    # -- streaming drift monitoring ---------------------------------------
+
+    def drift_monitor(
+        self,
+        events: DataFrame,
+        profile: DataFrame,
+        counts_dir: str,
+        report_dir: str,
+        checkpoint_path: str,
+        window: str = "1 day",
+        trigger_seconds: float | None = None,
+    ):
+        """Incremental PSI drift monitoring (streaming/drift_stream.py):
+        maintains per-(window, series, bin) counts from the stream and
+        rewrites the PSI report each batch. Freeze ``profile`` first
+        with ``drift_stream.reference_profile``."""
+        from .streaming.drift_stream import start_drift_monitor
+
+        return start_drift_monitor(
+            events, profile, counts_dir, report_dir, checkpoint_path,
+            window=window, trigger_seconds=trigger_seconds,
+        )

@@ -47,9 +47,12 @@ def hourly_rollup(datapoints: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollup(updates: DataFrame, rollup_dir: str) -> None:
-    """Replace updated (datastream, hour) keys in the materialized rollup,
-    rewriting only the touched day partitions."""
+def merge_rollup(
+    updates: DataFrame, rollup_dir: str, keys: tuple[str, ...] = ROLLUP_KEY
+) -> None:
+    """Replace updated ``keys`` rows in a day-partitioned materialized
+    table, rewriting only the touched day partitions (generic replace
+    merge — also the maintenance kernel for drift_stream's counts)."""
     spark = updates.sparkSession
     from pyspark.errors import AnalysisException
 
@@ -71,7 +74,7 @@ def merge_rollup(updates: DataFrame, rollup_dir: str) -> None:
         touched_days = updates.select("day").distinct()
         kept = (
             existing.join(F.broadcast(touched_days), "day", "left_semi")
-            .join(updates, list(ROLLUP_KEY), "left_anti")
+            .join(updates, list(keys), "left_anti")
         )
         out = kept.select(*updates.columns).unionByName(updates)
     # Materialize before overwriting: the merge reads the same files the
