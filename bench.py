@@ -124,6 +124,8 @@ HEADLINE = [
     "graph_common_neighbors",
     # compressed-index ANN: PQ codebook training + ADC + exact re-rank
     "similarity_topk_pq",
+    # hashing-trick document vectors (codegen char fold, no vocabulary)
+    "feature_hash_embedding",
 ]
 
 

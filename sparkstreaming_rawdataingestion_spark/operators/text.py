@@ -282,3 +282,73 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_embedding — hashing-trick document vectors, long format
+# ---------------------------------------------------------------------------
+
+_FHASH_DIMS = 16
+_FHASH_MOD = 4294967296  # 2^32 — keeps the 31-polynomial fold in int64
+
+_FHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % {_FHASH_MOD}) AS h
+  FROM toks
+)
+SELECT doc_id,
+       CAST(h % {_FHASH_DIMS} AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN (h // {_FHASH_DIMS}) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM hashed
+GROUP BY 1, 2
+"""
+
+
+@_register("feature_hash_embedding", _FHASH_ORACLE)
+def q_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al.'s feature
+    hashing): every token folds through an explicit 31-polynomial char
+    hash, its hash picks a dimension and a ±1 sign, and the document
+    vector is the signed count per dimension — the model-free embedding
+    that bridges raw documents into the vector operators (cosine
+    near-dup, IVF/PQ search) with no trained encoder and no vocabulary
+    table at all.
+
+    Emitted in LONG format (doc_id, dim, weight) — the sparse
+    representation a 100 TB corpus wants (dense arrays materialize
+    |docs|×dims even for empty dimensions, and the driver-side
+    canonicalizer can't hash array cells anyway). Plan: one explode
+    pass, the char fold runs entirely in codegen (aggregate over the
+    char-code array — no Python, no join, no vocabulary shuffle; THE
+    point of the hashing trick), one (doc, dim) aggregation. The hash
+    is explicit integer algebra — mod 2³² each step, so it never leaves
+    int64 — making the oracle bit-identical rather than
+    engine-hash-dependent."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    codes = F.transform(
+        F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(_FHASH_MOD),
+    )
+    hashed = toks.select("doc_id", h.alias("h"))
+    sign = F.when(
+        (F.col("h") / F.lit(_FHASH_DIMS)).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return hashed.groupBy(
+        "doc_id", (F.col("h") % F.lit(_FHASH_DIMS)).alias("dim")
+    ).agg(F.sum(sign).alias("weight"))

@@ -223,7 +223,8 @@ CORE_ORDER: tuple[str, ...] = (
     # at sf0.01 engine+plain and sf0.1): market_basket_pairs,
     # markov_transitions, psi_drift, weighted_sample_poisson,
     # training_shuffle_order, unigram_logprob_quality, ewma_smoothing,
-    # attribution_last_touch, snapshot_diff, graph_common_neighbors ---
+    # attribution_last_touch, snapshot_diff, graph_common_neighbors,
+    # feature_hash_embedding ---
     "sketch_mergeable_hll",
     "pack_documents",
 )

@@ -186,3 +186,35 @@ def test_pq_topk_recall_and_fidelity(spark):
     ).first()
     assert stats[0] >= 1 and stats[1] <= similarity.PQ_K
     assert stats[2] == 500 * similarity.PQ_M  # one code per subspace
+
+
+def test_feature_hash_embedding_matches_hand_fold(spark, tmp_path):
+    """The char-fold hash, dimension pick and sign must equal the
+    documented integer algebra exactly; duplicate tokens accumulate."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import text as t
+
+    docs = [(1, "ab ab ba", "en", "s", 8)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def fold(tok):
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % t._FHASH_MOD
+        return h
+
+    expect = {}
+    for tok in ("ab", "ab", "ba"):
+        h = fold(tok)
+        dim = h % t._FHASH_DIMS
+        sign = 1 if (h // t._FHASH_DIMS) % 2 == 0 else -1
+        expect[dim] = expect.get(dim, 0) + sign
+    got = {
+        r.dim: r.weight
+        for r in t.q_feature_hash_embedding(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert all(0 <= d < t._FHASH_DIMS for d in got)
