@@ -289,3 +289,78 @@ def q_winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+MG_K = 8        # Misra-Gries counters per partition summary
+MG_TOP = 20     # reported heavy hitters
+
+
+def mg_partial_summaries(toks: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a single ``tok`` column:
+    each task keeps at most ``k`` counters regardless of how many rows
+    or distinct items it sees — O(k) memory at ANY partition size, the
+    property exact per-partition counting cannot give on a skewed
+    100 TB token stream. Emitted as (tok, est) rows plus one NULL-tok
+    sentinel per partition carrying the task's total decrement (the
+    summary's undercount bound).
+
+    Arrow-vectorized: per batch the counting is ``value_counts`` (C
+    speed); Python touches only the ≤ k + |batch vocabulary| merged
+    counters, never rows."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        decr = 0
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            # batched MG decrement: drop the min, subtract it everywhere
+            while len(counters) > k:
+                m = min(counters.values())
+                decr += m
+                counters = {
+                    t: c - m for t, c in counters.items() if c > m
+                }
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "est": list(counters.values()) + [0],
+                "decr": [0] * len(counters) + [decr],
+            }
+        )
+
+    return toks.mapInPandas(summarize, "tok string, est long, decr long")
+
+
+@_register("sketch_heavy_hitters")  # partition-order-dependent → rows-only
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters sketch (Misra-Gries) over the corpus token
+    stream: per-partition k-counter summaries merge by summing per-item
+    estimates — the frequent-items counterpart to the HLL sketch above,
+    and the same mergeability argument: exact per-day top-k lists cannot
+    be re-aggregated, k-counter summaries can.
+
+    Guarantees carried to the output: est ≤ true, true − est ≤
+    max_undercount (the summed per-partition decrements, itself ≤
+    n/(k+1)), and every item with true frequency > n/(k+1) is present.
+    Pinned in tests against exact counts — including on a skewed corpus;
+    the near-uniform fixture is the adversarial no-heavy-hitter case.
+    Rows-only to the driver: estimates depend on partition layout."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    partials = mg_partial_summaries(toks)
+    summary = (
+        partials.where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("est").alias("est_count"))
+    )
+    err = partials.agg(F.sum("decr").alias("max_undercount"))
+    return (
+        summary.crossJoin(F.broadcast(err))
+        .orderBy(F.col("est_count").desc(), "tok")
+        .limit(MG_TOP)
+    )

@@ -218,3 +218,44 @@ def test_feature_hash_embedding_matches_hand_fold(spark, tmp_path):
     }
     assert got == expect
     assert all(0 <= d < t._FHASH_DIMS for d in got)
+
+
+def test_mg_heavy_hitters_bounds_and_guarantee(spark, tmp_path):
+    """Misra-Gries invariants: est ≤ true ≤ est + max_undercount on the
+    fixture corpus, and on a skewed corpus every item above the n/(k+1)
+    frequency floor is reported (with the dominant item ranked first)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators import stats
+
+    got = stats.QUERIES["sketch_heavy_hitters"](spark, SF01).collect()
+    assert got
+    bound = got[0].max_undercount
+    d = catalog.load_table(spark, SF01, "documents")
+    exact = {
+        r.tok: r.c
+        for r in d.select(
+            F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert bound <= n / (stats.MG_K + 1) + len(got)  # per-partition sums
+    for r in got:
+        assert r.est_count <= exact[r.tok] <= r.est_count + bound
+
+    # skewed corpus: 'hot' is 50% of tokens → guaranteed present and top
+    docs = [(i, "hot " * 20 + f"cold{i % 40} rare{i}", "en", "s", 1)
+            for i in range(100)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    skew = stats.QUERIES["sketch_heavy_hitters"](
+        spark, str(tmp_path)
+    ).collect()
+    assert skew[0].tok == "hot"
+    assert skew[0].est_count > 0
