@@ -349,3 +349,60 @@ def test_attribution_window_and_tie_rules(spark):
     assert got[3][0] == "click"  # event_id 6 > 5 at the tied instant
     assert got[4] == ("direct", None)
     assert got[5] == ("view", D(2024, 1, 10))
+
+
+def test_attribution_matches_python_reference_on_random_stream(spark):
+    """Seeded random touch/purchase soup vs an independent pure-Python
+    last-touch model (max (ts, event_id) touch at or before the
+    purchase, 7-day window, direct fallback)."""
+    import os
+    import random
+    import tempfile
+
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    rng = random.Random(99)
+    rows = []
+    for eid in range(500):
+        rows.append(
+            (
+                eid,
+                rng.randrange(8),
+                D(2024, 1, 1 + rng.randrange(25), rng.randrange(24),
+                  rng.randrange(60), rng.randrange(60)),
+                rng.choice(["view", "click", "purchase", "error"]),
+                0.0,
+                "{}",
+            )
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.event_id: (r.channel, r.touch_ts)
+            for r in behavior.q_attribution_last_touch(spark, tmp).collect()
+        }
+
+    touches: dict = {}
+    for eid, uid, ts, et, _v, _p in rows:
+        if et in ("view", "click"):
+            touches.setdefault(uid, []).append((ts, eid, et))
+    expect: dict = {}
+    window = behavior._ATTRIB_WINDOW_SEC
+    for eid, uid, ts, et, _v, _p in rows:
+        if et != "purchase":
+            continue
+        cand = [t for t in touches.get(uid, []) if t[0] <= ts]
+        if not cand:
+            expect[eid] = ("direct", None)
+            continue
+        tts, _teid, tet = max(cand)  # latest ts, max event_id on ties
+        if (ts - tts).total_seconds() <= window:
+            expect[eid] = (tet, tts)
+        else:
+            expect[eid] = ("direct", None)
+    assert got == expect

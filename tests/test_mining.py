@@ -224,3 +224,62 @@ def test_ewma_matches_hand_recurrence(spark):
         assert abs(got[i + 1] - e) < 1e-6
     assert got[98] == 1.0
     assert abs(got[99] - (A * 7.0 + (1 - A) * 1.0)) < 1e-6
+
+
+def test_markov_and_ewma_match_python_reference_on_random_stream(spark):
+    """Seeded random event soup: transition counts/probs and the EWMA
+    fold must match independent pure-Python references exactly."""
+    import random
+
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    rng = random.Random(1234)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                rng.randrange(6),
+                D(2024, 1, 1 + rng.randrange(20), rng.randrange(24),
+                  rng.randrange(60), rng.randrange(60)),
+                rng.choice("abcd"),
+                round(rng.uniform(0, 100), 2),
+                "{}",
+            )
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark.createDataFrame(rows, EV_SCHEMA), tmp, "events")
+        markov = {
+            (r.cur_state, r.next_state): (r.n_trans, r.prob)
+            for r in mining.q_markov_transitions(spark, tmp).collect()
+        }
+        ewma = {
+            r.event_id: r.ewma
+            for r in mining.q_ewma_smoothing(spark, tmp).collect()
+        }
+
+    # python reference: per-user (ts, event_id)-ordered sequences
+    by_user: dict = {}
+    for eid, uid, ts, et, val, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et, val))
+    trans: dict = {}
+    expect_ewma: dict = {}
+    a = mining._EWMA_ALPHA
+    import math
+
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, et1, _), (_, _, et2, _) in zip(seq, seq[1:]):
+            trans[(et1, et2)] = trans.get((et1, et2), 0) + 1
+        acc = None
+        for _, eid, _, val in seq:
+            acc = val if acc is None else a * val + (1 - a) * acc
+            expect_ewma[eid] = math.floor(acc * 1e6 + 0.5) / 1e6
+    totals: dict = {}
+    for (c, _), n in trans.items():
+        totals[c] = totals.get(c, 0) + n
+    expect_markov = {
+        k: (n, round(n / totals[k[0]], 6)) for k, n in trans.items()
+    }
+    assert markov == expect_markov
+    assert ewma == expect_ewma

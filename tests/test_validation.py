@@ -243,3 +243,75 @@ def test_snapshot_diff_classifies_all_four_ways(spark):
     assert got[3] == ("unchanged", None)
     assert got[4] == ("changed", "n_events,total")
     assert got[5] == ("changed", "total")
+
+
+def test_snapshot_diff_matches_python_reference_on_random_events(spark):
+    """Seeded random events vs a pure-Python diff with exact Decimal
+    totals (mirrors the operator's DECIMAL accumulation)."""
+    import datetime
+    import os
+    import random
+    import tempfile
+    from decimal import Decimal
+
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    D = datetime.datetime
+    rng = random.Random(2024)
+    rows = []
+    for eid in range(600):
+        rows.append(
+            (
+                eid,
+                rng.randrange(40),
+                D(2024, 1, 1 + rng.randrange(29), rng.randrange(24)),
+                "view",
+                round(rng.uniform(-50, 50), 2),
+                "{}",
+            )
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.user_id: (r.change_type, r.changed_cols)
+            for r in validation.q_snapshot_diff(spark, tmp).collect()
+        }
+
+    def snap(lo, hi):
+        out: dict = {}
+        for _eid, uid, ts, _et, val, _p in rows:
+            if lo <= ts < hi:
+                n, tot = out.get(uid, (0, Decimal(0)))
+                out[uid] = (n + 1, tot + Decimal(str(val)).quantize(
+                    Decimal("0.000001")))
+        return out
+
+    old = snap(D(2024, 1, 1), D(2024, 1, 21))
+    new = snap(D(2024, 1, 11), D(2024, 1, 31))
+    expect: dict = {}
+    for uid in set(old) | set(new):
+        if uid not in new:
+            expect[uid] = ("removed", None)
+        elif uid not in old:
+            expect[uid] = ("added", None)
+        else:
+            no, to = old[uid]
+            nn, tn = new[uid]
+            if no == nn and float(to) == float(tn):
+                expect[uid] = ("unchanged", None)
+            else:
+                mask = ",".join(
+                    c
+                    for c, diff in (
+                        ("n_events", no != nn),
+                        ("total", float(to) != float(tn)),
+                    )
+                    if diff
+                )
+                expect[uid] = ("changed", mask)
+    assert got == expect
