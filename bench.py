@@ -126,6 +126,11 @@ HEADLINE = [
     "similarity_topk_pq",
     # hashing-trick document vectors (codegen char fold, no vocabulary)
     "feature_hash_embedding",
+    # feature-engineering block: lag/rolling features, LOO target
+    # encoding, percent-rank normalization, path trigrams
+    "ml_lag_features",
+    "target_encode_loo",
+    "event_path_trigrams",
 ]
 
 

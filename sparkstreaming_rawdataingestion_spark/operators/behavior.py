@@ -628,3 +628,54 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("channel"),
         F.when(within, F.col("tts_right")).alias("touch_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_path_trigrams — most common 3-step behavioral paths
+# ---------------------------------------------------------------------------
+
+_PATHS_TOP = 20
+
+_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS t0,
+         lead(event_type)    OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws('>', t0, t1, t2) AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {_PATHS_TOP}
+"""
+
+
+@_register("event_path_trigrams", _PATHS_ORACLE)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral 3-step paths: sliding trigrams over each user's
+    ordered event-type sequence, counted corpus-wide — the "what do
+    users actually do" report that complements the one-step Markov
+    matrix (mining.py) with multi-step context.
+
+    One per-user window produces both leads (shared sort), the trigram
+    count shuffles |types|³-bounded keys, and the top-{_PATHS_TOP} is a
+    TakeOrderedAndProject over that tiny aggregate — never a sort of
+    the event stream."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type").over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATHS_TOP)
+    )

@@ -121,6 +121,7 @@ _QUERY_MODULES = (
     "operators.behavior",
     "operators.retrieval",
     "operators.mining",
+    "operators.features",
     "streaming.windows",
 )
 
@@ -224,7 +225,8 @@ CORE_ORDER: tuple[str, ...] = (
     # markov_transitions, psi_drift, weighted_sample_poisson,
     # training_shuffle_order, unigram_logprob_quality, ewma_smoothing,
     # attribution_last_touch, snapshot_diff, graph_common_neighbors,
-    # feature_hash_embedding ---
+    # feature_hash_embedding, ml_lag_features, target_encode_loo,
+    # rank_normalize, event_path_trigrams ---
     "sketch_mergeable_hll",
     "pack_documents",
 )
