@@ -131,6 +131,8 @@ HEADLINE = [
     "ml_lag_features",
     "target_encode_loo",
     "event_path_trigrams",
+    # data-derived training-mix rates (vs stratified_sample's fixed recipe)
+    "temperature_mix_sample",
 ]
 
 

@@ -665,3 +665,87 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(smooth, "user_id long, event_id long, ewma double")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_sample — temperature-scaled domain rebalancing
+# ---------------------------------------------------------------------------
+
+_MIX_TAU_NOTE = "tau = 0.5 (sqrt scaling)"
+_MIX_TARGET = 250  # sampled corpus size the rates aim for
+
+_TEMP_MIX_ORACLE = f"""
+WITH n AS (
+  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_l,
+         CAST(round(sqrt(CAST(n_l AS DOUBLE)), 9) AS DOUBLE) AS w_l,
+         CAST(round(sqrt(CAST(n_l AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS w_dec
+  FROM n
+),
+r AS (
+  SELECT lang, n_l,
+         least(1.0e0,
+               (({_MIX_TARGET}.0e0 * w_l)
+                / CAST((SELECT sum(w_dec) FROM w) AS DOUBLE)) / n_l)
+           AS rate
+  FROM w
+)
+SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE ((((d.doc_id % 4294967296) * {_MMH2} % 4294967296) + 0.5e0)
+       / 4294967296.0e0) < r.rate
+"""
+
+
+@_register("temperature_mix_sample", _TEMP_MIX_ORACLE)
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mix sampling: per-domain keep rates
+    derived from the corpus itself — domain weight n^τ with τ = 0.5, so
+    small domains are up-weighted relative to their share (the standard
+    multilingual/multi-domain rebalancing; τ = 1 is proportional, τ = 0
+    uniform) — then a deterministic per-row hash filter at the derived
+    rate. Complements stratified_sample, whose rates are a FIXED recipe;
+    here they are computed from the data.
+
+    Determinism engineering: the only non-algebraic step is sqrt (IEEE
+    correctly rounded — bit-identical cross-engine); per-domain weights
+    round to 9 dp and SUM as DECIMAL (order-independent), and every
+    remaining op (multiply/divide/compare against the exact hash
+    uniform) is correctly rounded, so the kept SET is bit-identical on
+    both engines. Plan: domain weights are a |domains|-row aggregate
+    broadcast back onto a single scan filter — embarrassingly parallel,
+    like every sampler here."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    w_l = F.round(F.sqrt(F.col("n_l").cast("double")), 9)
+    w = n.select(
+        "lang",
+        "n_l",
+        w_l.alias("w_l"),
+        w_l.cast("decimal(18,9)").alias("w_dec"),
+    )
+    sumw = w.agg(F.sum("w_dec").cast("double").alias("sum_w"))
+    r = w.crossJoin(F.broadcast(sumw)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(_MIX_TARGET)) * F.col("w_l") / F.col("sum_w"))
+            / F.col("n_l"),
+        ).alias("rate"),
+    )
+    u = (
+        (
+            (F.col("doc_id") % F.lit(4294967296))
+            * F.lit(_MMH2)
+            % F.lit(4294967296)
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return (
+        d.join(F.broadcast(r), "lang")
+        .where(u < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+    )

@@ -226,7 +226,7 @@ CORE_ORDER: tuple[str, ...] = (
     # training_shuffle_order, unigram_logprob_quality, ewma_smoothing,
     # attribution_last_touch, snapshot_diff, graph_common_neighbors,
     # feature_hash_embedding, ml_lag_features, target_encode_loo,
-    # rank_normalize, event_path_trigrams ---
+    # rank_normalize, event_path_trigrams, temperature_mix_sample ---
     "sketch_mergeable_hll",
     "pack_documents",
 )

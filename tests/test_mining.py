@@ -283,3 +283,29 @@ def test_markov_and_ewma_match_python_reference_on_random_stream(spark):
     }
     assert markov == expect_markov
     assert ewma == expect_ewma
+
+
+def test_temperature_mix_upweights_small_domains(spark, sf_dir):
+    """τ=0.5 mixing: smaller domains get strictly higher keep rates,
+    rates never exceed 1, and the selection is deterministic."""
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    out = mining.q_temperature_mix_sample(spark, sf_dir)
+    rows = out.collect()
+    again = {r.doc_id for r in out.collect()}
+    assert {r.doc_id for r in rows} == again
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_lang = {
+        r.lang: r.c
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    rate_by_lang = {}
+    for r in rows:
+        rate_by_lang.setdefault(r.lang, r.rate)
+        assert 0.0 < r.rate <= 1.0
+    langs = sorted(n_by_lang, key=n_by_lang.get)
+    present = [l for l in langs if l in rate_by_lang]
+    for small, big in zip(present, present[1:]):
+        if n_by_lang[small] < n_by_lang[big]:
+            assert rate_by_lang[small] >= rate_by_lang[big]
