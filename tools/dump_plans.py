@@ -205,6 +205,51 @@ PICKS = {
         "FlatMapGroupsInPandas kernel — the declared sequential "
         "operator; keys process in parallel, state O(1) per key."
     ),
+    "attribution_last_touch": (
+        "Last-touch attribution: union-merge as-of (one per-user sorted "
+        "window over touches+purchases), lookback guard map-side — no "
+        "range join, no per-purchase probe."
+    ),
+    "snapshot_diff": (
+        "Snapshot reconciliation: two keyed aggregates into ONE "
+        "full-outer join (the MERGE shuffle); classification and column "
+        "masks are map-side CASE arms; DECIMAL-exact compared measures."
+    ),
+    "graph_common_neighbors": (
+        "Link prediction: staged oriented edges symmetrized map-side; "
+        "wedge equi-join on the shared center (only distance-2 pairs "
+        "materialize), anti-join drops adjacency, degrees broadcast."
+    ),
+    "feature_hash_embedding": (
+        "Feature hashing: the 31-polynomial char fold is an aggregate "
+        "over the char array INSIDE codegen — no vocabulary join, no "
+        "Python; one (doc, dim) aggregation after the explode."
+    ),
+    "ml_lag_features": (
+        "Lag/rolling features: both window frames share ONE (user × "
+        "time) exchange and sort; DECIMAL rolling sums keep mean/std "
+        "exact under any partitioning."
+    ),
+    "target_encode_loo": (
+        "LOO target encoding: category sums from one window over the "
+        "category key, 1-row global prior broadcast, leave-one-out "
+        "arithmetic map-side — no self-join, no per-row subquery."
+    ),
+    "event_path_trigrams": (
+        "Path trigrams: two leads off one shared per-user sort; the "
+        "count aggregates |types|³-bounded keys; top-k is "
+        "TakeOrderedAndProject over that tiny aggregate."
+    ),
+    "temperature_mix_sample": (
+        "Temperature mixing: |domains|-row rate table broadcast onto a "
+        "single scan filter — embarrassingly parallel, no shuffle of "
+        "the corpus."
+    ),
+    "similarity_topk_pq": (
+        "PQ search: corpus side carries (id, m, code) triples only; ADC "
+        "partials come from a broadcast query×M×K lookup table; exact "
+        "re-rank touches just the shortlist."
+    ),
 }
 
 SKIP_PREFIXES = (
