@@ -127,3 +127,56 @@ def test_sessionize_single_shuffle_no_global_sort(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_weighted_sample_is_topk_on_pruned_scan(spark, sf_dir):
+    """Sequential Poisson sampling must be TakeOrderedAndProject over a
+    2-column scan — no shuffle of the corpus, no global sort."""
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    df = mining.q_weighted_sample_poisson(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.count_exchanges(df) == 0
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "n_chars"}
+
+
+def test_lag_features_single_window_exchange(spark, sf_dir):
+    """Every lag/rolling feature column must ride ONE (user × time)
+    exchange + sort — both window frames share the spec."""
+    from sparkstreaming_rawdataingestion_spark.operators import features
+
+    df = features.q_ml_lag_features(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    plan = plans.executed_plan(df)
+    assert plan.count("Window") == 1
+
+
+def test_temperature_mix_is_broadcast_filter(spark, sf_dir):
+    """The rate table must broadcast onto the scan — the corpus side
+    never shuffles."""
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    df = mining.q_temperature_mix_sample(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_hash_has_no_join(spark, sf_dir):
+    """The hashing trick's point: no vocabulary join anywhere — explode,
+    codegen fold, one aggregation."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.q_feature_hash_embedding(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "Join" not in plan
+    assert plans.count_exchanges(df) == 1
+
+
+def test_path_trigrams_topk_over_bounded_agg(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    df = behavior.q_event_path_trigrams(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
