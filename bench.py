@@ -133,6 +133,8 @@ HEADLINE = [
     "event_path_trigrams",
     # data-derived training-mix rates (vs stratified_sample's fixed recipe)
     "temperature_mix_sample",
+    # the full dataset build: curation → mix → shuffle manifest
+    "pipeline_training_build",
 ]
 
 

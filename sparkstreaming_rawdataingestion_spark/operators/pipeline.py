@@ -253,3 +253,110 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_build — curation → mix → shuffle: the training manifest
+# ---------------------------------------------------------------------------
+
+_BUILD_TARGET = 150     # documents the mix rates aim for
+_BUILD_BUCKETS = 8      # trainer-reader parallelism
+
+_BUILD_ORACLE_TAIL = f"""
+, manifest_src AS (
+  SELECT f.doc_id, d.source
+  FROM final f JOIN documents d USING (doc_id)),
+mn AS (SELECT source, count(*) AS n_s FROM manifest_src GROUP BY source),
+mw AS (
+  SELECT source, n_s,
+         CAST(round(sqrt(CAST(n_s AS DOUBLE)), 9) AS DOUBLE)        AS w_l,
+         CAST(round(sqrt(CAST(n_s AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w_dec
+  FROM mn),
+mr AS (
+  SELECT source, n_s,
+         least(1.0e0,
+               (({_BUILD_TARGET}.0e0 * w_l)
+                / CAST((SELECT sum(w_dec) FROM mw) AS DOUBLE)) / n_s) AS rate
+  FROM mw),
+kept AS (
+  SELECT ms.doc_id, ms.source
+  FROM manifest_src ms JOIN mr ON mr.source = ms.source
+  WHERE ((((ms.doc_id % 4294967296) * 1540483477 % 4294967296) + 0.5e0)
+         / 4294967296.0e0) < mr.rate),
+sh2 AS (
+  SELECT doc_id, source,
+         (((doc_id % 4294967296) * 1540483477 % 4294967296)
+          * 1540483477 % 4294967296) AS h
+  FROM kept)
+SELECT doc_id, source,
+       CAST(h % {_BUILD_BUCKETS} AS BIGINT) AS bucket,
+       CAST(row_number() OVER (PARTITION BY h % {_BUILD_BUCKETS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM sh2
+"""
+
+
+@_register("pipeline_training_build", _ORACLE_STAGES + _BUILD_ORACLE_TAIL)
+def q_pipeline_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw documents → shuffled training manifest, ONE declarative query:
+    the four curation stages above, then temperature-scaled source
+    rebalancing (mining.temperature_mix_sample's algebra, rates computed
+    from the SURVIVORS — curation changes the domain balance, so mixing
+    must run after it), then the deterministic epoch-shuffle layout
+    (mining.training_shuffle_order's hash, epoch 0) emitting the
+    (bucket, pos) manifest a trainer consumes.
+
+    This is the full dataset-build a pretraining pipeline runs nightly,
+    and the stage ORDER is load-bearing at 100 TB: filters shrink what
+    dedup shuffles, dedup shrinks what mixing counts, and only the final
+    kept set pays the shuffle-rank sort — each stage's output is the
+    next stage's (smaller) input. Every stage is built-in column algebra
+    riding the plans already pinned for its standalone operator."""
+    from .mining import _MMH2
+
+    final = _stages(spark, sf_dir)["near_dedup"].select("doc_id")
+    src = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    cur = final.join(src, "doc_id")
+    n = cur.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_l = F.round(F.sqrt(F.col("n_s").cast("double")), 9)
+    w = n.select(
+        "source", "n_s", w_l.alias("w_l"),
+        w_l.cast("decimal(18,9)").alias("w_dec"),
+    )
+    sumw = w.agg(F.sum("w_dec").cast("double").alias("sum_w"))
+    rates = w.crossJoin(F.broadcast(sumw)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(_BUILD_TARGET)) * F.col("w_l") / F.col("sum_w"))
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    u = (
+        (
+            (F.col("doc_id") % F.lit(4294967296))
+            * F.lit(_MMH2)
+            % F.lit(4294967296)
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    kept = cur.join(F.broadcast(rates), "source").where(u < F.col("rate"))
+    h = (
+        (F.col("doc_id") % F.lit(4294967296))
+        * F.lit(_MMH2)
+        % F.lit(4294967296)
+        * F.lit(_MMH2)
+        % F.lit(4294967296)
+    )
+    sh = kept.select("doc_id", "source", h.alias("h"))
+    wpos = Window.partitionBy(F.col("h") % _BUILD_BUCKETS).orderBy(
+        "h", "doc_id"
+    )
+    return sh.select(
+        "doc_id",
+        "source",
+        (F.col("h") % _BUILD_BUCKETS).alias("bucket"),
+        F.row_number().over(wpos).cast("long").alias("pos"),
+    )

@@ -140,20 +140,27 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation, three bands:
+# Round-4 rotation, four bands:
 #   1-9   the queries that have never had a driver-green row — the four
 #         array packs re-emitted as array_join strings (the round-3
 #         canonicalizer reds) plus the round-3 tail entries that sat past
 #         position 50.
-#   10-19 operators NEW this round (behavior / retrieval / robust-stats /
-#         merge / triangles).
-#   20-50 INTENTIONAL re-verification of queries whose inputs or plans
-#         changed this round: the events.ts load was rebuilt as tz-free
-#         interval arithmetic (catalog.py — affects every events-reading
-#         query), the curation pipeline's dedup shuffle key moved to
-#         sha2(text), and the ingest observe path was restructured; a
-#         representative slice of each changed surface re-enters the
-#         window (their prior green rows are from the OLD code).
+#   10-23 operators NEW early this round (behavior / retrieval /
+#         robust-stats / merge / triangles / time-series / histogram /
+#         growth).
+#   24-40 operators NEW late this round (mining / features / pipelines:
+#         basket, Markov, PSI, weighted sample, epoch shuffle, unigram
+#         LM, EWMA, attribution, snapshot diff, link prediction, feature
+#         hashing, lag features, target encoding, rank norm, path
+#         trigrams, temperature mix, training build).
+#   41-50 INTENTIONAL re-verification of surfaces whose code changed
+#         this round: the events.ts load was rebuilt as tz-free interval
+#         arithmetic (catalog.py — also exercised by every events-reading
+#         band-3 slot), the curation pipeline's dedup shuffle key moved
+#         to sha2(text), and the ingest observe path was restructured;
+#         the flagship ingest + curation pipelines and one representative
+#         per changed event-time family re-enter (their prior green rows
+#         are from the OLD code).
 # Everything else rotates to the extended region with its driver row on
 # record; all 50 validated via check_oracles (engine + --plain) before
 # this rotation was locked.
@@ -183,50 +190,47 @@ CORE_ORDER: tuple[str, ...] = (
     "upsample_interpolate",
     "numeric_histogram",
     "growth_accounting",
-    # -- band 3: re-verification of round-4-changed surfaces -----------
-    # pipeline dedup key + observe restructure + fixture persist policy
+    # -- band 3: operators added in the second half of the round -------
+    # (each validated engine + --plain at sf0.01 AND at sf0.1 before
+    # entering the window)
+    "market_basket_pairs",
+    "markov_transitions",
+    "psi_drift",
+    "weighted_sample_poisson",
+    "training_shuffle_order",
+    "unigram_logprob_quality",
+    "ewma_smoothing",
+    "attribution_last_touch",
+    "snapshot_diff",
+    "graph_common_neighbors",
+    "feature_hash_embedding",
+    "ml_lag_features",
+    "target_encode_loo",
+    "rank_normalize",
+    "event_path_trigrams",
+    "temperature_mix_sample",
+    "pipeline_training_build",
+    # -- band 4: re-verification of round-4-changed surfaces -----------
+    # (prior green rows predate this round's code: the tz-free events.ts
+    # rebuild, the sha2 pipeline dedup key, the observe restructure and
+    # the fixture persist policy). The band-3 entries above all read
+    # events/documents through the same rebuilt catalog path, so the
+    # changed surface is ALSO exercised by every new-operator slot; this
+    # band keeps direct re-checks of the flagship ingest + curation
+    # pipelines and one representative per changed event-time family.
     "pipeline_curation",
     "pipeline_curation_funnel",
     "ingest_normalize",
     "ingest_idempotency",
     "datapoint_day_rollup",
-    # multimodal PNG (round-3 verdict asked for a fresh driver row)
     "multimodal_png_roundtrip",
-    # events.ts conversion path: time-series / windows / sessions
     "timeseries_pack",
-    "sessionize_events",
-    "rollup_time_hierarchy",
-    "timeseries_anomaly_zscore",
-    "recursive_event_chains",
-    "window_frames_pack",
-    "window_functions_pack",
-    "downsample_gapfill",
-    "temporal_join_pack",
-    "streaming_window_pack",
-    "asof_join_purchase_click",
-    "range_join_recent_clicks",
-    # events.ts conversion path: streaming batch twins
     "tumbling_window_counts",
-    "sliding_window_counts",
     "session_window_agg",
-    "cdc_latest_per_key",
-    # events.ts conversion path: validation / observability
     "scd2_dimension_history",
-    "key_skew_report",
-    "data_quality_checks",
-    "validation_pack",
-    # events.ts conversion path: scalar packs reading ts
-    "map_algebra_pack",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
-    # design — the driver records their weaker rows-only check).
-    # Round-5 window candidates (new this session, check_oracles-green
-    # at sf0.01 engine+plain and sf0.1): market_basket_pairs,
-    # markov_transitions, psi_drift, weighted_sample_poisson,
-    # training_shuffle_order, unigram_logprob_quality, ewma_smoothing,
-    # attribution_last_touch, snapshot_diff, graph_common_neighbors,
-    # feature_hash_embedding, ml_lag_features, target_encode_loo,
-    # rank_normalize, event_path_trigrams, temperature_mix_sample ---
+    # design — the driver records their weaker rows-only check) ---
     "sketch_mergeable_hll",
     "pack_documents",
 )

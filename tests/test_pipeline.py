@@ -59,3 +59,52 @@ def test_exact_dedup_partitions_by_digest_not_text(spark, sf_dir):
     # ...and no exchange partitions directly on the raw text column
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert not re.search(r"\btext#\d+", m.group(1))
+
+
+def test_training_build_composes_stages_consistently(spark, sf_dir):
+    """The manifest must be a subset of the curated set, carry each kept
+    doc exactly once with contiguous per-bucket positions, and its keep
+    decisions must equal temperature-mix algebra applied to the curated
+    survivors' source counts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+    from sparkstreaming_rawdataingestion_spark.operators.mining import _MMH2
+
+    manifest = pipeline.q_pipeline_training_build(spark, sf_dir).collect()
+    curated = {
+        r.doc_id
+        for r in pipeline.q_pipeline_curation(spark, sf_dir).collect()
+    }
+    ids = [r.doc_id for r in manifest]
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= curated
+
+    # contiguous positions inside each bucket
+    by_bucket: dict = {}
+    for r in manifest:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # python replay of the mix decision on the curated survivors
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    src_of = {r.doc_id: r.source for r in docs}
+    n_s: dict = {}
+    for d in curated:
+        n_s[src_of[d]] = n_s.get(src_of[d], 0) + 1
+    w = {s: round(math.sqrt(n), 9) for s, n in n_s.items()}
+    sum_w = sum(w.values())
+    rate = {
+        s: min(1.0, (pipeline._BUILD_TARGET * w[s] / sum_w) / n_s[s])
+        for s in n_s
+    }
+    expect = {
+        d
+        for d in curated
+        if ((d % 4294967296) * _MMH2 % 4294967296 + 0.5) / 4294967296.0
+        < rate[src_of[d]]
+    }
+    assert set(ids) == expect
