@@ -135,6 +135,8 @@ HEADLINE = [
     "temperature_mix_sample",
     # the full dataset build: curation → mix → shuffle manifest
     "pipeline_training_build",
+    # exact-k balanced stratum sampling (WindowGroupLimit)
+    "sample_exact_k_per_group",
 ]
 
 

@@ -749,3 +749,49 @@ def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u < F.col("rate"))
         .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_exact_k_per_group — deterministic fixed-size per-stratum sample
+# ---------------------------------------------------------------------------
+
+_EXACT_K = 20
+
+_EXACTK_ORACLE = f"""
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 4294967296) * {_MMH2} % 4294967296), doc_id
+         ) AS rk
+  FROM documents)
+WHERE rk <= {_EXACT_K}
+"""
+
+
+@_register("sample_exact_k_per_group", _EXACTK_ORACLE)
+def q_sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per stratum (min(k, |stratum|)) — the balanced
+    eval-set primitive the Bernoulli samplers cannot give (their counts
+    are binomial-variable): rank each stratum by the deterministic key
+    hash and keep the first k. Reproducible across runs, engines and
+    cluster sizes, and uniform within the stratum (the hash order is a
+    fixed pseudo-random permutation).
+
+    Plan: the rank-≤-k filter compiles to WindowGroupLimit — per-stratum
+    top-k heaps inside the (lang) partitions, never a full per-stratum
+    sort (pinned in test_plans). Integer-only key hash, overflow-safe at
+    any int64 id."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    h = (
+        (F.col("doc_id") % F.lit(4294967296))
+        * F.lit(_MMH2)
+        % F.lit(4294967296)
+    )
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _EXACT_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )

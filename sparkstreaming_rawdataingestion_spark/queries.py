@@ -148,12 +148,12 @@ _QUERY_MODULES = (
 #   10-23 operators NEW early this round (behavior / retrieval /
 #         robust-stats / merge / triangles / time-series / histogram /
 #         growth).
-#   24-40 operators NEW late this round (mining / features / pipelines:
+#   24-41 operators NEW late this round (mining / features / pipelines:
 #         basket, Markov, PSI, weighted sample, epoch shuffle, unigram
 #         LM, EWMA, attribution, snapshot diff, link prediction, feature
 #         hashing, lag features, target encoding, rank norm, path
-#         trigrams, temperature mix, training build).
-#   41-50 INTENTIONAL re-verification of surfaces whose code changed
+#         trigrams, temperature mix, training build, exact-k sample).
+#   42-50 INTENTIONAL re-verification of surfaces whose code changed
 #         this round: the events.ts load was rebuilt as tz-free interval
 #         arithmetic (catalog.py — also exercised by every events-reading
 #         band-3 slot), the curation pipeline's dedup shuffle key moved
@@ -210,6 +210,7 @@ CORE_ORDER: tuple[str, ...] = (
     "event_path_trigrams",
     "temperature_mix_sample",
     "pipeline_training_build",
+    "sample_exact_k_per_group",
     # -- band 4: re-verification of round-4-changed surfaces -----------
     # (prior green rows predate this round's code: the tz-free events.ts
     # rebuild, the sha2 pipeline dedup key, the observe restructure and
@@ -227,7 +228,6 @@ CORE_ORDER: tuple[str, ...] = (
     "timeseries_pack",
     "tumbling_window_counts",
     "session_window_agg",
-    "scd2_dimension_history",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
     # design — the driver records their weaker rows-only check) ---

@@ -309,3 +309,30 @@ def test_temperature_mix_upweights_small_domains(spark, sf_dir):
     for small, big in zip(present, present[1:]):
         if n_by_lang[small] < n_by_lang[big]:
             assert rate_by_lang[small] >= rate_by_lang[big]
+
+
+def test_exact_k_sampler_counts_and_stability(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    out = mining.q_sample_exact_k_per_group(spark, sf_dir)
+    a = sorted((r.lang, r.doc_id) for r in out.collect())
+    b = sorted((r.lang, r.doc_id) for r in out.collect())
+    assert a == b
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {
+        r.lang: r.c
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    got = {}
+    for lang, _ in a:
+        got[lang] = got.get(lang, 0) + 1
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == min(mining._EXACT_K, n)
+
+
+def test_exact_k_sampler_uses_window_group_limit(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark import plans
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    df = mining.q_sample_exact_k_per_group(spark, sf_dir)
+    assert "WindowGroupLimit" in plans.executed_plan(df)
