@@ -250,6 +250,15 @@ PICKS = {
         "partials come from a broadcast query×M×K lookup table; exact "
         "re-rank touches just the shortlist."
     ),
+    "pipeline_training_build": (
+        "Dataset build: curation stages fused into the scan, survivor "
+        "counts → broadcast mix rates, shuffle-rank only over the final "
+        "kept set — each stage shrinks the next stage's input."
+    ),
+    "sample_exact_k_per_group": (
+        "Exact-k stratum sample: rank ≤ k compiles to WindowGroupLimit "
+        "— per-stratum top-k heaps, never a full per-stratum sort."
+    ),
 }
 
 SKIP_PREFIXES = (
