@@ -33,6 +33,14 @@ Scale shape per operator:
 - **unigram_logprob_quality**: corpus LM scoring — token frequencies are
   one vocabulary-sized aggregate joined back on the token key; per-doc
   mean log-probability accumulates in DECIMAL (order-independent).
+- **bigram_logprob_quality**: second-order corpus LM scoring — bigram
+  extraction is a per-doc ``lead`` window (local sorts inside doc_id
+  partitions, no self-join); the bigram-count model is an
+  observed-bigram-sized aggregate (≪ corpus, bounded by V² but in
+  practice Heaps-law small) staged once; scoring joins the corpus
+  bigram stream against it co-partitioned on the (w1, w2) key. Context
+  totals and the vocabulary size derive from the staged model table,
+  never from extra corpus scans.
 - **ewma_smoothing**: the one genuinely sequential recurrence
   (y_t = α·x_t + (1-α)·y_{t-1}); closed-form window tricks overflow
   (1-α)^-t at real stream lengths, so it runs per-key in Arrow batches.
@@ -794,4 +802,123 @@ def q_sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= _EXACT_K)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob_quality — second-order corpus-LM document scoring
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ALPHA_NUM = 1  # add-α smoothing as an exact rational: α = 1/2
+_BIGRAM_ALPHA_DEN = 2
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bg AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM bigrams WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1
+),
+v AS (
+  SELECT count(DISTINCT tok) AS vocab FROM toks
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(ln(
+             (2e0 * bg.c12 + 1e0) / (2e0 * ctx.c1 + 1e0 * v.vocab)
+         ), 9) AS DECIMAL(18,9)) AS lp
+  FROM bigrams b
+  JOIN bg  ON bg.w1 = b.w1 AND bg.w2 = b.w2
+  JOIN ctx ON ctx.w1 = b.w1
+  CROSS JOIN v
+  WHERE b.w2 IS NOT NULL
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@_register("bigram_logprob_quality", _BIGRAM_ORACLE)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order corpus-LM quality score: train an add-α-smoothed
+    bigram model on the corpus itself and score each document by its
+    mean bigram log-probability ln P(w_i | w_{i-1}) — a sharper
+    perplexity proxy than ``unigram_logprob_quality`` (it penalizes
+    shuffled/templated token soups the unigram model scores as fluent),
+    the standard second step of the cheap LM-filter ladder.
+
+    Model: P(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V), α = 1/2,
+    V = corpus vocabulary size, c(w1,·) = Σ_w2 c(w1,w2) (exact context
+    totals — the last token of a doc is not a context). Both the
+    numerator and denominator are spelled as the exact integer algebra
+    2·c12 + 1 / 2·c1 + V so ln's operand is the identical correctly
+    rounded double on both engines; per-bigram log-probs round to 9 dp
+    and accumulate in DECIMAL(18,9) → order-independent per-doc means.
+
+    Plan: bigram extraction is ONE per-doc ``lead`` window (local sorts
+    within doc_id partitions — no positional self-join); the bigram
+    stream is STAGED and feeds (a) the observed-bigram count aggregate
+    (also staged — it is the model), (b) the scoring join, keyed
+    (w1, w2) → co-partitioned with the counts. Context totals and V are
+    model-table-sized reductions over the cached aggregate (V additionally
+    counts last-position-only tokens via one distinct over the same
+    staged bigram columns plus doc tails — spelled as a distinct over
+    the token stream, a vocabulary-sized Heaps-law aggregate AQE
+    broadcasts). No corpus scan runs more than twice."""
+    from .. import session
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = session.stage(
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        ).where(F.col("w2").isNotNull())
+    )
+    bg = session.stage(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.agg(
+        F.countDistinct("tok").cast("long").alias("vocab")
+    )
+    lp = F.round(
+        F.log(
+            (2.0 * F.col("c12") + 1.0)
+            / (2.0 * F.col("c1") + 1.0 * F.col("vocab"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        bigrams.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
     )

@@ -336,3 +336,59 @@ def test_exact_k_sampler_uses_window_group_limit(spark, sf_dir):
 
     df = mining.q_sample_exact_k_per_group(spark, sf_dir)
     assert "WindowGroupLimit" in plans.executed_plan(df)
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    """Crafted corpus: 'a b' (doc 1) and 'a b a c' (doc 2). Bigram
+    counts: (a,b)=2, (b,a)=1, (a,c)=1 → ctx(a)=3, ctx(b)=1; V=3.
+    α=1/2 smoothing → P(b|a)=(2+.5)/(3+1.5)=5/9, P(a|b)=(1+.5)/(1+1.5)=3/5,
+    P(c|a)=(1+.5)/(3+1.5)=1/3."""
+    import math
+
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    docs = [
+        (1, "a b", "en", "s", 3),
+        (2, "a b a c", "en", "s", 7),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark.createDataFrame(docs, DOC_SCHEMA), tmp, "documents")
+        out = {
+            r.doc_id: r
+            for r in mining.q_bigram_logprob_quality(spark, tmp).collect()
+        }
+    lp = {
+        ("a", "b"): round(math.log((2 * 2 + 1) / (2 * 3 + 3)), 9),
+        ("b", "a"): round(math.log((2 * 1 + 1) / (2 * 1 + 3)), 9),
+        ("a", "c"): round(math.log((2 * 1 + 1) / (2 * 3 + 3)), 9),
+    }
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_logprob == round(lp[("a", "b")], 6)
+    assert out[2].n_bigrams == 3
+    expected = (lp[("a", "b")] + lp[("b", "a")] + lp[("a", "c")]) / 3
+    assert out[2].avg_logprob == round(expected, 6)
+
+
+def test_bigram_penalizes_shuffled_tokens_vs_unigram(spark):
+    """The discriminating property over the unigram score: a document
+    whose tokens are a corpus-typical multiset but in a never-seen
+    order scores LOWER on the bigram model than the same tokens in the
+    dominant order, while the unigram model cannot tell them apart."""
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    fluent = "the cat sat on the mat"
+    # 20 fluent docs + 1 shuffled doc with the identical token multiset
+    docs = [(i, fluent, "en", "s", 0) for i in range(20)]
+    docs.append((99, "mat the on sat cat the", "en", "s", 0))
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark.createDataFrame(docs, DOC_SCHEMA), tmp, "documents")
+        bi = {
+            r.doc_id: r.avg_logprob
+            for r in mining.q_bigram_logprob_quality(spark, tmp).collect()
+        }
+        uni = {
+            r.doc_id: r.avg_logprob
+            for r in mining.q_unigram_logprob_quality(spark, tmp).collect()
+        }
+    assert bi[99] < bi[0], "shuffled doc must score below fluent docs"
+    assert uni[99] == uni[0], "unigram model is order-blind by design"
