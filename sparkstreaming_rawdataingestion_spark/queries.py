@@ -122,6 +122,7 @@ _QUERY_MODULES = (
     "operators.retrieval",
     "operators.mining",
     "operators.features",
+    "operators.recsys",
     "streaming.windows",
 )
 
