@@ -23,9 +23,10 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
+from .dedup import cosine
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -98,6 +99,17 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as a broadcast. Deterministic tie-break on doc_id so the top-k
     edge is stable. The exact same algebra (and float rounding) runs on
     the DuckDB oracle."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term —
+    the shared scoring kernel of ``bm25_keyword_search`` and the RRF
+    fusion. bm25 is rounded to 6 dp (identical algebra on DuckDB)."""
     docs = catalog.load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
 
@@ -146,8 +158,6 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.crossJoin(F.broadcast(stats))
         .where(matched > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
     )
 
 
@@ -215,4 +225,145 @@ def q_string_similarity_join_brand(
         .join(b, ["brand", "name_b"])
         .where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rank_fusion — reciprocal-rank fusion of lexical + dense retrieval
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # standard RRF damping constant
+RRF_LIST_N = 50     # per-ranker candidate list depth
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0   # query-by-example: the embedding of vec_id 0
+
+
+def _rrf_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"""ln((stats.n - stats.df_{i} + 0.5e0) / (stats.df_{i} + 0.5e0) + 1.0e0)
+            * ((d.tf_{i} * {BM25_K1 + 1}e0)
+               / (d.tf_{i} + {BM25_K1}e0
+                  * ((1e0 - {BM25_B}e0) + {BM25_B}e0 * d.dl / stats.avgdl)))"""
+        for i in range(len(BM25_TERMS))
+    )
+    any_match = " + ".join(f"d.tf_{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM d
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rk
+  FROM (
+    SELECT d.doc_id, round({score_terms}, 6) AS bm25
+    FROM d, stats WHERE {any_match} > 0
+    ORDER BY bm25 DESC, d.doc_id LIMIT {RRF_LIST_N})
+),
+qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings
+  WHERE vec_id = {RRF_QUERY_VEC}
+),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s9 DESC, doc_id) AS dense_rk
+  FROM (
+    SELECT v.vec_id AS doc_id,
+           round(list_cosine_similarity(v.embedding::DOUBLE[], qv.q), 9) AS s9
+    FROM embeddings v, qv
+    ORDER BY s9 DESC, v.vec_id LIMIT {RRF_LIST_N})
+)
+SELECT doc_id,
+       CAST(coalesce(lex.lex_rk, -1) AS BIGINT) AS lex_rk,
+       CAST(coalesce(dense.dense_rk, -1) AS BIGINT) AS dense_rk,
+       round(coalesce(1e0 / ({RRF_K} + lex.lex_rk), 0e0)
+             + coalesce(1e0 / ({RRF_K} + dense.dense_rk), 0e0), 6) AS rrf
+FROM lex FULL OUTER JOIN dense USING (doc_id)
+ORDER BY (coalesce(1e0 / ({RRF_K} + lex.lex_rk), 0e0)
+          + coalesce(1e0 / ({RRF_K} + dense.dense_rk), 0e0)) DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+
+@_register("hybrid_rank_fusion", _rrf_oracle())
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical BM25 ranking (the 3-term
+    keyword query) with a dense query-by-example ranking (cosine to the
+    embedding of vec_id 0 — the corpus models one embedding per
+    document, doc_id = vec_id) via reciprocal-rank fusion,
+    RRF(d) = Σ_r 1/(60 + rank_r(d)) over the rankers whose top-50 list
+    contains d. The standard zero-tuning hybrid-search combiner: rank
+    positions, not incomparable raw scores, are what fuse.
+
+    Plan: each ranker produces its candidate list with
+    TakeOrderedAndProject (top-50 heaps per partition, no global sort of
+    the corpus); rank assignment then runs a window over the ALREADY
+    LIMITED 50-row lists (a bounded single-partition step by
+    construction, independent of corpus size). The fusion is a
+    full-outer join of two 50-row sets — AQE broadcasts it. Rank order
+    inside each list repeats the list's own selection order (bm25 is
+    identical 6-dp-rounded algebra on both engines; cosine ranks on the
+    9-dp rounding like ``similarity_topk_bruteforce``), and RRF adds two
+    correctly rounded divisions in a fixed order → bit-identical
+    cross-engine."""
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_LIST_N)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rk"),
+    )
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = (
+        emb.where(F.col("vec_id") == RRF_QUERY_VEC)
+        .select(as_double.alias("q"))
+    )
+    dense_pool = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(as_double, F.col("q")), 9).alias("s9"),
+        )
+        .orderBy(F.desc("s9"), F.asc("doc_id"))
+        .limit(RRF_LIST_N)
+    )
+    dense = dense_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s9"), F.asc("doc_id")))
+        .alias("dense_rk"),
+    )
+
+    rrf = (
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rk")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("dense_rk")), F.lit(0.0))
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rk", F.lit(-1)).cast("long").alias("lex_rk"),
+            F.coalesce("dense_rk", F.lit(-1)).cast("long").alias("dense_rk"),
+            F.round(rrf, 6).alias("rrf"),
+            rrf.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .drop("_ord")
     )

@@ -406,3 +406,28 @@ def test_attribution_matches_python_reference_on_random_stream(spark):
         else:
             expect[eid] = ("direct", None)
     assert got == expect
+
+
+def test_rrf_fusion_math_and_membership(spark, sf_dir):
+    """RRF = 1/(60+lex_rk) + 1/(60+dense_rk) with absent-list ranks at
+    -1 contributing zero; output sorted by fused score; the dense
+    ranker's #1 is the query-by-example document itself (cosine 1)."""
+    from sparkstreaming_rawdataingestion_spark.operators.retrieval import (
+        RRF_QUERY_VEC,
+        q_hybrid_rank_fusion,
+    )
+
+    rows = q_hybrid_rank_fusion(spark, sf_dir).collect()
+    assert rows, "fusion returned no rows"
+    for r in rows:
+        expect = 0.0
+        if r.lex_rk != -1:
+            expect += 1.0 / (60 + r.lex_rk)
+        if r.dense_rk != -1:
+            expect += 1.0 / (60 + r.dense_rk)
+        assert r.rrf == round(expect, 6)
+        assert r.lex_rk != -1 or r.dense_rk != -1
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    dense_top = [r.doc_id for r in rows if r.dense_rk == 1]
+    assert dense_top == [RRF_QUERY_VEC]
