@@ -617,3 +617,153 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_old",
         "total_new",
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_baseline_anomaly — hour-of-day conditioned outlier detection
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_id, event_type, hr, value, slot_mean, z
+FROM (
+  SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INTEGER) AS hr,
+         e.value,
+         round(s.sv / s.n, 6) AS slot_mean,
+         round((CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE) - s.sv / s.n)
+               / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)), 6) AS z
+  FROM events e
+  JOIN s ON s.event_type = e.event_type
+        AND s.hr = CAST(hour(e.ts) AS INTEGER)
+  WHERE s.n > 1
+)
+WHERE abs(z) > 3
+"""
+
+
+@_register("seasonal_baseline_anomaly", _SEASONAL_ORACLE)
+def q_seasonal_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outliers: the baseline is conditioned on the
+    (event_type, hour-of-day) slot, so a value that is normal at the
+    daily peak but absurd at 4am flags — the failure mode the global
+    per-type z-score (``timeseries_anomaly_zscore``) is blind to.
+    |z| > 3 against the slot's own mean/stddev; single-member slots are
+    excluded (no variance estimate).
+
+    Plan: identical scale shape to the global z-score — the slot
+    moments are ONE aggregation producing ≤ |types|·24 rows from exact
+    DECIMAL partial sums (order-independent under AQE re-partitioning),
+    broadcast back over the raw scan. No window over the full table, no
+    second shuffle; the only growth with data volume is the scan."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("int")
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = (
+        ev.groupBy("event_type", hr.alias("hr")).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(vdec).cast("double").alias("sv"),
+            F.sum(vdec * vdec).cast("double").alias("svv"),
+        )
+    ).where(F.col("n") > 1)
+    mean = F.col("sv") / F.col("n")
+    sd = F.sqrt(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    z = F.round((vdec.cast("double") - mean) / sd, 6)
+    return (
+        ev.withColumn("hr", hr)
+        .join(F.broadcast(stats), ["event_type", "hr"])
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "value",
+            F.round(mean, 6).alias("slot_mean"),
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benford_digit_audit — first-significant-digit fraud/quality screen
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                        '[1-9]') AS digit
+  FROM orders
+  WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
+),
+total AS (SELECT sum(n_obs) AS n_total FROM counts)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+       round(ln((CAST(digit AS DOUBLE) + 1e0) / CAST(digit AS DOUBLE))
+             / ln(10e0), 6) AS exp_share,
+       round(
+         (n_obs - n_total * (ln((CAST(digit AS DOUBLE) + 1e0)
+                                 / CAST(digit AS DOUBLE)) / ln(10e0)))
+         * (n_obs - n_total * (ln((CAST(digit AS DOUBLE) + 1e0)
+                                  / CAST(digit AS DOUBLE)) / ln(10e0)))
+         / (n_total * (ln((CAST(digit AS DOUBLE) + 1e0)
+                          / CAST(digit AS DOUBLE)) / ln(10e0))), 6)
+         AS chi2_term
+FROM counts CROSS JOIN total
+"""
+
+
+@_register("benford_digit_audit", _BENFORD_ORACLE)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of first
+    significant digits of naturally occurring amounts follows
+    P(d) = log10(1 + 1/d); fabricated or truncated monetary columns
+    deviate hard. Reports, per digit, the observed count/share, the
+    Benford expectation, and the chi-square contribution — the standard
+    forensic-accounting / data-quality screen for value columns.
+
+    Digit extraction goes through an exact DECIMAL(18,2) rendering
+    (identical text on both engines — never the engine-specific double
+    format) and a first-[1-9] regexp, so '0.0042' → 4 and trailing
+    zeros never matter. Plan: one scan → one 9-row map-side-combined
+    aggregate; the total is a window-free broadcast scalar; everything
+    after the count is constant-space arithmetic on 9 rows. Expected
+    shares are ln-ratio algebra (same spelling both engines)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        "[1-9]",
+        0,
+    )
+    counts = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    d = F.col("digit").cast("double")
+    p = F.log((d + 1.0) / d) / F.log(F.lit(10.0))
+    exp_n = F.col("n_total") * p
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+            "obs_share"
+        ),
+        F.round(p, 6).alias("exp_share"),
+        F.round(
+            (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
+        ).alias("chi2_term"),
+    )

@@ -315,3 +315,92 @@ def test_snapshot_diff_matches_python_reference_on_random_events(spark):
                 )
                 expect[uid] = ("changed", mask)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# seasonal_baseline_anomaly / benford_digit_audit
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_catches_what_global_zscore_misses(spark, tmp_path):
+    """A value normal for the daily peak hour but absurd for its own
+    hour slot must flag under the seasonal model and stay invisible to
+    the global per-type z-score."""
+    import datetime
+
+    D = datetime.datetime
+    rows = []
+    eid = 0
+    # hour 1: tight around 100; hour 2: tight around 1
+    for day in range(1, 11):
+        for v in (99.0, 101.0):
+            eid += 1
+            rows.append((eid, 7, D(2024, 1, day, 1, 0), "sensor", v, "{}"))
+        for v in (0.5, 1.5):
+            eid += 1
+            rows.append((eid, 7, D(2024, 1, day, 2, 0), "sensor", v, "{}"))
+    # the planted outlier: 40 at hour 2 (normal-ish globally, wild for 2am)
+    rows.append((9999, 7, D(2024, 1, 12, 2, 0), "sensor", 40.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    flagged = {
+        r.event_id
+        for r in validation.q_seasonal_baseline_anomaly(spark, sf).collect()
+    }
+    global_flagged = {
+        r.event_id
+        for r in validation.q_timeseries_anomaly_zscore(spark, sf).collect()
+    }
+    assert 9999 in flagged
+    assert 9999 not in global_flagged
+
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    rows = validation.q_benford_digit_audit(spark, sf_dir).collect()
+    assert {r.digit for r in rows} == {str(d) for d in range(1, 10)}
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.exp_share for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
+    # Benford expectation is monotone decreasing in the digit
+    by_digit = sorted(rows, key=lambda r: int(r.digit))
+    exp = [r.exp_share for r in by_digit]
+    assert exp == sorted(exp, reverse=True)
+
+
+def test_benford_flags_fabricated_uniform_amounts(spark, tmp_path):
+    """Uniform-first-digit (fabricated) amounts must produce a large
+    chi-square; amounts drawn ~log-uniform must produce a small one."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    fab = [(i, float(rng.randint(1, 9)) * 1000 + 17) for i in range(2000)]
+    nat = [
+        (i, math.exp(rng.uniform(0, math.log(10 ** 6))))
+        for i in range(2000)
+    ]
+    for name, data in (("fab", fab), ("nat", nat)):
+        spark.createDataFrame(
+            data, "o_orderkey long, o_totalprice double"
+        ).write.parquet(str(tmp_path / name / "orders.parquet"))
+    chi_fab = sum(
+        r.chi2_term
+        for r in validation.q_benford_digit_audit(
+            spark, str(tmp_path / "fab")
+        ).collect()
+    )
+    chi_nat = sum(
+        r.chi2_term
+        for r in validation.q_benford_digit_audit(
+            spark, str(tmp_path / "nat")
+        ).collect()
+    )
+    # 8 dof: > 20 is p < 0.01 territory; uniform-vs-benford is enormous
+    assert chi_fab > 100
+    assert chi_nat < 30
+    assert chi_fab > 10 * chi_nat
