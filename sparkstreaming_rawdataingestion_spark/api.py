@@ -162,3 +162,25 @@ class Engine:
             events, profile, counts_dir, report_dir, checkpoint_path,
             window=window, trigger_seconds=trigger_seconds,
         )
+
+    # -- streaming heavy hitters ------------------------------------------
+
+    def heavy_hitters_stream(
+        self, toks: DataFrame, sketch_path: str, checkpoint_path: str,
+        **trigger,
+    ):
+        """Streaming Misra-Gries heavy hitters (streaming/topk_stream.py):
+        maintains a bucket-partitioned O(k·B) sketch table from a
+        streaming ``tok`` column; query it with
+        ``topk_stream.heavy_hitters_report``. The incremental twin of
+        the ``sketch_heavy_hitters`` batch query with a per-item
+        undercount bound tightened to the item's own bucket."""
+        from .streaming.topk_stream import (
+            heavy_hitters_stream,
+            start_sketch_maintenance,
+        )
+
+        return start_sketch_maintenance(
+            heavy_hitters_stream(toks), sketch_path, checkpoint_path,
+            **trigger,
+        )
