@@ -212,6 +212,11 @@ CORE_ORDER: tuple[str, ...] = (
     "temperature_mix_sample",
     "pipeline_training_build",
     "sample_exact_k_per_group",
+    "bigram_logprob_quality",
+    "recsys_item_neighbors",
+    "hybrid_rank_fusion",
+    "seasonal_baseline_anomaly",
+    "benford_digit_audit",
     # -- band 4: re-verification of round-4-changed surfaces -----------
     # (prior green rows predate this round's code: the tz-free events.ts
     # rebuild, the sha2 pipeline dedup key, the observe restructure and
@@ -219,16 +224,16 @@ CORE_ORDER: tuple[str, ...] = (
     # events/documents through the same rebuilt catalog path, so the
     # changed surface is ALSO exercised by every new-operator slot; this
     # band keeps direct re-checks of the flagship ingest + curation
-    # pipelines and one representative per changed event-time family.
+    # pipelines, one event-time representative, and the sha2-keyed
+    # curation pipeline; the other changed-surface twins
+    # (ingest_idempotency / datapoint_day_rollup / timeseries_pack /
+    # session_window_agg / multimodal_png_roundtrip) share those exact
+    # code paths and hold earlier green rows, so their slots went to the
+    # five late-round operators above.
     "pipeline_curation",
-    "pipeline_curation_funnel",
     "ingest_normalize",
-    "ingest_idempotency",
-    "datapoint_day_rollup",
-    "multimodal_png_roundtrip",
-    "timeseries_pack",
     "tumbling_window_counts",
-    "session_window_agg",
+    "pipeline_curation_funnel",
     # --- driver checks the first 50 entries; below: rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
     # design — the driver records their weaker rows-only check) ---
