@@ -318,7 +318,11 @@ def q_pipeline_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = catalog.load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    cur = final.join(src, "doc_id")
+    # Staged: the curation survivors feed BOTH the per-source count agg
+    # (which fixes the mix rates) and the rate join below — without the
+    # materialization point the whole curation + near-dedup plan (the
+    # expensive part of this build) executes twice.
+    cur = stage(final.join(src, "doc_id"))
     n = cur.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     w_l = F.round(F.sqrt(F.col("n_s").cast("double")), 9)
     w = n.select(
