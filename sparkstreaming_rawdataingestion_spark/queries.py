@@ -123,6 +123,7 @@ _QUERY_MODULES = (
     "operators.mining",
     "operators.features",
     "operators.recsys",
+    "operators.segments",
     "streaming.windows",
 )
 
