@@ -235,11 +235,33 @@ CORE_ORDER: tuple[str, ...] = (
     "ingest_normalize",
     "tumbling_window_counts",
     "pipeline_curation_funnel",
-    # --- driver checks the first 50 entries; below: rows-only ops
+    # --- driver checks the first 50 entries; below: the round-5 queue
+    # (oracle-backed operators added after the window filled — every
+    # never-green slot inside the window is already taken, so these sit
+    # immediately past position 50, locally validated engine + --plain,
+    # and rotate into round 5's window first), then rows-only ops
     # (sketches/packing are engine-specific or sequential-state by
     # design — the driver records their weaker rows-only check) ---
+    "rfm_segmentation",
+    "pareto_revenue_share",
+    "allocation_proportional",
+    "concentration_metrics",
+    "mad_outlier_flags",
+    "cusum_changepoint",
     "sketch_mergeable_hll",
     "pack_documents",
+)
+
+# Oracle-backed queries past the driver's 50-slot window this round —
+# first in line for round 5's rotation (window overflow: more never-green
+# queries exist than slots). test_core_registry_window pins membership.
+ROUND5_QUEUE: tuple[str, ...] = (
+    "rfm_segmentation",
+    "pareto_revenue_share",
+    "allocation_proportional",
+    "concentration_metrics",
+    "mad_outlier_flags",
+    "cusum_changepoint",
 )
 
 
