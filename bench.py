@@ -137,6 +137,14 @@ HEADLINE = [
     "pipeline_training_build",
     # exact-k balanced stratum sampling (WindowGroupLimit)
     "sample_exact_k_per_group",
+    # segmentation/concentration batch: RFM quintiles over the customer
+    # rollup, exact-cents Pareto share, ratio-to-report allocation,
+    # Gini/entropy/HHI, sequential CUSUM (applyInPandas recurrence)
+    "rfm_segmentation",
+    "pareto_revenue_share",
+    "allocation_proportional",
+    "concentration_metrics",
+    "cusum_changepoint",
 ]
 
 
