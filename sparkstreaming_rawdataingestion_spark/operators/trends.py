@@ -1,0 +1,338 @@
+"""Time-trend / cohort-value analytics over the orders fact table.
+
+The warehouse consumers of the reference's landed data run exactly these
+report shapes: period-over-period growth, top-N-plus-other contribution
+rollups, inter-purchase cadence, and cohort lifetime-value curves.
+
+Money is quantized to integer cents per ROW (``floor(x*100 + 0.5)`` —
+identical IEEE ops in both engines) before any aggregation, so every sum
+here is exact 64-bit integer arithmetic: order- and partition-
+independent, no float parity surface at all (the lesson from
+segments.q_pareto_revenue_share, where both round()-on-double and
+rounding an unordered double sum flipped cents between engines).
+
+Scale shape:
+
+- **period_over_period**: facts reduce to one row per (segment, month)
+  ≈ hundreds of rows; MoM/YoY comparisons are explicit calendar
+  self-joins on (segment, month−1/−12) — no lag() window, so missing
+  months can never silently misalign periods.
+- **topn_plus_other**: per-segment rank over the customer-sized rollup
+  (WindowGroupLimit prunes to k+1 per group before the union of the
+  top-k branch and the OTHER remainder aggregate).
+- **interpurchase_intervals**: one per-customer lag window over orders
+  sorted by date — bounded partitions (orders per customer), no global
+  sort; the per-customer median gap is an exact small-group percentile.
+- **cohort_ltv_curve**: two grouped aggs (first-order cohort, monthly
+  activity) + a cohort-sized cumulative window; cumulative cents stay
+  integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# period_over_period — MoM / YoY growth per market segment
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = f"""
+WITH m AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         sum({_CENTS}) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cur.segment, cur.month,
+       CAST(cur.cents AS DOUBLE) / 100.0e0 AS revenue,
+       round(CASE WHEN prev.cents IS NOT NULL AND prev.cents <> 0
+             THEN (CAST(cur.cents AS DOUBLE) - CAST(prev.cents AS DOUBLE))
+                  / CAST(prev.cents AS DOUBLE) END, 6) AS mom_pct,
+       round(CASE WHEN yr.cents IS NOT NULL AND yr.cents <> 0
+             THEN (CAST(cur.cents AS DOUBLE) - CAST(yr.cents AS DOUBLE))
+                  / CAST(yr.cents AS DOUBLE) END, 6) AS yoy_pct
+FROM m cur
+LEFT JOIN m prev ON prev.segment = cur.segment
+                AND prev.month = cur.month - INTERVAL 1 MONTH
+LEFT JOIN m yr   ON yr.segment = cur.segment
+                AND yr.month = cur.month - INTERVAL 12 MONTH
+"""
+
+
+@_register("period_over_period", _POP_ORACLE)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth per market
+    segment. The comparison periods are explicit calendar self-joins
+    (month − 1, month − 12) on the month-sized rollup — a ``lag()``
+    window would silently compare against the previous *present* month
+    when a month is missing; the calendar join yields NULL instead."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    c = catalog.load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    cur, prev, yr = m.alias("cur"), m.alias("prev"), m.alias("yr")
+    pct = lambda a, b: F.round(  # noqa: E731
+        F.when(
+            b.isNotNull() & (b != 0),
+            (a.cast("double") - b.cast("double")) / b.cast("double"),
+        ),
+        6,
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.segment") == F.col("cur.segment"))
+            & (F.col("prev.month") == F.add_months(F.col("cur.month"), -1)),
+            "left",
+        )
+        .join(
+            yr,
+            (F.col("yr.segment") == F.col("cur.segment"))
+            & (F.col("yr.month") == F.add_months(F.col("cur.month"), -12)),
+            "left",
+        )
+        .select(
+            F.col("cur.segment").alias("segment"),
+            F.col("cur.month").alias("month"),
+            (F.col("cur.cents").cast("double") / 100.0).alias("revenue"),
+            pct(F.col("cur.cents"), F.col("prev.cents")).alias("mom_pct"),
+            pct(F.col("cur.cents"), F.col("yr.cents")).alias("yoy_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# topn_plus_other — top-3 customers per segment + OTHER remainder
+# ---------------------------------------------------------------------------
+
+_TOPN_ORACLE = f"""
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey, min(c.c_name) AS c_name,
+         sum({_CENTS}) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, o_custkey, c_name, cents,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY cents DESC, o_custkey) AS rnk
+  FROM rev
+)
+SELECT segment, CAST(rnk AS INTEGER) AS rnk, c_name AS label,
+       CAST(cents AS DOUBLE) / 100.0e0 AS revenue
+FROM ranked WHERE rnk <= 3
+UNION ALL
+SELECT segment, 0 AS rnk, 'OTHER' AS label,
+       CAST(sum(cents) AS DOUBLE) / 100.0e0 AS revenue
+FROM ranked WHERE rnk > 3
+GROUP BY segment
+"""
+
+
+@_register("topn_plus_other", _TOPN_ORACLE)
+def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per segment by exact-cents revenue plus an OTHER
+    remainder row per segment (the standard BI contribution rollup).
+    Both branches read ONE ranked customer-sized rollup; the top branch
+    is WindowGroupLimit-prunable, the remainder is a re-aggregation of
+    the same exchange."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    c = catalog.load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.min("c_name").alias("c_name"), F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    top = ranked.where(F.col("rnk") <= 3).select(
+        "segment",
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("c_name").alias("label"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+    )
+    other = (
+        ranked.where(F.col("rnk") > 3)
+        .groupBy("segment")
+        .agg(F.sum("cents").alias("cents"))
+        .select(
+            "segment",
+            F.lit(0).alias("rnk"),
+            F.lit("OTHER").alias("label"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+    return top.unionAll(other)
+
+
+# ---------------------------------------------------------------------------
+# interpurchase_intervals — per-customer order cadence
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pd
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey, date_diff('day', pd, d) AS gap
+  FROM seq WHERE pd IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(count(*) + 1 AS BIGINT)       AS n_orders,
+       round(avg(gap), 6)                 AS avg_gap_days,
+       quantile_cont(gap, 0.5)            AS median_gap_days,
+       CAST(max(gap) AS BIGINT)           AS max_gap_days
+FROM gaps GROUP BY o_custkey
+"""
+
+
+@_register("interpurchase_intervals", _GAP_ORACLE)
+def q_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-purchase cadence: mean / exact-median / max
+    days between consecutive orders (customers with ≥ 2 orders). One
+    per-customer lag window over bounded partitions, then a grouped
+    aggregate — the standard churn-model feature block."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("pd"),
+    )
+    gaps = seq.where(F.col("pd").isNotNull()).select(
+        "o_custkey", F.datediff("d", "pd").alias("gap")
+    )
+    return gaps.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_orders"),
+        F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+        F.percentile("gap", F.lit(0.5)).alias("median_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_curve — cumulative revenue per acquisition cohort
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH cohort AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+csize AS (
+  SELECT cohort_month, count(*) AS cohort_size
+  FROM cohort GROUP BY cohort_month
+),
+act AS (
+  SELECT ch.cohort_month,
+         (year(CAST(date_trunc('month', o.o_orderdate) AS DATE))
+          - year(ch.cohort_month)) * 12
+         + (month(CAST(date_trunc('month', o.o_orderdate) AS DATE))
+            - month(ch.cohort_month))                     AS month_index,
+         count(DISTINCT o.o_custkey)                      AS n_active,
+         sum({_CENTS})                                    AS cents
+  FROM orders o JOIN cohort ch ON ch.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT a.cohort_month, CAST(a.month_index AS INTEGER) AS month_index,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(a.cents AS DOUBLE) / 100.0e0 AS revenue,
+       round(CAST(sum(a.cents) OVER (PARTITION BY a.cohort_month
+                                     ORDER BY a.month_index
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 100.0e0 / s.cohort_size, 6) AS cum_ltv_per_customer
+FROM act a JOIN csize s USING (cohort_month)
+"""
+
+
+@_register("cohort_ltv_curve", _LTV_ORACLE)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month; per (cohort, month-index) active count, revenue, and the
+    cumulative LTV per cohort customer. Month index is pure integer
+    calendar arithmetic ((Δyear)*12 + Δmonth — ``months_between``'s
+    fractional doubles never enter); cumulative cents stay integer-exact
+    under the ordered window."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cohort = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date")
+        .alias("cohort_month")
+    )
+    csize = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    omonth = F.date_trunc("month", "o_orderdate").cast("date")
+    act = (
+        o.join(cohort, "o_custkey")
+        .select(
+            "cohort_month",
+            (
+                (F.year(omonth) - F.year("cohort_month")) * 12
+                + (F.month(omonth) - F.month("cohort_month"))
+            ).alias("month_index"),
+            "o_custkey",
+            cents.alias("cents"),
+        )
+        .groupBy("cohort_month", "month_index")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        act.join(F.broadcast(csize), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("month_index").cast("int").alias("month_index"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("n_active").cast("long").alias("n_active"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.sum("cents").over(wc).cast("double")
+                / 100.0
+                / F.col("cohort_size"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

@@ -124,6 +124,7 @@ _QUERY_MODULES = (
     "operators.features",
     "operators.recsys",
     "operators.segments",
+    "operators.trends",
     "streaming.windows",
 )
 
@@ -248,6 +249,10 @@ CORE_ORDER: tuple[str, ...] = (
     "concentration_metrics",
     "mad_outlier_flags",
     "cusum_changepoint",
+    "period_over_period",
+    "topn_plus_other",
+    "interpurchase_intervals",
+    "cohort_ltv_curve",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -262,6 +267,10 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "concentration_metrics",
     "mad_outlier_flags",
     "cusum_changepoint",
+    "period_over_period",
+    "topn_plus_other",
+    "interpurchase_intervals",
+    "cohort_ltv_curve",
 )
 
 
