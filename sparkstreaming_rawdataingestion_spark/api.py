@@ -140,6 +140,17 @@ class Engine:
 
         return ewma_stream(events)
 
+    def cusum_stream(
+        self, events: DataFrame, baseline: DataFrame
+    ) -> DataFrame:
+        """Per-key streaming CUSUM monitoring against an offline-trained
+        (user_id, mu, sd) baseline (streaming/cusum_stream.py) — the
+        incremental twin of the ``cusum_changepoint`` batch query;
+        returns the per-event (cusum, alarm) stream."""
+        from .streaming.cusum_stream import cusum_stream
+
+        return cusum_stream(events, baseline)
+
     # -- streaming drift monitoring ---------------------------------------
 
     def drift_monitor(
