@@ -1,0 +1,284 @@
+"""Experimentation / survival / activity-streak analytics over events.
+
+The product teams consuming the reference's landed event streams run
+exactly these: A/B readouts with CUPED variance reduction, time-to-
+conversion survival curves, and consecutive-day activity streaks.
+
+Scale shape:
+
+- **ab_cuped_adjusted**: facts reduce to one (x, y) row per user; θ and
+  the arm readout are two tiny aggregations over that rollup. θ is
+  rounded to 6 dp before the adjustment is applied so both engines
+  adjust with the identical constant (the covariance quotient is the
+  only cross-engine float hazard here — pin the input, not the output).
+- **survival_km_curve**: one row per user (duration, event flag) →
+  one row per distinct event time; the risk set is an ordered
+  cumulative window over that tiny table. The Kaplan-Meier product is
+  computed as exp(Σ ln(1−dᵢ/nᵢ)) — a cumulative SUM (prefix-
+  reassociation-safe in the ordered window) instead of a cumulative
+  product, which neither engine offers as an aggregate.
+- **gaps_islands_streaks**: the classic rn-difference islands trick —
+  distinct (user, day) activity matrix, day − row_number() island key,
+  two grouped aggregations. Pure integer arithmetic, zero float parity
+  surface, and the window partitions are bounded by per-user activity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# ab_cuped_adjusted — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_CUTOFF = "2024-01-15 00:00:00"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INTEGER) AS arm,
+         sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUTOFF}'
+                  THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                  THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+theta AS (
+  SELECT round(covar_pop(x, y) / var_pop(x), 6) AS th,
+         avg(x) AS xbar
+  FROM per_user
+),
+adj AS (
+  SELECT p.arm, p.y,
+         p.y - t.th * (p.x - t.xbar) AS y_adj
+  FROM per_user p CROSS JOIN theta t
+)
+SELECT arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 6)        AS mean_y,
+       round(avg(y_adj), 6)    AS mean_y_adj,
+       round(var_pop(y_adj) / var_pop(y), 6) AS var_ratio
+FROM adj GROUP BY arm
+"""
+
+
+@_register("ab_cuped_adjusted", _CUPED_ORACLE)
+def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: per-user pre-period covariate x and
+    post-period metric y, θ = cov(x,y)/var(x) fitted on all users
+    (rounded to 6 dp before use — both engines then adjust with the
+    identical constant), per-arm adjusted means and the achieved
+    variance-reduction ratio. Assignment is the deterministic
+    ``user_id % 2`` hash arm."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0))
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(0.0))
+        .alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+    )
+    theta = per_user.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("th"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar")))
+        .alias("y_adj"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("y"), 6).alias("mean_y"),
+        F.round(F.avg("y_adj"), 6).alias("mean_y_adj"),
+        F.round(F.var_pop("y_adj") / F.var_pop("y"), 6).alias("var_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# survival_km_curve — Kaplan-Meier time-to-conversion
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_conv,
+         max(ts) AS t_last
+  FROM events GROUP BY user_id
+),
+durations AS (
+  SELECT user_id,
+         CASE WHEN t_conv IS NOT NULL
+              THEN CAST(floor(epoch(t_conv - t0) / 3600.0) AS BIGINT)
+              ELSE CAST(floor(epoch(t_last - t0) / 3600.0) AS BIGINT)
+         END AS t_hours,
+         CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM per_user
+),
+n_total AS (SELECT count(*) AS n FROM durations),
+by_t AS (
+  SELECT t_hours,
+         sum(converted)          AS d,
+         count(*)                AS removed
+  FROM durations GROUP BY t_hours
+),
+risk AS (
+  SELECT t_hours, d,
+         (SELECT n FROM n_total)
+           - coalesce(sum(removed) OVER (ORDER BY t_hours
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS n_risk
+  FROM by_t
+)
+SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t_hours ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0e0
+            ELSE round(exp(sum(CASE WHEN d < n_risk
+                               THEN ln(1.0e0 - CAST(d AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)) END)
+                           OVER (ORDER BY t_hours
+                                 ROWS UNBOUNDED PRECEDING)), 6)
+       END AS survival
+FROM risk
+WHERE d > 0
+"""
+
+
+@_register("survival_km_curve", _KM_ORACLE)
+def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase: per-user duration in hours
+    from first activity (censored at last activity when no purchase),
+    risk sets from one ordered cumulative window over the duration-
+    grouped rollup, survival as exp of the cumulative Σ ln(1−d/n)
+    (prefix sums reassociate safely; a floating cumulative *product*
+    would not be available as a window aggregate in either engine)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_conv"),
+        F.max("ts").alias("t_last"),
+    )
+    durations = per_user.select(
+        # timestampdiff(HOUR): integer microsecond arithmetic on NTZ —
+        # truncating division == the oracle's floor(epoch/3600) for the
+        # positive durations here, with no timezone surface at all
+        F.expr(
+            "timestampdiff(HOUR, t0, coalesce(t_conv, t_last))"
+        ).cast("long").alias("t_hours"),
+        F.when(F.col("t_conv").isNotNull(), 1).otherwise(0).alias(
+            "converted"
+        ),
+    )
+    n_total = durations.agg(F.count(F.lit(1)).alias("n"))
+    by_t = durations.groupBy("t_hours").agg(
+        F.sum("converted").alias("d"), F.count(F.lit(1)).alias("removed")
+    )
+    w_prev = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = by_t.crossJoin(F.broadcast(n_total)).select(
+        "t_hours",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("removed").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # once d == n_risk (everyone remaining converts) survival is exactly
+    # 0 and ln(1−d/n) is undefined — the cumulative zero flag pins it
+    hit_zero = (
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(w_cum)
+        == 1
+    )
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ),
+    )
+    return risk.select(
+        "t_hours",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.when(hit_zero, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(log_term).over(w_cum)), 6))
+        .alias("survival"),
+    ).where(F.col("d") > 0)
+
+
+# ---------------------------------------------------------------------------
+# gaps_islands_streaks — consecutive-day activity islands
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, count(*) AS run_len
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+       CAST(max(run_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT)     AS n_islands
+FROM runs GROUP BY user_id
+"""
+
+
+@_register("gaps_islands_streaks", _STREAK_ORACLE)
+def q_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user via the rn-difference
+    islands trick: distinct active days, ``day − row_number()`` is
+    constant within a consecutive run, two grouped counts give run
+    lengths and island counts. All integer/date arithmetic."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )

@@ -125,6 +125,7 @@ _QUERY_MODULES = (
     "operators.recsys",
     "operators.segments",
     "operators.trends",
+    "operators.experiments",
     "streaming.windows",
 )
 
@@ -253,6 +254,9 @@ CORE_ORDER: tuple[str, ...] = (
     "topn_plus_other",
     "interpurchase_intervals",
     "cohort_ltv_curve",
+    "ab_cuped_adjusted",
+    "survival_km_curve",
+    "gaps_islands_streaks",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -271,6 +275,9 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "topn_plus_other",
     "interpurchase_intervals",
     "cohort_ltv_curve",
+    "ab_cuped_adjusted",
+    "survival_km_curve",
+    "gaps_islands_streaks",
 )
 
 
