@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -88,13 +88,19 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_id % 2`` hash arm."""
     ev = catalog.load_table(spark, sf_dir, "events")
     cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0))
-        .alias("x"),
-        F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(0.0))
-        .alias("y"),
-    ).select(
-        (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+    # Staged: the per-user rollup feeds the θ fit AND the adjustment —
+    # one fact scan
+    per_user = session.stage(
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(0.0)
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
     )
     theta = per_user.agg(
         F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("th"),
@@ -181,7 +187,9 @@ def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_conv"),
         F.max("ts").alias("t_last"),
     )
-    durations = per_user.select(
+    # Staged: the duration table feeds the N scalar AND the event-time
+    # rollup — one fact scan
+    durations = session.stage(per_user.select(
         # timestampdiff(HOUR): integer microsecond arithmetic on NTZ —
         # truncating division == the oracle's floor(epoch/3600) for the
         # positive durations here, with no timezone surface at all
@@ -191,7 +199,7 @@ def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("t_conv").isNotNull(), 1).otherwise(0).alias(
             "converted"
         ),
-    )
+    ))
     n_total = durations.agg(F.count(F.lit(1)).alias("n"))
     by_t = durations.groupBy("t_hours").agg(
         F.sum("converted").alias("d"), F.count(F.lit(1)).alias("removed")

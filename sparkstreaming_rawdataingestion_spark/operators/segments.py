@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -98,22 +98,24 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's consumers segment datastream owners the same way
     (activity recency × stream count × data volume)."""
     o = catalog.load_table(spark, sf_dir, "orders")
-    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
-    rfm = (
-        o.groupBy("o_custkey")
-        .agg(
+    # Staged: the rollup feeds BOTH the global max-date scalar and the
+    # per-customer recency projection — one fact scan, and the global
+    # max is a re-aggregation of the customer-sized rollup rather than
+    # a second pass over orders.
+    base = session.stage(
+        o.groupBy("o_custkey").agg(
             F.max(F.to_date("o_orderdate")).alias("last_d"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
             .alias("monetary"),
         )
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            "o_custkey",
-            F.datediff("d0", "last_d").cast("long").alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
+    )
+    maxd = base.agg(F.max("last_d").alias("d0"))
+    rfm = base.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("d0", "last_d").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
     )
     r_q = F.ntile(5).over(
         Window.orderBy(F.col("recency_days").desc(), "o_custkey")
@@ -327,7 +329,9 @@ def q_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("c_mktsegment").orderBy("rev", "o_custkey")
-    ranked = cust_rev.withColumn("rnk", F.row_number().over(wr))
+    # Staged: the ranked rollup feeds the segment aggregate AND the
+    # shares join — one fact-side pass
+    ranked = session.stage(cust_rev.withColumn("rnk", F.row_number().over(wr)))
     seg = ranked.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev").alias("total_rev"),

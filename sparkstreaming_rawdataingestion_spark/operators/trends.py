@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -89,7 +89,10 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = catalog.load_table(spark, sf_dir, "orders")
     c = catalog.load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    m = (
+    # Staged: the month-sized rollup is self-joined three ways (current,
+    # month−1, month−12) — one materialization instead of three fact
+    # scans (the aliased subplans' differing outputs defeat ReuseExchange)
+    m = session.stage(
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
@@ -174,7 +177,11 @@ def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("segment").orderBy(
         F.col("cents").desc(), "o_custkey"
     )
-    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    # Staged: the top-k branch and the OTHER remainder both consume the
+    # ranked rollup, and their differing column pruning (c_name) defeats
+    # ReuseExchange — without the materialization point the fact-side
+    # join + aggregation executes twice.
+    ranked = session.stage(rev.withColumn("rnk", F.row_number().over(w)))
     top = ranked.where(F.col("rnk") <= 3).select(
         "segment",
         F.col("rnk").cast("int").alias("rnk"),
@@ -290,9 +297,12 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the ordered window."""
     o = catalog.load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    cohort = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).cast("date")
-        .alias("cohort_month")
+    # Staged: consumed by the cohort-size rollup AND the activity join
+    cohort = session.stage(
+        o.groupBy("o_custkey").agg(
+            F.date_trunc("month", F.min("o_orderdate")).cast("date")
+            .alias("cohort_month")
+        )
     )
     csize = cohort.groupBy("cohort_month").agg(
         F.count(F.lit(1)).alias("cohort_size")
