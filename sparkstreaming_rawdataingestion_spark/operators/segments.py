@@ -182,13 +182,18 @@ def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     not over lineitem — the fact table is reduced by a
     map-side-combining groupBy first."""
     li = catalog.load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                + 0.5
-            ).cast("long")
-        ).alias("cents")
+    # Staged: the part rollup feeds the grand-total scalar AND the
+    # ranking window — one lineitem scan
+    rev = session.stage(
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100
+                    + 0.5
+                ).cast("long")
+            ).alias("cents")
+        )
     )
     tot = rev.agg(F.sum("cents").alias("t"))
     w = Window.orderBy(F.col("cents").desc(), "l_partkey")

@@ -180,3 +180,80 @@ def test_path_trigrams_topk_over_bounded_agg(spark, sf_dir):
     df = behavior.q_event_path_trigrams(spark, sf_dir)
     plan = plans.executed_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_allocation_window_exchange_reused_by_join(spark, sf_dir):
+    """The per-order window and the header join share the l_orderkey
+    partitioning: ONE lineitem-side exchange total, no cartesian."""
+    from sparkstreaming_rawdataingestion_spark.operators import segments
+
+    df = segments.q_allocation_proportional(spark, sf_dir)
+    assert plans.count_exchanges(df) <= 2  # li window + orders join side
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def _fact_scans_all_cached(plan: str, fragment: str) -> bool:
+    """True when every textual occurrence of the fact's FileScan sits
+    inside an InMemoryRelation printout (the cached-plan echo) — i.e.
+    the fact is physically scanned once and re-consumers read the
+    cache. Each InMemoryTableScan prints its cached subtree once, so
+    cached echoes == InMemoryRelation count."""
+    return 0 < plan.count(fragment) <= plan.count("InMemoryRelation")
+
+
+def test_pareto_single_lineitem_pass(spark, sf_dir):
+    """Grand total AND ranking window consume the STAGED part rollup —
+    lineitem is scanned once; windows never see raw facts."""
+    from sparkstreaming_rawdataingestion_spark.operators import segments
+    from sparkstreaming_rawdataingestion_spark.session import release_staged
+
+    df = segments.q_pareto_revenue_share(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert _fact_scans_all_cached(plan, "lineitem.parquet")
+    release_staged()
+
+
+def test_mad_flags_broadcast_stats_onto_scan(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import segments
+
+    df = segments.q_mad_outlier_flags(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_other_single_fact_pass(spark, sf_dir):
+    """Both union branches must consume the STAGED ranked rollup — the
+    orders scan is cached once, the branches read InMemoryTableScan."""
+    from sparkstreaming_rawdataingestion_spark.operators import trends
+    from sparkstreaming_rawdataingestion_spark.session import release_staged
+
+    df = trends.q_topn_plus_other(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert _fact_scans_all_cached(plan, "orders.parquet")
+    release_staged()
+
+
+def test_period_over_period_single_fact_pass(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import trends
+    from sparkstreaming_rawdataingestion_spark.session import release_staged
+
+    df = trends.q_period_over_period(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3  # cur, month-1, month-12
+    assert _fact_scans_all_cached(plan, "orders.parquet")
+    release_staged()
+
+
+def test_cuped_single_fact_pass(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import experiments
+    from sparkstreaming_rawdataingestion_spark.session import release_staged
+
+    df = experiments.q_ab_cuped_adjusted(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2  # theta fit + adjustment
+    assert _fact_scans_all_cached(plan, "events.parquet")
+    release_staged()
