@@ -259,6 +259,55 @@ PICKS = {
         "Exact-k stratum sample: rank ≤ k compiles to WindowGroupLimit "
         "— per-stratum top-k heaps, never a full per-stratum sort."
     ),
+    "rfm_segmentation": (
+        "RFM: one fact scan into a staged customer rollup; the global "
+        "max-date scalar re-aggregates the rollup (never a second "
+        "orders pass); NTILE windows run over dimension-sized input."
+    ),
+    "pareto_revenue_share": (
+        "Pareto share: staged part rollup feeds both the grand-total "
+        "scalar and the ranking window — one lineitem pass; the "
+        "ordered cumulative sum runs over |parts| rows of exact cents."
+    ),
+    "allocation_proportional": (
+        "Ratio-to-report: the per-order window's l_orderkey exchange "
+        "is REUSED by the header join (same key) — one lineitem "
+        "shuffle total, bounded partitions."
+    ),
+    "mad_outlier_flags": (
+        "MAD outliers: two 5-row percentile aggregates broadcast back "
+        "onto the event scan; the |z|>3.5 flag filters scan-side in "
+        "codegen."
+    ),
+    "topn_plus_other": (
+        "Top-N+other: both union branches read the STAGED ranked "
+        "rollup (InMemoryTableScan) — the fact join+agg runs once."
+    ),
+    "period_over_period": (
+        "MoM/YoY: three calendar self-joins consume one staged "
+        "month-sized rollup; missing months surface as NULLs, never "
+        "misaligned lags."
+    ),
+    "cohort_ltv_curve": (
+        "Cohort LTV: staged first-order cohort table feeds size rollup "
+        "and activity join; cumulative cents stay integer-exact in the "
+        "per-cohort window."
+    ),
+    "ab_cuped_adjusted": (
+        "CUPED: one event scan into a staged per-user (x, y) rollup; "
+        "θ is a broadcast 1-row scalar; adjustment and readout are "
+        "map-side + one tiny agg."
+    ),
+    "survival_km_curve": (
+        "Kaplan-Meier: staged per-user durations; risk sets and the "
+        "survival product come from ordered windows over the "
+        "event-time-sized rollup."
+    ),
+    "gaps_islands_streaks": (
+        "Islands: distinct (user, day) matrix, rn-difference island "
+        "key from one bounded per-user window, two grouped counts — "
+        "all integer arithmetic."
+    ),
 }
 
 SKIP_PREFIXES = (
