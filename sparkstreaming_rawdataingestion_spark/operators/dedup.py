@@ -625,6 +625,163 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable SimHash — the oracle-backed twin of dedup_simhash_pairs.
+#
+# The production variant above uses xxhash64 (fast, JVM-side) whose values
+# no other engine reproduces, so it is rows-only at the driver gate. This
+# twin swaps in the repo's cross-engine token hash (the polynomial
+# rolling hash from text_fingerprint, mod 1e9+7) plus two multiplicative
+# 32-bit mixing rounds — every operation is exact BIGINT arithmetic that
+# DuckDB evaluates identically, so the full near-dup pair set
+# hash-matches an ANSI-SQL oracle. Same plan shape as the fast variant:
+# map-side signatures, 8-bit chunk pigeonholing (d ≤ 3 ⇒ one of 4 chunks
+# equal), exact popcount verify.
+# ---------------------------------------------------------------------------
+
+SIMHASH_PORTABLE_BITS = 32
+SIMHASH_PORTABLE_HAMMING = 3
+
+_MIX1 = 2654435761  # Knuth multiplicative (2^32 golden ratio)
+_MIX2 = 1540483477  # MurmurHash2 multiplier
+_M32 = 4294967296
+
+# per-bit extraction: bits 0-15 from m1's high half, 16-31 from m2's
+_PORTABLE_BIT_SQL = [
+    f"((m1 >> {16 + i}) & 1)" if i < 16 else f"((m2 >> {i}) & 1)"
+    for i in range(SIMHASH_PORTABLE_BITS)
+]
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce([0::BIGINT] ||
+                     [ascii(c)::BIGINT % 256 FOR c IN string_split(tok, '')],
+                     (acc, x) -> (acc * 31 + x) % 1000000007) AS h0
+  FROM tok
+),
+mixed AS (
+  SELECT doc_id,
+         (h0 * {_MIX1}) % {_M32} AS m1,
+         (((h0 * {_MIX1}) % {_M32}) * {_MIX2}) % {_M32} AS m2
+  FROM h
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"sum(2 * {b} - 1) AS v{i}"
+                    for i, b in enumerate(_PORTABLE_BIT_SQL))}
+  FROM mixed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         ({" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT"
+                      f" ELSE 0 END)"
+                      for i in range(SIMHASH_PORTABLE_BITS))}) AS simhash
+  FROM votes
+),
+chunks AS (
+  SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS chunk
+  FROM sig, unnest([0, 1, 2, 3]) AS u(ci)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+                           AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_PORTABLE_HAMMING}
+"""
+
+
+def simhash_portable_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """32-bit portable SimHash per doc — cross-engine-exact arithmetic
+    (docstring of the section above)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    h0 = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c) % 256) % 1000000007,
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", h0.alias("h0"))
+    m1 = (F.col("h0") * _MIX1) % _M32
+    mixed = tok.select(
+        "doc_id", m1.alias("m1"), ((m1 * _MIX2) % _M32).alias("m2")
+    )
+    bits = [
+        F.shiftright(F.col("m1"), 16 + i).bitwiseAND(F.lit(1))
+        if i < 16
+        else F.shiftright(F.col("m2"), i).bitwiseAND(F.lit(1))
+        for i in range(SIMHASH_PORTABLE_BITS)
+    ]
+    votes = mixed.groupBy("doc_id").agg(
+        *[F.sum(2 * b - 1).alias(f"v{i}") for i, b in enumerate(bits)]
+    )
+    sig = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(SIMHASH_PORTABLE_BITS)
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@_register("dedup_simhash_portable_pairs", _SIMHASH_PORTABLE_ORACLE)
+def q_dedup_simhash_portable_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable SimHash near-dup pairs (hamming ≤ 3 over 32 bits) —
+    the ORACLE-BACKED twin of ``dedup_simhash_pairs``: identical
+    two-phase plan (8-bit chunk pigeonhole candidates → exact popcount
+    verify), but with cross-engine-exact hashing so every pair
+    hash-matches the DuckDB oracle. The xxhash64 variant remains the
+    production path (JVM hash, no per-char fold); this one is the
+    verification kernel that proves the algorithm, not just the row
+    count."""
+    sigs = stage(simhash_portable_signatures(spark, sf_dir))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.shiftright(F.col("simhash"), ci * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk"),
+                    )
+                    for ci in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.ci", "cc.chunk")
+    l = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "ci",
+        "chunk",
+    )
+    r = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "ci",
+        "chunk",
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        l.join(r, ["ci", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_PORTABLE_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup: embedding cosine (brute-force ground truth)
 # ---------------------------------------------------------------------------
 

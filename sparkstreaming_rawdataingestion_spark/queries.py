@@ -257,6 +257,7 @@ CORE_ORDER: tuple[str, ...] = (
     "ab_cuped_adjusted",
     "survival_km_curve",
     "gaps_islands_streaks",
+    "dedup_simhash_portable_pairs",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -278,6 +279,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "ab_cuped_adjusted",
     "survival_km_curve",
     "gaps_islands_streaks",
+    "dedup_simhash_portable_pairs",
 )
 
 
