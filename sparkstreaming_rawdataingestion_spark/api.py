@@ -151,6 +151,15 @@ class Engine:
 
         return cusum_stream(events, baseline)
 
+    def funnel_stream(self, events: DataFrame) -> DataFrame:
+        """Streaming ordered-funnel completion (streaming/
+        funnel_stream.py) — the incremental twin of the
+        ``funnel_pattern_match`` batch query; emits one final row per
+        user when view → click → purchase closes."""
+        from .streaming.funnel_stream import funnel_stream
+
+        return funnel_stream(events)
+
     # -- streaming drift monitoring ---------------------------------------
 
     def drift_monitor(
