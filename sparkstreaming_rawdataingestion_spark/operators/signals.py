@@ -1,0 +1,233 @@
+"""Signal-conditioning operators: distribution normalization, burst
+debouncing, and rolling cross-correlation.
+
+Scale shape:
+
+- **quantile_normalize_sources**: per-source percent-rank windows are
+  bounded by source size; the GLOBAL reference ranking is the one
+  global sort — the textbook definition of quantile normalization needs
+  it. At 100 TB the exact global rank swaps for an approx-quantile grid
+  (percentile_approx breakpoints broadcast, piecewise-linear lookup);
+  the exact form here is the verification kernel for that grid.
+- **debounce_events**: one bounded (user, type) window; the burst key is
+  the rn-difference islands idea applied to time gaps (a new burst
+  starts where the gap from the previous event exceeds the threshold).
+  Integer microsecond arithmetic only.
+- **rolling_correlation**: facts reduce to an hourly (series × volume)
+  matrix; the rolling Pearson r is a RANGE-framed window corr over that
+  tiny rollup — never over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog, session
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize_sources — map per-source score ranks onto the
+# global score distribution
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM documents
+),
+n_global AS (SELECT count(*) AS n FROM scored),
+gref AS (
+  SELECT score AS g_score,
+         row_number() OVER (ORDER BY score, doc_id) AS rn
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY score, doc_id) AS pr
+  FROM scored
+),
+idx AS (
+  SELECT doc_id, source, score,
+         CAST(floor(pr * ((SELECT n FROM n_global) - 1) + 0.5) AS BIGINT)
+           + 1 AS rn
+  FROM ranked
+)
+SELECT i.doc_id, i.source, i.score, g.g_score AS norm_score
+FROM idx i JOIN gref g USING (rn)
+"""
+
+
+@_register("quantile_normalize_sources", _QNORM_ORACLE)
+def q_quantile_normalize_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization across sources: each document's score is
+    replaced by the GLOBAL score at the same rank fraction, so every
+    source's score distribution becomes identical (the cross-source
+    comparability transform used before mixing quality signals from
+    heterogeneous domains). Rank → index arithmetic is deterministic
+    (percent_rank ties broken on doc_id; floor(x+0.5) of identical
+    doubles), making the whole mapping engine-exact."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    scored = session.stage(
+        d.select(
+            "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+        )
+    )
+    n_global = scored.agg(F.count(F.lit(1)).alias("n"))
+    glob = scored.select(
+        F.col("score").alias("g_score"),
+        F.row_number()
+        .over(Window.orderBy("score", "doc_id"))
+        .alias("rn"),
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("score", "doc_id")
+    )
+    idx = (
+        scored.select("doc_id", "source", "score", pr.alias("pr"))
+        .crossJoin(F.broadcast(n_global))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            (
+                F.floor(F.col("pr") * (F.col("n") - 1) + 0.5).cast("long")
+                + 1
+            ).alias("rn"),
+        )
+    )
+    return idx.join(glob, "rn").select(
+        "doc_id", "source", "score", F.col("g_score").alias("norm_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# debounce_events — collapse rapid repeats into bursts, keep the first
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_GAP_S = 30
+
+_DEBOUNCE_ORACLE = f"""
+WITH seq AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts - prev_ts) > {_DEBOUNCE_GAP_S}
+              THEN 1 ELSE 0 END AS burst_start
+  FROM seq
+),
+bursts AS (
+  SELECT *,
+         sum(burst_start) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM marked
+)
+SELECT user_id, event_type, burst_id AS burst_no,
+       min(event_id) AS first_event_id,
+       min(ts)       AS burst_start_ts,
+       CAST(count(*) AS BIGINT) AS n_collapsed
+FROM bursts
+GROUP BY user_id, event_type, burst_id
+"""
+
+
+@_register("debounce_events", _DEBOUNCE_ORACLE)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: events of the same (user, type) closer than 30 s to
+    their predecessor collapse into one burst; emit the burst's first
+    event + collapse count (the telemetry de-duplication every
+    ingest-side consumer reimplements). One bounded window pass; the
+    burst id is a running sum of gap-break flags."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_s = F.expr("timestampdiff(SECOND, prev_ts, ts)")
+    marked = seq.withColumn(
+        "burst_start",
+        F.when(
+            F.col("prev_ts").isNull() | (gap_s > _DEBOUNCE_GAP_S), 1
+        ).otherwise(0),
+    )
+    bursts = marked.withColumn(
+        "burst_id",
+        F.sum("burst_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return bursts.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("burst_start_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_collapsed"),
+    ).withColumnRenamed("burst_id", "burst_no")
+
+
+# ---------------------------------------------------------------------------
+# rolling_correlation — 24 h rolling Pearson r between two series
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS views,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+  FROM events GROUP BY 1
+)
+SELECT hour, CAST(views AS BIGINT) AS views, CAST(clicks AS BIGINT) AS clicks,
+       round(corr(CAST(views AS DOUBLE), CAST(clicks AS DOUBLE))
+             OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+             6) AS corr_24h
+FROM hourly
+"""
+
+
+@_register("rolling_correlation", _ROLLCORR_ORACLE)
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between hourly view and click
+    volumes — the co-movement monitor for a pair of operational series.
+    Facts reduce to one row per hour; the window corr runs over that
+    rollup (24-row frames), never over raw events."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("views"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, Window.currentRow)
+    return hourly.select(
+        "hour",
+        F.col("views").cast("long").alias("views"),
+        F.col("clicks").cast("long").alias("clicks"),
+        F.round(
+            F.corr(
+                F.col("views").cast("double"), F.col("clicks").cast("double")
+            ).over(w),
+            6,
+        ).alias("corr_24h"),
+    )

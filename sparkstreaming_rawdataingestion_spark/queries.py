@@ -126,6 +126,7 @@ _QUERY_MODULES = (
     "operators.segments",
     "operators.trends",
     "operators.experiments",
+    "operators.signals",
     "streaming.windows",
 )
 
@@ -258,6 +259,9 @@ CORE_ORDER: tuple[str, ...] = (
     "survival_km_curve",
     "gaps_islands_streaks",
     "dedup_simhash_portable_pairs",
+    "quantile_normalize_sources",
+    "debounce_events",
+    "rolling_correlation",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -280,6 +284,9 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "survival_km_curve",
     "gaps_islands_streaks",
     "dedup_simhash_portable_pairs",
+    "quantile_normalize_sources",
+    "debounce_events",
+    "rolling_correlation",
 )
 
 

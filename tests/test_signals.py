@@ -1,0 +1,102 @@
+"""Hand-crafted-input invariants for the signal-conditioning operators
+(operators/signals.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+import sparkstreaming_rawdataingestion_spark.catalog as catalog
+from sparkstreaming_rawdataingestion_spark.operators import signals
+
+D = datetime.datetime
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _with_table(spark, df, fn):
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda sp, sf, t: df
+        signals.catalog.load_table = catalog.load_table
+        return fn()
+    finally:
+        catalog.load_table = orig
+        signals.catalog.load_table = orig
+
+
+def test_quantile_normalize_makes_source_distributions_identical(
+    spark, sf_dir
+):
+    """After normalization every source's multiset of norm scores must
+    draw from the global distribution — and per-source min/max map to
+    (near) global min/max."""
+    out = signals.q_quantile_normalize_sources(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    all_scores = sorted(r.score for r in rows)
+    gmin, gmax = all_scores[0], all_scores[-1]
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.norm_score)
+    for src, ns in by_src.items():
+        assert min(ns) == gmin, src   # pr=0 maps to the global minimum
+        assert max(ns) == gmax, src   # pr=1 maps to the global maximum
+        # normalized values come from the global score set
+        assert set(ns) <= set(all_scores)
+
+
+def test_debounce_collapses_bursts_keeps_first(spark):
+    rows = [
+        # burst 1: 3 events within 30 s
+        (1, D(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, "{}"),
+        (2, D(2024, 1, 1, 0, 0, 10), 1, "click", 0.0, "{}"),
+        (3, D(2024, 1, 1, 0, 0, 39), 1, "click", 0.0, "{}"),  # 29s gap
+        # burst 2: 31 s after previous
+        (4, D(2024, 1, 1, 0, 1, 10), 1, "click", 0.0, "{}"),
+        # different type: own burst chain
+        (5, D(2024, 1, 1, 0, 0, 5), 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    out = _with_table(
+        spark, ev, lambda: signals.q_debounce_events(spark, "x").collect()
+    )
+    clicks = sorted(
+        (r for r in out if r.event_type == "click"), key=lambda r: r.burst_no
+    )
+    assert [(r.first_event_id, r.n_collapsed) for r in clicks] == [
+        (1, 3),
+        (4, 1),
+    ]
+    views = [r for r in out if r.event_type == "view"]
+    assert [(views[0].first_event_id, views[0].n_collapsed)] == [(5, 1)]
+
+
+def test_rolling_correlation_detects_perfect_comovement(spark):
+    """clicks = 2 × views per hour → rolling r = 1 once ≥ 2 hours seen."""
+    rows = []
+    eid = 0
+    for h in range(6):
+        n_views = h + 1
+        for i in range(n_views):
+            eid += 1
+            rows.append((eid, D(2024, 1, 1, h, i), 1, "view", 0.0, "{}"))
+        for i in range(2 * n_views):
+            eid += 1
+            rows.append((eid, D(2024, 1, 1, h, 30 + i % 30), 1, "click", 0.0, "{}"))
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    out = _with_table(
+        spark, ev,
+        lambda: sorted(
+            signals.q_rolling_correlation(spark, "x").collect(),
+            key=lambda r: r.hour,
+        ),
+    )
+    assert out[0].corr_24h is None  # single point: undefined
+    for r in out[1:]:
+        assert r.corr_24h == 1.0
+        assert r.clicks == 2 * r.views
