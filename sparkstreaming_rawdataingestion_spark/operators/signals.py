@@ -129,9 +129,13 @@ WITH seq AS (
   FROM events
 ),
 marked AS (
+  -- the gap compares INTEGER MICROSECONDS on both engines: second-
+  -- truncating diffs disagree with fractional epoch() exactly at
+  -- gaps like 30.5 s (observed at sf0.1)
   SELECT *,
          CASE WHEN prev_ts IS NULL
-                   OR epoch(ts - prev_ts) > {_DEBOUNCE_GAP_S}
+                   OR (epoch_us(ts) - epoch_us(prev_ts))
+                      > {_DEBOUNCE_GAP_S} * 1000000
               THEN 1 ELSE 0 END AS burst_start
   FROM seq
 ),
@@ -163,11 +167,14 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_id"
     )
     seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
-    gap_s = F.expr("timestampdiff(SECOND, prev_ts, ts)")
+    # integer-microsecond gap — exact on both engines (see oracle note)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
     marked = seq.withColumn(
         "burst_start",
         F.when(
-            F.col("prev_ts").isNull() | (gap_s > _DEBOUNCE_GAP_S), 1
+            F.col("prev_ts").isNull()
+            | (gap_us > _DEBOUNCE_GAP_S * 1_000_000),
+            1,
         ).otherwise(0),
     )
     bursts = marked.withColumn(
