@@ -679,3 +679,73 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATHS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_linear — fractional multi-touch credit
+# ---------------------------------------------------------------------------
+
+_LINEAR_ORACLE = f"""
+WITH touches AS (
+  SELECT user_id, event_id, event_type AS channel, ts AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+p AS (
+  SELECT event_id AS p_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+credits AS (
+  SELECT p.p_id, t.channel,
+         1.0e0 / count(*) OVER (PARTITION BY p.p_id) AS credit
+  FROM p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.tts < p.pts
+   AND (epoch_us(p.pts) - epoch_us(t.tts))
+       <= {_ATTRIB_WINDOW_SEC}::BIGINT * 1000000
+)
+SELECT channel,
+       round(sum(credit), 6)                    AS total_credit,
+       CAST(count(DISTINCT p_id) AS BIGINT)     AS n_conversions
+FROM credits GROUP BY channel
+"""
+
+
+@_register("attribution_linear", _LINEAR_ORACLE)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click STRICTLY before
+    a purchase and within the 7-day lookback shares the conversion
+    credit equally (1/n per touch) — the fractional complement of
+    ``attribution_last_touch``.
+
+    The purchase×touch pairing is a per-user range join: partitioned on
+    ``user_id`` it is bounded by per-user activity (never a global
+    cross product), and the credit denominator rides one per-purchase
+    window over the matched pairs. The lookback gap compares integer
+    microseconds (see signals.debounce_events for why)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    touches = ev.where(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, tts, pts)")
+    pairs = p.join(
+        touches,
+        (p.user_id == touches.user_id)
+        & (F.col("tts") < F.col("pts")),
+    ).where(gap_us <= F.lit(_ATTRIB_WINDOW_SEC * 1_000_000).cast("long"))
+    credit = F.lit(1.0) / F.count(F.lit(1)).over(
+        Window.partitionBy("p_id")
+    )
+    credits = pairs.select("p_id", "channel", credit.alias("credit"))
+    return credits.groupBy("channel").agg(
+        F.round(F.sum("credit"), 6).alias("total_credit"),
+        F.countDistinct("p_id").cast("long").alias("n_conversions"),
+    )

@@ -690,3 +690,77 @@ def q_pq_reconstruction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("recon_cos"), 6).alias("min_recon_cos"),
         F.round(F.avg("errsq"), 6).alias("mean_sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_similarity — pairwise cosine between class centroids
+# ---------------------------------------------------------------------------
+
+_CENTROID_SIM_ORACLE = """
+WITH cent AS (
+  SELECT label, i AS idx,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS c
+  -- fixture embeddings are fixed-width (len 64 asserted in pytest);
+  -- DuckDB's generate_series cannot lateral-reference the array column
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c * b.c) AS dot,
+         sum(a.c * a.c) AS na2,
+         sum(b.c * b.c) AS nb2
+  FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine_sim
+FROM pairs
+"""
+
+
+@_register("label_centroid_similarity", _CENTROID_SIM_ORACLE)
+def q_label_centroid_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the class-confusability / cluster-quality diagnostic run before
+    using labels for stratified mixing. Centroid components are rounded
+    to 9 dp BEFORE the cosine (the per-dimension avg is the only
+    reduction-order float surface; pin the inputs, not the output).
+
+    Plan: posexplode → one (label, dim) aggregation (map-side combined,
+    |labels|×|dims| keys), then the pairwise join runs over the tiny
+    centroid matrix — |labels|²·dims work, independent of corpus size."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).alias("idx"), F.col("col"))
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg("col"), 9).alias("c"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "idx", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "idx", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "idx")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+        ).alias("cosine_sim"),
+    )

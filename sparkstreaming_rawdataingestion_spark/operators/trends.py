@@ -346,3 +346,67 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_revenue_shares — percent-of-parent in the region → nation hierarchy
+# ---------------------------------------------------------------------------
+
+_GEO_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(cents AS DOUBLE) / 100.0e0 AS revenue,
+       round(CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY region) AS DOUBLE),
+             6) AS share_of_region,
+       CAST(row_number() OVER (PARTITION BY region
+                               ORDER BY cents DESC, nation) AS INTEGER)
+         AS rank_in_region
+FROM rev
+"""
+
+
+@_register("geo_revenue_shares", _GEO_ORACLE)
+def q_geo_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup over the region → nation hierarchy:
+    per-nation revenue (exact integer cents), its share of the region
+    total, and its rank within the region. Both dimension joins
+    broadcast; the share/rank windows run over the |nations|-sized
+    rollup."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    c = catalog.load_table(spark, sf_dir, "customer")
+    n = catalog.load_table(spark, sf_dir, "nation")
+    r = catalog.load_table(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wreg = Window.partitionBy("region")
+    wrank = Window.partitionBy("region").orderBy(
+        F.col("cents").desc(), "nation"
+    )
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(wreg).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.row_number().over(wrank).cast("int").alias("rank_in_region"),
+    )

@@ -262,6 +262,9 @@ CORE_ORDER: tuple[str, ...] = (
     "quantile_normalize_sources",
     "debounce_events",
     "rolling_correlation",
+    "attribution_linear",
+    "geo_revenue_shares",
+    "label_centroid_similarity",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -287,6 +290,9 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "quantile_normalize_sources",
     "debounce_events",
     "rolling_correlation",
+    "attribution_linear",
+    "geo_revenue_shares",
+    "label_centroid_similarity",
 )
 
 

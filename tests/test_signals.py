@@ -100,3 +100,49 @@ def test_rolling_correlation_detects_perfect_comovement(spark):
     for r in out[1:]:
         assert r.corr_24h == 1.0
         assert r.clicks == 2 * r.views
+
+
+def test_attribution_linear_credit_conserved(spark, sf_dir):
+    """Total fractional credit across channels equals the number of
+    purchases that had at least one in-window touch."""
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    rows = behavior.q_attribution_linear(spark, sf_dir).collect()
+    total_credit = sum(r.total_credit for r in rows)
+    # every credited conversion contributes exactly 1.0 split across
+    # channels; conversions touched by both channels are counted in both
+    # n_conversions, so bound with the per-channel max instead
+    assert total_credit == int(round(total_credit))
+    assert total_credit >= max(r.n_conversions for r in rows) > 0
+
+
+def test_geo_shares_sum_to_one_per_region(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import trends
+
+    rows = trends.q_geo_revenue_shares(spark, sf_dir).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    for region, rs in by_region.items():
+        assert abs(sum(x.share_of_region for x in rs) - 1.0) < 1e-4, region
+        ranks = sorted(x.rank_in_region for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_label_centroid_similarity_shape_and_bounds(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import similarity
+
+    # the oracle hardcodes the fixture's fixed embedding width
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    widths = e.select(F.size("embedding").alias("w")).distinct().collect()
+    assert [r.w for r in widths] == [64]
+
+    rows = similarity.q_label_centroid_similarity(spark, sf_dir).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine_sim <= 1.0 + 1e-9
+        assert r.label_a < r.label_b
