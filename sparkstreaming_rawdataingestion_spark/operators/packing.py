@@ -19,9 +19,10 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
-from .. import catalog
+from .. import catalog, session
+from .profiling import _MMH2
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -143,3 +144,153 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions cannot express — invariants (coverage, budget, determinism)
     are pinned in tests/test_packing.py instead of a SQL oracle."""
     return pack_documents(catalog.load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# contrastive_negative_pairs — deterministic negative sampling
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3  # negatives per anchor
+
+_NEG_ORACLE = f"""
+WITH idx AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+         (SELECT count(*) FROM documents) AS n
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS anchor_id, j,
+         ((a.rn + 1 + ((a.doc_id % 4294967296) * {_MMH2}
+                       % 4294967296 + j * 2654435761) % (a.n - 1))
+          % a.n) AS neg_rn
+  FROM idx a CROSS JOIN generate_series(1, {_NEG_K}) AS t(j)
+)
+SELECT c.anchor_id, CAST(c.j AS INTEGER) AS neg_no, b.doc_id AS negative_id
+FROM cand c JOIN idx b ON b.rn = c.neg_rn
+"""
+
+
+@_register("contrastive_negative_pairs", _NEG_ORACLE)
+def q_contrastive_negative_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document gets {_NEG_K} pseudo-random OTHER documents, chosen
+    by multiplicative-hash arithmetic over the dense row index —
+    reproducible across runs and engines (no RNG), and self-pairs are
+    structurally impossible (the offset lives in [1, n−1], applied
+    modulo n).
+
+    Plan: the dense index is one dimension-sized ranking; candidates
+    are a map-side 1→k fanout; the resolve step is a single equi-join
+    on the integer index — no shuffle of document payloads."""
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    n_total = d.agg(F.count(F.lit(1)).alias("n"))
+    idx = session.stage(
+        d.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
+        ).crossJoin(F.broadcast(n_total))
+    )
+    js = F.explode(
+        F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])
+    ).alias("j")
+    h = (F.col("doc_id") % F.lit(4294967296)) * F.lit(_MMH2) % F.lit(
+        4294967296
+    )
+    cand = idx.select("doc_id", "rn", "n", js).select(
+        F.col("doc_id").alias("anchor_id"),
+        "j",
+        (
+            (
+                F.col("rn")
+                + 1
+                + (h + F.col("j") * F.lit(2654435761)) % (F.col("n") - 1)
+            )
+            % F.col("n")
+        ).alias("neg_rn"),
+    )
+    b = idx.select(F.col("rn").alias("neg_rn"), F.col("doc_id").alias(
+        "negative_id"
+    ))
+    return cand.join(b, "neg_rn").select(
+        "anchor_id", F.col("j").cast("int").alias("neg_no"), "negative_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum_interleave — difficulty-ordered, source-interleaved layout
+# ---------------------------------------------------------------------------
+
+_CURR_BUCKETS = 4
+
+_CURR_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         ntile({_CURR_BUCKETS}) OVER (ORDER BY n_chars, doc_id)
+           AS difficulty_bucket
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, difficulty_bucket,
+         row_number() OVER (PARTITION BY difficulty_bucket
+                            ORDER BY ((doc_id % 4294967296) * {_MMH2}
+                                      % 4294967296), doc_id)
+           AS pos_in_bucket
+  FROM scored
+)
+SELECT doc_id, source, CAST(difficulty_bucket AS INTEGER)
+         AS difficulty_bucket,
+       CAST(pos_in_bucket AS BIGINT) AS pos_in_bucket,
+       CAST((pos_in_bucket - 1) * {_CURR_BUCKETS} + difficulty_bucket
+            AS BIGINT) AS global_pos
+FROM ranked
+"""
+
+
+@_register("curriculum_interleave", _CURR_ORACLE)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: documents bucketed into {_CURR_BUCKETS}
+    difficulty quartiles (length as the difficulty proxy, custkey-style
+    tie-break), shuffled WITHIN each bucket by the deterministic
+    multiplicative hash, then interleaved round-robin across buckets
+    (global_pos = (pos−1)·K + bucket) so every training window sees the
+    full difficulty spectrum — easy-to-hard ordering without
+    batch-level difficulty collapse. All integer arithmetic."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(_CURR_BUCKETS)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("difficulty_bucket"),
+    )
+    h = (F.col("doc_id") % F.lit(4294967296)) * F.lit(_MMH2) % F.lit(
+        4294967296
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "difficulty_bucket",
+        F.row_number()
+        .over(
+            Window.partitionBy("difficulty_bucket").orderBy(
+                h.alias("h"), "doc_id"
+            )
+        )
+        .alias("pos_in_bucket"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("difficulty_bucket").cast("int").alias("difficulty_bucket"),
+        F.col("pos_in_bucket").cast("long").alias("pos_in_bucket"),
+        (
+            (F.col("pos_in_bucket") - 1) * _CURR_BUCKETS
+            + F.col("difficulty_bucket")
+        )
+        .cast("long")
+        .alias("global_pos"),
+    )

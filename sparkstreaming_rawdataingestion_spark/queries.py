@@ -265,6 +265,8 @@ CORE_ORDER: tuple[str, ...] = (
     "attribution_linear",
     "geo_revenue_shares",
     "label_centroid_similarity",
+    "contrastive_negative_pairs",
+    "curriculum_interleave",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -293,6 +295,8 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "attribution_linear",
     "geo_revenue_shares",
     "label_centroid_similarity",
+    "contrastive_negative_pairs",
+    "curriculum_interleave",
 )
 
 

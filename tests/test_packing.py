@@ -66,3 +66,39 @@ def test_packing_is_deterministic(spark):
     a = sorted(map(tuple, packing.q_pack_documents(spark, SF01).collect()))
     b = sorted(map(tuple, packing.q_pack_documents(spark, SF01).collect()))
     assert a == b
+
+
+def test_contrastive_negatives_no_self_pairs_and_k_per_anchor(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import packing
+
+    rows = packing.q_contrastive_negative_pairs(spark, sf_dir).collect()
+    by_anchor = {}
+    for r in rows:
+        assert r.negative_id != r.anchor_id  # structurally impossible
+        by_anchor.setdefault(r.anchor_id, []).append(r.negative_id)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(by_anchor) == n_docs
+    assert all(len(v) == packing._NEG_K for v in by_anchor.values())
+
+
+def test_curriculum_interleave_round_robin(spark, sf_dir):
+    """Global positions are a permutation, and consecutive positions
+    cycle through the difficulty buckets."""
+    from sparkstreaming_rawdataingestion_spark.operators import packing
+
+    rows = sorted(
+        packing.q_curriculum_interleave(spark, sf_dir).collect(),
+        key=lambda r: r.global_pos,
+    )
+    n = len(rows)
+    assert {r.doc_id for r in rows} == set(r.doc_id for r in rows)
+    K = packing._CURR_BUCKETS
+    # within every full window of K consecutive positions, all buckets
+    # appear exactly once (NTILE buckets differ by ≤1 in size, so only
+    # the tail windows may be partial)
+    full = (n // K) - 1
+    for w in range(full):
+        window = rows[w * K : (w + 1) * K]
+        assert sorted(r.difficulty_bucket for r in window) == list(
+            range(1, K + 1)
+        )
