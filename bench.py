@@ -145,6 +145,17 @@ HEADLINE = [
     "allocation_proportional",
     "concentration_metrics",
     "cusum_changepoint",
+    # trend/experiment/signal batch: calendar-join growth, KM survival,
+    # cross-source quantile normalization, burst debouncing, portable
+    # SimHash (per-char fold), fractional attribution, curriculum layout
+    "period_over_period",
+    "survival_km_curve",
+    "quantile_normalize_sources",
+    "debounce_events",
+    "dedup_simhash_portable_pairs",
+    "attribution_linear",
+    "geo_revenue_shares",
+    "curriculum_interleave",
 ]
 
 
