@@ -151,6 +151,14 @@ class Engine:
 
         return cusum_stream(events, baseline)
 
+    def debounce_stream(self, events: DataFrame) -> DataFrame:
+        """Streaming burst debounce (streaming/debounce_stream.py) —
+        emits only burst-START events per (user, type); the incremental
+        twin of the ``debounce_events`` batch query."""
+        from .streaming.debounce_stream import debounce_stream
+
+        return debounce_stream(events)
+
     def funnel_stream(self, events: DataFrame) -> DataFrame:
         """Streaming ordered-funnel completion (streaming/
         funnel_stream.py) — the incremental twin of the

@@ -517,3 +517,82 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, max_cusum double, n_alarm_points long, "
         "first_alarm_event_id long",
     )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend — robust per-key trend estimation
+# ---------------------------------------------------------------------------
+
+_SEN_ORACLE = """
+WITH pts AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0e0 AS t_h
+  FROM events
+),
+slopes AS (
+  SELECT a.user_id,
+         (b.value - a.value) / (b.t_h - a.t_h) AS s
+  FROM pts a JOIN pts b
+    ON a.user_id = b.user_id
+   AND (a.t_h < b.t_h OR (a.t_h = b.t_h AND a.event_id < b.event_id))
+  WHERE a.t_h <> b.t_h
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)          AS n_pairs,
+       round(quantile_cont(s, 0.5), 6)   AS sen_slope
+FROM slopes GROUP BY user_id
+"""
+
+
+@_register("theil_sen_trend", _SEN_ORACLE)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes of
+    (time, value) per user — outlier-resistant where least-squares is
+    not (up to ~29% contamination). Time is integer microseconds cast
+    once to fractional hours, so both engines divide identical doubles.
+
+    The pairwise join is partitioned on ``user_id`` — bounded by
+    per-key series length (the documented O(k²) of Theil–Sen), never a
+    global product; the median is an exact small-group percentile. At
+    firehose series lengths the estimator degrades gracefully by
+    sampling pairs; the exact form is the verification kernel."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+            .cast("double")
+            / 3_600_000_000.0
+        ).alias("t_h"),
+    )
+    a = pts.select(
+        "user_id",
+        F.col("event_id").alias("eid_a"),
+        F.col("value").alias("va"),
+        F.col("t_h").alias("ta"),
+    )
+    b = pts.select(
+        "user_id",
+        F.col("event_id").alias("eid_b"),
+        F.col("value").alias("vb"),
+        F.col("t_h").alias("tb"),
+    )
+    slopes = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("ta") < F.col("tb"))
+            | ((F.col("ta") == F.col("tb")) & (F.col("eid_a") < F.col("eid_b")))
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            "user_id",
+            ((F.col("vb") - F.col("va")) / (F.col("tb") - F.col("ta")))
+            .alias("s"),
+        )
+    )
+    return slopes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("sen_slope"),
+    )

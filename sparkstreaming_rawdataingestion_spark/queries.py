@@ -267,6 +267,7 @@ CORE_ORDER: tuple[str, ...] = (
     "label_centroid_similarity",
     "contrastive_negative_pairs",
     "curriculum_interleave",
+    "theil_sen_trend",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -297,6 +298,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "label_centroid_similarity",
     "contrastive_negative_pairs",
     "curriculum_interleave",
+    "theil_sen_trend",
 )
 
 

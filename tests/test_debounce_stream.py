@@ -1,0 +1,86 @@
+"""Streaming debounce vs its batch twin — burst-start ids must match the
+batch operator's first_event_id set under micro-batch slicing."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_rawdataingestion_spark import catalog
+from sparkstreaming_rawdataingestion_spark.operators import signals
+from sparkstreaming_rawdataingestion_spark.streaming import debounce_stream
+
+D = datetime.datetime
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, src, out, ckpt):
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        debounce_stream.debounce_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streamed_debounce_matches_batch_first_events(spark, tmp_path):
+    ev = catalog.load_table(spark, SF, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    src = str(tmp_path / "src")
+    cuts = ("2024-01-08 00:00:00", "2024-01-17 00:00:00")
+    lo = F.lit(cuts[0]).cast("timestamp_ntz")
+    hi = F.lit(cuts[1]).cast("timestamp_ntz")
+    for part in (
+        ev.where(F.col("ts") < lo),
+        ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        ev.where(F.col("ts") >= hi),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ckpt"))
+
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.first_event_id
+        for r in signals.q_debounce_events(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_debounce_stream_boundary_gap(spark, tmp_path):
+    """A gap of exactly 30 s does NOT start a new burst; 30.000001 s
+    does — and the state carries across micro-batches."""
+    rows1 = [
+        (1, D(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, "{}"),
+        (2, D(2024, 1, 1, 0, 0, 30), 1, "click", 0.0, "{}"),  # == gap
+    ]
+    rows2 = [
+        (3, D(2024, 1, 1, 0, 1, 0, 1), 1, "click", 0.0, "{}"),  # 30.000001s
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ckpt"))
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
