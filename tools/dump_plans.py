@@ -308,6 +308,43 @@ PICKS = {
         "key from one bounded per-user window, two grouped counts — "
         "all integer arithmetic."
     ),
+    "dedup_simhash_portable_pairs": (
+        "Portable SimHash: map-side per-char fold + 32 vote sums, "
+        "staged signatures, 8-bit chunk pigeonhole equi-join, popcount "
+        "verify — nothing quadratic, nothing engine-specific."
+    ),
+    "quantile_normalize_sources": (
+        "Quantile normalization: bounded per-source percent-rank "
+        "windows + ONE global reference ranking; the resolve is an "
+        "integer equi-join (at scale the global rank swaps for an "
+        "approx-quantile grid)."
+    ),
+    "debounce_events": (
+        "Debounce: one bounded (user, type) window; burst ids are a "
+        "running sum of integer-microsecond gap breaks."
+    ),
+    "attribution_linear": (
+        "Linear attribution: per-user bounded range join, per-purchase "
+        "credit window, two tiny aggregations — never a global product."
+    ),
+    "geo_revenue_shares": (
+        "Geo shares: all three dimension joins broadcast; share/rank "
+        "windows over the |nations|-sized rollup."
+    ),
+    "contrastive_negative_pairs": (
+        "Negative sampling: one dimension-sized ranking, map-side 1→k "
+        "fanout, single integer-index equi-join — document payloads "
+        "never shuffle."
+    ),
+    "curriculum_interleave": (
+        "Curriculum layout: one NTILE pass + per-bucket hash-shuffle "
+        "ranks; the interleave is pure map-side integer arithmetic."
+    ),
+    "theil_sen_trend": (
+        "Theil-Sen: the O(k²) pairwise join is partitioned on user_id "
+        "(bounded per-key), median slope is an exact small-group "
+        "percentile."
+    ),
 }
 
 SKIP_PREFIXES = (
