@@ -364,3 +364,36 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "tok")
         .limit(MG_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile_disc_pack — discrete (witnessed) percentiles per group
+# ---------------------------------------------------------------------------
+
+_PDISC_ORACLE = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25_disc,
+       quantile_disc(value, 0.5)  AS p50_disc,
+       quantile_disc(value, 0.75) AS p75_disc,
+       round(quantile_cont(value, 0.5), 6) AS p50_cont
+FROM events GROUP BY event_type
+"""
+
+
+@_register("percentile_disc_pack", _PDISC_ORACLE)
+def q_percentile_disc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles: the WITNESSED value at each quantile (the
+    SQL-standard ``PERCENTILE_DISC`` inverse-distribution semantics —
+    actual data points, where ``cont`` interpolates between them; both
+    engines pick the same witness because the sorted multiset is
+    identical). One grouped pass, map-side combinable."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+        .alias("p25_disc"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("p50_disc"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+        .alias("p75_disc"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_cont"),
+    )

@@ -410,3 +410,82 @@ def q_geo_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_region"),
         F.row_number().over(wrank).cast("int").alias("rank_in_region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# concurrent_intervals_timeline — open-order backlog over time
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH life AS (
+  SELECT o.o_orderkey,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS open_m,
+         greatest(CAST(date_trunc('month', s.sd) AS DATE),
+                  CAST(date_trunc('month', o.o_orderdate) AS DATE))
+           AS close_m
+  FROM orders o
+  JOIN (SELECT l_orderkey, max(l_shipdate) AS sd
+        FROM lineitem GROUP BY l_orderkey) s
+    ON s.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT open_m AS month, 1 AS delta FROM life
+  UNION ALL
+  SELECT CAST(close_m + INTERVAL 1 MONTH AS DATE), -1 FROM life
+),
+monthly AS (
+  SELECT month, sum(delta) AS net FROM deltas GROUP BY month
+)
+SELECT month,
+       CAST(net AS BIGINT) AS net_change,
+       CAST(sum(net) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM monthly
+"""
+
+
+@_register("concurrent_intervals_timeline", _BACKLOG_ORACLE)
+def q_concurrent_intervals_timeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-concurrency counting: how many orders are open (placed,
+    not yet fully shipped) in each month — the sweep-line +1/−1 delta
+    union with a cumulative sum, the standard way to count overlapping
+    intervals WITHOUT an interval self-join (which is quadratic in the
+    overlap degree). An order ships its last line in ``close_m`` and
+    stops counting the month after; degenerate intervals (shipped
+    before placed in the fixture) clamp to their open month.
+
+    Facts reduce to per-order lifetimes, then to one row per month —
+    the cumulative window runs over the month timeline. All integer
+    arithmetic."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("sd"))
+    life = (
+        o.join(ship, o.o_orderkey == ship.l_orderkey)
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("open_m"),
+            F.greatest(
+                F.date_trunc("month", "sd").cast("date"),
+                F.date_trunc("month", "o_orderdate").cast("date"),
+            ).alias("close_m"),
+        )
+    )
+    deltas = life.select(
+        F.col("open_m").alias("month"), F.lit(1).alias("delta")
+    ).unionAll(
+        life.select(
+            F.add_months("close_m", 1).alias("month"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    monthly = deltas.groupBy("month").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "month",
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )

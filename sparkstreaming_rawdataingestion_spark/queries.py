@@ -268,6 +268,8 @@ CORE_ORDER: tuple[str, ...] = (
     "contrastive_negative_pairs",
     "curriculum_interleave",
     "theil_sen_trend",
+    "concurrent_intervals_timeline",
+    "percentile_disc_pack",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -299,6 +301,8 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "contrastive_negative_pairs",
     "curriculum_interleave",
     "theil_sen_trend",
+    "concurrent_intervals_timeline",
+    "percentile_disc_pack",
 )
 
 

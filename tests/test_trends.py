@@ -152,3 +152,19 @@ def test_cohort_ltv_cumulative_and_sizes(spark):
     assert jan[1].cum_ltv_per_customer == 250.0       # (400+100)/2
     feb = {r.month_index: r for r in rows if str(r.cohort_month) == "2024-02-01"}
     assert feb[0].cohort_size == 1 and feb[0].cum_ltv_per_customer == 50.0
+
+
+def test_backlog_timeline_conserves_orders(spark, sf_dir):
+    """Every order with line items opens once and closes once: the
+    cumulative backlog is non-negative everywhere and returns to zero
+    after the last close."""
+    rows = sorted(
+        trends.q_concurrent_intervals_timeline(spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    assert rows
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0
+    assert sum(r.net_change for r in rows) == 0
+    # the peak backlog is positive (orders overlap in the fixture)
+    assert max(r.open_orders for r in rows) > 0
