@@ -157,3 +157,62 @@ def test_release_staged_between_registry_queries(spark, sf_dir):
     for df in staged:
         lvl = df.storageLevel
         assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_bucketed_fact_join_is_shuffle_free(spark, tmp_path):
+    """The ARCHITECTURE claim behind join_fact_fact_revenue: bucketing
+    both facts on the join key removes the join's exchanges entirely.
+    Written as saveAsTable(bucketBy) + a joined read whose executed plan
+    must contain NO Exchange on either side."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    suffix = uuid.uuid4().hex[:8]
+    o_tab, l_tab = f"o_bkt_{suffix}", f"l_bkt_{suffix}"
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    # at sf0.001 AQE would broadcast the small side (a BroadcastExchange)
+    # — force the sort-merge path this test exists to prove bucketable
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_tab)
+        )
+        (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(l_tab)
+        )
+        joined = (
+            spark.table(l_tab)
+            .join(
+                spark.table(o_tab),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        n = joined.count()
+        assert n > 0
+        plan = plans.executed_plan(joined)
+        # the join itself must not shuffle either bucketed side: the
+        # only allowed exchange is the final single aggregation
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_part, join_part
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.sql(f"DROP TABLE IF EXISTS {o_tab}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tab}")
