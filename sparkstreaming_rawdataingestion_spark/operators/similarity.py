@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 from ..session import stage
-from .dedup import cosine
+from .dedup import COSINE_THRESHOLD, cosine
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -763,4 +763,168 @@ def q_label_centroid_similarity(
         F.round(
             F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
         ).alias("cosine_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_lsh_portable_pairs — ORACLE-BACKED random-hyperplane LSH
+#
+# The production LSH top-k above uses JVM-seeded hyperplanes (rows-only
+# at the driver gate, recall pinned in pytest). This twin derives its 16
+# hyperplanes from integer arithmetic — h_k[i] = ((k·64+i)·MIX) mod 2³²
+# − 2³¹ — and computes every dot product as a SEQUENTIAL left fold
+# (Spark ``aggregate`` over ``sequence`` == DuckDB ``list_reduce`` over a
+# comprehension, identical operand order), so signatures, candidate sets
+# and verified pairs are all bit-identical across engines: the whole LSH
+# mechanism — banding, pigeonhole candidates, exact verify — becomes
+# hash-checkable, not just its recall.
+# ---------------------------------------------------------------------------
+
+LSH_PORTABLE_BITS = 16
+LSH_PORTABLE_BANDS = 4          # 4 bands × 4 bits
+_LSH_MIX = 2654435761
+_LSH_M32 = 4294967296
+_LSH_DIMS = 64                  # fixture embedding width (pinned in pytest)
+
+
+def _lsh_weight_sql(k: int) -> str:
+    return (
+        f"((({k} * {_LSH_DIMS} + i) * {_LSH_MIX}) % {_LSH_M32})"
+        " - 2147483648.0"
+    )
+
+
+_LSH_PORTABLE_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         ({" + ".join(
+             f"(CASE WHEN list_reduce([0.0::DOUBLE] || "
+             f"[CAST(embedding[i] AS DOUBLE) * ({_lsh_weight_sql(k)}) "
+             f"FOR i IN range(1, {_LSH_DIMS + 1})], (acc, x) -> acc + x) "
+             f">= 0 THEN {1 << k} ELSE 0 END)"
+             for k in range(LSH_PORTABLE_BITS))}) AS s
+  FROM embeddings
+),
+chunks AS (
+  SELECT vec_id, embedding, s, b, (s >> (b * 4)) & 15 AS chunk
+  FROM sig, unnest([0, 1, 2, 3]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         any_value(a.embedding) AS ea, any_value(b.embedding) AS eb
+  FROM chunks a JOIN chunks b
+    ON a.b = b.b AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         list_reduce([0.0::DOUBLE] ||
+           [CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+            FOR i IN range(1, {_LSH_DIMS + 1})], (acc, x) -> acc + x)
+         / (sqrt(list_reduce([0.0::DOUBLE] ||
+              [CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)
+               FOR i IN range(1, {_LSH_DIMS + 1})], (acc, x) -> acc + x))
+            * sqrt(list_reduce([0.0::DOUBLE] ||
+              [CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+               FOR i IN range(1, {_LSH_DIMS + 1})], (acc, x) -> acc + x)))
+           AS cos
+  FROM cand
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine_sim
+FROM scored WHERE cos >= {COSINE_THRESHOLD}
+"""
+
+
+def _lsh_portable_dot(col, k: int):
+    """Sequential left-fold dot of ``col`` with deterministic plane k —
+    identical operand order to the oracle's list_reduce."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_LSH_DIMS)),
+            lambda i: F.element_at(col, i).cast("double")
+            * (
+                ((F.lit(k) * _LSH_DIMS + i.cast("long")) * _LSH_MIX)
+                % _LSH_M32
+                - 2147483648.0
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _seq_fold_dot(a, b):
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_LSH_DIMS)),
+            lambda i: F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@_register("similarity_lsh_portable_pairs", _LSH_PORTABLE_ORACLE)
+def q_similarity_lsh_portable_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs, fully oracle-backed
+    (module note above): 16 deterministic hyperplanes → 4×4-bit banded
+    candidates → exact-cosine verification at τ = COSINE_THRESHOLD.
+    Recall follows the SimHash collision law p = 1 − θ/π per bit (high
+    for near-duplicate vectors, deliberately low near the threshold) —
+    the brute-force operator is the recall ground truth; THIS operator
+    proves the mechanism is deterministic. Same scale shape as the
+    production path: map-side signatures, banded equi-join, verification
+    only on candidates."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sig = sum(
+        F.when(_lsh_portable_dot(emb, k) >= 0, F.lit(1 << k)).otherwise(0)
+        for k in range(LSH_PORTABLE_BITS)
+    )
+    sigs = stage(
+        e.select("vec_id", "embedding", sig.alias("s"))
+    )
+    chunks = sigs.select(
+        "vec_id",
+        "embedding",
+        "s",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(LSH_PORTABLE_BANDS)])
+        ).alias("b"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "b",
+        F.expr("(s >> (b * 4)) & 15").alias("chunk"),
+    )
+    a = chunks.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "b",
+        "chunk",
+    )
+    bb = chunks.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        "b",
+        "chunk",
+    )
+    cand = (
+        a.join(bb, ["b", "chunk"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.any_value(F.col("ea")).alias("ea"),
+             F.any_value(F.col("eb")).alias("eb"))
+    )
+    cos = _seq_fold_dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_seq_fold_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_seq_fold_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine_sim"))
     )

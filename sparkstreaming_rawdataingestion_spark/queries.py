@@ -270,6 +270,7 @@ CORE_ORDER: tuple[str, ...] = (
     "theil_sen_trend",
     "concurrent_intervals_timeline",
     "percentile_disc_pack",
+    "similarity_lsh_portable_pairs",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -303,6 +304,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "theil_sen_trend",
     "concurrent_intervals_timeline",
     "percentile_disc_pack",
+    "similarity_lsh_portable_pairs",
 )
 
 

@@ -287,3 +287,26 @@ def test_portable_simhash_pairs_recall_on_exact_near_dups(
     missed = exact_pairs - got
     recall = 1 - len(missed) / max(1, len(exact_pairs))
     assert recall >= 0.9, f"recall={recall}: missed {missed}"
+
+
+def test_portable_lsh_pairs_are_true_pairs_with_graded_recall(spark):
+    """Every portable-LSH pair must be a true cosine≥τ pair (exact
+    verify stage), and recall against the brute-force ground truth is
+    graded by similarity: pairs with cos ≥ 0.75 must all be found (bit
+    collision probability 1−θ/π makes misses vanish for near-identical
+    vectors)."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    truth = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in dedup.q_dedup_embedding_cosine_pairs(spark, SF01).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.q_similarity_lsh_portable_pairs(
+            spark, SF01
+        ).collect()
+    }
+    assert got <= set(truth)  # no false positives — verify stage is exact
+    strong = {k for k, v in truth.items() if v >= 0.75}
+    assert strong <= got, f"missed strong pairs: {strong - got}"
