@@ -156,6 +156,11 @@ HEADLINE = [
     "attribution_linear",
     "geo_revenue_shares",
     "curriculum_interleave",
+    # robust trends (bounded O(k²) pair join), sweep-line backlog,
+    # deterministic negative sampling
+    "theil_sen_trend",
+    "concurrent_intervals_timeline",
+    "contrastive_negative_pairs",
 ]
 
 
