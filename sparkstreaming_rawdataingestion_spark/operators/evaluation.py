@@ -1,0 +1,283 @@
+"""Model-evaluation operators: confusion matrices, threshold metrics,
+exact AUC, and score calibration — computed AS QUERIES over the lake.
+
+An ML platform evaluates classifiers where the labels live: in the
+warehouse, at full scale, not in a notebook sample. These operators make
+the standard evaluation suite a set of declarative Spark queries with
+exact DuckDB oracles. The running example scores events (``value`` as
+the score, purchase as the positive class) and audits the language-ID
+classifier against its stored labels; the shapes transfer to any
+(score, label) pair.
+
+Scale shape: every operator reduces facts to metric-sized output in one
+or two grouped/windowed passes —
+
+- **langid_confusion_matrix**: one grouped count over (truth, pred)
+  (≤ |langs|² keys) + a truth-side total window.
+- **classifier_eval_metrics**: one exact-percentile scalar (broadcast)
+  + ONE conditional-sum aggregation for the whole confusion tableau.
+- **ranking_auc_report**: exact Mann-Whitney AUC from ONE rank window
+  (midranks resolve score ties) — no pairwise positive×negative join,
+  which is the naive quadratic formulation.
+- **score_calibration_bins**: 1-row min/max broadcast, map-side bin
+  arithmetic, one (bin) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog, session
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion_matrix — audit the language-ID classifier
+# ---------------------------------------------------------------------------
+
+
+def _langid_pred_sql() -> str:
+    from .text import LANG_MARKERS, _sql_list
+
+    return f"""
+  SELECT doc_id, lang AS labeled_lang,
+         CASE
+           WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_es THEN 'de'
+           ELSE 'es'
+         END AS predicted_lang
+  FROM (
+    SELECT doc_id, lang,
+           len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["en"])}))) AS s_en,
+           len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["de"])}))) AS s_de,
+           len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS["es"])}))) AS s_es
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+          FROM documents))
+"""
+
+
+_CONFUSION_ORACLE_TEMPLATE = """
+WITH pred AS ({pred}),
+cm AS (
+  SELECT labeled_lang, predicted_lang, count(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY labeled_lang) AS DOUBLE),
+             6) AS share_of_truth
+FROM cm
+"""
+
+
+@_register("langid_confusion_matrix")
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language-ID against the
+    stored labels: per (truth, prediction) count and its share of the
+    truth class (the per-class recall diagonal). One grouped count over
+    ≤ |langs|² keys + a truth-total window over that tiny matrix."""
+    from .text import q_text_langid
+
+    pred = q_text_langid(spark, sf_dir)
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cm.select(
+        "labeled_lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share_of_truth"),
+    )
+
+
+ORACLES["langid_confusion_matrix"] = _CONFUSION_ORACLE_TEMPLATE.format(
+    pred=_langid_pred_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval_metrics — threshold metrics at the median score
+# ---------------------------------------------------------------------------
+
+_EVAL_ORACLE = """
+WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+scored AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN value >= (SELECT m FROM med) THEN 1 ELSE 0 END AS yhat
+  FROM events
+),
+c AS (
+  SELECT sum(y * yhat)             AS tp,
+         sum((1 - y) * yhat)       AS fp,
+         sum(y * (1 - yhat))       AS fn,
+         sum((1 - y) * (1 - yhat)) AS tn
+  FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM c
+"""
+
+
+@_register("classifier_eval_metrics", _EVAL_ORACLE)
+def q_classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full threshold-classifier tableau in ONE conditional-sum
+    aggregation (tp/fp/fn/tn as products of 0/1 indicators — no four
+    separate filtered passes), thresholded at the exact median score
+    (a 1-row broadcast scalar)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    med = ev.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    scored = ev.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("value") >= F.col("m"), 1).otherwise(0).alias("yhat"),
+    )
+    c = scored.agg(
+        F.sum(F.col("y") * F.col("yhat")).alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c_) for c_ in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6)
+        .alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking_auc_report — exact AUC via midranks (Mann-Whitney)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+ranked AS (
+  SELECT y,
+         rank() OVER (ORDER BY s)
+           + (count(*) OVER (PARTITION BY s) - 1) / 2.0e0 AS midrank
+  FROM scored
+),
+agg AS (
+  SELECT sum(CASE WHEN y = 1 THEN midrank END) AS rsum,
+         sum(y)            AS np,
+         sum(1 - y)        AS nn
+  FROM ranked
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round((rsum - np * (np + 1) / 2.0e0) / (np * CAST(nn AS DOUBLE)), 6)
+         AS auc
+FROM agg
+"""
+
+
+@_register("ranking_auc_report", _AUC_ORACLE)
+def q_ranking_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC from ONE rank window via the Mann-Whitney identity
+    AUC = (Σ midranks₊ − n₊(n₊+1)/2)/(n₊·n₋), with midranks resolving
+    score ties (rank() + (ties−1)/2) — the linear-scan formulation of
+    what is naively a quadratic positive×negative comparison. Both
+    engines rank the identical sorted multiset, so the result is
+    engine-exact."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    midrank = (
+        F.rank().over(Window.orderBy("s"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("s")) - 1) / 2.0
+    )
+    ranked = scored.select("y", midrank.alias("midrank"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("midrank"))).alias("rsum"),
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    )
+    np_, nn = F.col("np"), F.col("nn")
+    return agg.select(
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rsum") - np_ * (np_ + 1) / 2.0)
+            / (np_ * nn.cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# score_calibration_bins — reliability diagram data
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+scored AS (
+  SELECT (value - (SELECT lo FROM bounds))
+           / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(p), 6) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 6) AS positive_rate
+FROM binned GROUP BY bin
+"""
+
+
+@_register("score_calibration_bins", _CALIB_ORACLE)
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data: min-max-normalized scores in 10 equal
+    bins, observed positive rate vs mean score per bin (a calibrated
+    scorer tracks the diagonal). 1-row bounds broadcast, map-side bin
+    arithmetic, one 10-key aggregation."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    scored = ev.crossJoin(F.broadcast(bounds)).select(
+        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+        .alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("positive_rate"),
+    )

@@ -127,6 +127,7 @@ _QUERY_MODULES = (
     "operators.trends",
     "operators.experiments",
     "operators.signals",
+    "operators.evaluation",
     "streaming.windows",
 )
 
@@ -271,6 +272,10 @@ CORE_ORDER: tuple[str, ...] = (
     "concurrent_intervals_timeline",
     "percentile_disc_pack",
     "similarity_lsh_portable_pairs",
+    "langid_confusion_matrix",
+    "classifier_eval_metrics",
+    "ranking_auc_report",
+    "score_calibration_bins",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -305,6 +310,10 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "concurrent_intervals_timeline",
     "percentile_disc_pack",
     "similarity_lsh_portable_pairs",
+    "langid_confusion_matrix",
+    "classifier_eval_metrics",
+    "ranking_auc_report",
+    "score_calibration_bins",
 )
 
 
