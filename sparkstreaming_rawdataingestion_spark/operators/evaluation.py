@@ -207,7 +207,13 @@ def q_ranking_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     score ties (rank() + (ties−1)/2) — the linear-scan formulation of
     what is naively a quadratic positive×negative comparison. Both
     engines rank the identical sorted multiset, so the result is
-    engine-exact."""
+    engine-exact.
+
+    The rank window is a GLOBAL sort of the score column — the honest
+    cost of an exact AUC. At firehose scale swap in the histogram
+    estimator (bin scores to ~10⁴ buckets, trapezoid over cumulative
+    bin counts — one grouped agg, error O(1/bins)); this exact form is
+    its verification kernel."""
     ev = catalog.load_table(spark, sf_dir, "events")
     scored = ev.select(
         F.col("value").alias("s"),
