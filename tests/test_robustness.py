@@ -124,3 +124,30 @@ def test_events_ts_load_is_session_timezone_independent(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert ny_read == utc_read == dict(rows)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across parquet generations: a v2 writer adds a
+    column; mergeSchema reads both generations with NULLs backfilled —
+    the contract that lets the day-partitioned sink evolve without
+    rewriting history."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, payload string, quality double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "payload", "quality"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].quality is None and rows[2].quality is None
+    assert rows[3].quality == 0.9
+    # old readers projecting only v1 columns keep working
+    assert merged.select("id", "payload").count() == 3
+    # and quality-aware logic treats legacy rows explicitly
+    n_legacy = merged.where(F.col("quality").isNull()).count()
+    assert n_legacy == 2
