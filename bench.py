@@ -161,6 +161,10 @@ HEADLINE = [
     "theil_sen_trend",
     "concurrent_intervals_timeline",
     "contrastive_negative_pairs",
+    # model-evaluation suite: one-pass confusion tableau, exact
+    # Mann-Whitney AUC (the honest global-sort cost, documented)
+    "classifier_eval_metrics",
+    "ranking_auc_report",
 ]
 
 
