@@ -352,3 +352,127 @@ def q_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy(
         "doc_id", (F.col("h") % F.lit(_FHASH_DIMS)).alias("dim")
     ).agg(F.sum(sign).alias("weight"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_coverage — per-doc OOV rate against the corpus top-K
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 500
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+    FROM tok GROUP BY tok)
+  WHERE rnk <= {VOCAB_TOP_K}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+       round(CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+@_register("tokenizer_vocab_coverage", _VOCAB_ORACLE)
+def q_tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the corpus top-{VOCAB_TOP_K}
+    token vocabulary (frequency-ranked, token tie-break) and report each
+    document's out-of-vocabulary token rate — the go/no-go check before
+    freezing a tokenizer's vocab size, and the per-doc signal that flags
+    transliterated/corrupted text.
+
+    Plan: one token frequency aggregation → top-K via
+    TakeOrderedAndProject-able rank → BROADCAST vocab membership onto
+    the token stream (the corpus side never shuffles for the check) →
+    per-doc aggregate."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "tok"))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= VOCAB_TOP_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(
+            F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_score — share of bigrams unique to the document
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+  -- scalar range() list comprehension: DuckDB's generate_series table
+  -- function cannot lateral-reference the token array
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bg
+  FROM toks
+),
+df AS (
+  SELECT bg, count(*) AS docs FROM bigrams GROUP BY bg
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(count(*) FILTER (d.docs = 1) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM bigrams b JOIN df d USING (bg)
+GROUP BY b.doc_id
+"""
+
+
+@_register("ngram_novelty_score", _NOVELTY_ORACLE)
+def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: the share of a document's distinct
+    bigrams that appear in NO other document (document frequency 1) —
+    high novelty marks original content, low novelty marks boilerplate
+    and near-duplicates; the complementary signal to the Jaccard
+    near-dup family, scored per document instead of per pair.
+
+    Plan: the same inverted-index algebra as dedup — distinct (doc,
+    bigram) pairs, a bigram document-frequency aggregation, one join
+    back — never any doc×doc comparison."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _toks().alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("t"), i + 2)
+                ),
+            )
+        ).alias("bg"),
+    ).distinct()
+    df_ = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("docs"))
+    joined = bigrams.join(df_, "bg")
+    uniq = F.when(F.col("docs") == 1, 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum(uniq).cast("double") / F.count(F.lit(1)), 6)
+        .alias("novelty"),
+    )

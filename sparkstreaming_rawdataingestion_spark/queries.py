@@ -276,6 +276,8 @@ CORE_ORDER: tuple[str, ...] = (
     "classifier_eval_metrics",
     "ranking_auc_report",
     "score_calibration_bins",
+    "tokenizer_vocab_coverage",
+    "ngram_novelty_score",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -314,6 +316,8 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "classifier_eval_metrics",
     "ranking_auc_report",
     "score_calibration_bins",
+    "tokenizer_vocab_coverage",
+    "ngram_novelty_score",
 )
 
 

@@ -68,3 +68,54 @@ def test_curation_filters_pack_covers_all_components(spark):
         by_comp[r["component"]] = by_comp.get(r["component"], 0) + 1
     assert set(by_comp) == {"repetition", "contamination", "pii", "quantization"}
     assert by_comp["repetition"] == by_comp["pii"] == 500
+
+
+def test_vocab_coverage_bounds_and_identity(spark, sf_dir):
+    """OOV rate in [0,1]; a corpus whose vocab holds every token (top-K
+    ≥ distinct tokens) reports zero OOV everywhere."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    out = text.q_tokenizer_vocab_coverage(spark, sf_dir)
+    mm = out.agg(
+        F.min("oov_rate").alias("lo"), F.max("oov_rate").alias("hi")
+    ).first()
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    if n_distinct <= text.VOCAB_TOP_K:
+        assert mm.hi == 0.0
+
+
+def test_novelty_detects_duplicated_text(spark):
+    """Two identical docs share every bigram (novelty 0); a unique doc
+    scores 1."""
+    import sparkstreaming_rawdataingestion_spark.catalog as catalog
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "web", 22),
+            (2, "alpha beta gamma delta", "en", "web", 22),
+            (3, "omega psi chi phi", "en", "web", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda sp, sf, t: d
+        text.catalog.load_table = catalog.load_table
+        out = {
+            r.doc_id: r.novelty
+            for r in text.q_ngram_novelty_score(spark, "x").collect()
+        }
+    finally:
+        catalog.load_table = orig
+        text.catalog.load_table = orig
+    assert out[1] == 0.0 and out[2] == 0.0
+    assert out[3] == 1.0
