@@ -156,3 +156,132 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("c_id").alias("n_recent_clicks")
     )
+
+
+# ---------------------------------------------------------------------------
+# asof_nearest_tolerance — nearest-in-time join (both directions + bound)
+# ---------------------------------------------------------------------------
+
+NEAREST_TOLERANCE_S = 600
+
+_NEAREST_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+passes AS (
+  SELECT user_id, ts, event_id, tag,
+         last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_ts,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_id,
+         first_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_ts,
+         first_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_id
+  FROM tagged
+),
+chosen AS (
+  SELECT event_id, user_id, ts,
+         CASE
+           WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+           WHEN next_ts IS NULL THEN prev_id
+           WHEN prev_ts IS NULL THEN next_id
+           WHEN (epoch_us(ts) - epoch_us(prev_ts))
+                <= (epoch_us(next_ts) - epoch_us(ts)) THEN prev_id
+           ELSE next_id
+         END AS cand_id,
+         CASE
+           WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+           WHEN next_ts IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
+           WHEN prev_ts IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+           ELSE least(epoch_us(ts) - epoch_us(prev_ts),
+                      epoch_us(next_ts) - epoch_us(ts))
+         END AS gap_us
+  FROM passes WHERE tag = 1
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN gap_us <= {NEAREST_TOLERANCE_S}::BIGINT * 1000000
+            THEN cand_id END AS nearest_click_id,
+       CASE WHEN gap_us <= {NEAREST_TOLERANCE_S}::BIGINT * 1000000
+            THEN CAST(gap_us AS BIGINT) END AS gap_us
+FROM chosen
+"""
+
+
+@_register("asof_nearest_tolerance", _NEAREST_ORACLE)
+def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each purchase matched to its CLOSEST click
+    in either direction, only within a ±{NEAREST_TOLERANCE_S}s
+    tolerance (the sensor-fusion variant of as-of — backward-only as-of
+    silently matches stale rows; nearest + bound is what aligning two
+    irregular streams actually needs; ties break backward).
+
+    Same union-merge shape as ``asof_join``: ONE shuffle on user_id,
+    one shared per-key sort feeding a backward carry-forward AND a
+    forward carry-backward window — never a range join. The gap
+    comparison is integer microseconds (engine-exact)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    tagged = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    order = ["ts", "tag", "event_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    click_id = F.when(F.col("tag") == 0, F.col("event_id"))
+    passes = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "tag",
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+    ).where(F.col("tag") == 1)
+    back_gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    fwd_gap = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    cand_id = (
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+               F.lit(None).cast("long"))
+        .when(F.col("next_ts").isNull(), F.col("prev_id"))
+        .when(F.col("prev_ts").isNull(), F.col("next_id"))
+        .when(back_gap <= fwd_gap, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    gap = (
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+               F.lit(None).cast("long"))
+        .when(F.col("next_ts").isNull(), back_gap)
+        .when(F.col("prev_ts").isNull(), fwd_gap)
+        .otherwise(F.least(back_gap, fwd_gap))
+    )
+    tol = F.lit(NEAREST_TOLERANCE_S * 1_000_000).cast("long")
+    return passes.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap <= tol, cand_id).alias("nearest_click_id"),
+        F.when(gap <= tol, gap.cast("long")).alias("gap_us"),
+    )

@@ -278,6 +278,7 @@ CORE_ORDER: tuple[str, ...] = (
     "score_calibration_bins",
     "tokenizer_vocab_coverage",
     "ngram_novelty_score",
+    "asof_nearest_tolerance",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -318,6 +319,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "score_calibration_bins",
     "tokenizer_vocab_coverage",
     "ngram_novelty_score",
+    "asof_nearest_tolerance",
 )
 
 

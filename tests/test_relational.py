@@ -78,3 +78,47 @@ def test_nullsafe_join_matches_null_keys(spark, sf_dir):
     null_rows = [r for r in rows if r.status_key is None]
     assert len(null_rows) == 1, "NULL key group must not be dropped"
     assert all(r.n_rows == r.group_size for r in rows)
+
+
+def test_nearest_asof_prefers_closer_direction_and_bounds(spark):
+    """Crafted streams: a purchase 10s after one click and 5s before
+    another must match FORWARD; a purchase with only a stale click
+    outside tolerance matches nothing; backward wins ties."""
+    import datetime
+
+    import sparkstreaming_rawdataingestion_spark.catalog as catalog
+    from sparkstreaming_rawdataingestion_spark.operators import asof
+
+    D = datetime.datetime
+    rows = [
+        # u1: click at t+0, purchase at t+10s, click at t+15s → forward (5s)
+        (1, D(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, "{}"),
+        (2, D(2024, 1, 1, 0, 0, 10), 1, "purchase", 0.0, "{}"),
+        (3, D(2024, 1, 1, 0, 0, 15), 1, "click", 0.0, "{}"),
+        # u2: only a click 20 min before → outside 600s tolerance
+        (4, D(2024, 1, 1, 0, 0, 0), 2, "click", 0.0, "{}"),
+        (5, D(2024, 1, 1, 0, 20, 0), 2, "purchase", 0.0, "{}"),
+        # u3: equidistant clicks 5s either side → backward tie-break
+        (6, D(2024, 1, 1, 0, 0, 0), 3, "click", 0.0, "{}"),
+        (7, D(2024, 1, 1, 0, 0, 5), 3, "purchase", 0.0, "{}"),
+        (8, D(2024, 1, 1, 0, 0, 10), 3, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda sp, sf, t: ev
+        asof.catalog.load_table = catalog.load_table
+        out = {
+            r.event_id: r
+            for r in asof.q_asof_nearest_tolerance(spark, "x").collect()
+        }
+    finally:
+        catalog.load_table = orig
+        asof.catalog.load_table = orig
+    assert out[2].nearest_click_id == 3 and out[2].gap_us == 5_000_000
+    assert out[5].nearest_click_id is None and out[5].gap_us is None
+    assert out[7].nearest_click_id == 6  # tie → backward
