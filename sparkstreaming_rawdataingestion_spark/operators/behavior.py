@@ -749,3 +749,63 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("credit"), 6).alias("total_credit"),
         F.countDistinct("p_id").cast("long").alias("n_conversions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bot_rate_flags — sustained-rate abuse detection
+# ---------------------------------------------------------------------------
+
+_BOT_RATE_PER_DAY = 5
+_BOT_SUSTAINED_DAYS = 2
+
+_BOT_ORACLE = f"""
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+runs AS (
+  SELECT user_id, day, n,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM per_day
+  WHERE n >= {_BOT_RATE_PER_DAY}
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS run_len, max(n) AS peak_rate
+  FROM runs GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT)  AS longest_hot_streak_days,
+       CAST(max(peak_rate) AS BIGINT) AS peak_events_per_day,
+       max(run_len) >= {_BOT_SUSTAINED_DAYS} AS flagged
+FROM streaks GROUP BY user_id
+"""
+
+
+@_register("bot_rate_flags", _BOT_ORACLE)
+def q_bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-rate abuse flags: users with ≥ {_BOT_RATE_PER_DAY}
+    events/day on ≥ {_BOT_SUSTAINED_DAYS} CONSECUTIVE days (the islands
+    trick over hot days — one busy day is a spike, a sustained plateau
+    is automation; calibrated to the fixture's daily cadence, the same
+    shape runs per-minute on a real firehose). Facts reduce to
+    (user, day) counts; the streak window runs over hot days only."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hot = per_day.where(F.col("n") >= _BOT_RATE_PER_DAY)
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = hot.select(
+        "user_id",
+        "n",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"), F.max("n").alias("peak_rate")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_hot_streak_days"),
+        F.max("peak_rate").cast("long").alias("peak_events_per_day"),
+        (F.max("run_len") >= _BOT_SUSTAINED_DAYS).alias("flagged"),
+    )

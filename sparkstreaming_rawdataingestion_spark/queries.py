@@ -279,6 +279,7 @@ CORE_ORDER: tuple[str, ...] = (
     "tokenizer_vocab_coverage",
     "ngram_novelty_score",
     "asof_nearest_tolerance",
+    "bot_rate_flags",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -320,6 +321,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "tokenizer_vocab_coverage",
     "ngram_novelty_score",
     "asof_nearest_tolerance",
+    "bot_rate_flags",
 )
 
 
