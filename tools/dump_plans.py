@@ -345,6 +345,34 @@ PICKS = {
         "(bounded per-key), median slope is an exact small-group "
         "percentile."
     ),
+    "similarity_lsh_portable_pairs": (
+        "Portable LSH: map-side sequential-fold signatures (staged), "
+        "banded equi-join candidates, exact-cosine verify on candidates "
+        "only — engine-exact end to end."
+    ),
+    "ranking_auc_report": (
+        "Exact AUC: ONE rank window + one aggregation (the Mann-Whitney "
+        "identity) — never the quadratic pos×neg join; global sort "
+        "documented with its histogram-estimator scale path."
+    ),
+    "tokenizer_vocab_coverage": (
+        "Vocab coverage: token-frequency agg → top-K rank → BROADCAST "
+        "vocab membership onto the token stream → per-doc aggregate."
+    ),
+    "ngram_novelty_score": (
+        "Bigram novelty: the dedup inverted-index algebra — distinct "
+        "(doc, bigram), df aggregation, one join back; no doc×doc "
+        "comparison."
+    ),
+    "asof_nearest_tolerance": (
+        "Nearest-in-time join: one shuffle, one shared per-key sort "
+        "feeding backward AND forward IGNORE-NULLS windows; "
+        "integer-microsecond gap arithmetic."
+    ),
+    "concurrent_intervals_timeline": (
+        "Sweep-line backlog: per-order lifetimes → +1/−1 delta union → "
+        "month-sized cumulative window; no interval self-join."
+    ),
 }
 
 SKIP_PREFIXES = (
