@@ -286,7 +286,9 @@ CORE_ORDER: tuple[str, ...] = (
 
 # Oracle-backed queries past the driver's 50-slot window this round —
 # first in line for round 5's rotation (window overflow: more never-green
-# queries exist than slots). test_core_registry_window pins membership.
+# queries exist than slots). Every entry validated engine + --plain at
+# sf0.01 AND at sf0.1 before joining. test_core_registry_window pins
+# membership and placement.
 ROUND5_QUEUE: tuple[str, ...] = (
     "rfm_segmentation",
     "pareto_revenue_share",
