@@ -290,3 +290,142 @@ def q_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_islands"),
     )
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest_report — two-sample mean comparison (the A/B significance)
+# ---------------------------------------------------------------------------
+
+_TTEST_ORACLE = """
+WITH arms AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm, value FROM events
+),
+s AS (
+  SELECT arm, count(*) AS n, avg(value) AS mean, var_samp(value) AS var
+  FROM arms GROUP BY arm
+),
+w AS (
+  SELECT a.n AS n0, a.mean AS mean0, a.var AS var0,
+         b.n AS n1, b.mean AS mean1, b.var AS var1,
+         a.var / a.n + b.var / b.n AS se2
+  FROM s a JOIN s b ON a.arm = 0 AND b.arm = 1
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+       round((mean1 - mean0) / sqrt(se2), 6) AS t_stat,
+       round(se2 * se2
+             / ((var0 / n0) * (var0 / n0) / (n0 - 1)
+                + (var1 / n1) * (var1 / n1) / (n1 - 1)), 6) AS welch_df
+FROM w
+"""
+
+
+@_register("welch_ttest_report", _TTEST_ORACLE)
+def q_welch_ttest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t: the significance readout
+    behind the CUPED-adjusted means above — t statistic and the
+    Welch–Satterthwaite degrees of freedom, computed from ONE grouped
+    (n, mean, var) pass per arm (sufficient statistics; raw values
+    never leave their partitions twice)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "value"
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = s.where(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("mean").alias("mean0"),
+        F.col("var").alias("var0"),
+    )
+    b = s.where(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("mean").alias("mean1"),
+        F.col("var").alias("var1"),
+    )
+    w = a.crossJoin(b).withColumn(
+        "se2", F.col("var0") / F.col("n0") + F.col("var1") / F.col("n1")
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    v0n, v1n = F.col("var0") / n0, F.col("var1") / n1
+    return w.select(
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        F.round("mean0", 6).alias("mean0"),
+        F.round("mean1", 6).alias("mean1"),
+        F.round(
+            (F.col("mean1") - F.col("mean0")) / F.sqrt(F.col("se2")), 6
+        ).alias("t_stat"),
+        F.round(
+            F.col("se2") * F.col("se2")
+            / (v0n * v0n / (n0 - 1) + v1n * v1n / (n1 - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chisq_independence_test — contingency-table independence
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT o.event_type, o.arm, o.o,
+         sum(o.o) OVER (PARTITION BY o.event_type) AS row_t,
+         sum(o.o) OVER (PARTITION BY o.arm)        AS col_t,
+         sum(o.o) OVER ()                          AS n
+  FROM obs o
+),
+cells AS (
+  SELECT CAST(row_t AS DOUBLE) * col_t / n AS e, o FROM margins
+)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       CAST((SELECT count(DISTINCT event_type) - 1 FROM obs)
+            * (SELECT count(DISTINCT arm) - 1 FROM obs) AS BIGINT) AS dof
+FROM cells
+"""
+
+
+@_register("chisq_independence_test", _CHISQ_ORACLE)
+def q_chisq_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between event type and the hash
+    arm (the guardrail that catches broken randomization — sample-ratio
+    mismatch shows up here before any metric moves). One contingency
+    aggregation; expected counts from margin windows over the
+    |types|×|arms| table."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "event_type",
+        "arm",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("arm")).alias("col_t"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    cells = margins.select(((F.col("o") - e) * (F.col("o") - e) / e).alias(
+        "term"
+    ))
+    dims = obs.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("arm") - 1)
+        ).cast("long").alias("dof")
+    )
+    return cells.agg(F.round(F.sum("term"), 6).alias("chi2")).crossJoin(
+        F.broadcast(dims)
+    )

@@ -280,6 +280,8 @@ CORE_ORDER: tuple[str, ...] = (
     "ngram_novelty_score",
     "asof_nearest_tolerance",
     "bot_rate_flags",
+    "welch_ttest_report",
+    "chisq_independence_test",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -324,6 +326,8 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "ngram_novelty_score",
     "asof_nearest_tolerance",
     "bot_rate_flags",
+    "welch_ttest_report",
+    "chisq_independence_test",
 )
 
 

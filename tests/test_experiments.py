@@ -154,3 +154,41 @@ def test_streaks_islands_hand_case(spark):
     assert out[2].n_active_days == 1
     assert out[2].longest_streak == 1
     assert out[2].n_islands == 1
+
+
+def test_welch_t_zero_when_arms_identical(spark):
+    """Identical value multisets in both arms (arm = user_id % 2) must
+    give t = 0 and equal means."""
+    rows = [
+        (1, D(2024, 1, 1), 2, "view", 1.0, "{}"),   # arm 0
+        (2, D(2024, 1, 1), 4, "view", 2.0, "{}"),   # arm 0
+        (3, D(2024, 1, 1), 1, "view", 1.0, "{}"),   # arm 1
+        (4, D(2024, 1, 1), 3, "view", 2.0, "{}"),   # arm 1
+    ]
+    out = _with_events(
+        spark, rows,
+        lambda: experiments.q_welch_ttest_report(spark, "x").collect(),
+    )[0]
+    assert out.t_stat == 0.0
+    assert out.mean0 == out.mean1 == 1.5
+    assert (out.n0, out.n1) == (2, 2)
+
+
+def test_chisq_zero_for_perfectly_balanced_table(spark):
+    """Identical type distribution in both arms → χ² = 0; dof =
+    (types−1)(arms−1)."""
+    rows = []
+    eid = 0
+    for arm_user in (2, 3):  # arm 0 and arm 1
+        for t in ("view", "click"):
+            for _ in range(5):
+                eid += 1
+                rows.append(
+                    (eid, D(2024, 1, 1, 0, eid), arm_user, t, 0.0, "{}")
+                )
+    out = _with_events(
+        spark, rows,
+        lambda: experiments.q_chisq_independence_test(spark, "x").collect(),
+    )[0]
+    assert out.chi2 == 0.0
+    assert out.dof == 1
