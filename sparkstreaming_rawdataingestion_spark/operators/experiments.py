@@ -85,7 +85,9 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded to 6 dp before use — both engines then adjust with the
     identical constant), per-arm adjusted means and the achieved
     variance-reduction ratio. Assignment is the deterministic
-    ``user_id % 2`` hash arm."""
+    ``user_id % 2`` hash arm. (CUPED: Deng, Xu, Kohavi & Walker,
+    "Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data", WSDM 2013.)"""
     ev = catalog.load_table(spark, sf_dir, "events")
     cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
     # Staged: the per-user rollup feeds the θ fit AND the adjustment —
@@ -178,7 +180,9 @@ def q_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk sets from one ordered cumulative window over the duration-
     grouped rollup, survival as exp of the cumulative Σ ln(1−d/n)
     (prefix sums reassociate safely; a floating cumulative *product*
-    would not be available as a window aggregate in either engine)."""
+    would not be available as a window aggregate in either engine).
+    (Kaplan & Meier, "Nonparametric Estimation from Incomplete
+    Observations", JASA 1958.)"""
     ev = catalog.load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("t0"),

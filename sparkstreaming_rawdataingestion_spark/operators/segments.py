@@ -396,7 +396,8 @@ def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier flags: modified z-score 0.6745·(x−med)/MAD per
     event type, flagging |z| > 3.5 (the Iglewicz–Hoaglin rule). Median
     and MAD are exact continuous percentiles (5 groups); at firehose
-    scale both swap for ``percentile_approx`` sketches.
+    scale both swap for ``percentile_approx`` sketches. (Cut-off 3.5:
+    Iglewicz & Hoaglin, "How to Detect and Handle Outliers", ASQC 1993.)
 
     Two tiny grouped aggs broadcast back onto the fact scan — the flag
     predicate evaluates scan-side inside codegen, so the output is the
@@ -465,7 +466,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per user:
     s_t = max(0, s_{t−1} + (x_t − μ − k)) with slack k = σ/2 and alarm
     threshold h = 4σ — the classic sequential changepoint chart for a
-    sensor stream's upward level shift.
+    sensor stream's upward level shift (Page, "Continuous Inspection
+    Schemes", Biometrika 1954).
 
     Like mining.q_ewma_smoothing this is a genuinely sequential
     recurrence, so it runs as an Arrow-batched ``applyInPandas`` kernel
@@ -548,7 +550,7 @@ FROM slopes GROUP BY user_id
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend: the median of all pairwise slopes of
     (time, value) per user — outlier-resistant where least-squares is
-    not (up to ~29% contamination). Time is integer microseconds cast
+    not (up to ~29% contamination; Theil 1950 / Sen, JASA 1968). Time is integer microseconds cast
     once to fractional hours, so both engines divide identical doubles.
 
     The pairwise join is partitioned on ``user_id`` — bounded by
