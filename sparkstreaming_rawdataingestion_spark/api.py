@@ -151,6 +151,16 @@ class Engine:
 
         return cusum_stream(events, baseline)
 
+    def eval_stream(
+        self, events: DataFrame, threshold: float
+    ) -> DataFrame:
+        """Streaming model-quality monitor (streaming/eval_stream.py):
+        per-event-time-window confusion tableau + precision/recall for
+        a frozen decision threshold; append-mode finalized windows."""
+        from .streaming.eval_stream import eval_stream
+
+        return eval_stream(events, threshold)
+
     def debounce_stream(self, events: DataFrame) -> DataFrame:
         """Streaming burst debounce (streaming/debounce_stream.py) —
         emits only burst-START events per (user, type); the incremental
