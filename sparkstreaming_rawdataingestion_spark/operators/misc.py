@@ -350,3 +350,48 @@ def q_skyline_pareto_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 2).alias("price"),
         F.col("p_size").cast("int").alias("size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# string_agg_pack — ordered LISTAGG / string aggregation
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+WITH top_parts AS (
+  SELECT p_brand, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part
+)
+SELECT p_brand,
+       string_agg(p_name, '|' ORDER BY p_retailprice DESC, p_name)
+         AS top_names,
+       CAST(count(*) AS BIGINT) AS n
+FROM top_parts
+WHERE rnk <= 3
+GROUP BY p_brand
+"""
+
+
+@_register("string_agg_pack", _LISTAGG_ORACLE)
+def q_string_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP —
+    Spark 4's ``listagg``, DuckDB's ``string_agg`` with ORDER BY): the
+    top-3 part names per brand joined '|'-delimited in deterministic
+    (price DESC, name) order. The aggregation input is pre-pruned to 3
+    rows per brand by WindowGroupLimit, so the string build never sees
+    the full per-brand row set."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), "p_partkey"
+    )
+    top = p.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )
+    return top.groupBy("p_brand").agg(
+        F.expr(
+            "listagg(p_name, '|') WITHIN GROUP "
+            "(ORDER BY p_retailprice DESC, p_name)"
+        ).alias("top_names"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

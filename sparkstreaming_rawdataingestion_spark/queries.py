@@ -282,6 +282,7 @@ CORE_ORDER: tuple[str, ...] = (
     "bot_rate_flags",
     "welch_ttest_report",
     "chisq_independence_test",
+    "string_agg_pack",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -328,6 +329,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "bot_rate_flags",
     "welch_ttest_report",
     "chisq_independence_test",
+    "string_agg_pack",
 )
 
 
