@@ -489,3 +489,76 @@ def q_concurrent_intervals_timeline(
         F.col("net").cast("long").alias("net_change"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trending_items_decay — recency-weighted popularity
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 90
+_TRENDING_TOP = 25
+
+_TRENDING_ORACLE = f"""
+WITH anchor AS (SELECT max(o_orderdate) AS t1 FROM orders),
+w AS (
+  SELECT l.l_partkey,
+         exp(-ln(2.0e0)
+             * (CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST((SELECT t1 FROM anchor) AS DATE)) AS DOUBLE)
+                / {_DECAY_HALF_LIFE_DAYS}.0e0)) AS wt,
+         l.l_quantity
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l_partkey,
+       round(sum(wt * l_quantity), 6) AS decayed_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM w GROUP BY l_partkey
+ORDER BY decayed_qty DESC, l_partkey
+LIMIT {_TRENDING_TOP}
+"""
+
+
+@_register("trending_items_decay", _TRENDING_ORACLE)
+def q_trending_items_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending parts: order quantities weighted by an exponential
+    time-decay (half-life {_DECAY_HALF_LIFE_DAYS} days, anchored at the
+    data's max order date so the query is reproducible), top
+    {_TRENDING_TOP} by decayed quantity — the standard recency-weighted
+    popularity ranking behind 'trending now' surfaces.
+
+    One fact join + one aggregation; the decay weight is computed
+    scan-side from integer day differences (identical doubles both
+    engines), and the top-k runs TakeOrderedAndProject over the
+    part-sized rollup."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("t1"))
+    import math
+
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "l_partkey",
+            "l_quantity",
+            F.exp(
+                -F.lit(math.log(2.0))
+                * (
+                    F.datediff(
+                        F.to_date("t1"), F.to_date("o_orderdate")
+                    ).cast("double")
+                    / _DECAY_HALF_LIFE_DAYS
+                )
+            ).alias("wt"),
+        )
+    )
+    return (
+        joined.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("wt") * F.col("l_quantity")), 6)
+            .alias("decayed_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy(F.col("decayed_qty").desc(), "l_partkey")
+        .limit(_TRENDING_TOP)
+    )

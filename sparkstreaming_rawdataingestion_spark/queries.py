@@ -283,6 +283,7 @@ CORE_ORDER: tuple[str, ...] = (
     "welch_ttest_report",
     "chisq_independence_test",
     "string_agg_pack",
+    "trending_items_decay",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -330,6 +331,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "welch_ttest_report",
     "chisq_independence_test",
     "string_agg_pack",
+    "trending_items_decay",
 )
 
 
