@@ -809,3 +809,63 @@ def q_bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_rate").cast("long").alias("peak_events_per_day"),
         (F.max("run_len") >= _BOT_SUSTAINED_DAYS).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stickiness_wau_dau — engagement ratio over trailing windows
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM activity),
+dau AS (
+  SELECT day, count(*) AS dau FROM activity GROUP BY day
+),
+wau AS (
+  SELECT d.day, count(DISTINCT a.user_id) AS wau
+  FROM days d JOIN activity a
+    ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+@_register("stickiness_wau_dau", _STICKINESS_ORACLE)
+def q_stickiness_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the canonical
+    engagement-intensity ratio. COUNT(DISTINCT) over a trailing RANGE
+    window is not a window aggregate in either engine, so the WAU side
+    is a day-spine × activity-matrix range join: both inputs are
+    (user, day)-distinct rollups (facts reduce first), the join fans
+    out at most 7× the activity matrix, and the distinct count shuffles
+    (day, user) pairs."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = activity.select("day").distinct()
+    dau = activity.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    a = activity.select(
+        F.col("day").alias("a_day"), "user_id"
+    )
+    wau = (
+        days.join(
+            a,
+            (F.col("a_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("a_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+        .alias("stickiness"),
+    )

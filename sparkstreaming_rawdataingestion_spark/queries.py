@@ -284,6 +284,7 @@ CORE_ORDER: tuple[str, ...] = (
     "chisq_independence_test",
     "string_agg_pack",
     "trending_items_decay",
+    "stickiness_wau_dau",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -332,6 +333,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "chisq_independence_test",
     "string_agg_pack",
     "trending_items_decay",
+    "stickiness_wau_dau",
 )
 
 
