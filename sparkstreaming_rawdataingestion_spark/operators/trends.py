@@ -562,3 +562,74 @@ def q_trending_items_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_qty").desc(), "l_partkey")
         .limit(_TRENDING_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# new_vs_repeat_revenue — monthly revenue split by customer tenure
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = f"""
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS first_m
+  FROM orders GROUP BY o_custkey
+),
+split AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CASE WHEN CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                   = f.first_m
+              THEN 'new' ELSE 'repeat' END AS tenure,
+         {_CENTS} AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+m AS (
+  SELECT month, tenure, sum(cents) AS cents, count(*) AS n_orders
+  FROM split GROUP BY month, tenure
+)
+SELECT month, tenure,
+       CAST(cents AS DOUBLE) / 100.0e0 AS revenue,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY month) AS DOUBLE), 6)
+         AS share_of_month
+FROM m
+"""
+
+
+@_register("new_vs_repeat_revenue", _NVR_ORACLE)
+def q_new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into new-customer (first-order month) vs
+    repeat business, with each side's share of the month — the
+    growth-quality decomposition behind every board deck. One
+    customer-sized first-order rollup joined back (broadcastable),
+    exact-cents sums, share window over the month-sized result."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date")
+        .alias("first_m")
+    )
+    omonth = F.date_trunc("month", "o_orderdate").cast("date")
+    split = o.join(F.broadcast(firsts), "o_custkey").select(
+        omonth.alias("month"),
+        F.when(omonth == F.col("first_m"), "new")
+        .otherwise("repeat")
+        .alias("tenure"),
+        cents.alias("cents"),
+    )
+    m = split.groupBy("month", "tenure").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("month")
+    return m.select(
+        "month",
+        "tenure",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double"),
+            6,
+        ).alias("share_of_month"),
+    )

@@ -285,6 +285,7 @@ CORE_ORDER: tuple[str, ...] = (
     "string_agg_pack",
     "trending_items_decay",
     "stickiness_wau_dau",
+    "new_vs_repeat_revenue",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -334,6 +335,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "string_agg_pack",
     "trending_items_decay",
     "stickiness_wau_dau",
+    "new_vs_repeat_revenue",
 )
 
 
