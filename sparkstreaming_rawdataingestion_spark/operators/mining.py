@@ -922,3 +922,85 @@ def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_smoothing — double exponential smoothing (level + trend)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.4
+_HOLT_BETA = 0.2
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+h AS (
+  SELECT user_id, event_id, rn,
+         value AS l, 0.0e0 AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         {_HOLT_ALPHA}e0 * s.value + {1 - _HOLT_ALPHA}e0 * (h.l + h.b),
+         {_HOLT_BETA}e0 * (({_HOLT_ALPHA}e0 * s.value
+                            + {1 - _HOLT_ALPHA}e0 * (h.l + h.b)) - h.l)
+           + {1 - _HOLT_BETA}e0 * h.b
+  FROM seq s JOIN h ON s.user_id = h.user_id AND s.rn = h.rn + 1
+)
+SELECT user_id, event_id,
+       floor(l * 1000000 + 0.5) / 1000000.0e0       AS level,
+       floor(b * 1000000 + 0.5) / 1000000.0e0       AS trend,
+       floor((l + b) * 1000000 + 0.5) / 1000000.0e0 AS forecast_1
+FROM h
+"""
+
+
+@_register("holt_linear_smoothing", _HOLT_ORACLE)
+def q_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per user —
+    lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ with
+    l₁ = x₁, b₁ = 0 — plus the one-step-ahead forecast l+b (Holt 1957;
+    the trend-aware sibling of ``q_ewma_smoothing``).
+
+    Like EWMA/CUSUM this is a genuinely sequential recurrence: an
+    Arrow-batched ``applyInPandas`` kernel per key (O(1) state — two
+    doubles) against a recursive-CTE oracle carrying (l, b); both
+    engines apply the identical multiply-add expressions so raw state
+    is bit-equal and the 6 dp outputs hash-match."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+
+    def holt(pdf):
+        import math
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy(dtype="float64")
+        out_l, out_b, out_f = [], [], []
+        l = b = 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                l_new = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (l + b)
+                b = _HOLT_BETA * (l_new - l) + (1 - _HOLT_BETA) * b
+                l = l_new
+            out_l.append(math.floor(l * 1e6 + 0.5) / 1e6)
+            out_b.append(math.floor(b * 1e6 + 0.5) / 1e6)
+            out_f.append(math.floor((l + b) * 1e6 + 0.5) / 1e6)
+        res = pdf[["user_id", "event_id"]].copy()
+        res["level"] = out_l
+        res["trend"] = out_b
+        res["forecast_1"] = out_f
+        return res
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            holt,
+            "user_id long, event_id long, level double, trend double, "
+            "forecast_1 double",
+        )
+    )

@@ -286,6 +286,7 @@ CORE_ORDER: tuple[str, ...] = (
     "trending_items_decay",
     "stickiness_wau_dau",
     "new_vs_repeat_revenue",
+    "holt_linear_smoothing",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -336,6 +337,7 @@ ROUND5_QUEUE: tuple[str, ...] = (
     "trending_items_decay",
     "stickiness_wau_dau",
     "new_vs_repeat_revenue",
+    "holt_linear_smoothing",
 )
 
 
