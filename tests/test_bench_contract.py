@@ -1,0 +1,47 @@
+"""The driver parses bench.py's FINAL stdout line from a ~2000-byte tail
+capture (BENCH_r04 recorded ``parsed: null`` when the line outgrew it).
+Pin the output contract so the headline set can't silently regrow past
+the window."""
+
+import json
+import sys
+
+
+def test_headline_names_resolve_and_set_is_bounded():
+    sys.path.insert(0, ".")
+    import bench
+    from sparkstreaming_rawdataingestion_spark.queries import all_queries
+
+    registry = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in registry]
+    assert missing == []
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    assert len(bench.HEADLINE) <= 46
+
+
+def test_final_line_fits_driver_tail_at_worst_case_timings():
+    sys.path.insert(0, ".")
+    import bench
+
+    # worst realistic case: every query three digits of seconds
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 999.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    assert len(json.dumps(payload)) <= 1900
+
+
+def test_headline_keeps_round3_comparable_panel():
+    """The 40-query BENCH_r03 panel is the longitudinal baseline; it must
+    stay a subset so per-query times remain comparable across rounds."""
+    sys.path.insert(0, ".")
+    import os
+
+    import bench
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_r03.json")
+    r3 = json.load(open(path))["parsed"]["queries"]
+    assert set(r3) <= set(bench.HEADLINE)
