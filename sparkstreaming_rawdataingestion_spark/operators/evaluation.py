@@ -131,10 +131,11 @@ c AS (
 )
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
-       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
-       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
-       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+       round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_,
+       round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_,
+       round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1,
+       round(CAST(tp + tn AS DOUBLE) / nullif(tp + fp + fn + tn, 0), 6)
+         AS accuracy
 FROM c
 """
 
@@ -163,11 +164,17 @@ def q_classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.cast("long").alias("fp"),
         fn.cast("long").alias("fn"),
         tn.cast("long").alias("tn"),
-        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
-        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
-        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
-        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6)
-        .alias("accuracy"),
+        # try_divide (NULL on zero, mirrored by nullif in the oracle):
+        # under ANSI mode a degenerate slice — one class absent — must
+        # yield NULL metrics, not DIVIDE_BY_ZERO
+        F.round(F.try_divide(tp.cast("double"), tp + fp), 6)
+        .alias("precision_"),
+        F.round(F.try_divide(tp.cast("double"), tp + fn), 6)
+        .alias("recall_"),
+        F.round(F.try_divide(2.0 * tp, 2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round(
+            F.try_divide((tp + tn).cast("double"), tp + fp + fn + tn), 6
+        ).alias("accuracy"),
     )
 
 

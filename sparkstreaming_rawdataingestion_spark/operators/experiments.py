@@ -60,7 +60,8 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 ),
 theta AS (
-  SELECT round(covar_pop(x, y) / var_pop(x), 6) AS th,
+  SELECT coalesce(round(covar_pop(x, y) / nullif(var_pop(x), 0), 6),
+                  0.0e0) AS th,
          avg(x) AS xbar
   FROM per_user
 ),
@@ -73,7 +74,7 @@ SELECT arm,
        CAST(count(*) AS BIGINT) AS n_users,
        round(avg(y), 6)        AS mean_y,
        round(avg(y_adj), 6)    AS mean_y_adj,
-       round(var_pop(y_adj) / var_pop(y), 6) AS var_ratio
+       round(var_pop(y_adj) / nullif(var_pop(y), 0), 6) AS var_ratio
 FROM adj GROUP BY arm
 """
 
@@ -104,8 +105,18 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
     )
+    # try_divide + coalesce (mirrored by nullif/coalesce in the oracle):
+    # a degenerate slice with a CONSTANT pre-period covariate has
+    # var_pop(x) = 0 — under ANSI mode a raw `/` would raise; the
+    # statistically right fallback is θ = 0, i.e. CUPED degenerates to
+    # the unadjusted readout
     theta = per_user.agg(
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("th"),
+        F.coalesce(
+            F.round(
+                F.try_divide(F.covar_pop("x", "y"), F.var_pop("x")), 6
+            ),
+            F.lit(0.0),
+        ).alias("th"),
         F.avg("x").alias("xbar"),
     )
     adj = per_user.crossJoin(F.broadcast(theta)).select(
@@ -118,7 +129,9 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.round(F.avg("y"), 6).alias("mean_y"),
         F.round(F.avg("y_adj"), 6).alias("mean_y_adj"),
-        F.round(F.var_pop("y_adj") / F.var_pop("y"), 6).alias("var_ratio"),
+        F.round(
+            F.try_divide(F.var_pop("y_adj"), F.var_pop("y")), 6
+        ).alias("var_ratio"),
     )
 
 
@@ -316,10 +329,11 @@ w AS (
 )
 SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
        round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
-       round((mean1 - mean0) / sqrt(se2), 6) AS t_stat,
+       round((mean1 - mean0) / nullif(sqrt(se2), 0), 6) AS t_stat,
        round(se2 * se2
-             / ((var0 / n0) * (var0 / n0) / (n0 - 1)
-                + (var1 / n1) * (var1 / n1) / (n1 - 1)), 6) AS welch_df
+             / nullif((var0 / n0) * (var0 / n0) / nullif(n0 - 1, 0)
+                + (var1 / n1) * (var1 / n1) / nullif(n1 - 1, 0), 0),
+             6) AS welch_df
 FROM w
 """
 
@@ -356,17 +370,27 @@ def q_welch_ttest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n0, n1 = F.col("n0"), F.col("n1")
     v0n, v1n = F.col("var0") / n0, F.col("var1") / n1
+    # try_divide on every data-dependent denominator (mirrored by nullif
+    # in the oracle): two zero-variance arms give se2 = 0, a single-row
+    # arm gives n−1 = 0 — under ANSI mode raw `/` raises where the
+    # report should emit NULL (no defined t / df)
     return w.select(
         n0.cast("long").alias("n0"),
         n1.cast("long").alias("n1"),
         F.round("mean0", 6).alias("mean0"),
         F.round("mean1", 6).alias("mean1"),
         F.round(
-            (F.col("mean1") - F.col("mean0")) / F.sqrt(F.col("se2")), 6
+            F.try_divide(
+                F.col("mean1") - F.col("mean0"), F.sqrt(F.col("se2"))
+            ),
+            6,
         ).alias("t_stat"),
         F.round(
-            F.col("se2") * F.col("se2")
-            / (v0n * v0n / (n0 - 1) + v1n * v1n / (n1 - 1)),
+            F.try_divide(
+                F.col("se2") * F.col("se2"),
+                F.try_divide(v0n * v0n, n0 - 1)
+                + F.try_divide(v1n * v1n, n1 - 1),
+            ),
             6,
         ).alias("welch_df"),
     )

@@ -387,7 +387,8 @@ mad AS (
 SELECT e.event_id, e.event_type, e.value,
        round(0.6745 * (e.value - m.med) / m.mad, 6) AS robust_z
 FROM events e JOIN mad m USING (event_type)
-WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+WHERE m.mad <> 0
+  AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
 """
 
 
@@ -415,7 +416,16 @@ def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("med").alias("med"),
         )
     )
-    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    # MAD is legitimately 0 whenever ≥50% of a group's values coincide;
+    # under ANSI mode a raw division would raise DIVIDE_BY_ZERO (and
+    # Catalyst may reorder filter conjuncts, so guarding with a sibling
+    # predicate is not enough). try_divide yields NULL for those rows —
+    # NULL > 3.5 is NULL → filtered — so the convention (mirrored by
+    # `m.mad <> 0` in the oracle) is: a zero-MAD group has no
+    # well-defined robust z and emits NO flags.
+    z = F.lit(0.6745) * F.try_divide(
+        F.col("value") - F.col("med"), F.col("mad")
+    )
     return (
         ev.join(F.broadcast(mad), "event_type")
         .where(F.abs(z) > 3.5)

@@ -197,13 +197,16 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLCORR_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour,
+         date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS epoch_hour,
          sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS views,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
-  FROM events GROUP BY 1
+  FROM events GROUP BY 1, 2
 )
 SELECT hour, CAST(views AS BIGINT) AS views, CAST(clicks AS BIGINT) AS clicks,
        round(corr(CAST(views AS DOUBLE), CAST(clicks AS DOUBLE))
-             OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+             OVER (ORDER BY epoch_hour
+                   RANGE BETWEEN 23 PRECEDING AND CURRENT ROW),
              6) AS corr_24h
 FROM hourly
 """
@@ -214,7 +217,15 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """24-hour rolling Pearson correlation between hourly view and click
     volumes — the co-movement monitor for a pair of operational series.
     Facts reduce to one row per hour; the window corr runs over that
-    rollup (24-row frames), never over raw events."""
+    rollup, never over raw events.
+
+    The frame is a RANGE over the integer epoch-hour (tz-free
+    ``timestampdiff`` arithmetic), not ROWS BETWEEN 23 PRECEDING: on
+    sparse data an hour with zero events has no rollup row, and a
+    row-count frame would silently span MORE than 24 wall-clock hours.
+    The range frame keeps the stated semantics — exactly the hours
+    within [t−23h, t] that exist — with no dense-spine join (absent
+    hours contribute nothing to a Pearson r over observed pairs)."""
     ev = catalog.load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour")
@@ -225,8 +236,13 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("event_type") == "click", 1).otherwise(0)
         ).alias("clicks"),
+    ).withColumn(
+        "epoch_hour",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP'1970-01-01 00:00:00', hour)"
+        ),
     )
-    w = Window.orderBy("hour").rowsBetween(-23, Window.currentRow)
+    w = Window.orderBy("epoch_hour").rangeBetween(-23, Window.currentRow)
     return hourly.select(
         "hour",
         F.col("views").cast("long").alias("views"),

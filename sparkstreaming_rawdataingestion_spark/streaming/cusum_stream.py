@@ -41,6 +41,7 @@ OUTPUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
         T.StructField("s", T.DoubleType()),
     ]
 )
@@ -58,7 +59,7 @@ def _fold(
     rows["__us"] = rows["ts"].astype("datetime64[us]").astype("int64")
     rows = rows.sort_values(["__us", "event_id"])
 
-    last_us, s = state.get if state.exists else (None, 0.0)
+    last_us, last_eid, s = state.get if state.exists else (None, None, 0.0)
     out_ids, out_s, out_alarm = [], [], []
     for eid, t, x, mu, sd in zip(
         rows["event_id"].tolist(),
@@ -67,15 +68,17 @@ def _fold(
         rows["mu"].tolist(),
         rows["sd"].tolist(),
     ):
-        if last_us is not None and t <= last_us:
+        # lateness frontier is the batch twin's (ts, event_id) order —
+        # same-microsecond ties fold in (see ewma_stream docstring)
+        if last_us is not None and (t, eid) <= (last_us, last_eid):
             continue  # late arrival — dropped, see module docstring
         s = max(0.0, s + (x - mu - 0.5 * sd))
-        last_us = t
+        last_us, last_eid = t, eid
         out_ids.append(eid)
         out_s.append(math.floor(s * 1e6 + 0.5) / 1e6)
         out_alarm.append(s > 4.0 * sd)
     if last_us is not None:
-        state.update((last_us, s))
+        state.update((last_us, last_eid, s))
     yield pd.DataFrame(
         {
             "user_id": [user_id] * len(out_ids),

@@ -38,7 +38,12 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+    ]
+)
 
 _GAP_US = _DEBOUNCE_GAP_S * 1_000_000
 
@@ -53,17 +58,20 @@ def _fold(
     rows["__us"] = rows["ts"].astype("datetime64[us]").astype("int64")
     rows = rows.sort_values(["__us", "event_id"])
 
-    (last_us,) = state.get if state.exists else (None,)
+    last_us, last_eid = state.get if state.exists else (None, None)
     out_ids, out_ts = [], []
     for eid, t in zip(rows["event_id"].tolist(), rows["__us"].tolist()):
-        if last_us is not None and t <= last_us:
+        # lateness frontier is the batch twin's (ts, event_id) order —
+        # a same-microsecond tie is processed (and collapses into the
+        # burst, gap 0), not dropped (see ewma_stream docstring)
+        if last_us is not None and (t, eid) <= (last_us, last_eid):
             continue  # late arrival — dropped
         if last_us is None or (t - last_us) > _GAP_US:
             out_ids.append(eid)
             out_ts.append(pd.Timestamp(t, unit="us"))
-        last_us = t
+        last_us, last_eid = t, eid
     if last_us is not None:
-        state.update((last_us,))
+        state.update((last_us, last_eid))
     yield pd.DataFrame(
         {
             "user_id": [user_id] * len(out_ids),

@@ -51,12 +51,20 @@ def eval_stream(
         )
     )
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    # try_divide: the session runs Spark's default ANSI mode, where x/0
+    # raises DIVIDE_BY_ZERO. A finalized window with no predicted
+    # positives (tp+fp=0) or no actual positives (tp+fn=0) — a quiet day
+    # — must emit NULL metrics, not kill the query; a plain `/` here
+    # poisons the checkpoint (the failing window replays on every
+    # restart).
     return agg.select(
         F.col("w.start").alias("window_start"),
         tp.cast("long").alias("tp"),
         fp.cast("long").alias("fp"),
         fn.cast("long").alias("fn"),
         F.col("tn").cast("long").alias("tn"),
-        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
-        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        F.round(F.try_divide(tp.cast("double"), tp + fp), 6)
+        .alias("precision_"),
+        F.round(F.try_divide(tp.cast("double"), tp + fn), 6)
+        .alias("recall_"),
     )

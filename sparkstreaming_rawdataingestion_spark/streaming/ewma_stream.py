@@ -14,11 +14,14 @@ Exactness contract: the state stores the raw IEEE double accumulator and
 every step applies the SAME multiply-add expression as the batch kernel,
 so the streamed output is BIT-IDENTICAL to the batch twin under ANY
 micro-batch slicing — as long as each key's events arrive in event-time
-order across batches. Late events (ts at or before the key's last seen
-time) cannot be folded into an already-advanced recurrence; they are
-DROPPED, mirroring what a watermark does to late rows in built-in
-stateful aggregations (the lateness audit operator exists to size that
-discipline).
+order across batches. Order — and therefore lateness — is the batch
+twin's (ts, event_id) sort order: the state carries (last_us, last_eid)
+and an event folds in iff (t, event_id) is strictly greater, so a second
+event sharing a key's exact microsecond is a processed tie, not a drop.
+Genuinely late events cannot be folded into an already-advanced
+recurrence; they are DROPPED, mirroring what a watermark does to late
+rows in built-in stateful aggregations (the lateness audit operator
+exists to size that discipline).
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ OUTPUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
         T.StructField("acc", T.DoubleType()),
     ]
 )
@@ -63,22 +67,25 @@ def _fold(
     rows["__us"] = rows["ts"].astype("datetime64[us]").astype("int64")
     rows = rows.sort_values(["__us", "event_id"])
 
-    last_us, acc = state.get if state.exists else (None, None)
+    last_us, last_eid, acc = state.get if state.exists else (None, None, None)
     out_ids, out_vals = [], []
     for eid, t, x in zip(
         rows["event_id"].tolist(),
         rows["__us"].tolist(),
         rows["value"].tolist(),
     ):
-        if last_us is not None and t <= last_us:
+        # late = not strictly after the frontier in the batch twin's
+        # (ts, event_id) order — a same-microsecond event with a higher
+        # event_id is a legitimate tie and folds in, not a late drop
+        if last_us is not None and (t, eid) <= (last_us, last_eid):
             continue  # late arrival — see module docstring
         acc = x if acc is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc
-        last_us = t
+        last_us, last_eid = t, eid
         out_ids.append(eid)
         # same 6 dp floor-round expression as the batch kernel
         out_vals.append(math.floor(acc * 1e6 + 0.5) / 1e6)
     if last_us is not None:
-        state.update((last_us, acc))
+        state.update((last_us, last_eid, acc))
     yield pd.DataFrame(
         {
             "user_id": [user_id] * len(out_ids),

@@ -39,6 +39,7 @@ OUTPUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
         T.StructField("view_us", T.LongType()),
         T.StructField("click_us", T.LongType()),
         T.StructField("done", T.IntegerType()),
@@ -58,14 +59,20 @@ def _fold(
     rows["__us"] = rows["ts"].astype("datetime64[us]").astype("int64")
     rows = rows.sort_values(["__us", "event_id"])
 
-    last_us, view_us, click_us, done = (
-        state.get if state.exists else (None, None, None, 0)
+    last_us, last_eid, view_us, click_us, done = (
+        state.get if state.exists else (None, None, None, None, 0)
     )
     out = None
-    for t, typ in zip(rows["__us"].tolist(), rows["event_type"].tolist()):
-        if last_us is not None and t <= last_us:
+    for eid, t, typ in zip(
+        rows["event_id"].tolist(),
+        rows["__us"].tolist(),
+        rows["event_type"].tolist(),
+    ):
+        # lateness frontier is the batch twin's (ts, event_id) order —
+        # same-microsecond ties are processed (see ewma_stream docstring)
+        if last_us is not None and (t, eid) <= (last_us, last_eid):
             continue  # late arrival — dropped (module docstring)
-        last_us = t
+        last_us, last_eid = t, eid
         if done:
             continue
         if typ == "view":
@@ -86,7 +93,7 @@ def _fold(
                         "funnel_sec": [(t - view_us) // _US],
                     }
                 )
-    state.update((last_us, view_us, click_us, done))
+    state.update((last_us, last_eid, view_us, click_us, done))
     yield out if out is not None else pd.DataFrame(
         {
             "user_id": pd.Series([], dtype="int64"),

@@ -95,3 +95,32 @@ def test_late_event_dropped_not_folded(spark, tmp_path):
     y4 = a * 30.0 + (1 - a) * y2  # event 3 skipped entirely
     assert set(got) == {1, 2, 4}
     assert abs(got[4] - y4) < 1e-6
+
+
+def test_same_microsecond_tie_folds_in_not_dropped(spark, tmp_path):
+    """Two events sharing a key's exact timestamp, split across
+    micro-batches: the second is a TIE in the batch twin's (ts,
+    event_id) order — it must fold into the recurrence, while an event
+    at the same timestamp but a lower event_id than the frontier is
+    genuinely late and drops."""
+    t = D(2024, 1, 1, 0, 0, 1)
+    rows1 = [(2, 1, t, 10.0)]
+    rows2 = [
+        (1, 1, t, 99.0),  # same ts, LOWER id than frontier → late, drop
+        (3, 1, t, 20.0),  # same ts, higher id → tie, folds in
+    ]
+    schema = "user_id long, event_id long, ts timestamp_ntz, value double"
+    src = str(tmp_path / "src")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(
+            [(u, e, ts, v) for e, u, ts, v in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    _run_stream(spark, src, out, str(tmp_path / "ckpt"))
+    got = {
+        r.event_id: r.ewma for r in spark.read.parquet(out).collect()
+    }
+    a = mining._EWMA_ALPHA
+    assert set(got) == {2, 3}
+    assert abs(got[3] - (a * 20.0 + (1 - a) * 10.0)) < 1e-6
