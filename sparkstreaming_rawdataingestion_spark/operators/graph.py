@@ -28,7 +28,7 @@ never ``collect()``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog, session
 
@@ -329,6 +329,20 @@ WHERE na.common >= 2
 """
 
 
+# Skew escape hatch for the wedge join: a center of degree d emits
+# ~d²/2 candidate rows BEFORE any filter, so one hot hub can dominate
+# the shuffle on a skewed graph. Centers above this cap enumerate only
+# their WEDGE_NEIGHBOR_CAP lowest-id neighbors (deterministic); common
+# counts THROUGH such hubs become a documented undercount (≥-recall on
+# pairs that also meet via a non-capped center), the same
+# soundness-for-boundedness trade as dedup.py's SHINGLE_MAX_DF cap. The
+# cap is far above the fixture graphs' max center degree (106 at sf0.1,
+# pinned by tests/test_graph_wedge_cap.py), so every test/oracle result
+# is exact; at 100× scale it bounds any hub's wedge fan-out at
+# cap²/2 ≈ 131k rows.
+WEDGE_NEIGHBOR_CAP = 512
+
+
 @_register("graph_common_neighbors", _LINKPRED_ORACLE)
 def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the same co-supply graph as
@@ -339,11 +353,13 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the oriented edge list is staged once and symmetrized as a
     map-only union over the cache; candidates come from one wedge
     equi-join on the shared center (never an all-pairs product — only
-    distance-2 pairs materialize), existing edges drop via a LEFT ANTI
-    join on the oriented pair, and degrees broadcast back from a
-    node-sized aggregate. The common >= 2 floor keeps the output the
-    interesting candidates (and bounds it at scale); Jaccard divides
-    exact BIGINT counts as doubles."""
+    distance-2 pairs materialize, and hub centers are degree-capped at
+    WEDGE_NEIGHBOR_CAP — see the constant's note), existing edges drop
+    via a LEFT ANTI join on the oriented pair, and degrees broadcast
+    back from a node-sized aggregate over the UNCAPPED adjacency (true
+    degrees; only the wedge enumeration is capped). The common >= 2
+    floor keeps the output the interesting candidates (and bounds it at
+    scale); Jaccard divides exact BIGINT counts as doubles."""
     li = catalog.load_table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity") >= 48
     )
@@ -362,8 +378,17 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    n1 = sym.select(F.col("u").alias("ctr"), F.col("v").alias("a"))
-    n2 = sym.select(F.col("u").alias("ctr"), F.col("v").alias("c"))
+    # degree-capped adjacency for the wedge enumeration only (true
+    # degrees above stay uncapped): keep each center's cap lowest-id
+    # neighbors — deterministic, and a no-op below the cap
+    wedge_w = Window.partitionBy("u").orderBy("v")
+    capped = (
+        sym.withColumn("nbr_rank", F.row_number().over(wedge_w))
+        .where(F.col("nbr_rank") <= WEDGE_NEIGHBOR_CAP)
+        .drop("nbr_rank")
+    )
+    n1 = capped.select(F.col("u").alias("ctr"), F.col("v").alias("a"))
+    n2 = capped.select(F.col("u").alias("ctr"), F.col("v").alias("c"))
     cand = (
         n1.join(n2, "ctr")
         .where(F.col("a") < F.col("c"))
