@@ -932,3 +932,94 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_rep"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_canonical — the deduplicated corpus (keep-best survivors)
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(dest) AS cluster_rep
+  FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_rep,
+         count(*)     OVER (PARTITION BY c.cluster_rep) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       coalesce(r.cluster_size, 1)  AS cluster_size,
+       (r.doc_id IS NOT NULL)       AS kept_from_cluster
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r ON r.doc_id = d.doc_id
+WHERE r.doc_id IS NOT NULL
+   OR d.doc_id NOT IN (SELECT doc_id FROM clusters)
+"""
+
+
+@_register("dedup_cluster_canonical", _CANONICAL_ORACLE)
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUPLICATED corpus — the artifact the whole near-dup ladder
+    exists to produce: every unclustered document plus exactly one
+    keep-best representative per near-dup cluster (longest text wins,
+    doc_id breaks ties — a quality policy, unlike ``dedup_clusters``'s
+    min-id labeling which is a graph artifact).
+
+    Plan: clusters come from the same staged LSH → connected-components
+    labels; the representative pick is one row_number window over the
+    CLUSTERED docs only (a tiny fraction of the corpus), and survivors
+    are a broadcast-able left anti join of the full corpus against the
+    cluster membership plus the picked reps. At 100 TB the windows and
+    joins all key on cluster/doc ids — text never shuffles."""
+    d = stage(catalog.load_table(spark, sf_dir, "documents"))
+    pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    clusters = stage(
+        connected_components(pairs).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+        )
+    )
+    ranked = (
+        clusters.join(d, "doc_id")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_rep").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    reps = ranked.where(F.col("rk") == 1).select(
+        "doc_id", "cluster_size", F.lit(True).alias("kept_from_cluster")
+    )
+    singles = (
+        d.join(clusters, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(False).alias("kept_from_cluster"),
+        )
+    )
+    keep = reps.unionAll(singles)
+    return keep.join(d, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars",
+        "cluster_size", "kept_from_cluster",
+    )

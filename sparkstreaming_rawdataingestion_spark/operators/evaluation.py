@@ -294,3 +294,93 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("p"), 6).alias("mean_score"),
         F.round(F.avg(F.col("y").cast("double")), 6).alias("positive_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decile_lift_table — ranked gains/lift readout
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+  FROM events
+),
+d AS (
+  SELECT decile, count(*) AS n, sum(y) AS n_pos
+  FROM scored GROUP BY decile
+),
+t AS (SELECT sum(n) AS n_total, sum(n_pos) AS pos_total FROM d)
+SELECT decile,
+       CAST(n AS BIGINT)     AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       round(CAST(sum(n_pos) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / nullif(t.pos_total, 0), 6) AS cum_capture,
+       round((CAST(n_pos AS DOUBLE) / n)
+             / nullif(CAST(t.pos_total AS DOUBLE) / t.n_total, 0), 6)
+         AS lift
+FROM d CROSS JOIN t
+"""
+
+
+@_register("decile_lift_table", _LIFT_ORACLE)
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — the campaign-targeting readout that completes
+    the evaluation suite (confusion tableau, AUC, calibration): rank by
+    score, cut into deciles, and report each decile's positive rate,
+    cumulative capture of all positives, and lift over the base rate.
+
+    Ranking ties break on event_id so the ntile assignment is one
+    deterministic total order on both engines. The global ntile sort is
+    the same honest cost as ``ranking_auc_report`` (documented there);
+    everything downstream is 10-row algebra — the decile rollup
+    broadcasts against its own 1-row total. try_divide/nullif guard the
+    degenerate no-positives slice (NULL capture/lift, per the ANSI
+    guard convention)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("score").desc(), F.col("event_id"))
+        ),
+    )
+    d = session.stage(
+        scored.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+        )
+    )
+    t = d.agg(
+        F.sum("n").alias("n_total"), F.sum("n_pos").alias("pos_total")
+    )
+    cum = F.sum("n_pos").over(
+        Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+            .alias("pos_rate"),
+            F.round(
+                F.try_divide(cum.cast("double"), F.col("pos_total")), 6
+            ).alias("cum_capture"),
+            F.round(
+                F.try_divide(
+                    F.col("n_pos").cast("double") / F.col("n"),
+                    F.col("pos_total").cast("double") / F.col("n_total"),
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -208,3 +208,141 @@ def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual_information_features — filter-method feature selection
+# ---------------------------------------------------------------------------
+
+# (name, shared SQL expression) — the reduced fixture schema has one
+# native categorical besides the label, so the other candidates are the
+# standard derived discretizations; every expression is valid verbatim
+# on both engines and casts to STRING so the melted value column has
+# one type
+_MI_FEATURES = (
+    ("l_linestatus", "CAST(l_linestatus AS STRING)"),
+    ("qty_band", "CAST(CAST(floor(l_quantity / 10) AS INT) AS STRING)"),
+    ("ship_month", "CAST(month(l_shipdate) AS STRING)"),
+)
+
+_MI_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS feature, {expr} AS val, l_returnflag AS label"
+    " FROM lineitem"
+    for name, expr in _MI_FEATURES
+)
+
+_MI_ORACLE = f"""
+WITH melted AS ({_MI_CELLS_SQL}),
+joint AS (
+  SELECT feature, val, label, count(*) AS c
+  FROM melted GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT feature, c,
+         sum(c) OVER (PARTITION BY feature, val)   AS cx,
+         sum(c) OVER (PARTITION BY feature, label) AS cy,
+         sum(c) OVER (PARTITION BY feature)        AS n
+  FROM joint
+),
+mi AS (
+  SELECT feature,
+         sum(CAST(round((CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c * n AS DOUBLE)
+                             / CAST(cx * cy AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))) AS mi
+  FROM cells GROUP BY feature
+),
+lbl AS (
+  SELECT feature, label, sum(c) AS cy, sum(sum(c)) OVER (PARTITION BY feature) AS n
+  FROM joint GROUP BY feature, label
+),
+h AS (
+  SELECT feature,
+         sum(CAST(round(-(CAST(cy AS DOUBLE) / n)
+                        * ln(CAST(cy AS DOUBLE) / n), 9)
+                  AS DECIMAL(18,9))) AS h_label
+  FROM lbl GROUP BY feature
+)
+SELECT mi.feature,
+       round(CAST(mi.mi AS DOUBLE), 6) AS mi,
+       round(CAST(h.h_label AS DOUBLE), 6) AS label_entropy,
+       round(CAST(mi.mi AS DOUBLE) / nullif(CAST(h.h_label AS DOUBLE), 0), 6)
+         AS nmi
+FROM mi JOIN h ON h.feature = mi.feature
+"""
+
+
+@_register("mutual_information_features", _MI_ORACLE)
+def q_mutual_information_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter-method feature selection: mutual information I(X; Y) in
+    nats between each candidate categorical feature and the label
+    (``l_returnflag``), plus the label entropy H(Y) and the normalized
+    score I/H — the standard pre-training relevance ranking that needs
+    no model fit (Cover & Thomas, Elements of Information Theory, ch.2).
+
+    Plan: ONE fact scan — features melt map-side into (feature, value,
+    label) rows (a 3× row explode that partial-aggregates before the
+    shuffle), so adding a feature never adds a scan (the oracle's
+    UNION ALL per feature is the semantic spec, not the plan). All
+    marginals are windows over the joint-count table, which is bounded
+    by Σ|dom(X)|·|dom(Y)| cells (~50 rows here) regardless of fact
+    cardinality. Per-cell MI terms round to 9 dp and accumulate in
+    DECIMAL — order-independent sums, exact cross-engine parity; ln
+    operands are exact-integer ratios so both engines round the same
+    double."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.expr(expr).alias("val"),
+                    )
+                    for name, expr in _MI_FEATURES
+                ]
+            )
+        ).alias("fv"),
+        F.col("l_returnflag").alias("label"),
+    ).select("fv.feature", "fv.val", "label")
+    joint = melted.groupBy("feature", "val", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_feature = Window.partitionBy("feature")
+    cells = joint.select(
+        "feature",
+        "c",
+        F.sum("c").over(Window.partitionBy("feature", "val")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("feature", "label")).alias("cy"),
+        F.sum("c").over(per_feature).alias("n"),
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c") * F.col("n")).cast("double")
+            / (F.col("cx") * F.col("cy")).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    mi = cells.groupBy("feature").agg(F.sum(term).alias("mi"))
+    lbl = joint.groupBy("feature", "label").agg(F.sum("c").alias("cy"))
+    lbl = lbl.withColumn("n", F.sum("cy").over(per_feature))
+    h_term = F.round(
+        -(F.col("cy").cast("double") / F.col("n"))
+        * F.log(F.col("cy").cast("double") / F.col("n")),
+        9,
+    ).cast("decimal(18,9)")
+    h = lbl.groupBy("feature").agg(F.sum(h_term).alias("h_label"))
+    return mi.join(h, "feature").select(
+        "feature",
+        F.round(F.col("mi").cast("double"), 6).alias("mi"),
+        F.round(F.col("h_label").cast("double"), 6).alias("label_entropy"),
+        F.round(
+            F.try_divide(
+                F.col("mi").cast("double"), F.col("h_label").cast("double")
+            ),
+            6,
+        ).alias("nmi"),
+    )

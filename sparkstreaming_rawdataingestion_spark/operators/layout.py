@@ -205,3 +205,53 @@ def q_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.alias("y"),
         interleave_bits([x, y], bits=8).alias("zval"),
     )
+
+
+# ---------------------------------------------------------------------------
+# train_val_test_split — deterministic portable holdout assignment
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def _split_oracle() -> str:
+    from .profiling import _bucket_sql
+
+    b = _bucket_sql("doc_id")
+    return f"""
+SELECT doc_id, lang, source,
+       CASE WHEN {b} < {_SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {b} < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@_register("train_val_test_split", _split_oracle())
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 holdout manifest: each document's split
+    follows from a portable multiplicative hash of its id — stable
+    across runs, engines, cluster sizes and data order, so the test set
+    never bleeds into training when the corpus is re-processed (the
+    property a ``rand()``-based split silently lacks), and an appended
+    document joins a split without moving any existing one.
+
+    Pure map over the scan (codegen, no shuffle, no state); the
+    manifest joins back to any derived table on doc_id. The same
+    mod-2³² multiplicative hash as the stratified/temperature samplers
+    (profiling._bucket_sql) — one shared hash family keeps every
+    sampling/split decision reproducible from doc_id alone."""
+    from .profiling import _bucket_col
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    b = _bucket_col(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(b < _SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1004,3 +1004,99 @@ def q_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_1 double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation_pmi_bigrams — PMI-scored adjacent-token collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # support floor: rare bigrams have unstable PMI
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bg AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM bigrams WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+lm AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+rm AS (SELECT w2, sum(c12) AS c2 FROM bg GROUP BY w2),
+n AS (SELECT sum(c12) AS n FROM bg)
+SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12,
+       round(ln(CAST(bg.c12 * n.n AS DOUBLE)
+                / CAST(lm.c1 * rm.c2 AS DOUBLE)), 6) AS pmi
+FROM bg
+JOIN lm ON lm.w1 = bg.w1
+JOIN rm ON rm.w2 = bg.w2
+CROSS JOIN n
+WHERE bg.c12 >= {_PMI_MIN_COUNT}
+"""
+
+
+@_register("collocation_pmi_bigrams", _PMI_ORACLE)
+def q_collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, PMI = ln(P(w1,w2) / (P(w1·)·P(·w2))) over the corpus
+    bigram distribution — the classic phrase/multi-word-expression
+    detector (Church & Hanks, "Word Association Norms, Mutual
+    Information, and Lexicography", CL 1990) used to decide which
+    n-grams deserve single tokens in a tokenizer vocabulary.
+
+    Marginals are the LEFT/RIGHT margins of the bigram table itself
+    (exact, and derived from the model aggregate — no extra corpus
+    scan); PMI's ln operand is spelled as one exact-integer ratio so
+    both engines round the identical double. The ``c12 >= 5`` support
+    floor (standard: PMI is unstable on rare pairs) keeps the output
+    the interesting collocations and bounds it at scale.
+
+    Plan: bigram extraction is the same per-doc ``lead`` window as
+    ``bigram_logprob_quality`` (no positional self-join); everything
+    after is model-table-sized — the bigram aggregate is staged once
+    and its three reductions (left margin, right margin, grand total)
+    broadcast back onto it. The corpus is scanned exactly once."""
+    from .. import session
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    bg = session.stage(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    lm = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rm = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = bg.agg(F.sum("c12").alias("n"))
+    return (
+        bg.where(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("n")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -533,3 +533,87 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("bin_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skew_key_report — hot-key diagnostics for the warehouse join keys
+# ---------------------------------------------------------------------------
+
+_SKEW_FAMILIES = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+_SKEW_TOP_K = 3
+
+_SKEW_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT family, rk, hot_key, cnt,
+       round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_x_avg,
+       round(CAST(cnt AS DOUBLE) / n_rows, 6)          AS share
+FROM (
+  SELECT '{t}.{k}' AS family, CAST({k} AS BIGINT) AS hot_key,
+         CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, {k}) AS rk,
+         sum(count(*)) OVER () AS n_rows,
+         count(*)      OVER () AS n_keys
+  FROM {t} GROUP BY {k}
+) WHERE rk <= {_SKEW_TOP_K}
+"""
+    for t, k in _SKEW_FAMILIES
+)
+
+
+@_register("skew_key_report", _SKEW_ORACLE)
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key observability for every fact join key: the top-3
+    heaviest keys per family with their multiple-of-average skew factor
+    and row share — the number that tells an operator whether a join on
+    that key needs salting or an AQE skew split BEFORE the 100× run,
+    pairing the skew-handling operators (join_strategies_pack's salted
+    join) with the report that says when to reach for them.
+
+    Plan per family: one grouped count (map-side partial combine), a
+    top-k via row_number over the counts table — Spark rewrites the
+    rank-filter to WindowGroupLimit, so each partition keeps k rows
+    before the single-partition window — and the per-family totals ride
+    the same window stage (count-table-sized, not fact-sized). Families
+    union after reduction: the fact tables are each scanned once."""
+    parts = []
+    for t, k in _SKEW_FAMILIES:
+        counts = catalog.load_table(spark, sf_dir, t).groupBy(k).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w_all = Window.partitionBy()
+        ranked = counts.select(
+            F.lit(f"{t}.{k}").alias("family"),
+            F.col(k).cast("long").alias("hot_key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col(k)))
+            .alias("rk"),
+            F.sum("cnt").over(w_all).alias("n_rows"),
+            F.count(F.lit(1)).over(w_all).alias("n_keys"),
+        )
+        parts.append(
+            ranked.where(F.col("rk") <= _SKEW_TOP_K).select(
+                "family",
+                "rk",
+                "hot_key",
+                "cnt",
+                F.round(
+                    F.col("cnt").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows"),
+                    6,
+                ).alias("skew_x_avg"),
+                F.round(
+                    F.col("cnt").cast("double") / F.col("n_rows"), 6
+                ).alias("share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
