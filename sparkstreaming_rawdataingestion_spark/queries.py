@@ -146,106 +146,27 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation, four bands:
-#   1-9   the queries that have never had a driver-green row — the four
-#         array packs re-emitted as array_join strings (the round-3
-#         canonicalizer reds) plus the round-3 tail entries that sat past
-#         position 50.
-#   10-23 operators NEW early this round (behavior / retrieval /
-#         robust-stats / merge / triangles / time-series / histogram /
-#         growth).
-#   24-41 operators NEW late this round (mining / features / pipelines:
-#         basket, Markov, PSI, weighted sample, epoch shuffle, unigram
-#         LM, EWMA, attribution, snapshot diff, link prediction, feature
-#         hashing, lag features, target encoding, rank norm, path
-#         trigrams, temperature mix, training build, exact-k sample).
-#   42-50 INTENTIONAL re-verification of surfaces whose code changed
-#         this round: the events.ts load was rebuilt as tz-free interval
-#         arithmetic (catalog.py — also exercised by every events-reading
-#         band-3 slot), the curation pipeline's dedup shuffle key moved
-#         to sha2(text), and the ingest observe path was restructured;
-#         the flagship ingest + curation pipelines and one representative
-#         per changed event-time family re-enter (their prior green rows
-#         are from the OLD code).
-# Everything else rotates to the extended region with its driver row on
-# record; all 50 validated via check_oracles (engine + --plain) before
-# this rotation was locked.
+# Round-5 rotation, three bands (40 + 3 + 6 + the rows-only tail):
+#   1-40  the ENTIRE round-4 overflow queue — every oracle-backed query
+#         that has never had a driver-green row (round 4 added ~80
+#         queries against the 50-slot gate; this drains the debt in one
+#         rotation). classifier_eval_metrics moved to band 2.
+#   41-43 re-verification of surfaces whose code changed THIS round and
+#         whose existing green rows therefore predate the change: the
+#         wedge-degree-capped graph_common_neighbors, the try_divide
+#         rewrite of classifier_eval_metrics (also never green AND
+#         changed), and the flagship ingest_normalize (standing first-
+#         slot re-check every round). The other round-5 ANSI-guard /
+#         frame changes (mad_outlier_flags, rolling_correlation,
+#         ab_cuped_adjusted, welch_ttest_report) are band-1 members —
+#         their first green row certifies the NEW code.
+#   44-49 the six round-5 operators (capped to the spare slots per the
+#         round-4 verdict: certification over breadth).
+# Everything previously green rotates to the extended region with its
+# driver row on record; all 50 validated engine + --plain at sf0.01
+# and sf0.1 via check_oracles before this rotation was locked.
 CORE_ORDER: tuple[str, ...] = (
-    # -- band 1: never driver-green ------------------------------------
-    "array_algebra_pack",
-    "array_set_ops_pack",
-    "array_advanced_pack",
-    "agg_argminmax_collect",
-    "subquery_pack",
-    "query_shapes_pack",
-    "upsample_mix",
-    "dedup_containment_pairs",
-    "distribution_drift_ks",
-    # -- band 2: new round-4 operators ---------------------------------
-    "funnel_pattern_match",
-    "retention_cohorts",
-    "event_lateness_audit",
-    "ohlc_downsample",
-    "bm25_keyword_search",
-    "string_similarity_join_brand",
-    "winsorize_robust_scale",
-    "skyline_pareto_brand",
-    "merge_upsert_apply",
-    "graph_triangle_count",
-    "timeseries_twap",
-    "upsample_interpolate",
-    "numeric_histogram",
-    "growth_accounting",
-    # -- band 3: operators added in the second half of the round -------
-    # (each validated engine + --plain at sf0.01 AND at sf0.1 before
-    # entering the window)
-    "market_basket_pairs",
-    "markov_transitions",
-    "psi_drift",
-    "weighted_sample_poisson",
-    "training_shuffle_order",
-    "unigram_logprob_quality",
-    "ewma_smoothing",
-    "attribution_last_touch",
-    "snapshot_diff",
-    "graph_common_neighbors",
-    "feature_hash_embedding",
-    "ml_lag_features",
-    "target_encode_loo",
-    "rank_normalize",
-    "event_path_trigrams",
-    "temperature_mix_sample",
-    "pipeline_training_build",
-    "sample_exact_k_per_group",
-    "bigram_logprob_quality",
-    "recsys_item_neighbors",
-    "hybrid_rank_fusion",
-    "seasonal_baseline_anomaly",
-    "benford_digit_audit",
-    # -- band 4: re-verification of round-4-changed surfaces -----------
-    # (prior green rows predate this round's code: the tz-free events.ts
-    # rebuild, the sha2 pipeline dedup key, the observe restructure and
-    # the fixture persist policy). The band-3 entries above all read
-    # events/documents through the same rebuilt catalog path, so the
-    # changed surface is ALSO exercised by every new-operator slot; this
-    # band keeps direct re-checks of the flagship ingest + curation
-    # pipelines, one event-time representative, and the sha2-keyed
-    # curation pipeline; the other changed-surface twins
-    # (ingest_idempotency / datapoint_day_rollup / timeseries_pack /
-    # session_window_agg / multimodal_png_roundtrip) share those exact
-    # code paths and hold earlier green rows, so their slots went to the
-    # five late-round operators above.
-    "pipeline_curation",
-    "ingest_normalize",
-    "tumbling_window_counts",
-    "pipeline_curation_funnel",
-    # --- driver checks the first 50 entries; below: the round-5 queue
-    # (oracle-backed operators added after the window filled — every
-    # never-green slot inside the window is already taken, so these sit
-    # immediately past position 50, locally validated engine + --plain,
-    # and rotate into round 5's window first), then rows-only ops
-    # (sketches/packing are engine-specific or sequential-state by
-    # design — the driver records their weaker rows-only check) ---
+    # -- band 1: the drained round-4 overflow queue (never green) ----
     "rfm_segmentation",
     "pareto_revenue_share",
     "allocation_proportional",
@@ -273,7 +194,6 @@ CORE_ORDER: tuple[str, ...] = (
     "percentile_disc_pack",
     "similarity_lsh_portable_pairs",
     "langid_confusion_matrix",
-    "classifier_eval_metrics",
     "ranking_auc_report",
     "score_calibration_bins",
     "tokenizer_vocab_coverage",
@@ -287,58 +207,33 @@ CORE_ORDER: tuple[str, ...] = (
     "stickiness_wau_dau",
     "new_vs_repeat_revenue",
     "holt_linear_smoothing",
+    # -- band 2: round-5-changed surfaces + flagship + the round-3
+    # verdict's carried PNG re-check (item 6) ------------------------
+    "graph_common_neighbors",
+    "classifier_eval_metrics",
+    "ingest_normalize",
+    "multimodal_png_roundtrip",
+    # -- band 3: new round-5 operators ------------------------------
+    "collocation_pmi_bigrams",
+    "decile_lift_table",
+    "mutual_information_features",
+    "train_val_test_split",
+    "dedup_cluster_canonical",
+    "skew_key_report",
+    # --- driver checks the first 50 entries; below: rows-only ops
+    # (engine-specific sketches / sequential packing — the driver
+    # records their weaker rows-only check) ---
     "sketch_mergeable_hll",
     "pack_documents",
 )
 
-# Oracle-backed queries past the driver's 50-slot window this round —
-# first in line for round 5's rotation (window overflow: more never-green
-# queries exist than slots). Every entry validated engine + --plain at
-# sf0.01 AND at sf0.1 before joining. test_core_registry_window pins
-# membership and placement.
-ROUND5_QUEUE: tuple[str, ...] = (
-    "rfm_segmentation",
-    "pareto_revenue_share",
-    "allocation_proportional",
-    "concentration_metrics",
-    "mad_outlier_flags",
-    "cusum_changepoint",
-    "period_over_period",
-    "topn_plus_other",
-    "interpurchase_intervals",
-    "cohort_ltv_curve",
-    "ab_cuped_adjusted",
-    "survival_km_curve",
-    "gaps_islands_streaks",
-    "dedup_simhash_portable_pairs",
-    "quantile_normalize_sources",
-    "debounce_events",
-    "rolling_correlation",
-    "attribution_linear",
-    "geo_revenue_shares",
-    "label_centroid_similarity",
-    "contrastive_negative_pairs",
-    "curriculum_interleave",
-    "theil_sen_trend",
-    "concurrent_intervals_timeline",
-    "percentile_disc_pack",
-    "similarity_lsh_portable_pairs",
-    "langid_confusion_matrix",
-    "classifier_eval_metrics",
-    "ranking_auc_report",
-    "score_calibration_bins",
-    "tokenizer_vocab_coverage",
-    "ngram_novelty_score",
-    "asof_nearest_tolerance",
-    "bot_rate_flags",
-    "welch_ttest_report",
-    "chisq_independence_test",
-    "string_agg_pack",
-    "trending_items_decay",
-    "stickiness_wau_dau",
-    "new_vs_repeat_revenue",
-    "holt_linear_smoothing",
-)
+# Oracle-backed queries past the driver's 50-slot window awaiting their
+# first driver row. EMPTY at round-5 close: the round-4 overflow (41
+# entries) is fully inside this round's window, and round-5 additions
+# were capped to the spare slots. New operators that miss a future
+# window go here, never silently untracked; test_core_registry_window
+# pins membership and placement.
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:

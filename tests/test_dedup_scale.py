@@ -74,7 +74,7 @@ def test_default_cap_is_noop_on_fixture_scale(spark, sf_dir):
 def test_core_registry_window():
     from sparkstreaming_rawdataingestion_spark.queries import (
         CORE_ORDER,
-        ROUND5_QUEUE,
+        OVERFLOW_QUEUE,
         all_oracles,
         all_queries,
         extended_queries,
@@ -88,10 +88,12 @@ def test_core_registry_window():
     # every driver-checked slot carries a full hash oracle (rows-only ops
     # sit after position 50)
     assert all(n in o for n in CORE_ORDER[:50])
-    # round-4 rotation: every query that had NO driver-green row by the
-    # end of round 3 must sit inside the checked window (band 1), and the
-    # round-4 additions must be there too (band 2); the remaining slots
-    # are intentional re-checks of surfaces whose code changed this round.
+    # round-5 rotation: every oracle-backed query WITHOUT a cumulative
+    # driver-green row (rounds 1-4) must sit inside this round's checked
+    # window or in the explicit overflow queue — never silently
+    # untracked. Round 5 drained the round-4 overflow entirely, so the
+    # queue must ALSO be (near-)empty: new-operator additions are capped
+    # to the window's spare slots from here on.
     import json
     import os
 
@@ -100,6 +102,7 @@ def test_core_registry_window():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         path = os.path.join(os.path.dirname(__file__), "..", rec)
         if os.path.exists(path):
@@ -109,19 +112,20 @@ def test_core_registry_window():
                 if v.get("hash_match")
             }
     never_green_oracle_backed = set(o) - green
-    # window overflow: more never-green queries than slots → the excess
-    # sits in the explicit ROUND5_QUEUE immediately past position 50
-    # (first in line for next round's rotation), never silently untracked
-    assert never_green_oracle_backed <= set(CORE_ORDER[:50]) | set(
-        ROUND5_QUEUE
-    ), (
-        "oracle-backed queries without a cumulative driver-green row must "
-        "be in the checked window or the queued overflow: "
-        f"{never_green_oracle_backed - set(CORE_ORDER[:50]) - set(ROUND5_QUEUE)}"
+    untracked = (
+        never_green_oracle_backed - set(CORE_ORDER[:50]) - set(OVERFLOW_QUEUE)
     )
-    # the queue sits immediately after the window in registry order
-    assert list(q)[50 : 50 + len(ROUND5_QUEUE)] == list(ROUND5_QUEUE)
-    assert all(n in o for n in ROUND5_QUEUE)
+    assert untracked == set(), (
+        "oracle-backed queries without a cumulative driver-green row must "
+        f"be in the checked window or the overflow queue: {untracked}"
+    )
+    assert len(OVERFLOW_QUEUE) <= 9, (
+        "certification debt: cap new operators at the window's spare slots"
+    )
+    # any queued overflow sits immediately after the window in registry
+    # order and is fully oracle-backed
+    assert list(q)[50 : 50 + len(OVERFLOW_QUEUE)] == list(OVERFLOW_QUEUE)
+    assert all(n in o for n in OVERFLOW_QUEUE)
     assert set(extended_queries()) == set(q) - set(CORE_ORDER)
 
 
