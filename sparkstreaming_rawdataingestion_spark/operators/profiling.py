@@ -574,31 +574,39 @@ def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing the skew-handling operators (join_strategies_pack's salted
     join) with the report that says when to reach for them.
 
-    Plan per family: one grouped count (map-side partial combine), a
-    top-k via row_number over the counts table — Spark rewrites the
-    rank-filter to WindowGroupLimit, so each partition keeps k rows
-    before the single-partition window — and the per-family totals ride
-    the same window stage (count-table-sized, not fact-sized). Families
-    union after reduction: the fact tables are each scanned once."""
+    Plan per family: one grouped count (map-side partial combine),
+    STAGED because it feeds two consumers — (a) a 1-row totals
+    aggregate that broadcasts back, (b) the top-k. The top-k is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+    k-row heaps, driver merges k·p rows) — a billion user_ids never
+    funnel through a single-partition sort; the rank number is then a
+    window over the k surviving rows only. Families union after
+    reduction: each fact table is scanned once."""
+    from ..session import stage
+
     parts = []
     for t, k in _SKEW_FAMILIES:
-        counts = catalog.load_table(spark, sf_dir, t).groupBy(k).agg(
-            F.count(F.lit(1)).alias("cnt")
+        counts = stage(
+            catalog.load_table(spark, sf_dir, t)
+            .groupBy(k)
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w_all = Window.partitionBy()
-        ranked = counts.select(
-            F.lit(f"{t}.{k}").alias("family"),
-            F.col(k).cast("long").alias("hot_key"),
-            F.col("cnt").cast("long").alias("cnt"),
-            F.row_number()
-            .over(Window.orderBy(F.col("cnt").desc(), F.col(k)))
-            .alias("rk"),
-            F.sum("cnt").over(w_all).alias("n_rows"),
-            F.count(F.lit(1)).over(w_all).alias("n_keys"),
+        tot = counts.agg(
+            F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+        )
+        order = [F.col("cnt").desc(), F.col(k)]
+        ranked = (
+            counts.orderBy(*order)
+            .limit(_SKEW_TOP_K)
+            .select(
+                F.col(k).cast("long").alias("hot_key"),
+                F.col("cnt").cast("long").alias("cnt"),
+                F.row_number().over(Window.orderBy(*order)).alias("rk"),
+            )
         )
         parts.append(
-            ranked.where(F.col("rk") <= _SKEW_TOP_K).select(
-                "family",
+            ranked.crossJoin(F.broadcast(tot)).select(
+                F.lit(f"{t}.{k}").alias("family"),
                 "rk",
                 "hot_key",
                 "cnt",
