@@ -218,7 +218,9 @@ PICKS = {
     "graph_common_neighbors": (
         "Link prediction: staged oriented edges symmetrized map-side; "
         "wedge equi-join on the shared center (only distance-2 pairs "
-        "materialize), anti-join drops adjacency, degrees broadcast."
+        "materialize, hub centers degree-capped at 512 so no hot key "
+        "owns the shuffle), anti-join drops adjacency, degrees "
+        "broadcast from the UNCAPPED adjacency."
     ),
     "feature_hash_embedding": (
         "Feature hashing: the 31-polynomial char fold is an aggregate "
@@ -372,6 +374,37 @@ PICKS = {
     "concurrent_intervals_timeline": (
         "Sweep-line backlog: per-order lifetimes → +1/−1 delta union → "
         "month-sized cumulative window; no interval self-join."
+    ),
+    "collocation_pmi_bigrams": (
+        "PMI collocations: one corpus scan into the staged bigram "
+        "aggregate; margins and the grand total are model-table-sized "
+        "reductions broadcast back — the support floor filters the "
+        "staged table, never the corpus."
+    ),
+    "decile_lift_table": (
+        "Lift table: one global ntile sort (the honest ranked-metric "
+        "cost, as ranking_auc_report), then 10-row algebra with a "
+        "1-row broadcast total."
+    ),
+    "mutual_information_features": (
+        "MI feature selection: ONE melted fact scan (map-side 3× "
+        "explode, partial-aggregated before the shuffle); every "
+        "marginal is a window over the ≤|X|·|Y|-cell joint table; "
+        "DECIMAL-exact term sums."
+    ),
+    "train_val_test_split": (
+        "Holdout split: portable multiplicative hash as a map-only "
+        "projection — ZERO exchanges, stable under engine/run/order."
+    ),
+    "dedup_cluster_canonical": (
+        "Canonical dedup: LSH pairs → staged component labels; the "
+        "keep-best pick windows over CLUSTERED ids only; survivors via "
+        "anti-join — document text never enters an exchange."
+    ),
+    "skew_key_report": (
+        "Skew report: staged per-key counts feed a 1-row broadcast "
+        "total and an orderBy().limit(k) top-k — TakeOrderedAndProject "
+        "per family, never a single-partition sort of the key space."
     ),
 }
 
