@@ -869,3 +869,69 @@ def q_stickiness_wau_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dau").cast("double") / F.col("wau"), 6)
         .alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session_diversity_entropy — behavioral diversity per user
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+p AS (
+  SELECT user_id, c,
+         sum(c) OVER (PARTITION BY user_id) AS n
+  FROM c
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT)   AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+                                 * ln(CAST(c AS DOUBLE) / n), 9)
+                          AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy,
+       round(CAST(1 AS DOUBLE)
+             - CAST(sum(c * c) AS DOUBLE) / (max(n) * max(n)), 6)
+         AS gini_simpson
+FROM p GROUP BY user_id
+"""
+
+
+@_register("session_diversity_entropy", _DIVERSITY_ORACLE)
+def q_session_diversity_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral-diversity features per user: Shannon entropy and the
+    Gini-Simpson index of the event-type distribution plus type/event
+    counts — the standard segmentation inputs separating single-action
+    bots (entropy 0) from diverse organic users, feeding the same model
+    table as rfm_segmentation.
+
+    One grouped count (|users|·|types| keys), a per-user total window
+    over that rollup, one final per-user aggregation. Entropy terms
+    round to 9 dp and sum in DECIMAL (order-independent, ≤|types|
+    terms); Gini-Simpson is exact integer algebra until one division."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = c.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("user_id"))
+    )
+    h_term = F.round(
+        -(F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("c").cast("double") / F.col("n")),
+        9,
+    ).cast("decimal(18,9)")
+    return p.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.sum(h_term).cast("double"), 6).alias("entropy"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.max("n") * F.max("n")),
+            6,
+        ).alias("gini_simpson"),
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 from .dedup import cosine
 
 QUERIES: dict = {}
@@ -366,4 +366,74 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_ord"), F.asc("doc_id"))
         .limit(RRF_TOPK)
         .drop("_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality_report — does the ER blocking key actually block?
+# ---------------------------------------------------------------------------
+
+_BLOCKING_ORACLE = """
+WITH b AS (
+  SELECT p_brand AS block, count(*) AS n
+  FROM part GROUP BY p_brand
+),
+t AS (
+  SELECT sum(n * (n - 1) / 2)                AS cand_pairs,
+         sum(n) * (sum(n) - 1) / 2           AS all_pairs
+  FROM b
+)
+SELECT b.block,
+       CAST(b.n AS BIGINT)                   AS n_records,
+       CAST(b.n * (b.n - 1) / 2 AS BIGINT)   AS n_candidate_pairs,
+       round(CAST(b.n * (b.n - 1) / 2 AS DOUBLE) / t.cand_pairs, 6)
+         AS share_of_candidates,
+       round(1.0e0 - CAST(t.cand_pairs AS DOUBLE) / t.all_pairs, 6)
+         AS reduction_ratio
+FROM b CROSS JOIN t
+"""
+
+
+@_register("blocking_quality_report", _BLOCKING_ORACLE)
+def q_blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking diagnostics for the entity-resolution join
+    (string_similarity_join_brand): per-block record and candidate-pair
+    counts, each block's share of the total O(block²) comparison work,
+    and the global reduction ratio (1 − candidates/all-pairs — the
+    standard blocking-quality metric, cf. Christen, "A Survey of
+    Indexing Techniques for Scalable Record Linkage", TKDE 2012). A
+    skewed share column is the early warning that one block will own
+    the levenshtein wall-clock; a low reduction ratio means the key
+    barely blocks at all.
+
+    One grouped count (|blocks| keys), a 1-row broadcast total —
+    integer pair algebra until the two final ratios."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    b = session.stage(
+        p.groupBy(F.col("p_brand").alias("block")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    t = b.agg(
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+        .alias("cand_pairs"),
+        (
+            F.sum("n").cast("long")
+            * (F.sum("n").cast("long") - 1)
+            / 2
+        ).cast("long").alias("all_pairs"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "block",
+        F.col("n").cast("long").alias("n_records"),
+        pairs.alias("n_candidate_pairs"),
+        F.round(
+            pairs.cast("double") / F.col("cand_pairs"), 6
+        ).alias("share_of_candidates"),
+        F.round(
+            F.lit(1.0)
+            - F.col("cand_pairs").cast("double") / F.col("all_pairs"),
+            6,
+        ).alias("reduction_ratio"),
     )

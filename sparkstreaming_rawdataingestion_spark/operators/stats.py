@@ -397,3 +397,59 @@ def q_percentile_disc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p75_disc"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_cont"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shipping_sla_percentiles — order-to-ship latency SLA readout
+# ---------------------------------------------------------------------------
+
+_SLA_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)               AS n,
+       CAST(quantile_disc(delay_days, 0.5)  AS BIGINT) AS p50_days,
+       CAST(quantile_disc(delay_days, 0.9)  AS BIGINT) AS p90_days,
+       CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99_days,
+       CAST(max(delay_days) AS BIGINT)        AS max_days
+FROM d GROUP BY o_orderpriority
+"""
+
+
+@_register("shipping_sla_percentiles", _SLA_ORACLE)
+def q_shipping_sla_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLA per order priority: discrete
+    (witnessed) p50/p90/p99 and the worst case, over integer day
+    delays — the operational latency readout, tail-first, with the
+    p99/max spread that separates a systemic SLA miss from stragglers.
+
+    The fact-fact join shuffles on the natural o_orderkey/l_orderkey
+    key (bucketing both facts on it makes this shuffle-free, per
+    join_fact_fact_revenue); delays are exact integer day diffs so the
+    discrete percentiles are engine-parity-trivial; the group count is
+    |priorities| = 5."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    d = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("long")
+        .alias("p90_days"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("long")
+        .alias("p99_days"),
+        F.max("delay_days").cast("long").alias("max_days"),
+    )

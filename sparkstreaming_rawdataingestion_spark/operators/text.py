@@ -476,3 +476,70 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(uniq).cast("double") / F.count(F.lit(1)), 6)
         .alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_ari — Automated Readability Index
+# ---------------------------------------------------------------------------
+
+_ARI_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+           AS n_sentences,
+         len(string_split(text, ' '))      AS n_words,
+         length(replace(text, ' ', ''))    AS n_letter_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT)    AS n_sentences,
+       CAST(n_words AS BIGINT)        AS n_words,
+       CAST(n_letter_chars AS BIGINT) AS n_letter_chars,
+       CAST(471 * n_letter_chars * n_sentences
+            + 50 * n_words * n_words
+            - 2143 * n_words * n_sentences AS DOUBLE)
+         / CAST(100 * n_words * n_sentences AS DOUBLE) AS ari
+FROM c
+"""
+
+
+@_register("text_readability_ari", _ARI_ORACLE)
+def q_text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring for the quality-filter ladder: the Automated
+    Readability Index 4.71·(chars/words) + 0.5·(words/sentences) −
+    21.43 (Senter & Smith, "Automated Readability Index", AMRL-TR-66-220,
+    1967) — chosen over Flesch because every input is an exact integer
+    COUNT (no syllable estimation), so the score is bit-comparable
+    across engines. Sentences count terminal punctuation with a floor
+    of 1 (fixture docs are unpunctuated single sentences; real corpora
+    spread). The score is spelled as ONE exact-integer ratio
+    (471·c·s + 50·w² − 2143·w·s) / (100·w·s), UNROUNDED: one division
+    of exact integers is correctly rounded, hence bit-identical on both
+    engines, whereas rounding the quotient to 6 dp ties exactly at the
+    .5 boundary on real inputs (w·s | 10⁷ cases) and the engines break
+    that tie differently. Pure map over
+    the scan — zero shuffles; words ≥ 1 by construction of the space
+    split, so the division is total."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")),
+    ).cast("long")
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_chars = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_chars.alias("n_letter_chars"),
+        (
+            (
+                F.lit(471) * n_chars * n_sent
+                + F.lit(50) * n_words * n_words
+                - F.lit(2143) * n_words * n_sent
+            ).cast("double")
+            / (F.lit(100) * n_words * n_sent).cast("double")
+        ).alias("ari"),
+    )

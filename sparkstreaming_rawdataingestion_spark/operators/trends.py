@@ -633,3 +633,55 @@ def q_new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ols_elasticity_by_segment — least-squares discount response per brand
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH pts AS (
+  SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       round(covar_pop(x, y) / nullif(var_pop(x), 0), 6) AS slope,
+       round(avg(y) - covar_pop(x, y) / nullif(var_pop(x), 0) * avg(x), 6)
+         AS intercept,
+       round(corr(x, y) * corr(x, y), 6) AS r2
+FROM pts GROUP BY p_brand
+"""
+
+
+@_register("ols_elasticity_by_segment", _OLS_ORACLE)
+def q_ols_elasticity_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand least-squares discount response: slope/intercept of
+    quantity on discount plus R² — the parametric counterpart of
+    ``theil_sen_trend`` (which is robust but O(k²) per key; OLS is the
+    O(k) sufficient-statistics version you run on every segment first,
+    reserving Theil-Sen for segments the R² flags as outlier-ridden).
+
+    One grouped pass over the joined facts computes every sufficient
+    statistic (n, means, co-moments) — raw points never shuffle twice;
+    the part side of the join broadcasts. try_divide/nullif guard the
+    constant-discount segment (NULL slope, per the ANSI convention)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    pts = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == p.p_partkey,
+    ).select(
+        "p_brand",
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    return pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
+    )

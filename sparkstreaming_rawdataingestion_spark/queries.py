@@ -220,20 +220,33 @@ CORE_ORDER: tuple[str, ...] = (
     "train_val_test_split",
     "dedup_cluster_canonical",
     "skew_key_report",
-    # --- driver checks the first 50 entries; below: rows-only ops
-    # (engine-specific sketches / sequential packing — the driver
-    # records their weaker rows-only check) ---
+    # --- driver checks the first 50 entries; below: the (small) queued
+    # overflow — round-5 additions past the window's spare slots, each
+    # validated engine + --plain at sf0.01 AND sf0.1, first in line for
+    # round 6's rotation — then rows-only ops (engine-specific sketches
+    # / sequential packing — the driver records their weaker rows-only
+    # check) ---
+    "text_readability_ari",
+    "ols_elasticity_by_segment",
+    "shipping_sla_percentiles",
+    "session_diversity_entropy",
+    "blocking_quality_report",
     "sketch_mergeable_hll",
     "pack_documents",
 )
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row. EMPTY at round-5 close: the round-4 overflow (41
-# entries) is fully inside this round's window, and round-5 additions
-# were capped to the spare slots. New operators that miss a future
-# window go here, never silently untracked; test_core_registry_window
-# pins membership and placement.
-OVERFLOW_QUEUE: tuple[str, ...] = ()
+# first driver row — first in line for round 6's rotation, never
+# silently untracked; test_core_registry_window pins membership,
+# placement and the ≤9 cap (certification debt stays single-digit, per
+# the round-4 verdict).
+OVERFLOW_QUEUE: tuple[str, ...] = (
+    "text_readability_ari",
+    "ols_elasticity_by_segment",
+    "shipping_sla_percentiles",
+    "session_diversity_entropy",
+    "blocking_quality_report",
+)
 
 
 def _operator_registries(attr: str) -> dict:
