@@ -257,3 +257,38 @@ def test_cuped_single_fact_pass(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2  # theta fit + adjustment
     assert _fact_scans_all_cached(plan, "events.parquet")
     release_staged()
+
+
+def test_holdout_split_is_map_only(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import layout
+
+    df = layout.QUERIES["train_val_test_split"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 0, "hash split must not shuffle"
+
+
+def test_skew_report_topk_uses_heaps_not_global_sort(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import profiling
+    from sparkstreaming_rawdataingestion_spark.session import release_staged
+
+    df = profiling.QUERIES["skew_key_report"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    # one per-partition-heap top-k per key family — the key space never
+    # funnels through a single-partition full sort
+    assert plan.count("TakeOrderedAndProject") == 4
+    release_staged()
+
+
+def test_pmi_margins_come_from_staged_model_not_corpus(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+    from sparkstreaming_rawdataingestion_spark.session import release_staged
+
+    df = mining.QUERIES["collocation_pmi_bigrams"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    # the bigram model aggregate is staged once; left margin, right
+    # margin and the grand total all read the cache — the corpus parquet
+    # appears in at most one live scan subtree
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("documents.parquet].") <= 1 or (
+        plan.count("Scan parquet") - plan.count("InMemoryTableScan") <= 1
+    )
+    release_staged()
