@@ -425,3 +425,188 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     RMS exactly A, so the oracle is exact arithmetic (float64 sqrt of a
     perfect square is exact)."""
     return decode_wav_stats(synthesize_wav_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_resize — REAL decode + nearest-neighbor resize
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 4  # 4×4 thumbnails — every source dim ≥ 8, so no upsample
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("min_byte", T.IntegerType()),
+    ]
+)
+
+
+def resize_png_stats(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Decode REAL PNG bytes, nearest-neighbor-resize to target×target
+    (src index = ⌊dst·src_dim/target⌋ — the classic integer NN map, no
+    imaging library), report thumbnail statistics. Pure map over splits."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.png_decode(bytes(payload))
+                w, h, ch = d["width"], d["height"], d["channels"]
+                px = d["pixels"]  # row-major, stride w*ch
+                out = [
+                    px[(y * h // target) * w * ch + (x * w // target) * ch + c]
+                    for y in range(target)
+                    for x in range(target)
+                    for c in range(ch)
+                ]
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "out_width": target,
+                        "out_height": target,
+                        "channels": ch,
+                        "mean_byte": sum(out) / len(out),
+                        "max_byte": max(out),
+                        "min_byte": min(out),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+@_register(
+    "multimodal_image_resize",
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         8 + doc_id % 9        AS w,
+         8 + doc_id % 7        AS h,
+         doc_id % 180          AS base,
+         1 + (doc_id % 2) * 2  AS ch
+  FROM documents
+),
+grid AS (
+  SELECT p.*, (gx.x * w) // {RESIZE_TARGET} AS sx,
+               (gy.y * h) // {RESIZE_TARGET} AS sy
+  FROM p,
+       generate_series(0, {RESIZE_TARGET - 1}) gx(x),
+       generate_series(0, {RESIZE_TARGET - 1}) gy(y)
+)
+SELECT doc_id AS media_id,
+       {RESIZE_TARGET} AS out_width,
+       {RESIZE_TARGET} AS out_height,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(sum(ch * (base + sx * ch + 2 * sy) + ch * (ch - 1) / 2)
+            AS DOUBLE)
+         / ({RESIZE_TARGET} * {RESIZE_TARGET} * max(ch))   AS mean_byte,
+       CAST(max(base + sx * ch + (ch - 1) + 2 * sy) AS INTEGER) AS max_byte,
+       CAST(min(base + sx * ch + 2 * sy) AS INTEGER)            AS min_byte
+FROM grid
+GROUP BY doc_id, ch
+""",
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end-to-end: spec-compliant PNGs (all 5 filter
+    types) decode via the stdlib codec, then nearest-neighbor downsample
+    to {target}×{target} with pure integer index arithmetic — the
+    thumbnail/preprocess stage of a vision-data pipeline, no imaging
+    library required. The synthetic pixel field byte(x,y,c) =
+    base + x·ch + c + 2·y is closed-form, so the oracle predicts every
+    thumbnail statistic by replaying the SAME ⌊dst·src/target⌋ index
+    map over a generated {target}×{target} grid — the resize kernel is
+    verified pixel-exactly, not just shape-checked. Two Arrow map
+    stages, zero shuffles, parallelism = input splits."""
+    return resize_png_stats(synthesize_png_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_frames — REAL decode + fixed-window frame features
+# ---------------------------------------------------------------------------
+
+FRAME_SIZE = 128  # samples per analysis frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def frame_wav_energy(media: DataFrame, frame: int = FRAME_SIZE) -> DataFrame:
+    """Decode REAL WAV bytes and emit one row per fixed-size analysis
+    frame with its RMS energy and peak — the 1 payload → N feature rows
+    fan-out every audio pipeline (VAD, loudness normalization, segment
+    selection) runs before a model sees the samples."""
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.wav_decode(bytes(payload))
+                s = d["samples"]
+                for f in range(0, len(s), frame):
+                    win = s[f : f + frame]
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": f // frame,
+                            "n_samples": len(win),
+                            "rms": math.sqrt(
+                                sum(x * x for x in win) / len(win)
+                            ),
+                            "peak": max(abs(x) for x in win),
+                        }
+                    )
+            yield pd.DataFrame.from_records(recs)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@_register(
+    "multimodal_audio_frames",
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         400 + doc_id % 100           AS n,
+         1000 + (doc_id % 50) * 100   AS amp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(g.f AS INTEGER) AS frame_idx,
+       CAST(least({FRAME_SIZE}, n - g.f * {FRAME_SIZE}) AS INTEGER)
+         AS n_samples,
+       CAST(amp AS DOUBLE)  AS rms,
+       CAST(amp AS INTEGER) AS peak
+FROM p, generate_series(0, 7) g(f)
+WHERE g.f <= (n - 1) // {FRAME_SIZE}
+""",
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame features, end-to-end: PCM WAVs decode via the
+    stdlib reader and fan out to one row per {FRAME_SIZE}-sample frame
+    with RMS and peak. The ±A square wave makes every frame's RMS
+    exactly A (float64 sqrt of a perfect square), and the frame count /
+    tail-frame length are integer arithmetic — so the oracle checks the
+    framing boundaries AND the energy kernel exactly, including the
+    partial last frame."""
+    return frame_wav_energy(synthesize_wav_media(spark, sf_dir))

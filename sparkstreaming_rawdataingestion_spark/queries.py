@@ -231,6 +231,8 @@ CORE_ORDER: tuple[str, ...] = (
     "shipping_sla_percentiles",
     "session_diversity_entropy",
     "blocking_quality_report",
+    "multimodal_image_resize",
+    "multimodal_audio_frames",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -246,6 +248,8 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     "shipping_sla_percentiles",
     "session_diversity_entropy",
     "blocking_quality_report",
+    "multimodal_image_resize",
+    "multimodal_audio_frames",
 )
 
 
