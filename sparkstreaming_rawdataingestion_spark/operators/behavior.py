@@ -935,3 +935,80 @@ def q_session_diversity_entropy(
             6,
         ).alias("gini_simpson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion_latency_percentiles — how fast do cohorts convert?
+# ---------------------------------------------------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(date_trunc('month', min(ts)) AS DATE) AS cohort_month,
+         min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT cohort_month,
+         date_diff('microsecond', t_view, t_buy) // 3600000000 AS latency_h
+  FROM per_user
+  WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+)
+SELECT cohort_month,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(latency_h, 0.5) AS BIGINT) AS p50_hours,
+       CAST(quantile_disc(latency_h, 0.9) AS BIGINT) AS p90_hours,
+       CAST(max(latency_h) AS BIGINT)                AS max_hours
+FROM conv GROUP BY cohort_month
+"""
+
+
+@_register("conversion_latency_percentiles", _CONV_LATENCY_ORACLE)
+def q_conversion_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-view → first-purchase latency distribution per acquisition
+    cohort: the speed companion to retention_cohorts (which measures
+    WHETHER users come back; this measures HOW FAST intent converts,
+    and a p90 drifting up across cohorts is the classic early regression
+    signal product teams watch).
+
+    One grouped min-pass reduces the facts to a per-user row; latency
+    is a tz-free integer hour diff; witnessed percentiles over the
+    month-sized cohort groups. The strict t_buy > t_view guard drops
+    users whose first purchase precedes any view (no defined funnel
+    latency), matching the funnel operators' ordering semantics."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("month", F.min("ts"))).alias("cohort_month"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    conv = per_user.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        "cohort_month",
+        # exact elapsed hours as integer-µs floor division — DuckDB's
+        # date_diff('hour') counts boundary CROSSINGS, not elapsed hours,
+        # so both sides spell the µs diff // 3.6e9 explicitly
+        F.expr(
+            "timestampdiff(MICROSECOND, t_view, t_buy) div 3600000000"
+        ).alias("latency_h"),
+    )
+    return conv.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_h)")
+        .cast("long")
+        .alias("p50_hours"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_h)")
+        .cast("long")
+        .alias("p90_hours"),
+        F.max("latency_h").cast("long").alias("max_hours"),
+    )

@@ -1100,3 +1100,68 @@ def q_collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokens_zipf_fit — corpus-health check: does the vocabulary obey Zipf?
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200  # fit over the head of the distribution
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+  FROM freq
+),
+pts AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked WHERE r <= {_ZIPF_TOP}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(covar_pop(x, y) / nullif(var_pop(x), 0), 6)  AS zipf_slope,
+       round(avg(y) - covar_pop(x, y) / nullif(var_pop(x), 0) * avg(x), 6)
+         AS intercept,
+       round(corr(x, y) * corr(x, y), 6) AS r2
+FROM pts
+"""
+
+
+@_register("tokens_zipf_fit", _ZIPF_ORACLE)
+def q_tokens_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics health check: OLS fit of log-frequency on
+    log-rank over the top-{_ZIPF_TOP} vocabulary head. Natural text
+    fits slope ≈ −1 with high R² (Zipf, "Human Behavior and the
+    Principle of Least Effort", 1949); a flat slope or poor fit is the
+    classic signature of templated/synthetic/boilerplate contamination
+    — a one-row dashboard number for an LLM-corpus intake gate.
+
+    Plan: one token-frequency aggregate (vocabulary-sized), a top-k
+    rank over it with a deterministic (count desc, token) order, and a
+    1-row sufficient-statistics fit. The corpus is scanned once; the
+    fit input is {_ZIPF_TOP} rows."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    freq = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("r"),
+    ).where(F.col("r") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
+    )

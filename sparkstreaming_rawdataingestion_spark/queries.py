@@ -233,6 +233,8 @@ CORE_ORDER: tuple[str, ...] = (
     "blocking_quality_report",
     "multimodal_image_resize",
     "multimodal_audio_frames",
+    "tokens_zipf_fit",
+    "conversion_latency_percentiles",
     "sketch_mergeable_hll",
     "pack_documents",
 )
@@ -250,6 +252,8 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     "blocking_quality_report",
     "multimodal_image_resize",
     "multimodal_audio_frames",
+    "tokens_zipf_fit",
+    "conversion_latency_percentiles",
 )
 
 
