@@ -201,6 +201,25 @@ class Engine:
             window=window, trigger_seconds=trigger_seconds,
         )
 
+    # -- streaming dataset construction -----------------------------------
+
+    def split_router(
+        self,
+        docs: DataFrame,
+        sink_dir: str,
+        checkpoint_path: str,
+        trigger_seconds: int | None = None,
+    ):
+        """Route a document stream into split-partitioned parquet with
+        the batch manifest's exact portable-hash assignment
+        (streaming/split_stream.py) — the incremental twin of the
+        ``train_val_test_split`` query; leakage-free by construction."""
+        from .streaming.split_stream import start_split_router
+
+        return start_split_router(
+            docs, sink_dir, checkpoint_path, trigger_seconds
+        )
+
     # -- streaming heavy hitters ------------------------------------------
 
     def heavy_hitters_stream(
