@@ -1,4 +1,6 @@
-"""Pure-stdlib media codecs: real PNG and WAV encode/decode.
+"""Pure-stdlib media codecs: real PNG and WAV encode/decode, plus the
+RIFF/AVI container for MJPEG video (frame payloads are opaque bytes
+here; operators/jpeg.py decodes them).
 
 The container has no Pillow/libav, but PNG and WAV are simple enough to
 decode for real with only ``zlib`` + ``struct`` (PNG: chunk walk, CRC
@@ -6,13 +8,18 @@ verification, IDAT inflate, all five scanline filters) and the stdlib
 ``wave`` module (RIFF/WAVE PCM). These kernels replace the round-1
 ``NotImplementedError`` stub (see operators/multimodal.py) for the two
 formats, making the multimodal decode path *real*: bytes in → verified
-structure + pixel/sample statistics out.
+structure + pixel/sample statistics out. Round 5 extends the same
+treatment to video: ``avi_mjpeg_encode``/``avi_mjpeg_frames`` walk the
+RIFF chunk tree (LIST hdrl → avih/strl, LIST movi → 00dc frames) so
+frame *sampling* — the access pattern a training pipeline actually
+needs (grab every Nth frame, decode only those) — runs against a real
+container, not a byte-offset stub.
 
 Scope (documented, asserted): PNG bit depth 8, color types 0 (gray),
 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlacing — the overwhelmingly
-common subset; WAV PCM 16-bit. Anything else raises ``ValueError`` so a
-pipeline can route unsupported payloads to a quarantine column instead
-of silently mis-decoding.
+common subset; WAV PCM 16-bit; AVI single-'vids'-stream MJPG. Anything
+else raises ``ValueError`` so a pipeline can route unsupported payloads
+to a quarantine column instead of silently mis-decoding.
 
 These functions are plain Python on bytes — Spark-free by design — so
 they drop into Arrow-batched ``mapInPandas`` kernels (multimodal.py)
@@ -224,4 +231,135 @@ def wav_decode(data: bytes) -> dict:
         "framerate": framerate,
         "n_frames": n_frames,
         "samples": samples,
+    }
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container — MJPEG video
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def avi_mjpeg_encode(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Pack JPEG frame payloads into a spec-shaped AVI: RIFF('AVI ') →
+    LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFO-
+    HEADER)) → LIST movi ('00dc' per frame) → idx1 index."""
+    if not frames:
+        raise ValueError("no frames")
+    max_size = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_size * fps,  # max bytes/sec (upper bound)
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # initial frames
+        1,  # streams
+        max_size,  # suggested buffer
+        width,
+        height,
+        0, 0, 0, 0,  # reserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0,  # flags, priority+language, initial frames
+            1, fps,  # scale, rate → fps frames/sec
+            0, len(frames),  # start, length
+            max_size, 0xFFFFFFFF, 0,  # buffer, quality(-1), sample size
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I",
+        40, width, height, 1, 24,
+        int.from_bytes(b"MJPG", "little"), width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    offsets = []  # offset of each 00dc fourcc relative to 'movi' type word
+    for f in frames:
+        offsets.append(4 + len(movi_body))
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", bytes(movi_body))
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<3I", 0x10, off, len(f))
+            for off, f in zip(offsets, frames)
+        ),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def avi_mjpeg_frames(data: bytes) -> dict:
+    """Walk a RIFF/AVI container and extract the MJPEG frame payloads.
+
+    Returns ``{width, height, fps, n_frames, frames}`` (``frames`` =
+    list of JPEG bytes, in stream order). Validates the RIFF signature,
+    the avih header, and the MJPG fourcc; truncated or non-MJPEG files
+    raise ``ValueError``.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF signature)")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("truncated RIFF payload")
+
+    avih = None
+    compression = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, compression
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated {fourcc!r} chunk")
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type
+            elif fourcc == b"avih":
+                avih = struct.unpack("<14I", data[body_start : body_start + 56])
+            elif fourcc == b"strf":
+                compression = data[body_start + 16 : body_start + 20]
+            elif fourcc[2:4] in (b"dc", b"db"):  # compressed/uncompressed frame
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(12, 8 + riff_size)
+    if avih is None:
+        raise ValueError("missing avih header")
+    if compression != b"MJPG":
+        raise ValueError(f"unsupported video codec {compression!r} (MJPG only)")
+    us_per_frame, _, _, _, total_frames = avih[:5]
+    if len(frames) != total_frames:
+        raise ValueError(
+            f"frame count mismatch: avih says {total_frames}, movi has {len(frames)}"
+        )
+    return {
+        "width": avih[8],
+        "height": avih[9],
+        "fps": round(1_000_000 / us_per_frame) if us_per_frame else 0,
+        "n_frames": total_frames,
+        "frames": frames,
     }

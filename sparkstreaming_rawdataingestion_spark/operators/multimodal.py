@@ -6,17 +6,21 @@ This generalizes the reference's schemaless-payload pattern (the opaque
 engine never imposes structure on the payload at rest; decode/feature
 steps are explicit Arrow-batched ``mapInPandas`` stages.
 
-PNG and WAV are decoded FOR REAL with stdlib-only codecs
-(operators/media_codecs.py: chunk walk + CRC verify + IDAT inflate + all
-five scanline filters; RIFF/WAVE PCM) — see the ``*_roundtrip`` queries
-below, whose decoded stats an arithmetic oracle predicts exactly.
-Formats that genuinely need external codecs (JPEG, video) keep the
-documented stub: ``decode_image_meta(..., fake=True)`` derives
-deterministic pseudo-dimensions arithmetically (oracle-checkable), while
-``fake=False`` routes ``image/png`` payloads through the real decoder
-and raises NotImplementedError for codec-requiring mimes. The
-Spark-side plumbing — binary schema, Arrow batch transfer, UDF
-signatures, partition-parallel decode — is identical either way.
+PNG, WAV, JPEG and MJPEG/AVI are decoded FOR REAL with stdlib+numpy
+codecs (operators/media_codecs.py: chunk walk + CRC verify + IDAT
+inflate + all five scanline filters; RIFF/WAVE PCM; RIFF/AVI walk —
+and operators/jpeg.py: baseline T.81 huffman + DCT, 4:4:4/4:2:0/gray,
+restart markers) — see the ``*_roundtrip`` queries and the MJPEG
+frame-sample stage below, whose decoded stats an arithmetic oracle
+predicts exactly (solid frames exercise the DC path in closed form).
+``decode_image_meta(..., fake=True)`` keeps the deterministic
+pseudo-decode (byte-length arithmetic) used by the long-standing
+``multimodal_decode_meta`` oracle row; ``fake=False`` routes PNG *and*
+JPEG payloads through the real decoders and raises NotImplementedError
+only for genuinely absent codecs (progressive JPEG, non-MJPEG video —
+no Pillow/libav in this container). The Spark-side plumbing — binary
+schema, Arrow batch transfer, UDF signatures, partition-parallel
+decode — is identical either way.
 
 Scale notes: payloads ride the scan as a single binary column (parquet
 keeps them row-group-local); decode is a pure map (zero shuffle) whose
@@ -84,9 +88,11 @@ def decode_image_meta(
 
     ``fake=True``: deterministic pseudo-decode from byte length (the
     oracle-checkable path). ``fake=False``: REAL decode — ``image/png``
-    payloads go through media_codecs.png_decode (stdlib zlib/struct);
-    codec-requiring mimes (JPEG/video — no Pillow/libav in this
-    container) raise NotImplementedError.
+    payloads go through media_codecs.png_decode (stdlib zlib/struct)
+    and ``image/jpeg`` through jpeg.jpeg_decode (baseline T.81,
+    operators/jpeg.py); payloads that are neither raise
+    NotImplementedError (no Pillow/libav in this container for the
+    exotic rest).
     ``carry``: extra input columns passed through the decode batch
     unchanged (the pattern a real pipeline needs to keep digests/ids
     alongside decoded metadata without a re-join).
@@ -102,23 +108,33 @@ def decode_image_meta(
 
         for pdf in batches:
             if not fake:
-                decoded = [
-                    media_codecs.png_decode(bytes(b))
-                    if bytes(b[:8]) == media_codecs.PNG_SIGNATURE
-                    else None
-                    for b in pdf["payload"]
-                ]
-                if any(d is None for d in decoded):
-                    raise NotImplementedError(
-                        "non-PNG image codecs not available in this "
-                        "environment (JPEG/video need Pillow/libav)"
-                    )
+                from . import jpeg as jpeg_codec
+
+                decoded = []
+                for b in pdf["payload"]:
+                    raw = bytes(b)
+                    if raw[:8] == media_codecs.PNG_SIGNATURE:
+                        d = media_codecs.png_decode(raw)
+                        decoded.append(
+                            (d["width"], d["height"], d["channels"])
+                        )
+                    elif raw[:2] == b"\xff\xd8":
+                        d = jpeg_codec.jpeg_decode(raw)
+                        decoded.append(
+                            (d["width"], d["height"], d["n_components"])
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "unrecognized image payload (PNG and baseline "
+                            "JPEG decode natively; anything else needs "
+                            "Pillow/libav, absent in this environment)"
+                        )
                 out = {
                     "media_id": pdf["media_id"],
                     "byte_len": pdf["payload"].map(len),
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "channels": [d["channels"] for d in decoded],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
                 }
                 out.update({c: pdf[c] for c in carry})
                 yield pd.DataFrame(out)
@@ -138,9 +154,11 @@ def decode_image_meta(
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
-    """Video frame-sampling stub: emits one row per sampled 'frame' offset.
-    Real frame extraction (libav) is NotImplemented; the fan-out plumbing
-    (1 payload → N frame rows, offsets carried) is the real pattern."""
+    """Byte-offset frame-sampling sketch: one row per sampled 'frame'
+    offset — the container-agnostic fan-out plumbing (1 payload → N
+    rows). For REAL frame extraction from MJPEG/AVI payloads (container
+    walk + per-frame JPEG decode) use ``sample_video_frames`` below;
+    codecs beyond MJPEG would need libav, absent in this container."""
     n_frames = (F.octet_length("payload") / every_n_bytes).cast("int") + 1
     return media.select(
         "media_id",
@@ -580,6 +598,172 @@ def frame_wav_energy(media: DataFrame, frame: int = FRAME_SIZE) -> DataFrame:
             yield pd.DataFrame.from_records(recs)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_mjpeg_frame_sample — REAL video decode: AVI container walk +
+# baseline JPEG frame decode (operators/jpeg.py), sampling every Nth frame.
+#
+# NOT registered this round: the certification queue is at its 9-slot cap
+# (test_core_registry_window pins it, per the round-4 verdict — breadth
+# behind certification). The query + its exact oracle below are verified
+# in pytest (tests/test_jpeg_codec.py runs BOTH engines the same way
+# tools/check_oracles.py does) and are first in line for the round-6
+# rotation alongside the OVERFLOW_QUEUE.
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_EVERY = 2  # decode every 2nd frame — the sampling pattern
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("min_byte", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_mjpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode stage: one real MJPEG/AVI clip per document — 3-6 solid
+    grayscale JPEG frames (value (doc_id·31 + idx·17) % 256), dims
+    parameterized off doc_id (not multiples of 8, so every frame
+    exercises edge padding). Solid frames keep the decoded statistics
+    closed-form: only the DC coefficient survives quantization, so
+    decoded value = clamp(2·round_away((v-128)/2) + 128) exactly
+    (jpeg.solid_decoded_value)."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (3 + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+        (9 + F.col("doc_id") % 8).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from . import jpeg as jpeg_codec, media_codecs
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples():
+                frames = [
+                    jpeg_codec.jpeg_encode(
+                        np.full(
+                            (r.h, r.w),
+                            (r.media_id * 31 + i * 17) % 256,
+                            dtype=np.uint8,
+                        )
+                    )
+                    for i in range(r.n_frames)
+                ]
+                payloads.append(
+                    media_codecs.avi_mjpeg_encode(frames, r.w, r.h, fps=10)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "video/x-msvideo",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = FRAME_SAMPLE_EVERY
+) -> DataFrame:
+    """REAL video frame sampling: walk the RIFF/AVI tree, take every
+    ``every_n``-th MJPEG frame, decode ONLY those (baseline T.81 path),
+    emit one row per sampled frame with pixel statistics. The skipped
+    frames never leave the container bytes — at 100 TB that selective
+    decode is the entire point of frame sampling. Pure map over input
+    splits, zero shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import jpeg as jpeg_codec, media_codecs
+
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                clip = media_codecs.avi_mjpeg_frames(bytes(payload))
+                for idx in range(0, clip["n_frames"], every_n):
+                    d = jpeg_codec.jpeg_decode(clip["frames"][idx])
+                    px = d["pixels"]
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "n_frames": clip["n_frames"],
+                            "fps": clip["fps"],
+                            "width": d["width"],
+                            "height": d["height"],
+                            "mean_byte": float(px.mean()),
+                            "max_byte": int(px.max()),
+                            "min_byte": int(px.min()),
+                        }
+                    )
+            yield pd.DataFrame.from_records(recs)
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+def q_multimodal_mjpeg_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video decode, end-to-end: synthesize MJPEG/AVI clips, walk
+    the container, decode every 2nd frame with the native baseline JPEG
+    codec. Solid frames make every decoded statistic closed-form — the
+    oracle replays the DC quantize→dequantize arithmetic in SQL, so the
+    huffman + DCT + container path is verified value-exactly. Round-6
+    registration candidate (see module comment)."""
+    return sample_video_frames(synthesize_mjpeg_media(spark, sf_dir))
+
+
+# Exact DC-path oracle: v = (doc_id*31 + idx*17) % 256; decoded constant
+# = clamp(2 * round_away((v-128)/2) + 128, 0, 255) where round_away(n/2)
+# = trunc((n + sign(n)) / 2) for integer n (encoder rounds half away
+# from zero; reconstruction 2*dc_q + 128 is already integral).
+MJPEG_FRAME_SAMPLE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS n_frames,
+         9 + doc_id % 8 AS w,
+         8 + doc_id % 5 AS h
+  FROM documents
+),
+f AS (
+  SELECT p.*, g.idx,
+         (doc_id * 31 + g.idx * 17) % 256 - 128 AS n
+  FROM p, generate_series(0, 5) g(idx)
+  WHERE g.idx < n_frames AND g.idx % {FRAME_SAMPLE_EVERY} = 0
+)
+SELECT doc_id AS media_id,
+       CAST(idx AS INTEGER)      AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       10                        AS fps,
+       CAST(w AS INTEGER)        AS width,
+       CAST(h AS INTEGER)        AS height,
+       CAST(least(255, greatest(0,
+            2 * CAST(TRUNC((n + SIGN(n)) / 2.0) AS INTEGER) + 128))
+            AS DOUBLE)  AS mean_byte,
+       CAST(least(255, greatest(0,
+            2 * CAST(TRUNC((n + SIGN(n)) / 2.0) AS INTEGER) + 128))
+            AS INTEGER) AS max_byte,
+       CAST(least(255, greatest(0,
+            2 * CAST(TRUNC((n + SIGN(n)) / 2.0) AS INTEGER) + 128))
+            AS INTEGER) AS min_byte
+FROM f
+"""
 
 
 @_register(
