@@ -551,11 +551,25 @@ def jpeg_decode(data: bytes) -> dict:
     sof = None
     restart_interval = 0
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("truncated marker segment")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip to the last FF of the run
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment")
         marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone length-less markers (TEM, RSTn, SOI, EOI) carry
+            # no segment body — treating them as length-bearing would
+            # swallow the following segment
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise ValueError(

@@ -339,8 +339,16 @@ def avi_mjpeg_frames(data: bytes) -> dict:
             if fourcc == b"LIST":
                 walk(body_start + 4, body_start + size)  # skip list type
             elif fourcc == b"avih":
+                # fixed-size reads must respect the DECLARED chunk size —
+                # an undersized avih would otherwise read into the next
+                # chunk, and a short buffer would raise struct.error
+                # instead of the documented ValueError quarantine
+                if size < 56:
+                    raise ValueError(f"avih chunk too short ({size} < 56)")
                 avih = struct.unpack("<14I", data[body_start : body_start + 56])
             elif fourcc == b"strf":
+                if size < 20:
+                    raise ValueError(f"strf chunk too short ({size} < 20)")
                 compression = data[body_start + 16 : body_start + 20]
             elif fourcc[2:4] in (b"dc", b"db"):  # compressed/uncompressed frame
                 frames.append(data[body_start : body_start + size])

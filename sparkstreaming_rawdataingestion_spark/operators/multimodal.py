@@ -90,9 +90,11 @@ def decode_image_meta(
     oracle-checkable path). ``fake=False``: REAL decode — ``image/png``
     payloads go through media_codecs.png_decode (stdlib zlib/struct)
     and ``image/jpeg`` through jpeg.jpeg_decode (baseline T.81,
-    operators/jpeg.py); payloads that are neither raise
-    NotImplementedError (no Pillow/libav in this container for the
-    exotic rest).
+    operators/jpeg.py). Quarantine contract: payloads that are neither
+    PNG nor JPEG raise NotImplementedError (no Pillow/libav in this
+    container); JPEG-signature payloads the baseline decoder does not
+    cover (progressive/arithmetic/12-bit/CMYK) raise **ValueError**
+    from jpeg_decode — route on both exception types.
     ``carry``: extra input columns passed through the decode batch
     unchanged (the pattern a real pipeline needs to keep digests/ids
     alongside decoded metadata without a re-join).
@@ -603,13 +605,9 @@ def frame_wav_energy(media: DataFrame, frame: int = FRAME_SIZE) -> DataFrame:
 # ---------------------------------------------------------------------------
 # multimodal_mjpeg_frame_sample — REAL video decode: AVI container walk +
 # baseline JPEG frame decode (operators/jpeg.py), sampling every Nth frame.
-#
-# NOT registered this round: the certification queue is at its 9-slot cap
-# (test_core_registry_window pins it, per the round-4 verdict — breadth
-# behind certification). The query + its exact oracle below are verified
-# in pytest (tests/test_jpeg_codec.py runs BOTH engines the same way
-# tools/check_oracles.py does) and are first in line for the round-6
-# rotation alongside the OVERFLOW_QUEUE.
+# Registered in round 6 (it sat out round 5's full certification queue);
+# tests/test_jpeg_codec.py pins the codec itself against hand-assembled
+# T.81 vectors.
 # ---------------------------------------------------------------------------
 
 FRAME_SAMPLE_EVERY = 2  # decode every 2nd frame — the sampling pattern
@@ -724,8 +722,7 @@ def q_multimodal_mjpeg_frame_sample(
     the container, decode every 2nd frame with the native baseline JPEG
     codec. Solid frames make every decoded statistic closed-form — the
     oracle replays the DC quantize→dequantize arithmetic in SQL, so the
-    huffman + DCT + container path is verified value-exactly. Round-6
-    registration candidate (see module comment)."""
+    huffman + DCT + container path is verified value-exactly."""
     return sample_video_frames(synthesize_mjpeg_media(spark, sf_dir))
 
 
@@ -764,6 +761,12 @@ SELECT doc_id AS media_id,
             AS INTEGER) AS min_byte
 FROM f
 """
+
+# registered post-hoc: the oracle constant above is defined after the
+# query function it certifies
+_register("multimodal_mjpeg_frame_sample", MJPEG_FRAME_SAMPLE_ORACLE)(
+    q_multimodal_mjpeg_frame_sample
+)
 
 
 @_register(

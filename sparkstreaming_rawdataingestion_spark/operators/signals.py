@@ -146,7 +146,10 @@ bursts AS (
                                 ROWS UNBOUNDED PRECEDING) AS burst_id
   FROM marked
 )
-SELECT user_id, event_type, burst_id AS burst_no,
+-- CAST: DuckDB sum(INTEGER) returns HUGEINT, which pandas renders as
+-- float64 — the driver then hashes 1.0 against Spark's bigint 1 and
+-- fails every row (the round-5 red; VERDICT r5 item 1)
+SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_no,
        min(event_id) AS first_event_id,
        min(ts)       AS burst_start_ts,
        CAST(count(*) AS BIGINT) AS n_collapsed

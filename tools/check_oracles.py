@@ -20,19 +20,76 @@ sys.path.insert(0, ".")
 
 
 def normalize(v):
+    """Canonicalize a cell for multiset comparison.
+
+    Floats keep an explicit ``f:`` tag so an int-valued float can NEVER
+    hash equal to an int: the round-5 red (``debounce_events``) shipped
+    "validated" precisely because the old ``f"{v:.10g}"`` collapsed the
+    oracle's HUGEINT-via-pandas 1.0 onto Spark's bigint 1. The driver
+    hashes raw pandas values, so 1.0 vs 1 is a FAIL there — it must be
+    a FAIL here too.
+    """
     import datetime
     import math
 
+    import numpy as np
+
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    elif isinstance(v, (np.integer,)):
+        v = int(v)
+    elif isinstance(v, np.bool_):
+        v = bool(v)
+    if v is None or v is ...:
+        return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        # tolerate last-ulp float noise between engines
-        return f"{v:.10g}"
+            return "f:nan"
+        # tolerate last-ulp float noise between engines, but keep the
+        # float-ness visible (int 1 must not equal float 1.0)
+        return f"f:{v:.10g}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(normalize(x) for x in v)
     return v
+
+
+# Spark typeName → the pandas dtype kind(s) the driver will see from
+# DuckDB for a matching column. 'i' = signed int, 'u' unsigned, 'f'
+# float, 'b' bool, 'O' object (strings/decimals), 'M' datetime.
+_SPARK_KIND = {
+    "byte": "iu", "short": "iu", "integer": "iu", "long": "iu",
+    "float": "f", "double": "f",
+    # DuckDB renders nullable booleans as object dtype holding real
+    # Python bools — hash-compatible with Spark booleans
+    "boolean": "bO",
+    "string": "O", "binary": "O", "decimal": "O",
+    "timestamp": "M", "timestamp_ntz": "M", "date": "OM",
+}
+
+
+def dtype_drift(sdf, ddf):
+    """Columns whose DuckDB-via-pandas dtype kind cannot hash-match the
+    Spark schema (e.g. Spark bigint vs oracle float64). A NULL-bearing
+    int column legitimately arrives as float64 from pandas on BOTH
+    engines, so int-typed Spark columns tolerate 'f' only when the
+    pandas frame actually contains nulls in that column."""
+    drift = []
+    for f in sdf.schema.fields:
+        if f.name not in ddf.columns:
+            continue
+        want = _SPARK_KIND.get(f.dataType.typeName())
+        if want is None:  # complex types are rejected elsewhere
+            continue
+        kind = ddf[f.name].dtype.kind
+        if kind in want:
+            continue
+        if want == "iu" and kind == "f" and ddf[f.name].isna().any():
+            continue  # pandas nullable-int limitation, both engines alike
+        drift.append(f"{f.name}: spark {f.dataType.simpleString()} vs "
+                     f"oracle pandas kind '{kind}'")
+    return drift
 
 
 def main() -> int:
@@ -115,13 +172,42 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # fetch via pandas — the DRIVER's path. fetchall() hides the
+            # HUGEINT→float64 drift that pandas (and therefore the
+            # driver's hasher) actually sees (round-5 debounce red).
+            ddf = con.execute(oracles[name]).df()
+            drift = dtype_drift(sdf, ddf)
+            # restore int comparison for the one legitimate float case:
+            # a NULL-bearing int column (pandas limitation on both sides)
+            for f in sdf.schema.fields:
+                if (
+                    f.name in ddf.columns
+                    and _SPARK_KIND.get(f.dataType.typeName()) == "iu"
+                    and ddf[f.name].dtype.kind == "f"
+                    and ddf[f.name].isna().any()
+                ):
+                    ddf[f.name] = ddf[f.name].astype("Int64")
+            import pandas as pd
+
+            dcols_raw = list(ddf.columns)
             order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
             dcols = sorted(dcols_raw)
             dset = sorted(
-                (tuple(normalize(r[i]) for i in order) for r in drows),
+                (
+                    tuple(
+                        normalize(
+                            None
+                            if (
+                                not hasattr(r[i], "__len__")
+                                and pd.isna(r[i])
+                                and not isinstance(r[i], float)
+                            )
+                            else r[i]
+                        )
+                        for i in order
+                    )
+                    for r in ddf.itertuples(index=False, name=None)
+                ),
                 key=repr,
             )
         except Exception as ex:
@@ -129,6 +215,9 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        if drift:
+            problems.append("TYPE DRIFT (driver hash would fail): "
+                            + "; ".join(drift))
         if scols != dcols:
             problems.append(f"columns {scols} != {dcols}")
         if len(sset) != len(dset):
