@@ -217,10 +217,10 @@ def q_ranking_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact.
 
     The rank window is a GLOBAL sort of the score column — the honest
-    cost of an exact AUC. At firehose scale swap in the histogram
-    estimator (bin scores to ~10⁴ buckets, trapezoid over cumulative
-    bin counts — one grouped agg, error O(1/bins)); this exact form is
-    its verification kernel."""
+    cost of an exact AUC. At firehose scale run
+    ``ranking_auc_histogram`` (below) instead — one grouped agg over
+    ~4k bins, error O(1/bins), pinned against this exact kernel in
+    tests/test_scale_twins.py."""
     ev = catalog.load_table(spark, sf_dir, "events")
     scored = ev.select(
         F.col("value").alias("s"),
@@ -245,6 +245,100 @@ def q_ranking_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (np_ * nn.cast("double")),
             6,
         ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking_auc_histogram — the 100 TB path for the same metric
+# ---------------------------------------------------------------------------
+
+AUC_BINS = 4096
+
+_AUC_HIST_ORACLE = f"""
+WITH scored AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bounds AS (SELECT min(s) AS lo, max(s) AS hi FROM scored),
+binned AS (
+  SELECT least(CAST(floor((s - (SELECT lo FROM bounds))
+                   / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
+                   * {AUC_BINS}) AS INTEGER), {AUC_BINS} - 1) AS bin, y
+  FROM scored
+),
+hist AS (
+  SELECT bin, sum(y) AS pos, sum(1 - y) AS neg
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT pos, neg,
+         sum(neg) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS neg_below
+  FROM hist
+),
+agg AS (
+  SELECT sum(pos * (COALESCE(neg_below, 0) + neg / 2.0e0)) AS u,
+         sum(pos) AS np, sum(neg) AS nn
+  FROM cum
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round(u / (np * CAST(nn AS DOUBLE)), 6) AS auc_est
+FROM agg
+"""
+
+
+@_register("ranking_auc_histogram", _AUC_HIST_ORACLE)
+def q_ranking_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of ``ranking_auc_report``: scores bin into
+    {AUC_BINS} equal-width buckets (1-row bounds broadcast, map-side bin
+    arithmetic), then AUC comes from the Mann-Whitney identity applied
+    to the HISTOGRAM — every score in a bucket is treated as tied, so
+    U = Σ_b pos_b·(neg_below_b + neg_b/2). The only window runs over the
+    ≤{AUC_BINS}-row histogram (a model table), never the events — one
+    grouped aggregation at any scale. |auc_est − exact| ≤ within-bin
+    discordance, O(1/bins); pinned in tests/test_scale_twins.py. The
+    binning is deterministic, so the oracle replays it exactly."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("s") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * AUC_BINS
+            ).cast("int"),
+            F.lit(AUC_BINS - 1),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    neg_below = F.sum("neg").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "pos", "neg", F.coalesce(neg_below, F.lit(0)).alias("neg_below")
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
+        ).alias("u"),
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.col("u") / (F.col("np") * F.col("nn").cast("double")), 6
+        ).alias("auc_est"),
     )
 
 

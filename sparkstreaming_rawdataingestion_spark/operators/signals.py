@@ -6,9 +6,10 @@ Scale shape:
 - **quantile_normalize_sources**: per-source percent-rank windows are
   bounded by source size; the GLOBAL reference ranking is the one
   global sort — the textbook definition of quantile normalization needs
-  it. At 100 TB the exact global rank swaps for an approx-quantile grid
-  (percentile_approx breakpoints broadcast, piecewise-linear lookup);
-  the exact form here is the verification kernel for that grid.
+  it. At 100 TB run ``quantile_normalize_approx`` instead (implemented
+  below): a percentile_approx breakpoint grid broadcast + piecewise-
+  linear lookup; the exact form here is its verification kernel
+  (error pinned in tests/test_scale_twins.py).
 - **debounce_events**: one bounded (user, type) window; the burst key is
   the rn-difference islands idea applied to time gaps (a new burst
   starts where the gap from the previous event exceeds the threshold).
@@ -93,7 +94,7 @@ def q_quantile_normalize_sources(
         F.row_number()
         .over(Window.orderBy("score", "doc_id"))
         .alias("rn"),
-    )
+    )  # the one global sort — the scale twin below replaces exactly this
     pr = F.percent_rank().over(
         Window.partitionBy("source").orderBy("score", "doc_id")
     )
@@ -112,6 +113,53 @@ def q_quantile_normalize_sources(
     )
     return idx.join(glob, "rn").select(
         "doc_id", "source", "score", F.col("g_score").alias("norm_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize_approx — the 100 TB path for the same transform
+# ---------------------------------------------------------------------------
+
+QNORM_GRID_POINTS = 1001  # breakpoints of the global score distribution
+
+
+@_register("quantile_normalize_approx")  # approximate → rows-only check;
+# tests/test_scale_twins.py pins its error against the exact kernel
+def q_quantile_normalize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale twin of ``quantile_normalize_sources``: the
+    exact kernel's single-partition global ``row_number`` sort is
+    replaced by a ``percentile_approx`` breakpoint grid (one partial-agg
+    pass, mergeable sketches) broadcast as a 1-row array, with each
+    document's per-source percent-rank mapped onto the global
+    distribution by piecewise-linear interpolation over the grid. Error
+    is bounded by the grid resolution (1/(G-1) in rank space) plus the
+    sketch accuracy — pinned against the exact kernel in
+    tests/test_scale_twins.py. Per-source windows are bounded by source
+    size; NOTHING here sorts the full table globally, so the plan
+    survives a 100× scale-up where the exact form cannot."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    fracs = [i / (QNORM_GRID_POINTS - 1) for i in range(QNORM_GRID_POINTS)]
+    grid = scored.agg(
+        F.percentile_approx("score", fracs, 100_000).alias("g")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("score", "doc_id")
+    )
+    idx = F.col("pr") * (QNORM_GRID_POINTS - 1)
+    lo = F.least(F.floor(idx).cast("int"), F.lit(QNORM_GRID_POINTS - 2))
+    frac = idx - lo
+    interp = F.element_at(F.col("g"), lo + 1) + frac * (
+        F.element_at(F.col("g"), lo + 2) - F.element_at(F.col("g"), lo + 1)
+    )
+    return (
+        scored.select("doc_id", "source", "score", pr.alias("pr"))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "doc_id", "source", "score", interp.alias("norm_score")
+        )
     )
 
 

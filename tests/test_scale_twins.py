@@ -1,0 +1,49 @@
+"""Error pins for the approximate scale twins (VERDICT r5 item 5).
+
+Discipline as with the LSH/IVF/PQ recall pins: the exact kernel is the
+verification oracle, the approximate form — the one you would actually
+run at 100 TB — gets a quantified tolerance against it.
+"""
+
+from __future__ import annotations
+
+
+def test_quantile_normalize_approx_error_bound(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators.signals import (
+        q_quantile_normalize_approx,
+        q_quantile_normalize_sources,
+    )
+
+    exact = {
+        r["doc_id"]: r["norm_score"]
+        for r in q_quantile_normalize_sources(spark, sf_dir).collect()
+    }
+    approx = {
+        r["doc_id"]: r["norm_score"]
+        for r in q_quantile_normalize_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    lo, hi = min(exact.values()), max(exact.values())
+    span = hi - lo
+    errs = sorted(abs(approx[k] - exact[k]) / span for k in exact)
+    # grid resolution 1/1000 in rank space + sketch accuracy: the bulk
+    # of documents must land essentially on the exact value, the tail
+    # within a few percent of the score span
+    assert errs[int(0.95 * len(errs))] < 0.02, errs[int(0.95 * len(errs))]
+    assert errs[-1] < 0.10, errs[-1]
+
+
+def test_ranking_auc_histogram_error_bound(spark, sf_dir):
+    from sparkstreaming_rawdataingestion_spark.operators.evaluation import (
+        q_ranking_auc_histogram,
+        q_ranking_auc_report,
+    )
+
+    exact = q_ranking_auc_report(spark, sf_dir).collect()[0]
+    est = q_ranking_auc_histogram(spark, sf_dir).collect()[0]
+    assert (est["n_pos"], est["n_neg"]) == (exact["n_pos"], exact["n_neg"])
+    # within-bin discordance bound: O(1/bins), asserted with headroom
+    assert abs(est["auc_est"] - exact["auc"]) < 0.01, (
+        est["auc_est"],
+        exact["auc"],
+    )
