@@ -1023,3 +1023,88 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars",
         "cluster_size", "kept_from_cluster",
     )
+
+
+# ---------------------------------------------------------------------------
+# url_canonical_dedup — URL normalization before exact dedup
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH raw AS (
+  -- deterministic synthetic crawl URLs: scheme/host case noise, an
+  -- optional /index.html suffix, a tracking param and an optional
+  -- fragment, all parameterized off doc_id so variants COLLIDE after
+  -- canonicalization (doc_id mod 97 x mod 50 path/id space)
+  SELECT doc_id, source,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END,
+           source, '.Example.com/page/', CAST(doc_id % 23 AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0 THEN '/index.html' ELSE '' END,
+           '?utm_source=feed&utm_id=', CAST(doc_id % 50 AS VARCHAR),
+           CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+         ) AS url
+  FROM documents
+),
+canon AS (
+  -- the query string here is tracking-only, so canonicalization
+  -- drops it wholesale: fragment, then query, then directory index,
+  -- then the www. prefix
+  SELECT doc_id, source,
+         replace(replace(
+           string_split(string_split(lower(url), '#')[1], '?')[1],
+           '/index.html', ''),
+           '://www.', '://') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@_register("url_canonical_dedup", _URL_ORACLE)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL canonicalization, then exact dedup on the
+    canonical form: lowercase, fragment stripped, tracking params
+    removed, directory-index suffix and www. prefix dropped — the
+    normalization every web-corpus pipeline runs before URL-level
+    dedup (raw crawl frontiers are full of case/param/fragment
+    variants of one page). Pure string algebra (whole-stage codegen)
+    + one groupBy on the canonical key; the canonical-key shuffle
+    carries short strings, not documents."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://www.")
+        ),
+        F.col("source"),
+        F.lit(".Example.com/page/"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/index.html")).otherwise(
+            F.lit("")
+        ),
+        F.lit("?utm_source=feed&utm_id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    canonical = F.replace(
+        F.replace(
+            F.substring_index(
+                F.substring_index(F.lower(url), "#", 1), "?", 1
+            ),
+            F.lit("/index.html"),
+            F.lit(""),
+        ),
+        F.lit("://www."),
+        F.lit("://"),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+    )

@@ -478,3 +478,92 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# threshold_sweep_pr — precision/recall/F1 across the operating range
+# ---------------------------------------------------------------------------
+
+SWEEP_STEPS = 20  # thresholds k/20, k = 0..19
+
+_SWEEP_ORACLE = f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+scored AS (
+  SELECT (value - (SELECT lo FROM bounds))
+           / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+hist AS (
+  SELECT least(CAST(floor(p * {SWEEP_STEPS}) AS INTEGER), {SWEEP_STEPS} - 1)
+           AS bin,
+         sum(y) AS pos, sum(1 - y) AS neg
+  FROM scored GROUP BY 1
+),
+grid AS (SELECT g.k FROM generate_series(0, {SWEEP_STEPS} - 1) g(k)),
+cum AS (
+  SELECT k,
+         sum(CASE WHEN bin >= k THEN pos ELSE 0 END) AS tp,
+         sum(CASE WHEN bin >= k THEN neg ELSE 0 END) AS fp,
+         sum(pos) AS np
+  FROM grid, hist GROUP BY k
+)
+SELECT round(k / CAST({SWEEP_STEPS} AS DOUBLE), 6) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_at,
+       round(tp / CAST(np AS DOUBLE), 6)      AS recall_at,
+       round(2.0 * tp / CAST(2 * tp + fp + (np - tp) AS DOUBLE), 6) AS f1
+FROM cum
+"""
+
+
+@_register("threshold_sweep_pr", _SWEEP_ORACLE)
+def q_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: precision / recall / F1 at every
+    threshold k/{SWEEP_STEPS} over the min-max-normalized score. The
+    sweep is EXACT, not sampled: thresholds align with histogram bin
+    edges, so 'score >= t' is a suffix-sum over the {SWEEP_STEPS}-row
+    histogram — one grouped agg over the events, then all arithmetic on
+    the model table against a broadcast grid. The quality-classifier
+    tuning loop (choose the threshold that hits a precision target)
+    reads straight off this table."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    scored = ev.crossJoin(F.broadcast(bounds)).select(
+        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+            "p"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = (
+        scored.select(
+            F.least(
+                F.floor(F.col("p") * SWEEP_STEPS).cast("int"),
+                F.lit(SWEEP_STEPS - 1),
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
+    )
+    grid = spark.range(SWEEP_STEPS).select(F.col("id").cast("int").alias("k"))
+    cum = (
+        grid.crossJoin(F.broadcast(hist))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("bin") >= F.col("k"), F.col("pos")).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("bin") >= F.col("k"), F.col("neg")).otherwise(0)).alias("fp"),
+            F.sum("pos").alias("np"),
+        )
+    )
+    tp, fp, np_ = F.col("tp"), F.col("fp"), F.col("np")
+    return cum.select(
+        F.round(F.col("k") / float(SWEEP_STEPS), 6).alias("threshold"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        F.round(tp / (tp + fp).cast("double"), 6).alias("precision_at"),
+        F.round(tp / np_.cast("double"), 6).alias("recall_at"),
+        F.round(
+            2.0 * tp / (2 * tp + fp + (np_ - tp)).cast("double"), 6
+        ).alias("f1"),
+    )

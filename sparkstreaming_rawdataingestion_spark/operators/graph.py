@@ -417,3 +417,69 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — the skew-observability twin of the wedge cap
+# ---------------------------------------------------------------------------
+
+_DEGREE_DIST_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT cnode AS node FROM pairs
+        UNION ALL SELECT snode FROM pairs)
+  GROUP BY node
+),
+tot AS (SELECT count(*) AS n FROM deg)
+SELECT CAST(degree AS BIGINT)   AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       round(count(*) / CAST((SELECT n FROM tot) AS DOUBLE), 6)
+         AS node_share
+FROM deg GROUP BY degree
+"""
+
+
+@_register("graph_degree_distribution", _DEGREE_DIST_ORACLE)
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer↔supplier trade graph (same node
+    encoding as graph_pagerank_authority): how many nodes have each
+    degree. This is the observability table behind every skew decision
+    in the graph family — WEDGE_NEIGHBOR_CAP (the wedge join's hub
+    bound) is chosen by reading exactly this distribution's tail.
+
+    Two grouped counts (edges→degrees, degrees→histogram), both with
+    map-side combine, plus a 1-row total broadcast — nothing here can
+    hotspot even when the graph itself is skewed, because the SECOND
+    aggregation keys on degree, collapsing each hub to one row before
+    the share arithmetic."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    nodes = pairs.select(F.col("cnode").alias("node")).unionAll(
+        pairs.select(F.col("snode").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round(
+                F.col("n_nodes") / F.col("n").cast("double"), 6
+            ).alias("node_share"),
+        )
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 
@@ -254,4 +254,65 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokens_budget_allocation — greedy per-source token budget by quality
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PER_SOURCE = 300
+
+_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         n_chars AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+
+@_register("tokens_budget_allocation", _BUDGET_ORACLE)
+def q_tokens_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: within each source, take documents
+    in quality order (n_chars proxy, doc_id tiebreak) until the source's
+    token budget is exhausted — a document is admitted iff the budget
+    was not already spent when its turn came (so the last admitted doc
+    may overshoot; the standard greedy-prefix semantics). This is the
+    per-source allocation step of a corpus-assembly run: budgets come
+    from the mixture plan, selection must be deterministic and
+    replayable.
+
+    One per-source window (bounded by source size) over a pre-reduced
+    (doc, tokens) projection — token counting never leaves the scan
+    stage, and no global ordering exists anywhere in the plan."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.col("n_chars").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.where(
+        F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET_PER_SOURCE
+    ).select(
+        "doc_id", "source", "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )

@@ -364,3 +364,64 @@ def q_pipeline_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % _BUILD_BUCKETS).alias("bucket"),
         F.row_number().over(wpos).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_reweight_plan — per-source sampling rates toward a target mix
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) AS total_tokens,
+         count(*)      AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS actual_share,
+       round(1.0 / n_sources, 6)                         AS target_share,
+       round(least(1.0, (total_tokens / CAST(n_sources AS DOUBLE))
+                        / n_tokens), 6)                  AS sample_rate,
+       round((total_tokens / CAST(n_sources AS DOUBLE)) / n_tokens, 6)
+                                                         AS epochs
+FROM per_source, tot
+"""
+
+
+@_register("mixture_reweight_plan", _MIXTURE_ORACLE)
+def q_mixture_reweight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: given the observed per-source token counts and
+    a target mix (uniform here), emit each source's sampling rate
+    (downsample overrepresented sources) and epoch factor (repeat
+    underrepresented ones > 1x) — the table a corpus-assembly run feeds
+    into weighted sampling. The token census is ONE grouped aggregation
+    (map-side combine on source); everything after operates on the
+    sources-sized model table against a broadcast 1-row total."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target_tokens = F.col("total_tokens") / F.col("n_sources").cast("double")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("total_tokens").cast("double"), 6
+        ).alias("actual_share"),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        F.round(
+            F.least(F.lit(1.0), target_tokens / F.col("n_tokens")), 6
+        ).alias("sample_rate"),
+        F.round(target_tokens / F.col("n_tokens"), 6).alias("epochs"),
+    )

@@ -928,3 +928,92 @@ def q_similarity_lsh_portable_pairs(
         .where(F.col("cos") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_one_step — one exact Lloyd iteration as a query
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8  # deterministic init: centroids = embeddings with vec_id < K
+
+_KMEANS_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+d AS (
+  -- |v-c|^2 via three ordered inner products (the same term order the
+  -- engine's zip_with/aggregate kernel sums in)
+  SELECT v.vec_id, c.cid,
+         list_inner_product(ve, ve) + list_inner_product(ce, ce)
+           - 2 * list_inner_product(ve, ce) AS d2,
+         ve[1] AS dim0
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, cid, d2, dim0,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(d2, 9), cid) AS rk
+  FROM d
+)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT)  AS n_members,
+       round(avg(d2), 6)         AS mean_dist2,
+       round(avg(dim0), 6)       AS centroid_dim0
+FROM assigned WHERE rk = 1
+GROUP BY cid
+"""
+
+
+@_register("kmeans_one_step", _KMEANS_ORACLE)
+def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd (k-means) iteration as a declarative query:
+    assign every embedding to its nearest of {KMEANS_K} deterministic
+    centroids (squared L2 via three ordered inner products; ties broken
+    on rounded distance then centroid id, so the argmin is partition-
+    and engine-stable), then recompute per-cluster statistics — member
+    count, inertia contribution, and the first centroid coordinate as
+    the recompute witness.
+
+    Scale shape: centroids are a broadcast K-row table, the assignment
+    is a map-side K-fanout (no shuffle), and the ONLY shuffle is the
+    final K-key aggregation with map-side combine. An iterated k-means
+    is this plan in a driver-side loop, exactly like graph.pagerank —
+    per-iteration cost is one broadcast join + one tiny agg at any
+    corpus size."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), _emb_double().alias("ce")
+    )
+    vecs = e.select("vec_id", _emb_double().alias("ve"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    d2 = (
+        dot(F.col("ve"), F.col("ve"))
+        + dot(F.col("ce"), F.col("ce"))
+        - 2 * dot(F.col("ve"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 9), "cid")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            d2.alias("d2"),
+            F.element_at(F.col("ve"), 1).alias("dim0"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("d2"), 6).alias("mean_dist2"),
+        F.round(F.avg("dim0"), 6).alias("centroid_dim0"),
+    )

@@ -543,3 +543,68 @@ def q_text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100) * n_words * n_sent).cast("double")
         ).alias("ari"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token_entropy_filter — Shannon-entropy repetitiveness filter
+# ---------------------------------------------------------------------------
+
+ENTROPY_FLOOR = 3.0  # bits; a doc whose token distribution carries less
+# information than this is template/boilerplate-like
+
+_ENTROPY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+),
+per_doc AS (
+  -- same sufficient-statistics formula as the Spark side, term for
+  -- term: H = log2(n) - sum(c*log2 c)/n (a different algebraic form
+  -- would differ in the last ulp and could flip the 6th decimal)
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT)   AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(h, 6) AS entropy_bits,
+       round(h, 6) < {ENTROPY_FLOOR} AS low_entropy
+FROM per_doc
+"""
+
+
+@_register("token_entropy_filter", _ENTROPY_ORACLE)
+def q_token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the standard
+    repetitiveness/boilerplate filter (low-entropy docs are template
+    spam, keyword stuffing, or degenerate generations; Rae et al. 2021
+    'Gopher' uses exactly this family of repetition filters).
+
+    Shape: explode → (doc, token) count → one per-doc aggregation. Both
+    shuffles key on doc_id and the second input is pre-reduced to
+    distinct tokens per doc — nothing global, scales linearly. Entropy
+    is rounded to 6 before the threshold compare so the flag is
+    engine-exact."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # entropy from sufficient statistics: H = log2(n) - sum(c*log2 c)/n
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    h = F.log2(F.col("n_tokens")) - F.col("clog") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 6).alias("entropy_bits"),
+        (F.round(h, 6) < ENTROPY_FLOOR).alias("low_entropy"),
+    )
