@@ -146,86 +146,34 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation, three bands (40 + 3 + 6 + the rows-only tail):
-#   1-40  the ENTIRE round-4 overflow queue — every oracle-backed query
-#         that has never had a driver-green row (round 4 added ~80
-#         queries against the 50-slot gate; this drains the debt in one
-#         rotation). classifier_eval_metrics moved to band 2.
-#   41-43 re-verification of surfaces whose code changed THIS round and
-#         whose existing green rows therefore predate the change: the
-#         wedge-degree-capped graph_common_neighbors, the try_divide
-#         rewrite of classifier_eval_metrics (also never green AND
-#         changed), and the flagship ingest_normalize (standing first-
-#         slot re-check every round). The other round-5 ANSI-guard /
-#         frame changes (mad_outlier_flags, rolling_correlation,
-#         ab_cuped_adjusted, welch_ttest_report) are band-1 members —
-#         their first green row certifies the NEW code.
-#   44-49 the six round-5 operators (capped to the spare slots per the
-#         round-4 verdict: certification over breadth).
+# Round-6 rotation, four bands (1 + 10 + 6 + 9 + 24):
+#   1     the flagship (standing first-slot re-check every round).
+#   2-10  the ENTIRE round-5 overflow queue — every oracle-backed query
+#         still awaiting its first driver row (all 9 judge-verified
+#         PASS in the round-5 session).
+#   11    debounce_events — the round-5 red, re-certified after the
+#         oracle CAST fix (signals.py; DuckDB sum(INTEGER)→HUGEINT→
+#         float64 drift).
+#   12-17 the never-driver-checked rows-only entries (engine-specific
+#         sketches / sequential packing / the new percentile-sketch
+#         twin) — each gets its first rows-only driver record, closing
+#         VERDICT r5 item 6. All return scalar columns only (the
+#         driver canonicalizer cannot hash complex types).
+#   18-26 the round-6 additions: the MJPEG certification (VERDICT item
+#         4), the histogram-AUC scale twin (item 5), and the seven new
+#         corpus-pipeline operators — all validated engine + --plain
+#         at sf0.01 AND sf0.1 before entering.
+#   27-50 re-verification depth: surfaces whose modules changed this
+#         round (evaluation/signals/layout/dedup/text appends) and the
+#         oldest r1-r3 greens with the heaviest plans (dedup/ANN/
+#         graph/pipeline/TPC-H/modern-SQL picks).
 # Everything previously green rotates to the extended region with its
-# driver row on record; all 50 validated engine + --plain at sf0.01
-# and sf0.1 via check_oracles before this rotation was locked.
+# driver row on record. The overflow queue is EMPTY this round: every
+# new operator fit inside the window's spare slots.
 CORE_ORDER: tuple[str, ...] = (
-    # -- band 1: the drained round-4 overflow queue (never green) ----
-    "rfm_segmentation",
-    "pareto_revenue_share",
-    "allocation_proportional",
-    "concentration_metrics",
-    "mad_outlier_flags",
-    "cusum_changepoint",
-    "period_over_period",
-    "topn_plus_other",
-    "interpurchase_intervals",
-    "cohort_ltv_curve",
-    "ab_cuped_adjusted",
-    "survival_km_curve",
-    "gaps_islands_streaks",
-    "dedup_simhash_portable_pairs",
-    "quantile_normalize_sources",
-    "debounce_events",
-    "rolling_correlation",
-    "attribution_linear",
-    "geo_revenue_shares",
-    "label_centroid_similarity",
-    "contrastive_negative_pairs",
-    "curriculum_interleave",
-    "theil_sen_trend",
-    "concurrent_intervals_timeline",
-    "percentile_disc_pack",
-    "similarity_lsh_portable_pairs",
-    "langid_confusion_matrix",
-    "ranking_auc_report",
-    "score_calibration_bins",
-    "tokenizer_vocab_coverage",
-    "ngram_novelty_score",
-    "asof_nearest_tolerance",
-    "bot_rate_flags",
-    "welch_ttest_report",
-    "chisq_independence_test",
-    "string_agg_pack",
-    "trending_items_decay",
-    "stickiness_wau_dau",
-    "new_vs_repeat_revenue",
-    "holt_linear_smoothing",
-    # -- band 2: round-5-changed surfaces + flagship + the round-3
-    # verdict's carried PNG re-check (item 6) ------------------------
-    "graph_common_neighbors",
-    "classifier_eval_metrics",
+    # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    "multimodal_png_roundtrip",
-    # -- band 3: new round-5 operators ------------------------------
-    "collocation_pmi_bigrams",
-    "decile_lift_table",
-    "mutual_information_features",
-    "train_val_test_split",
-    "dedup_cluster_canonical",
-    "skew_key_report",
-    # --- driver checks the first 50 entries; below: the (small) queued
-    # overflow — round-5 additions past the window's spare slots, each
-    # validated engine + --plain at sf0.01 AND sf0.1, first in line for
-    # round 6's rotation — then rows-only ops (engine-specific sketches
-    # / sequential packing — the driver records their weaker rows-only
-    # check) ---
+    # -- band 2: the drained round-5 overflow queue -------------------
     "text_readability_ari",
     "ols_elasticity_by_segment",
     "shipping_sla_percentiles",
@@ -235,26 +183,69 @@ CORE_ORDER: tuple[str, ...] = (
     "multimodal_audio_frames",
     "tokens_zipf_fit",
     "conversion_latency_percentiles",
+    "debounce_events",
+    # -- band 3: first driver records for the rows-only tail ----------
     "sketch_mergeable_hll",
     "pack_documents",
+    "similarity_topk_pq",
+    "pq_reconstruction_report",
+    "sketch_heavy_hitters",
+    "quantile_normalize_approx",
+    # -- band 4: round-6 additions ------------------------------------
+    "multimodal_mjpeg_frame_sample",
+    "ranking_auc_histogram",
+    "token_entropy_filter",
+    "url_canonical_dedup",
+    "tokens_budget_allocation",
+    "mixture_reweight_plan",
+    "threshold_sweep_pr",
+    "kmeans_one_step",
+    "graph_degree_distribution",
+    # -- band 5: re-verification depth --------------------------------
+    "ranking_auc_report",
+    "quantile_normalize_sources",
+    "train_val_test_split",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_exact_hash",
+    "dedup_clusters",
+    "similarity_topk_bruteforce",
+    "graph_pagerank_authority",
+    "graph_triangle_count",
+    "pipeline_training_build",
+    "pipeline_curation",
+    "text_quality_score",
+    "text_langid",
+    "text_tfidf_topterms",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "q5_regional_revenue",
+    "sessionize_events",
+    "retention_cohorts",
+    "merge_upsert_apply",
+    "scd2_dimension_history",
+    "asof_join_purchase_click",
+)
+
+# Window entries WITHOUT oracle SQL — the driver records its weaker
+# rows-only check for these (approximate / engine-hash / sketch ops
+# whose exact values are engine-specific; each carries a pytest
+# recall/error pin instead). Pinned by test_core_registry_window.
+ROWS_ONLY_WINDOW: tuple[str, ...] = (
+    "sketch_mergeable_hll",
+    "pack_documents",
+    "similarity_topk_pq",
+    "pq_reconstruction_report",
+    "sketch_heavy_hitters",
+    "quantile_normalize_approx",
 )
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — first in line for round 6's rotation, never
-# silently untracked; test_core_registry_window pins membership,
-# placement and the ≤9 cap (certification debt stays single-digit, per
-# the round-4 verdict).
-OVERFLOW_QUEUE: tuple[str, ...] = (
-    "text_readability_ari",
-    "ols_elasticity_by_segment",
-    "shipping_sla_percentiles",
-    "session_diversity_entropy",
-    "blocking_quality_report",
-    "multimodal_image_resize",
-    "multimodal_audio_frames",
-    "tokens_zipf_fit",
-    "conversion_latency_percentiles",
-)
+# first driver row — EMPTY this round (round 6's additions all fit in
+# the window's spare slots); test_core_registry_window pins membership,
+# placement and the ≤9 cap.
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:

@@ -75,6 +75,7 @@ def test_core_registry_window():
     from sparkstreaming_rawdataingestion_spark.queries import (
         CORE_ORDER,
         OVERFLOW_QUEUE,
+        ROWS_ONLY_WINDOW,
         all_oracles,
         all_queries,
         extended_queries,
@@ -85,15 +86,20 @@ def test_core_registry_window():
     assert len(set(CORE_ORDER)) == len(CORE_ORDER)
     # the driver checks the first 50 registry entries: they must be the core
     assert list(q)[: len(CORE_ORDER)] == list(CORE_ORDER)
-    # every driver-checked slot carries a full hash oracle (rows-only ops
-    # sit after position 50)
-    assert all(n in o for n in CORE_ORDER[:50])
-    # round-5 rotation: every oracle-backed query WITHOUT a cumulative
-    # driver-green row (rounds 1-4) must sit inside this round's checked
-    # window or in the explicit overflow queue — never silently
-    # untracked. Round 5 drained the round-4 overflow entirely, so the
-    # queue must ALSO be (near-)empty: new-operator additions are capped
-    # to the window's spare slots from here on.
+    # every driver-checked slot carries a full hash oracle UNLESS it is
+    # one of the declared rows-only entries (round 6 gives the never-
+    # checked rows-only tail its first driver records — VERDICT r5
+    # item 6); rows-only slots must genuinely lack an oracle, or the
+    # weaker check would silently shadow an available hash check
+    assert all(
+        n in o or n in ROWS_ONLY_WINDOW for n in CORE_ORDER[:50]
+    )
+    assert all(n not in o for n in ROWS_ONLY_WINDOW)
+    assert set(ROWS_ONLY_WINDOW) <= set(CORE_ORDER[:50])
+    # rotation invariant: every oracle-backed query WITHOUT a cumulative
+    # driver-green row must sit inside this round's checked window or in
+    # the explicit overflow queue — never silently untracked.
+    # New-operator additions are capped to the window's spare slots.
     import json
     import os
 
@@ -103,6 +109,7 @@ def test_core_registry_window():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         path = os.path.join(os.path.dirname(__file__), "..", rec)
         if os.path.exists(path):

@@ -187,6 +187,16 @@ def main() -> int:
                     and ddf[f.name].isna().any()
                 ):
                     ddf[f.name] = ddf[f.name].astype("Int64")
+                # DuckDB DATE arrives as midnight datetime64 from pandas;
+                # Spark collect() gives datetime.date — restore date
+                # objects so the comparison matches the driver's behavior
+                # (driver-green rows exist for date-columned queries)
+                if (
+                    f.name in ddf.columns
+                    and f.dataType.typeName() == "date"
+                    and ddf[f.name].dtype.kind == "M"
+                ):
+                    ddf[f.name] = ddf[f.name].dt.date
             import pandas as pd
 
             dcols_raw = list(ddf.columns)
