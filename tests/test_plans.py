@@ -292,3 +292,72 @@ def test_pmi_margins_come_from_staged_model_not_corpus(spark, sf_dir):
         plan.count("Scan parquet") - plan.count("InMemoryTableScan") <= 1
     )
     release_staged()
+
+
+# ---------------------------------------------------------------------------
+# Round-6: scale twins + new corpus operators
+# ---------------------------------------------------------------------------
+
+
+def test_qnorm_approx_has_no_global_rank(spark, sf_dir):
+    """The approx twin's entire point: the exact kernel's data-sized
+    global row_number window must be gone — the only single-partition
+    exchange left is the 1-row percentile-sketch aggregate."""
+    from sparkstreaming_rawdataingestion_spark.operators import signals
+
+    exact = plans.executed_plan(
+        signals.q_quantile_normalize_sources(spark, sf_dir)
+    )
+    approx = plans.executed_plan(
+        signals.q_quantile_normalize_approx(spark, sf_dir)
+    )
+    assert "row_number" in exact  # the scale-killer, present by design
+    assert "row_number" not in approx
+    assert "percentile_approx" in approx
+    assert approx.count("SinglePartition") <= 1
+
+
+def test_auc_histogram_windows_only_the_model_table(spark, sf_dir):
+    """The exact AUC ranks every event (rank() over a global order);
+    the histogram twin must not — its window arithmetic runs over the
+    ≤4096-row bin table after ONE grouped aggregation."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    exact = plans.executed_plan(evaluation.q_ranking_auc_report(spark, sf_dir))
+    hist = plans.executed_plan(
+        evaluation.q_ranking_auc_histogram(spark, sf_dir)
+    )
+    assert "rank(" in exact
+    assert "rank(" not in hist
+    assert "BroadcastExchange" in hist  # 1-row bounds onto the scan
+
+
+def test_kmeans_assignment_is_broadcast_map_side(spark, sf_dir):
+    """Lloyd-step assignment must be a broadcast K-fanout — no shuffle
+    of the vectors, no single-partition stage anywhere; the only
+    aggregation exchange carries K keys."""
+    from sparkstreaming_rawdataingestion_spark.operators import similarity
+
+    p = plans.executed_plan(similarity.q_kmeans_one_step(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "SinglePartition" not in p
+
+
+def test_token_budget_no_global_sort(spark, sf_dir):
+    """The greedy budget selection orders only WITHIN source partitions:
+    a global sort ("], true" Sort flag) anywhere means the plan stopped
+    scaling."""
+    from sparkstreaming_rawdataingestion_spark.operators import layout
+
+    p = plans.executed_plan(layout.q_tokens_budget_allocation(spark, sf_dir))
+    assert "], true, 0" not in p  # no global-flagged Sort node
+    assert "hashpartitioning(source" in p
+
+
+def test_degree_distribution_second_agg_keys_on_degree(spark, sf_dir):
+    """Hub safety: the share arithmetic runs after re-keying on degree,
+    so a hot node contributes one row, not a hot partition."""
+    from sparkstreaming_rawdataingestion_spark.operators import graph
+
+    p = plans.executed_plan(graph.q_graph_degree_distribution(spark, sf_dir))
+    assert "hashpartitioning(degree" in p

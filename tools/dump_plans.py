@@ -257,6 +257,51 @@ PICKS = {
         "counts → broadcast mix rates, shuffle-rank only over the final "
         "kept set — each stage shrinks the next stage's input."
     ),
+    "quantile_normalize_approx": (
+        "Scale twin of the quantile normalizer: the global row_number "
+        "sort is REPLACED by a 1-row percentile_approx sketch broadcast "
+        "+ per-source windows — no data-sized single-partition stage."
+    ),
+    "ranking_auc_histogram": (
+        "Histogram AUC: one grouped aggregation over the events; the "
+        "Mann-Whitney window runs over the \u22644096-row bin table, never "
+        "the facts; bounds are a 1-row broadcast."
+    ),
+    "kmeans_one_step": (
+        "Lloyd step: K-row centroid table broadcast, assignment is a "
+        "map-side K-fanout with a per-vector argmin window (K rows per "
+        "vector), ONE K-key aggregation — no vector shuffle."
+    ),
+    "token_entropy_filter": (
+        "Token entropy: explode \u2192 (doc, token) count \u2192 per-doc "
+        "sufficient-statistics agg; both shuffles key on doc_id, the "
+        "second input pre-reduced to distinct tokens per doc."
+    ),
+    "tokens_budget_allocation": (
+        "Greedy token budget: ONE per-source window over a pre-reduced "
+        "(doc, tokens) projection — no global ordering anywhere."
+    ),
+    "url_canonical_dedup": (
+        "URL canonicalization: pure string algebra in codegen; the "
+        "dedup groupBy shuffles short canonical keys, not documents."
+    ),
+    "mixture_reweight_plan": (
+        "Mixture plan: one grouped token census (map-side combine), "
+        "1-row total broadcast, sources-sized output."
+    ),
+    "threshold_sweep_pr": (
+        "Threshold sweep: suffix sums over the 20-bin score histogram "
+        "against a broadcast grid — the events aggregate ONCE."
+    ),
+    "graph_degree_distribution": (
+        "Degree histogram: edges\u2192degree, degree\u2192count; re-keying on "
+        "degree collapses hubs to one row before share arithmetic."
+    ),
+    "multimodal_mjpeg_frame_sample": (
+        "MJPEG sampling: two Arrow-batched map stages (AVI encode, "
+        "container walk + selective JPEG decode) over input splits — "
+        "zero shuffles; skipped frames never leave the container bytes."
+    ),
     "sample_exact_k_per_group": (
         "Exact-k stratum sample: rank ≤ k compiles to WindowGroupLimit "
         "— per-stratum top-k heaps, never a full per-stratum sort."
