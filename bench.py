@@ -43,6 +43,16 @@ while 64 independent transforms stay in codegen; fewer/wider bands
 (8×8) are off the table because candidate recall at s=0.8 drops to
 0.77 and the query must match its exact oracle. The 16×4 + 64-transform
 formulation therefore stands as the measured floor.
+
+Wedge-join variance note (round 6): graph_common_neighbors times
+4.8-6.5 s across REPEATED runs of identical code in one session (and
+6.13 s → 3.78 s → ~5.0 s across the r4/r5/r6 driver+local runs, with
+the operator untouched since r5) — the wedge shuffle's wall time is
+dominated by AQE partition decisions and scheduler load, not plan
+changes. A hub-split variant (window-sort only hub centers, pass cold
+edges through) measured 4.78-6.48 s — inside the same noise band — so
+the simpler full-window form stands; treat ±35% on this one query as
+run variance, not regression.
 """
 
 from __future__ import annotations

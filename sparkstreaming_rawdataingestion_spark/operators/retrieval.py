@@ -437,3 +437,116 @@ def q_blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reduction_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs — exact sparse-vector similarity, blocked on source
+# ---------------------------------------------------------------------------
+
+TFIDF_COSINE_THRESHOLD = 0.6
+
+_TFIDF_PAIRS_ORACLE = f"""
+WITH tc AS (
+  SELECT doc_id, source, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, source, tok
+),
+dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tc.doc_id, tc.source, tc.term,
+         tc.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) AS w
+  FROM tc JOIN dfreq USING (term)
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(32, 18))) AS DOUBLE))
+           AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CAST(a.w * b.w AS DECIMAL(32, 18))) AS DOUBLE) AS dot
+  FROM w a JOIN w b
+    ON a.term = b.term AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COSINE_THRESHOLD}
+"""
+
+
+@_register("tfidf_cosine_pairs", _TFIDF_PAIRS_ORACLE)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse TF-IDF cosine pairs, blocked on ``source`` — the
+    sparse-vector sibling of dedup_embedding_cosine_pairs: candidate
+    pairs come from an inverted term index joined WITHIN a blocking key,
+    so every task's pair count is bounded by block size (the
+    string_similarity_join_brand pattern); cross-block near-dups are the
+    LSH family's job. Dot products and squared norms accumulate in
+    DECIMAL(32,18), so the sparse sums are exact under ANY reduction
+    order — the float-sum-order trap that would otherwise make a
+    cross-engine (or cross-partitioning) hash impossible. IDF uses the
+    same ln(N/df) expression on both engines (bit-identical, as BM25
+    already pins)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = session.stage(
+        tc.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(32,18)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "source", "term",
+        F.col("w").alias("wa"),
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "source", "term",
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, ["term", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(32,18)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= TFIDF_COSINE_THRESHOLD)
+        .select("doc_a", "doc_b", cos.alias("cosine_sim"))
+    )

@@ -226,6 +226,9 @@ CORE_ORDER: tuple[str, ...] = (
     "merge_upsert_apply",
     "scd2_dimension_history",
     "asof_join_purchase_click",
+    # --- driver checks the first 50 entries; below: the queued
+    # overflow (see OVERFLOW_QUEUE) ---
+    "tfidf_cosine_pairs",
 )
 
 # Window entries WITHOUT oracle SQL — the driver records its weaker
@@ -242,10 +245,12 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 )
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — EMPTY this round (round 6's additions all fit in
-# the window's spare slots); test_core_registry_window pins membership,
-# placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = ()
+# first driver row — first in line for round 7's rotation; each entry
+# validated engine + --plain at sf0.01 AND sf0.1 before queueing.
+# test_core_registry_window pins membership, placement and the ≤9 cap.
+OVERFLOW_QUEUE: tuple[str, ...] = (
+    "tfidf_cosine_pairs",
+)
 
 
 def _operator_registries(attr: str) -> dict:
