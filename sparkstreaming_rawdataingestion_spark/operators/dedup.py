@@ -1108,3 +1108,121 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("canonical_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing_candidate_pairs — Schleimer et al. 2003 local fingerprinting
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3       # k-gram width (tokens)
+WINNOW_W = 4       # winnowing window (hashes)
+WINNOW_MAX_DF = 20  # fingerprint document-frequency cap (hot-fp guard)
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{WINNOW_K - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS g(i)
+),
+h AS (
+  SELECT doc_id, pos,
+         list_reduce([0::BIGINT] ||
+                     [ascii(c)::BIGINT % 256 FOR c IN string_split(gram, '')],
+                     (acc, x) -> (acc * 31 + x) % 1000000007) AS gh
+  FROM grams
+),
+wins AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM h
+),
+fps AS (
+  SELECT doc_id, fp FROM wins
+  WHERE pos <= n_grams - {WINNOW_W - 1}
+  GROUP BY doc_id, fp
+),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@_register("winnowing_candidate_pairs", _WINNOW_ORACLE)
+def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003): hash every token {WINNOW_K}-gram with the cross-engine
+    polynomial hash, keep the MINIMUM hash of each sliding
+    {WINNOW_W}-window — the guarantee is that any shared substring of
+    length ≥ w+k-1 tokens yields at least one shared fingerprint — and
+    emit document pairs sharing ≥ {WINNOW_MIN_SHARED} fingerprints.
+    The local-fingerprinting alternative to MinHash: position-aware
+    (catches contiguous plagiarized spans, not just bag overlap) with a
+    selection density guaranteed between 1/w and 2/(w+1).
+
+    Scale shape mirrors the shingle index: fingerprints per doc are a
+    bounded fraction (~2/w) of grams, the inverted fingerprint index is
+    df-capped at {WINNOW_MAX_DF} before the pair join (hot boilerplate
+    fingerprints can't own the shuffle — same soundness trade as
+    SHINGLE_MAX_DF), and the pair aggregation shuffles (id, id) pairs
+    only. The winnowing window itself is a per-doc ROWS frame —
+    bounded by document length, embarrassingly parallel across docs."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {WINNOW_K - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {WINNOW_K})))"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    gh = F.aggregate(
+        F.split("gram", ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c) % 256) % 1000000007,
+    )
+    h = grams.select("doc_id", "pos", gh.alias("gh"))
+    wdoc = Window.partitionBy("doc_id")
+    wmin = (
+        wdoc.orderBy("pos").rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = h.select(
+        "doc_id",
+        "pos",
+        F.min("gh").over(wmin).alias("fp"),
+        F.count(F.lit(1)).over(wdoc).alias("n_grams"),
+    )
+    fps = (
+        wins.where(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    wfp = Window.partitionBy("fp")
+    capped = stage(
+        fps.withColumn("df", F.count(F.lit(1)).over(wfp))
+        .where(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "fp")
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )

@@ -1017,3 +1017,89 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d2"), 6).alias("mean_dist2"),
         F.round(F.avg("dim0"), 6).alias("centroid_dim0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration_step — one exact power-method step as a query
+# ---------------------------------------------------------------------------
+
+_PCA_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+n AS (SELECT count(*) AS n_vecs FROM v),
+-- s_i = x_i . v0 with v0 = (1/8, ..., 1/8): same left-to-right sum
+-- as the engine's aggregate fold
+s AS (
+  SELECT vec_id, ve,
+         list_reduce([0.0e0] || ve, (acc, x) -> acc + x) * 0.125e0 AS s
+  FROM v
+),
+comp AS (
+  SELECT d.dim, CAST(sum(CAST(ve[d.dim] * s AS DECIMAL(32, 18))) AS DOUBLE)
+                / (SELECT n_vecs FROM n) AS u_d
+  FROM s, unnest(generate_series(1, len(ve))) AS d(dim)
+  GROUP BY d.dim
+),
+nrm AS (
+  SELECT sqrt(CAST(sum(CAST(u_d * u_d AS DECIMAL(32, 18))) AS DOUBLE))
+           AS nrm
+  FROM comp
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       round(u_d, 6)              AS cov_component,
+       round(u_d / (SELECT nrm FROM nrm), 6) AS v1
+FROM comp
+"""
+
+
+@_register("pca_power_iteration_step", _PCA_ORACLE)
+def q_pca_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact power-method step toward the corpus's top principal
+    direction: u = (1/n) Σᵢ xᵢ(xᵢ·v₀) (the covariance-times-vector
+    product, uncentered Gram form) with the deterministic start
+    v₀ = 1/8·𝟙, then the normalized v₁ per dimension. The embedding-
+    spectrum primitive behind whitening, ABTT outlier-direction removal
+    and anisotropy checks on embedding corpora.
+
+    Scale shape: xᵢ·v₀ is a map-side fold; the per-dimension reduction
+    shuffles (dim, DECIMAL) pairs — 64 keys, map-side combine — and the
+    normalization runs over the 64-row component table. DECIMAL(32,18)
+    accumulation makes every sum exact under any reduction order, which
+    is what lets an iterative linear-algebra step hash-match an ANSI
+    oracle (same discipline as the integer fixed-point PageRank).
+    Iterating = this plan in a driver loop, one tiny shuffle per step."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _emb_double().alias("ve"))
+    n = vecs.agg(F.count(F.lit(1)).alias("n_vecs"))
+    s = vecs.select(
+        "vec_id",
+        "ve",
+        (
+            F.aggregate(
+                F.col("ve"), F.lit(0.0), lambda acc, x: acc + x
+            )
+            * 0.125
+        ).alias("s"),
+    )
+    comp = (
+        s.select(F.posexplode("ve").alias("dim0", "x"), "s")
+        .select((F.col("dim0") + 1).alias("dim"), "x", "s")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.col("x") * F.col("s")).cast("decimal(32,18)"))
+            .cast("double")
+            .alias("num")
+        )
+        .crossJoin(F.broadcast(n))
+        .select("dim", (F.col("num") / F.col("n_vecs")).alias("u_d"))
+    )
+    nrm = comp.agg(
+        F.sqrt(
+            F.sum((F.col("u_d") * F.col("u_d")).cast("decimal(32,18)"))
+            .cast("double")
+        ).alias("nrm")
+    )
+    return comp.crossJoin(F.broadcast(nrm)).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("u_d"), 6).alias("cov_component"),
+        F.round(F.col("u_d") / F.col("nrm"), 6).alias("v1"),
+    )

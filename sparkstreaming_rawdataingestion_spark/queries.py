@@ -168,8 +168,10 @@ _QUERY_MODULES = (
 #         oldest r1-r3 greens with the heaviest plans (dedup/ANN/
 #         graph/pipeline/TPC-H/modern-SQL picks).
 # Everything previously green rotates to the extended region with its
-# driver row on record. The overflow queue is EMPTY this round: every
-# new operator fit inside the window's spare slots.
+# driver row on record. The nine round-6 operators fit inside the
+# window's spare slots; three late additions (exact sparse TF-IDF
+# cosine, winnowing fingerprints, the PCA power step) queue in
+# OVERFLOW_QUEUE for round 7.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
@@ -229,6 +231,8 @@ CORE_ORDER: tuple[str, ...] = (
     # --- driver checks the first 50 entries; below: the queued
     # overflow (see OVERFLOW_QUEUE) ---
     "tfidf_cosine_pairs",
+    "winnowing_candidate_pairs",
+    "pca_power_iteration_step",
 )
 
 # Window entries WITHOUT oracle SQL — the driver records its weaker
@@ -250,6 +254,8 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 # test_core_registry_window pins membership, placement and the ≤9 cap.
 OVERFLOW_QUEUE: tuple[str, ...] = (
     "tfidf_cosine_pairs",
+    "winnowing_candidate_pairs",
+    "pca_power_iteration_step",
 )
 
 
