@@ -566,8 +566,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pairwise join is partitioned on ``user_id`` — bounded by
     per-key series length (the documented O(k²) of Theil–Sen), never a
     global product; the median is an exact small-group percentile. At
-    firehose series lengths the estimator degrades gracefully by
-    sampling pairs; the exact form is the verification kernel."""
+    firehose series lengths run ``theil_sen_sampled`` (below) — O(k·h)
+    hash-deterministic partner sampling, pinned against this exact
+    kernel in tests/test_scale_twins.py."""
     ev = catalog.load_table(spark, sf_dir, "events")
     pts = ev.select(
         "user_id",
@@ -607,4 +608,139 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slopes.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.percentile("s", F.lit(0.5)), 6).alias("sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_sampled — the O(k·h) scale twin of the exact Theil–Sen
+# ---------------------------------------------------------------------------
+
+SEN_SAMPLE_H = 8  # sampled partners per point
+_SEN_MIX1 = 2654435761
+_SEN_MIX2 = 1540483477
+_SEN_M32 = 4294967296
+
+_SEN_SAMPLED_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0e0 AS t_h
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t_h, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS k
+  FROM pts
+),
+cand AS (
+  SELECT r.user_id, r.i,
+         r.i + 1 + (((r.user_id * {_SEN_MIX1} + r.i) % {_SEN_M32})
+                    * {_SEN_MIX2} + g.j) % {_SEN_M32} % (r.k - r.i)
+           AS partner
+  FROM ranked r, generate_series(1, {SEN_SAMPLE_H}) g(j)
+  WHERE r.i < r.k
+),
+pairs AS (
+  SELECT DISTINCT c.user_id, c.i, c.partner FROM cand c
+),
+slopes AS (
+  SELECT p.user_id,
+         (b.value - a.value) / (b.t_h - a.t_h) AS s
+  FROM pairs p
+  JOIN ranked a ON a.user_id = p.user_id AND a.i = p.i
+  JOIN ranked b ON b.user_id = p.user_id AND b.i = p.partner
+  WHERE a.t_h <> b.t_h
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)        AS n_pairs_sampled,
+       round(quantile_cont(s, 0.5), 6) AS sen_slope_est
+FROM slopes GROUP BY user_id
+"""
+
+
+@_register("theil_sen_sampled", _SEN_SAMPLED_ORACLE)
+def q_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of ``theil_sen_trend``: instead of all k(k-1)/2
+    pairwise slopes, every point samples {SEN_SAMPLE_H} successor
+    partners at DETERMINISTIC hash-derived rank offsets (uniform over
+    each point's successors), and the robust slope is the median of
+    the sampled slopes — the standard randomized Theil–Sen degradation
+    (Matoušek 1991 analyses the exact-median variant of this scheme).
+
+    Scale shape: per-key work drops O(k²) → O(k·h). The candidate set
+    is built map-side off ONE ranked window (bounded per key), pairs
+    materialize through two (user_id, rank) equi-joins — shuffles carry
+    O(k·h) rows, never the quadratic slope set. Determinism: the
+    partner offset is exact BIGINT mixing identical on both engines, so
+    even the SAMPLED estimator hash-matches its oracle; statistical
+    closeness to the exact kernel is pinned in
+    tests/test_scale_twins.py."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+            .cast("double")
+            / 3_600_000_000.0
+        ).alias("t_h"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_h", "event_id")
+    ranked = session.stage(
+        pts.withColumn("i", F.row_number().over(w)).withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+    )
+    js = F.explode(
+        F.sequence(F.lit(1), F.lit(SEN_SAMPLE_H))
+    ).alias("j")
+    cand = (
+        ranked.where(F.col("i") < F.col("k"))
+        .select("user_id", "i", "k", js)
+        .select(
+            "user_id",
+            "i",
+            (
+                F.col("i")
+                + 1
+                + (
+                    (F.col("user_id") * _SEN_MIX1 + F.col("i")) % _SEN_M32
+                    * _SEN_MIX2
+                    + F.col("j")
+                )
+                % _SEN_M32
+                % (F.col("k") - F.col("i"))
+            ).alias("partner"),
+        )
+        .distinct()
+    )
+    a = ranked.select(
+        F.col("user_id").alias("uid_a"), F.col("i").alias("ia"),
+        F.col("value").alias("va"), F.col("t_h").alias("ta"),
+    )
+    b = ranked.select(
+        F.col("user_id").alias("uid_b"), F.col("i").alias("ib"),
+        F.col("value").alias("vb"), F.col("t_h").alias("tb"),
+    )
+    slopes = (
+        cand.join(
+            a, (F.col("user_id") == F.col("uid_a")) & (F.col("i") == F.col("ia"))
+        )
+        .join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("partner") == F.col("ib")),
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            "user_id",
+            ((F.col("vb") - F.col("va")) / (F.col("tb") - F.col("ta")))
+            .alias("s"),
+        )
+    )
+    return slopes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_sampled"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("sen_slope_est"),
     )

@@ -233,6 +233,7 @@ CORE_ORDER: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "winnowing_candidate_pairs",
     "pca_power_iteration_step",
+    "theil_sen_sampled",
 )
 
 # Window entries WITHOUT oracle SQL — the driver records its weaker
@@ -256,6 +257,7 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "winnowing_candidate_pairs",
     "pca_power_iteration_step",
+    "theil_sen_sampled",
 )
 
 

@@ -47,3 +47,30 @@ def test_ranking_auc_histogram_error_bound(spark, sf_dir):
         est["auc_est"],
         exact["auc"],
     )
+
+
+def test_theil_sen_sampled_tracks_exact(spark, sf_dir):
+    """The O(k·h) sampled Theil–Sen must track the exact O(k²) kernel:
+    per-user slope estimates land well inside the cross-user slope
+    spread (h=8 partners per point on short fixture series — the
+    sampling error shrinks as k·h grows at real scale)."""
+    import numpy as np
+
+    from sparkstreaming_rawdataingestion_spark.operators import segments
+
+    exact = {
+        r["user_id"]: r["sen_slope"]
+        for r in segments.q_theil_sen_trend(spark, sf_dir).collect()
+    }
+    est = {
+        r["user_id"]: r["sen_slope_est"]
+        for r in segments.q_theil_sen_sampled(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    spread = float(
+        np.percentile(list(exact.values()), 90)
+        - np.percentile(list(exact.values()), 10)
+    )
+    diffs = sorted(abs(est[u] - exact[u]) for u in exact)
+    assert diffs[len(diffs) // 2] < 0.5 * spread  # median well inside
+    assert diffs[int(0.9 * (len(diffs) - 1))] < spread  # p90 inside
