@@ -146,7 +146,8 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-6 rotation, four bands (1 + 10 + 6 + 9 + 24):
+# Round-6 rotation (1 flagship + 10 drained/red + 6 rows-only +
+# 9 additions + 24 re-checks, then the queued overflow):
 #   1     the flagship (standing first-slot re-check every round).
 #   2-10  the ENTIRE round-5 overflow queue — every oracle-backed query
 #         still awaiting its first driver row (all 9 judge-verified

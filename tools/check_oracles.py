@@ -44,7 +44,11 @@ def normalize(v):
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "f:nan"
+            # Spark NULL double (collect → None) and DuckDB NULL double
+            # (pandas → NaN) hash EQUAL in the driver — 15 driver-green
+            # queries with NULL double columns prove it (e.g.
+            # period_over_period, rolling_correlation, green r5)
+            return None
         # tolerate last-ulp float noise between engines, but keep the
         # float-ness visible (int 1 must not equal float 1.0)
         return f"f:{v:.10g}"
@@ -159,10 +163,7 @@ def main() -> int:
                 continue
             srows = sdf.collect()
             scols = sorted(sdf.columns)
-            sset = sorted(
-                (tuple(normalize(r[c]) for c in scols) for r in srows),
-                key=repr,
-            )
+            float_coerce: set = set()  # filled from the oracle frame below
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failures += 1
@@ -186,7 +187,16 @@ def main() -> int:
                     and ddf[f.name].dtype.kind == "f"
                     and ddf[f.name].isna().any()
                 ):
-                    ddf[f.name] = ddf[f.name].astype("Int64")
+                    try:
+                        ddf[f.name] = ddf[f.name].astype("Int64")
+                    except (TypeError, ValueError):
+                        # the column holds values float64 cannot round-
+                        # trip (e.g. int64 max): the driver sees float64
+                        # on BOTH sides (its Spark fetch is pandas too —
+                        # try_safe_arith_pack is driver-green r3 with
+                        # Long.MAX sentinels), so coerce our Spark side
+                        # to float for this column as well
+                        float_coerce.add(f.name)
                 # DuckDB DATE arrives as midnight datetime64 from pandas;
                 # Spark collect() gives datetime.date — restore date
                 # objects so the comparison matches the driver's behavior
@@ -224,6 +234,20 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures += 1
             continue
+        sset = sorted(
+            (
+                tuple(
+                    normalize(
+                        float(r[c])
+                        if c in float_coerce and r[c] is not None
+                        else r[c]
+                    )
+                    for c in scols
+                )
+                for r in srows
+            ),
+            key=repr,
+        )
         problems = []
         if drift:
             problems.append("TYPE DRIFT (driver hash would fail): "
