@@ -457,3 +457,110 @@ def q_chisq_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.agg(F.round(F.sum("term"), 6).alias("chi2")).crossJoin(
         F.broadcast(dims)
     )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci — deterministic Poisson bootstrap for metric CIs
+# ---------------------------------------------------------------------------
+
+BOOT_B = 200  # bootstrap replicas
+_BOOT_MIX1 = 2654435761
+_BOOT_MIX2 = 1540483477
+_BOOT_M32 = 4294967296
+# Poisson(1) CDF thresholds scaled to 2^32 (w = 0..4, else 5):
+# P(0)=.36788, P(<=1)=.73576, P(<=2)=.91970, P(<=3)=.98101, P(<=4)=.99634
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248374)
+
+_BOOT_W_SQL = f"""
+  CASE WHEN h < {_BOOT_T[0]} THEN 0
+       WHEN h < {_BOOT_T[1]} THEN 1
+       WHEN h < {_BOOT_T[2]} THEN 2
+       WHEN h < {_BOOT_T[3]} THEN 3
+       WHEN h < {_BOOT_T[4]} THEN 4
+       ELSE 5 END
+"""
+
+_BOOT_ORACLE = f"""
+WITH u AS (SELECT event_id, value FROM events),
+rep AS (
+  SELECT g.b,
+         ((u.event_id * {_BOOT_MIX1} + g.b) % {_BOOT_M32} * {_BOOT_MIX2}
+          + u.event_id) % {_BOOT_M32} AS h,
+         u.value
+  FROM u, generate_series(1, {BOOT_B}) g(b)
+),
+w AS (SELECT b, value, {_BOOT_W_SQL} AS w FROM rep),
+means AS (
+  SELECT b,
+         sum(CAST(w * value AS DECIMAL(32, 12)))
+           / nullif(sum(w), 0) AS m
+  FROM w GROUP BY b
+)
+SELECT CAST(count(*) AS BIGINT)                  AS n_replicas,
+       round(avg(CAST(m AS DOUBLE)), 6)          AS boot_mean,
+       round(quantile_cont(CAST(m AS DOUBLE), 0.025), 6) AS ci_lo,
+       round(quantile_cont(CAST(m AS DOUBLE), 0.975), 6) AS ci_hi
+FROM means
+"""
+
+
+@_register("bootstrap_mean_ci", _BOOT_ORACLE)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean event value via the POISSON
+    bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — the resampling scheme built for exactly
+    this setting): each unit's weight in replica b is an independent
+    Poisson(1) draw, realized here from a DETERMINISTIC hash of
+    (event_id, b) against the scaled Poisson CDF, so the whole
+    resampling is replayable and engine-exact. Replica means accumulate
+    in DECIMAL (reduction-order-exact), the replica table is B rows,
+    and the CI is an exact percentile over it.
+
+    Scale shape: the B-fanout happens map-side (explode feeding a
+    partial aggregate in the same stage — no shuffle amplification);
+    the only shuffle carries B partial sums per map task. This is the
+    canonical cluster bootstrap: no per-replica pass over the data,
+    one pass total."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    u = ev.select("event_id", "value")
+    rep = u.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    ).select(
+        "b",
+        "value",
+        (
+            (
+                (F.col("event_id") * _BOOT_MIX1 + F.col("b")) % _BOOT_M32
+                * _BOOT_MIX2
+                + F.col("event_id")
+            )
+            % _BOOT_M32
+        ).alias("h"),
+    )
+    w = (
+        F.when(F.col("h") < _BOOT_T[0], 0)
+        .when(F.col("h") < _BOOT_T[1], 1)
+        .when(F.col("h") < _BOOT_T[2], 2)
+        .when(F.col("h") < _BOOT_T[3], 3)
+        .when(F.col("h") < _BOOT_T[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("w") * F.col("value")).cast("decimal(32,12)"))
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("m")
+        )
+    )
+    m = F.col("m").cast("double")
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.round(F.avg(m), 6).alias("boot_mean"),
+        F.round(F.percentile(m, F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile(m, F.lit(0.975)), 6).alias("ci_hi"),
+    )

@@ -235,6 +235,7 @@ CORE_ORDER: tuple[str, ...] = (
     "winnowing_candidate_pairs",
     "pca_power_iteration_step",
     "theil_sen_sampled",
+    "bootstrap_mean_ci",
 )
 
 # Window entries WITHOUT oracle SQL — the driver records its weaker
@@ -259,6 +260,7 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     "winnowing_candidate_pairs",
     "pca_power_iteration_step",
     "theil_sen_sampled",
+    "bootstrap_mean_ci",
 )
 
 
