@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkstreaming_rawdataingestion_spark import catalog
@@ -34,8 +35,15 @@ def _run_stream(spark, src, out, ckpt):
     q.awaitTermination()
 
 
-def test_streamed_debounce_matches_batch_first_events(spark, tmp_path):
-    ev = catalog.load_table(spark, SF, "events").select(
+@pytest.mark.parametrize(
+    "sf", [SF, "/root/testdata/sf0.1"], ids=["sf0.001", "sf0.1"]
+)
+def test_streamed_debounce_matches_batch_first_events(spark, tmp_path, sf):
+    """Stream-vs-batch debounce parity; the sf0.1 variant re-verifies
+    the twin at 100× the smoke scale after the round-5 oracle type fix
+    (VERDICT r5 item 8) — the batch kernel q_debounce_events IS the
+    stream's oracle, so this is the scale the batch query certifies at."""
+    ev = catalog.load_table(spark, sf, "events").select(
         "user_id", "event_type", "event_id", "ts"
     )
     src = str(tmp_path / "src")
@@ -55,7 +63,7 @@ def test_streamed_debounce_matches_batch_first_events(spark, tmp_path):
     got = {r.event_id for r in spark.read.parquet(out).collect()}
     want = {
         r.first_event_id
-        for r in signals.q_debounce_events(spark, SF).collect()
+        for r in signals.q_debounce_events(spark, sf).collect()
     }
     assert got == want
 
