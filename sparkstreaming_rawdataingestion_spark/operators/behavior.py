@@ -1012,3 +1012,115 @@ def q_conversion_latency_percentiles(
         .alias("p90_hours"),
         F.max("latency_h").cast("long").alias("max_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user_burstiness_profile — Goh-Barabási burstiness of event cadence
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts,
+         ts
+  FROM events
+),
+gaps AS (
+  -- integer-millisecond gaps: exact on both engines (µs diff is a
+  -- bigint; // 1000 truncates identically for the non-negative gaps)
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(prev_ts)) // 1000 AS gap_ms
+  FROM seq WHERE prev_ts IS NOT NULL
+),
+per_user AS (
+  -- Σx and Σx² accumulate as DECIMAL(38,0): exact integer sums under
+  -- any reduction order (gap² can approach the int64 ceiling per term;
+  -- the decimal keeps the SUM exact past it)
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         sum(CAST(gap_ms AS DECIMAL(38,0))) AS s1,
+         sum(CAST(gap_ms * gap_ms AS DECIMAL(38,0))) AS s2
+  FROM gaps GROUP BY user_id HAVING count(*) >= 2
+),
+b AS (
+  SELECT user_id, n_gaps,
+         (sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+                        - (CAST(s1 AS DOUBLE) / n_gaps)
+                          * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+          - CAST(s1 AS DOUBLE) / n_gaps)
+         / nullif(sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+                                - (CAST(s1 AS DOUBLE) / n_gaps)
+                                  * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                  + CAST(s1 AS DOUBLE) / n_gaps, 0.0) AS burstiness
+  FROM per_user
+)
+SELECT CAST(floor(burstiness * 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(burstiness, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*), 6) AS mean_burstiness,
+       CAST(sum(n_gaps) AS BIGINT) AS n_gaps
+FROM b
+GROUP BY 1
+"""
+
+
+@_register("user_burstiness_profile", _BURST_ORACLE)
+def q_user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each user's event cadence, B = (σ−μ)/(σ+μ) over
+    inter-event gaps (Goh & Barabási 2008, "Burstiness and memory in
+    complex systems"): B→−1 is a metronome, B≈0 Poisson, B→1 bursty.
+    Reported as a bucketed histogram (floor(B·10)) with per-bucket mean
+    — the population profile that separates bot-like regular traffic
+    from organic bursty sessions (complements bot_rate_flags and
+    debounce_events, which act on the extremes this measures).
+
+    Engine-exactness: gaps are integer milliseconds; Σx and Σx² are
+    exact DECIMAL(38,0) integer sums, so μ and σ come from identical
+    doubles on both engines (sqrt is IEEE-correctly-rounded); bucket
+    means use the round→DECIMAL(18,6) exact-sum trick.
+
+    Scale shape: one user-keyed lag window (bounded partitions), one
+    grouped reduce per user, one reduce over ≤20 buckets — shuffles on
+    user_id once; nothing global."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).where(F.col("prev_ts").isNotNull())
+    gap_ms = F.expr("timestampdiff(MICROSECOND, prev_ts, ts) div 1000")
+    per_user = (
+        seq.select("user_id", gap_ms.alias("gap_ms"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(F.col("gap_ms").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                (F.col("gap_ms") * F.col("gap_ms")).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    n = F.col("n_gaps")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = per_user.select(
+        "n_gaps",
+        (
+            (sigma - mu) / F.nullif(sigma + mu, F.lit(0.0))
+        ).alias("burstiness"),
+    )
+    return b.groupBy(
+        F.floor(F.col("burstiness") * 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum(
+                F.round(F.col("burstiness"), 6).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_burstiness"),
+        F.sum("n_gaps").cast("long").alias("n_gaps"),
+    )

@@ -567,3 +567,327 @@ def q_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * tp / (2 * tp + fp + (np_ - tp)).cast("double"), 6
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ndcg_ranking_quality — NDCG@10 per user, exact, user-keyed windows
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+# 1/log2(rn+1) for rn = 1..10 and their cumulative sums, precomputed
+# ONCE in Python and inlined as DECIMAL(32,18) literals into BOTH the
+# Spark plan and the DuckDB oracle: no engine libm log2 in the hot
+# path, and the per-user DCG sum is a sum of exact decimals —
+# reduction-order-exact on both engines (the same discipline as the
+# sparse TF-IDF dot products).
+_NDCG_DISC = (
+    "1.000000000000000000",
+    "0.630929753571457530",
+    "0.500000000000000000",
+    "0.430676558073393057",
+    "0.386852807234541629",
+    "0.356207187108022183",
+    "0.333333333333333315",
+    "0.315464876785728765",
+    "0.301029995663981198",
+    "0.289064826317887880",
+)
+_NDCG_IDCG = (
+    "1.000000000000000000",
+    "1.630929753571457530",
+    "2.130929753571457530",
+    "2.561606311644850587",
+    "2.948459118879392216",
+    "3.304666305987414399",
+    "3.637999639320747714",
+    "3.953464516106476479",
+    "4.254494511770457677",
+    "4.543559338088345557",
+)
+
+_NDCG_DISC_SQL = "CASE rn " + " ".join(
+    f"WHEN {i + 1} THEN CAST({d} AS DECIMAL(32,18))"
+    for i, d in enumerate(_NDCG_DISC)
+) + " END"
+_NDCG_IDCG_SQL = "CASE least(npos, 10) " + " ".join(
+    f"WHEN {i + 1} THEN CAST({c} AS DECIMAL(32,18))"
+    for i, c in enumerate(_NDCG_IDCG)
+) + " END"
+
+_NDCG_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id) AS npos
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         max(npos) AS npos,
+         sum(CASE WHEN y = 1 THEN {_NDCG_DISC_SQL}
+                  ELSE CAST(0 AS DECIMAL(32,18)) END) AS dcg
+  FROM ranked
+  WHERE rn <= {NDCG_K}
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, dcg,
+         {_NDCG_IDCG_SQL} AS idcg
+  FROM per_user
+  WHERE npos >= 1
+),
+nd AS (
+  SELECT user_id,
+         round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg,
+         CASE WHEN dcg = idcg THEN 1 ELSE 0 END AS perfect
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_ndcg,
+       CAST(sum(perfect) AS BIGINT) AS n_perfect
+FROM nd
+"""
+
+
+@_register("ndcg_ranking_quality", _NDCG_ORACLE)
+def q_ndcg_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDCG@10 per user (score = ``value``, binary relevance =
+    purchase), reported as corpus mean + perfect-ranking count — the
+    standard offline ranking-quality gate (Järvelin & Kekäläinen 2002).
+
+    Engine-exactness: the rank discounts 1/log2(rn+1) and their ideal
+    cumulative sums are Python-precomputed DECIMAL literals inlined
+    into both engines, so no libm log2 is evaluated at query time and
+    every per-user DCG is a reduction-order-exact decimal sum; the only
+    float ops are the final identical-term divisions.
+
+    Scale shape: one user-keyed window (bounded partitions — no global
+    sort), one grouped reduce to users, one reduce to the 1-row report.
+    Per-user NDCG means accumulate via the DECIMAL(18,6) exact-sum
+    trick rather than an order-dependent float mean."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        y.alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(y)
+        .over(Window.partitionBy("user_id"))
+        .alias("npos"),
+    ).where(F.col("rn") <= NDCG_K)
+
+    disc = F.expr(_NDCG_DISC_SQL.replace("rn", "rn", 1))
+    per_user = ranked.groupBy("user_id").agg(
+        F.max("npos").alias("npos"),
+        F.sum(
+            F.when(F.col("y") == 1, disc).otherwise(
+                F.expr("CAST(0 AS DECIMAL(32,18))")
+            )
+        ).alias("dcg"),
+    )
+    scored = per_user.where(F.col("npos") >= 1).select(
+        "user_id", "dcg", F.expr(_NDCG_IDCG_SQL).alias("idcg")
+    )
+    nd = scored.select(
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+        ).alias("ndcg"),
+        F.when(F.col("dcg") == F.col("idcg"), 1).otherwise(0).alias(
+            "perfect"
+        ),
+    )
+    return nd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.col("ndcg").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ndcg"),
+        F.sum("perfect").cast("long").alias("n_perfect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ctr_wilson_bounds — daily conversion rate with Wilson 95% interval
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = "CAST(1.96 AS DOUBLE)"  # explicit double literal: a bare 1.96
+_WILSON_Z2 = "CAST(3.8416 AS DOUBLE)"  # parses as DECIMAL with engine-
+# specific division semantics; the cast pins both engines to the same
+# IEEE double (z² is a literal too — never recomputed)
+
+_WILSON_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_success
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+)
+SELECT day, n_trials, n_success,
+       round(CAST(n_success AS DOUBLE) / n_trials, 6) AS p_hat,
+       round(
+         ((CAST(n_success AS DOUBLE) / n_trials) + {_WILSON_Z2} / (2 * n_trials)
+          - {_WILSON_Z} * sqrt(
+              ((CAST(n_success AS DOUBLE) / n_trials)
+               * (1 - (CAST(n_success AS DOUBLE) / n_trials))
+               + {_WILSON_Z2} / (4 * n_trials * CAST(n_trials AS DOUBLE)))
+              / n_trials))
+         / (1 + {_WILSON_Z2} / n_trials), 6) AS wilson_lo,
+       round(
+         ((CAST(n_success AS DOUBLE) / n_trials) + {_WILSON_Z2} / (2 * n_trials)
+          + {_WILSON_Z} * sqrt(
+              ((CAST(n_success AS DOUBLE) / n_trials)
+               * (1 - (CAST(n_success AS DOUBLE) / n_trials))
+               + {_WILSON_Z2} / (4 * n_trials * CAST(n_trials AS DOUBLE)))
+              / n_trials))
+         / (1 + {_WILSON_Z2} / n_trials), 6) AS wilson_hi
+FROM daily
+"""
+
+
+@_register("ctr_wilson_bounds", _WILSON_ORACLE)
+def q_ctr_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click→purchase conversion rate with the Wilson 95% score
+    interval (Wilson 1927) — the interval that stays honest at small n
+    and extreme rates, which is why ranking-by-lower-bound uses it.
+
+    Engine-exactness: z and z² are shared string literals (never
+    recomputed), every term appears in the identical algebraic order on
+    both engines, and sqrt is IEEE-correctly-rounded everywhere — so
+    the doubles match bit-for-bit. Scale shape: one grouped count per
+    day (map-side combine; keys = days), then closed-form map-side
+    arithmetic on the tiny daily table."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trials"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_success"),
+        )
+    )
+    n = F.col("n_trials")
+    phat = F.col("n_success").cast("double") / n
+    z = F.lit(1.96)   # Python float → DoubleType literal
+    z2 = F.lit(3.8416)
+    center = phat + z2 / (2 * n)
+    margin = z * F.sqrt(
+        (phat * (1 - phat) + z2 / (4 * n * n.cast("double"))) / n
+    )
+    denom = 1 + z2 / n
+    return daily.select(
+        "day",
+        "n_trials",
+        "n_success",
+        F.round(phat, 6).alias("p_hat"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# label_agreement_kappa — chance-corrected rater agreement (Cohen 1960)
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE_TEMPLATE = """
+WITH pred AS ({pred}),
+cm AS (
+  SELECT labeled_lang AS truth, predicted_lang AS pred,
+         count(*) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT sum(n) AS n_docs,
+         sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS n_agree
+  FROM cm
+),
+marg AS (
+  SELECT coalesce(r.lang, c.lang) AS lang,
+         coalesce(r.n_row, 0) AS n_row,
+         coalesce(c.n_col, 0) AS n_col
+  FROM (SELECT truth AS lang, sum(n) AS n_row FROM cm GROUP BY 1) r
+  FULL OUTER JOIN
+       (SELECT pred AS lang, sum(n) AS n_col FROM cm GROUP BY 1) c
+  USING (lang)
+),
+pe AS (SELECT sum(n_row * n_col) AS pe_num FROM marg)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(n_agree AS DOUBLE) / n_docs, 6) AS observed_agreement,
+       round(CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs), 6)
+         AS expected_agreement,
+       round(
+         ((CAST(n_agree AS DOUBLE) / n_docs)
+          - (CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs)))
+         / (1 - (CAST(pe_num AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * n_docs))), 6) AS kappa
+FROM tot, pe
+"""
+
+
+@_register("label_agreement_kappa")
+def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the stored language labels and
+    the marker-based language-ID — the chance-corrected agreement scalar
+    a labeling pipeline gates re-annotation on (raw agreement flatters
+    skewed label distributions; kappa does not).
+
+    All inputs are exact integer counts from ONE grouped pass over the
+    ≤|langs|² confusion cells; marginal products stay integers until
+    the final identical-term double formula. Scale shape: the documents
+    scan reduces immediately to the tiny confusion matrix — everything
+    downstream is constant-size."""
+    from .text import q_text_langid
+
+    pred = q_text_langid(spark, sf_dir)
+    cm = pred.groupBy(
+        F.col("labeled_lang").alias("truth"),
+        F.col("predicted_lang").alias("pred"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    tot = cm.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("truth") == F.col("pred"), F.col("n")).otherwise(0)
+        ).alias("n_agree"),
+    )
+    rows = cm.groupBy(F.col("truth").alias("lang")).agg(
+        F.sum("n").alias("n_row")
+    )
+    cols = cm.groupBy(F.col("pred").alias("lang")).agg(
+        F.sum("n").alias("n_col")
+    )
+    marg = rows.join(cols, "lang", "full_outer").select(
+        F.coalesce("n_row", F.lit(0)).alias("n_row"),
+        F.coalesce("n_col", F.lit(0)).alias("n_col"),
+    )
+    pe = marg.agg(F.sum(F.col("n_row") * F.col("n_col")).alias("pe_num"))
+
+    j = tot.crossJoin(F.broadcast(pe))
+    n_docs = F.col("n_docs")
+    po = F.col("n_agree").cast("double") / n_docs
+    pe_v = F.col("pe_num").cast("double") / (n_docs.cast("double") * n_docs)
+    return j.select(
+        n_docs.cast("long").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe_v, 6).alias("expected_agreement"),
+        F.round((po - pe_v) / (1 - pe_v), 6).alias("kappa"),
+    )
+
+
+ORACLES["label_agreement_kappa"] = _KAPPA_ORACLE_TEMPLATE.format(
+    pred=_langid_pred_sql()
+)

@@ -236,6 +236,10 @@ CORE_ORDER: tuple[str, ...] = (
     "pca_power_iteration_step",
     "theil_sen_sampled",
     "bootstrap_mean_ci",
+    "ndcg_ranking_quality",
+    "ctr_wilson_bounds",
+    "label_agreement_kappa",
+    "user_burstiness_profile",
 )
 
 # Window entries WITHOUT oracle SQL — the driver records its weaker
@@ -261,6 +265,10 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     "pca_power_iteration_step",
     "theil_sen_sampled",
     "bootstrap_mean_ci",
+    "ndcg_ranking_quality",
+    "ctr_wilson_bounds",
+    "label_agreement_kappa",
+    "user_burstiness_profile",
 )
 
 
