@@ -740,7 +740,7 @@ SELECT day, n_trials, n_success,
           - {_WILSON_Z} * sqrt(
               ((CAST(n_success AS DOUBLE) / n_trials)
                * (1 - (CAST(n_success AS DOUBLE) / n_trials))
-               + {_WILSON_Z2} / (4 * n_trials * CAST(n_trials AS DOUBLE)))
+               + {_WILSON_Z2} / (4 * CAST(n_trials AS DOUBLE)))
               / n_trials))
          / (1 + {_WILSON_Z2} / n_trials), 6) AS wilson_lo,
        round(
@@ -748,7 +748,7 @@ SELECT day, n_trials, n_success,
           + {_WILSON_Z} * sqrt(
               ((CAST(n_success AS DOUBLE) / n_trials)
                * (1 - (CAST(n_success AS DOUBLE) / n_trials))
-               + {_WILSON_Z2} / (4 * n_trials * CAST(n_trials AS DOUBLE)))
+               + {_WILSON_Z2} / (4 * CAST(n_trials AS DOUBLE)))
               / n_trials))
          / (1 + {_WILSON_Z2} / n_trials), 6) AS wilson_hi
 FROM daily
@@ -786,7 +786,7 @@ def q_ctr_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     z2 = F.lit(3.8416)
     center = phat + z2 / (2 * n)
     margin = z * F.sqrt(
-        (phat * (1 - phat) + z2 / (4 * n * n.cast("double"))) / n
+        (phat * (1 - phat) + z2 / (4 * n.cast("double"))) / n
     )
     denom = 1 + z2 / n
     return daily.select(
