@@ -361,3 +361,62 @@ def test_degree_distribution_second_agg_keys_on_degree(spark, sf_dir):
 
     p = plans.executed_plan(graph.q_graph_degree_distribution(spark, sf_dir))
     assert "hashpartitioning(degree" in p
+
+
+def test_bootstrap_fanout_is_map_side(spark, sf_dir):
+    """The Poisson-bootstrap B-fanout must stay in the scan stage: one
+    Generate (explode) feeding a partial aggregate, ONE exchange total
+    (B partial sums per map task) — never a shuffle of the exploded
+    rows and never a replica-driven re-scan."""
+    from sparkstreaming_rawdataingestion_spark.operators import experiments
+
+    df = experiments.q_bootstrap_mean_ci(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Generate" in p  # the explode is present…
+    assert plans.count_exchanges(df) <= 1  # …and never shuffled raw
+    assert "rangepartitioning" not in p
+
+
+def test_ndcg_no_global_sort_single_user_exchange(spark, sf_dir):
+    """NDCG@10 sorts only WITHIN user partitions — a rangepartitioning
+    exchange (global sort) anywhere means the ranking stopped scaling;
+    the user window's exchange is reused by the per-user reduce."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    df = evaluation.q_ndcg_ranking_quality(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "rangepartitioning" not in p
+    assert plans.count_exchanges(df) <= 1
+
+
+def test_wilson_single_day_exchange(spark, sf_dir):
+    """Daily Wilson bounds: one grouped count (map-side combine into a
+    days-keyed exchange), closed-form arithmetic after — never a second
+    shuffle, never a global sort."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    df = evaluation.q_ctr_wilson_bounds(spark, sf_dir)
+    assert plans.count_exchanges(df) <= 1
+    assert "rangepartitioning" not in plans.executed_plan(df)
+
+
+def test_kappa_reduces_before_joining(spark, sf_dir):
+    """Kappa's joins run over the ≤|langs|² confusion matrix and 1-row
+    totals — broadcast nested loops over constant-size inputs are fine,
+    an unbroadcast CartesianProduct is not."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    p = plans.executed_plan(evaluation.q_label_agreement_kappa(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_burstiness_reuses_user_exchange(spark, sf_dir):
+    """The lag window and the per-user moment reduce share one user_id
+    exchange; the only other shuffle carries ≤ ~20 bucket keys. No
+    global sort anywhere."""
+    from sparkstreaming_rawdataingestion_spark.operators import behavior
+
+    df = behavior.q_user_burstiness_profile(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) <= 2
+    assert "rangepartitioning" not in p
