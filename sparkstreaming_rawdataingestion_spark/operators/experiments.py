@@ -504,25 +504,11 @@ FROM means
 """
 
 
-@_register("bootstrap_mean_ci", _BOOT_ORACLE)
-def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """95% bootstrap CI for the mean event value via the POISSON
-    bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
-    massive data streams" — the resampling scheme built for exactly
-    this setting): each unit's weight in replica b is an independent
-    Poisson(1) draw, realized here from a DETERMINISTIC hash of
-    (event_id, b) against the scaled Poisson CDF, so the whole
-    resampling is replayable and engine-exact. Replica means accumulate
-    in DECIMAL (reduction-order-exact), the replica table is B rows,
-    and the CI is an exact percentile over it.
-
-    Scale shape: the B-fanout happens map-side (explode feeding a
-    partial aggregate in the same stage — no shuffle amplification);
-    the only shuffle carries B partial sums per map task. This is the
-    canonical cluster bootstrap: no per-replica pass over the data,
-    one pass total."""
-    ev = catalog.load_table(spark, sf_dir, "events")
-    u = ev.select("event_id", "value")
+def boot_weighted_replicas(u: DataFrame) -> DataFrame:
+    """(event_id, value) → (b, value, w): the deterministic Poisson(1)
+    replica weights, exploded map-side. Shared verbatim by the batch
+    query and the streaming twin (streaming/bootstrap_stream.py) so the
+    resampling is identical in both execution modes."""
     rep = u.select(
         "event_id",
         "value",
@@ -547,15 +533,25 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("h") < _BOOT_T[4], 4)
         .otherwise(5)
     )
-    means = (
-        rep.select("b", "value", w.alias("w"))
-        .groupBy("b")
-        .agg(
-            (
-                F.sum((F.col("w") * F.col("value")).cast("decimal(32,12)"))
-                / F.nullif(F.sum("w"), F.lit(0))
-            ).alias("m")
-        )
+    return rep.select("b", "value", w.alias("w"))
+
+
+def boot_replica_sums(weighted: DataFrame) -> DataFrame:
+    """(b, value, w) → (b, swv, sw): the per-replica running sums. Both
+    are exact (DECIMAL / integer), so they are mergeable across
+    micro-batches — the property the streaming twin's state relies on."""
+    return weighted.groupBy("b").agg(
+        F.sum((F.col("w") * F.col("value")).cast("decimal(32,12)")).alias(
+            "swv"
+        ),
+        F.sum("w").alias("sw"),
+    )
+
+
+def boot_ci_from_sums(sums: DataFrame) -> DataFrame:
+    """(b, swv, sw) → the 1-row CI report (same math as the oracle)."""
+    means = sums.select(
+        (F.col("swv") / F.nullif(F.col("sw"), F.lit(0))).alias("m")
     )
     m = F.col("m").cast("double")
     return means.agg(
@@ -564,3 +560,27 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(m, F.lit(0.025)), 6).alias("ci_lo"),
         F.round(F.percentile(m, F.lit(0.975)), 6).alias("ci_hi"),
     )
+
+
+@_register("bootstrap_mean_ci", _BOOT_ORACLE)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean event value via the POISSON
+    bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — the resampling scheme built for exactly
+    this setting): each unit's weight in replica b is an independent
+    Poisson(1) draw, realized here from a DETERMINISTIC hash of
+    (event_id, b) against the scaled Poisson CDF, so the whole
+    resampling is replayable and engine-exact. Replica sums accumulate
+    in DECIMAL (reduction-order-exact), the replica table is B rows,
+    and the CI is an exact percentile over it.
+
+    Scale shape: the B-fanout happens map-side (explode feeding a
+    partial aggregate in the same stage — no shuffle amplification);
+    the only shuffle carries B partial sums per map task. This is the
+    canonical cluster bootstrap: no per-replica pass over the data,
+    one pass total. The same exact-sum decomposition makes the state
+    mergeable across micro-batches — streaming/bootstrap_stream.py is
+    the incremental twin built on these helpers."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    u = ev.select("event_id", "value")
+    return boot_ci_from_sums(boot_replica_sums(boot_weighted_replicas(u)))
