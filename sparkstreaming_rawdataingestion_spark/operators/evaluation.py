@@ -829,11 +829,14 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        round(CAST(n_agree AS DOUBLE) / n_docs, 6) AS observed_agreement,
        round(CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs), 6)
          AS expected_agreement,
+       -- nullif: a single-class corpus has pe = 1 (kappa undefined);
+       -- both engines must emit NULL, not DIVIDE_BY_ZERO / inf
        round(
          ((CAST(n_agree AS DOUBLE) / n_docs)
           - (CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs)))
-         / (1 - (CAST(pe_num AS DOUBLE)
-                 / (CAST(n_docs AS DOUBLE) * n_docs))), 6) AS kappa
+         / nullif(1 - (CAST(pe_num AS DOUBLE)
+                       / (CAST(n_docs AS DOUBLE) * n_docs)), 0.0), 6)
+         AS kappa
 FROM tot, pe
 """
 
@@ -884,7 +887,9 @@ def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs.cast("long").alias("n_docs"),
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe_v, 6).alias("expected_agreement"),
-        F.round((po - pe_v) / (1 - pe_v), 6).alias("kappa"),
+        # try_divide: pe = 1 on a single-class corpus → NULL kappa,
+        # never DIVIDE_BY_ZERO (ANSI session; guard-tested)
+        F.round(F.try_divide(po - pe_v, 1 - pe_v), 6).alias("kappa"),
     )
 
 

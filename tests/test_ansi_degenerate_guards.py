@@ -110,3 +110,48 @@ def test_welch_zero_variance_arms_emit_null_not_crash(spark, tmp_path):
     sf = _events_dir(spark, tmp_path, rows)
     [r] = experiments.QUERIES["welch_ttest_report"](spark, sf).collect()
     assert r.t_stat is None and r.welch_df is None
+
+
+def test_round6_ops_survive_empty_events(spark, tmp_path):
+    """Empty events table: the aggregating round-6 ops must emit their
+    1-row NULL report (or an empty frame), never DIVIDE_BY_ZERO — the
+    exact slice a filtered backfill produces."""
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        behavior,
+        evaluation,
+        experiments,
+    )
+
+    sf = _events_dir(spark, tmp_path, [])
+
+    r = experiments.q_bootstrap_mean_ci(spark, sf).collect()
+    assert len(r) == 1 and r[0].n_replicas == 0
+    assert r[0].boot_mean is None
+
+    r = evaluation.q_ndcg_ranking_quality(spark, sf).collect()
+    assert len(r) == 1 and r[0].n_users == 0
+    assert r[0].mean_ndcg is None
+
+    assert evaluation.q_ctr_wilson_bounds(spark, sf).collect() == []
+    assert behavior.q_user_burstiness_profile(spark, sf).collect() == []
+
+
+def test_kappa_single_class_corpus_emits_null_kappa(spark, tmp_path):
+    """A corpus where every document is the same class on both sides:
+    pe = 1 so kappa is 0/0 — must emit NULL, not DIVIDE_BY_ZERO (the
+    standard undefined-kappa convention for degenerate marginals)."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    rows = [
+        (1, "the a of cat", "en", "web", 12),
+        (2, "the and is dog", "en", "web", 14),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = evaluation.q_label_agreement_kappa(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0].observed_agreement == 1.0
+    assert r[0].expected_agreement == 1.0
+    assert r[0].kappa is None
