@@ -241,3 +241,16 @@ class Engine:
             heavy_hitters_stream(toks), sketch_path, checkpoint_path,
             **trigger,
         )
+
+    # -- streaming uncertainty --------------------------------------------
+
+    def bootstrap_ci_stream(self, events: DataFrame) -> DataFrame:
+        """Streaming Poisson-bootstrap replica state (streaming/
+        bootstrap_stream.py) — the incremental twin of the
+        ``bootstrap_mean_ci`` query. Returns the B-row running-sums
+        aggregation; run it with ``outputMode("complete")`` and reduce
+        each emission to the 1-row CI via
+        ``bootstrap_stream.ci_of_batch`` inside ``foreachBatch``."""
+        from .streaming.bootstrap_stream import bootstrap_sums_stream
+
+        return bootstrap_sums_stream(events)

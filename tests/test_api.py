@@ -118,3 +118,43 @@ def test_engine_named_queries_and_compact(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) <= 1
+
+
+def test_engine_bootstrap_ci_stream_facade(spark, tmp_path):
+    """The facade's streaming bootstrap returns the B-row replica state
+    and ci_of_batch reduces an emission to the batch kernel's answer."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.api import Engine
+    from sparkstreaming_rawdataingestion_spark.operators.experiments import (
+        BOOT_B,
+    )
+    from sparkstreaming_rawdataingestion_spark.streaming import (
+        bootstrap_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(50).select(
+        F.col("id").alias("event_id"), F.lit(3.5).alias("value")
+    ).write.parquet(src)
+
+    eng = Engine(spark)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+        src
+    )
+    out: list = []
+
+    q = (
+        eng.bootstrap_ci_stream(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _id: out.append(
+                bootstrap_stream.ci_of_batch(df).collect()[0]
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert out and out[-1].n_replicas == BOOT_B
+    assert out[-1].boot_mean == 3.5
