@@ -755,13 +755,34 @@ FROM daily
 """
 
 
+def wilson_cols(n_col: str = "n_trials", s_col: str = "n_success"):
+    """(p_hat, wilson_lo, wilson_hi) column triple from trial/success
+    count columns — the single home of the formula, shared by the batch
+    query and the streaming twin (streaming/ctr_stream.py) so the two
+    can never drift. z/z² are double literals (never recomputed)."""
+    n = F.col(n_col)
+    phat = F.col(s_col).cast("double") / n
+    z = F.lit(1.96)   # Python float → DoubleType literal
+    z2 = F.lit(3.8416)
+    center = phat + z2 / (2 * n)
+    margin = z * F.sqrt(
+        (phat * (1 - phat) + z2 / (4 * n.cast("double"))) / n
+    )
+    denom = 1 + z2 / n
+    return (
+        F.round(phat, 6).alias("p_hat"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
 @_register("ctr_wilson_bounds", _WILSON_ORACLE)
 def q_ctr_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily click→purchase conversion rate with the Wilson 95% score
     interval (Wilson 1927) — the interval that stays honest at small n
     and extreme rates, which is why ranking-by-lower-bound uses it.
 
-    Engine-exactness: z and z² are shared string literals (never
+    Engine-exactness: z and z² are shared double literals (never
     recomputed), every term appears in the identical algebraic order on
     both engines, and sqrt is IEEE-correctly-rounded everywhere — so
     the doubles match bit-for-bit. Scale shape: one grouped count per
@@ -780,22 +801,8 @@ def q_ctr_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_success"),
         )
     )
-    n = F.col("n_trials")
-    phat = F.col("n_success").cast("double") / n
-    z = F.lit(1.96)   # Python float → DoubleType literal
-    z2 = F.lit(3.8416)
-    center = phat + z2 / (2 * n)
-    margin = z * F.sqrt(
-        (phat * (1 - phat) + z2 / (4 * n.cast("double"))) / n
-    )
-    denom = 1 + z2 / n
     return daily.select(
-        "day",
-        "n_trials",
-        "n_success",
-        F.round(phat, 6).alias("p_hat"),
-        F.round((center - margin) / denom, 6).alias("wilson_lo"),
-        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+        "day", "n_trials", "n_success", *wilson_cols()
     )
 
 
