@@ -254,3 +254,12 @@ class Engine:
         from .streaming.bootstrap_stream import bootstrap_sums_stream
 
         return bootstrap_sums_stream(events)
+
+    def ctr_wilson_stream(self, events: DataFrame) -> DataFrame:
+        """Streaming daily conversion-rate monitor with Wilson 95%
+        bounds (streaming/ctr_stream.py) — the incremental twin of the
+        ``ctr_wilson_bounds`` query; append-mode windowed counts with
+        the batch query's exact interval expressions."""
+        from .streaming.ctr_stream import ctr_wilson_stream
+
+        return ctr_wilson_stream(events)

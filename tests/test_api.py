@@ -158,3 +158,24 @@ def test_engine_bootstrap_ci_stream_facade(spark, tmp_path):
     q.awaitTermination()
     assert out and out[-1].n_replicas == BOOT_B
     assert out[-1].boot_mean == 3.5
+
+
+def test_engine_ctr_wilson_stream_facade(spark, tmp_path):
+    """The facade's streaming CTR monitor wires the batch formula onto
+    a windowed streaming aggregation (isStreaming, batch-shaped schema)."""
+    from sparkstreaming_rawdataingestion_spark.api import Engine
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1), "click", 0.0, "{}")],
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+        src
+    )
+    df = Engine(spark).ctr_wilson_stream(stream)
+    assert df.isStreaming
+    assert set(df.columns) == {
+        "day", "n_trials", "n_success", "p_hat", "wilson_lo", "wilson_hi",
+    }
