@@ -451,6 +451,18 @@ PICKS = {
         "total and an orderBy().limit(k) top-k — TakeOrderedAndProject "
         "per family, never a single-partition sort of the key space."
     ),
+    "bootstrap_mean_ci": (
+        "Poisson bootstrap: the ×200 replica fanout is a Generate "
+        "(explode) feeding a partial aggregate INSIDE the scan stage — "
+        "one exchange of B partial sums per map task, never a shuffle "
+        "of exploded rows, never a per-replica re-scan."
+    ),
+    "ndcg_ranking_quality": (
+        "NDCG@10: the ranking sorts only WITHIN user partitions (no "
+        "rangepartitioning anywhere); the user window's exchange is "
+        "reused by the per-user reduce, so the whole metric is one "
+        "shuffle."
+    ),
 }
 
 SKIP_PREFIXES = (
