@@ -74,3 +74,22 @@ def test_theil_sen_sampled_tracks_exact(spark, sf_dir):
     diffs = sorted(abs(est[u] - exact[u]) for u in exact)
     assert diffs[len(diffs) // 2] < 0.5 * spread  # median well inside
     assert diffs[int(0.9 * (len(diffs) - 1))] < spread  # p90 inside
+
+
+def test_bootstrap_ci_width_shrinks_as_root_n(spark):
+    """Statistical soundness of the Poisson bootstrap: the CI width must
+    scale ~1/√n — at 10× the data (sf0.001 → sf0.01) the width ratio
+    sits near √10, well inside [2.0, 5.0] even with B = 200 replica
+    noise. A broken resampler (weights not ~Poisson(1), replica
+    correlation) breaks this immediately."""
+    from sparkstreaming_rawdataingestion_spark.operators.experiments import (
+        q_bootstrap_mean_ci,
+    )
+
+    small = q_bootstrap_mean_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    big = q_bootstrap_mean_ci(spark, "/root/testdata/sf0.01").collect()[0]
+    w_small = small.ci_hi - small.ci_lo
+    w_big = big.ci_hi - big.ci_lo
+    assert w_small > 0 and w_big > 0
+    ratio = w_small / w_big
+    assert 2.0 < ratio < 5.0, f"CI width ratio {ratio} not ~sqrt(10)"
