@@ -80,3 +80,38 @@ def test_streamed_wilson_matches_batch_on_finalized_days(spark, tmp_path):
         < wm - datetime.timedelta(minutes=1)
     }
     assert surely_final <= set(got)
+
+
+def test_ctr_stream_checkpoint_restart_no_duplicate_days(spark, tmp_path):
+    """Stop after the first two files, restart against the same
+    checkpoint with a third: finalized days emit exactly once across
+    the two runs and still match the batch rows."""
+    ev = catalog.load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cuts = ("2024-01-08 00:00:00", "2024-01-17 00:00:00")
+    lo = F.lit(cuts[0]).cast("timestamp_ntz")
+    hi = F.lit(cuts[1]).cast("timestamp_ntz")
+    ev.where(F.col("ts") < lo).coalesce(1).write.mode("append").parquet(src)
+    ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, out, ckpt)  # first run: two files
+
+    ev.where(F.col("ts") >= hi).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, out, ckpt)  # restart: third file only
+
+    rows = spark.read.parquet(out).collect()
+    days = [str(r.day) for r in rows]
+    assert len(days) == len(set(days)), f"duplicate day emissions: {days}"
+    want = {
+        str(r.day): (r.n_trials, r.n_success, r.wilson_lo, r.wilson_hi)
+        for r in evaluation.q_ctr_wilson_bounds(spark, SF).collect()
+    }
+    for r in rows:
+        assert want[str(r.day)] == (
+            r.n_trials, r.n_success, r.wilson_lo, r.wilson_hi
+        )
