@@ -51,3 +51,18 @@ def json_payload(col: Column | str) -> Column:
     subtree was captured by ``from_json`` under a StringType field it is
     already the compact re-serialization; this is the identity then."""
     return _c(col)
+
+
+def seq1(end: Column) -> Column:
+    """Ascending ``[1 .. end]`` as ``array<int>``, EMPTY when end < 1.
+
+    Spark's ``sequence(1, 0)`` yields the DESCENDING ``[1, 0]`` (and a
+    negative end keeps descending), so the common
+    ``sequence(1, greatest(n - k, 0))`` guard silently produces index 0
+    and crashes ``slice`` with INVALID_PARAMETER_VALUE.START on inputs
+    shorter than the gram width. Every caller here wants SQL
+    ``generate_series`` semantics — empty when start > stop with a
+    positive step — which is also what the DuckDB oracles compute."""
+    return F.when(end >= 1, F.sequence(F.lit(1), end)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )

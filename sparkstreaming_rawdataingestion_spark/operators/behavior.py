@@ -1034,13 +1034,15 @@ gaps AS (
   FROM seq WHERE prev_ts IS NOT NULL
 ),
 per_user AS (
-  -- Σx and Σx² accumulate as DECIMAL(38,0): exact integer sums under
-  -- any reduction order (gap² can approach the int64 ceiling per term;
-  -- the decimal keeps the SUM exact past it)
+  -- Σx and Σx² accumulate as DECIMAL: exact integer sums under any
+  -- reduction order. gap_ms is cast to DECIMAL(19,0) BEFORE squaring —
+  -- an int64 gap_ms * gap_ms overflows at a single ~35.1-day gap
+  -- (3.04e9 ms squared > 2^63), entirely reachable on long-horizon data
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_gaps,
          sum(CAST(gap_ms AS DECIMAL(38,0))) AS s1,
-         sum(CAST(gap_ms * gap_ms AS DECIMAL(38,0))) AS s2
+         sum(CAST(gap_ms AS DECIMAL(19,0))
+             * CAST(gap_ms AS DECIMAL(19,0))) AS s2
   FROM gaps GROUP BY user_id HAVING count(*) >= 2
 ),
 b AS (
@@ -1096,7 +1098,10 @@ def q_user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_gaps"),
             F.sum(F.col("gap_ms").cast("decimal(38,0)")).alias("s1"),
             F.sum(
-                (F.col("gap_ms") * F.col("gap_ms")).cast("decimal(38,0)")
+                # cast BEFORE squaring: int64 gap² overflows at one
+                # ~35.1-day gap; DECIMAL(19,0)² is exact at any horizon
+                F.col("gap_ms").cast("decimal(19,0)")
+                * F.col("gap_ms").cast("decimal(19,0)")
             ).alias("s2"),
         )
         .where(F.col("n_gaps") >= 2)

@@ -85,8 +85,13 @@ def _register(name: str, oracle: str | None = None):
 def _shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
     """Distinct n-gram token shingles as an array<string> (built-ins only:
     sequence + slice + array_join — no UDF)."""
+    from ..functions import seq1
+
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # seq1, NOT sequence(1, greatest(..., 0)): Spark's sequence(1, 0) is
+    # the descending [1, 0] and slice(toks, 0, n) crashes — a sub-n-token
+    # doc must yield the EMPTY shingle set (as the DuckDB oracles do)
+    idx = seq1(F.size(toks) - (n - 1))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
@@ -1185,7 +1190,11 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, size(t) - {WINNOW_K - 1}),"
+                # guard: docs shorter than WINNOW_K tokens get the EMPTY
+                # gram list (sequence(1, 0) would descend and crash slice)
+                f"transform(CASE WHEN size(t) >= {WINNOW_K} THEN"
+                f" sequence(1, size(t) - {WINNOW_K - 1})"
+                f" ELSE CAST(array() AS array<int>) END,"
                 f" i -> concat_ws(' ', slice(t, i, {WINNOW_K})))"
             )
         ).alias("pos0", "gram"),

@@ -262,8 +262,12 @@ WITH scored AS (
 ),
 bounds AS (SELECT min(s) AS lo, max(s) AS hi FROM scored),
 binned AS (
-  SELECT least(CAST(floor((s - (SELECT lo FROM bounds))
-                   / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
+  -- coalesce/nullif: an all-equal-scores slice has hi = lo; every row
+  -- lands in bin 0 (all tied), never DIVIDE_BY_ZERO
+  SELECT least(CAST(floor(coalesce(
+                   (s - (SELECT lo FROM bounds))
+                   / nullif((SELECT hi FROM bounds)
+                            - (SELECT lo FROM bounds), 0), 0.0e0)
                    * {AUC_BINS}) AS INTEGER), {AUC_BINS} - 1) AS bin, y
   FROM scored
 ),
@@ -284,7 +288,8 @@ agg AS (
   FROM cum
 )
 SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-       round(u / (np * CAST(nn AS DOUBLE)), 6) AS auc_est
+       -- nullif: AUC is undefined with an absent class → NULL
+       round(u / nullif(np * CAST(nn AS DOUBLE), 0), 6) AS auc_est
 FROM agg
 """
 
@@ -309,8 +314,15 @@ def q_ranking_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = scored.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.floor(
-                (F.col("s") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
+                # all-equal-scores slice: hi = lo → every row in bin 0
+                # (all tied), never DIVIDE_BY_ZERO under ANSI
+                F.coalesce(
+                    F.try_divide(
+                        F.col("s") - F.col("lo"),
+                        F.col("hi") - F.col("lo"),
+                    ),
+                    F.lit(0.0),
+                )
                 * AUC_BINS
             ).cast("int"),
             F.lit(AUC_BINS - 1),
@@ -336,8 +348,11 @@ def q_ranking_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),
+        # try_divide: one-class slices have no defined AUC → NULL
         F.round(
-            F.col("u") / (F.col("np") * F.col("nn").cast("double")), 6
+            F.try_divide(
+                F.col("u"), F.col("np") * F.col("nn").cast("double")
+            ), 6
         ).alias("auc_est"),
     )
 
@@ -349,8 +364,11 @@ def q_ranking_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CALIB_ORACLE = """
 WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
 scored AS (
-  SELECT (value - (SELECT lo FROM bounds))
-           / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) AS p,
+  -- coalesce/nullif: all-equal scores → p = 0 for every row, never
+  -- DIVIDE_BY_ZERO
+  SELECT coalesce((value - (SELECT lo FROM bounds))
+           / nullif((SELECT hi FROM bounds)
+                    - (SELECT lo FROM bounds), 0), 0.0e0) AS p,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
 ),
@@ -489,8 +507,11 @@ SWEEP_STEPS = 20  # thresholds k/20, k = 0..19
 _SWEEP_ORACLE = f"""
 WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
 scored AS (
-  SELECT (value - (SELECT lo FROM bounds))
-           / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) AS p,
+  -- coalesce/nullif: all-equal scores → p = 0 for every row, never
+  -- DIVIDE_BY_ZERO
+  SELECT coalesce((value - (SELECT lo FROM bounds))
+           / nullif((SELECT hi FROM bounds)
+                    - (SELECT lo FROM bounds), 0), 0.0e0) AS p,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
 ),
@@ -510,9 +531,12 @@ cum AS (
 )
 SELECT round(k / CAST({SWEEP_STEPS} AS DOUBLE), 6) AS threshold,
        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-       round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_at,
-       round(tp / CAST(np AS DOUBLE), 6)      AS recall_at,
-       round(2.0 * tp / CAST(2 * tp + fp + (np - tp) AS DOUBLE), 6) AS f1
+       -- nullif: a no-positives slice (np = 0) or an empty tail bucket
+       -- must yield NULL metrics, not DIVIDE_BY_ZERO
+       round(tp / nullif(CAST(tp + fp AS DOUBLE), 0), 6) AS precision_at,
+       round(tp / nullif(CAST(np AS DOUBLE), 0), 6)      AS recall_at,
+       round(2.0 * tp
+             / nullif(CAST(2 * tp + fp + (np - tp) AS DOUBLE), 0), 6) AS f1
 FROM cum
 """
 
@@ -530,9 +554,13 @@ def q_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     scored = ev.crossJoin(F.broadcast(bounds)).select(
-        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
-            "p"
-        ),
+        # all-equal scores → p = 0 everywhere (see oracle note)
+        F.coalesce(
+            F.try_divide(
+                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
+            ),
+            F.lit(0.0),
+        ).alias("p"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     hist = (
@@ -561,10 +589,14 @@ def q_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("k") / float(SWEEP_STEPS), 6).alias("threshold"),
         tp.cast("long").alias("tp"),
         fp.cast("long").alias("fp"),
-        F.round(tp / (tp + fp).cast("double"), 6).alias("precision_at"),
-        F.round(tp / np_.cast("double"), 6).alias("recall_at"),
+        # try_divide: NULL metrics on degenerate slices (oracle nullif)
         F.round(
-            2.0 * tp / (2 * tp + fp + (np_ - tp)).cast("double"), 6
+            F.try_divide(tp, (tp + fp).cast("double")), 6
+        ).alias("precision_at"),
+        F.round(F.try_divide(tp, np_.cast("double")), 6).alias("recall_at"),
+        F.round(
+            F.try_divide(2.0 * tp, (2 * tp + fp + (np_ - tp)).cast("double")),
+            6,
         ).alias("f1"),
     )
 
@@ -683,7 +715,7 @@ def q_ndcg_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("npos"),
     ).where(F.col("rn") <= NDCG_K)
 
-    disc = F.expr(_NDCG_DISC_SQL.replace("rn", "rn", 1))
+    disc = F.expr(_NDCG_DISC_SQL)
     per_user = ranked.groupBy("user_id").agg(
         F.max("npos").alias("npos"),
         F.sum(

@@ -464,8 +464,13 @@ def q_chisq_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BOOT_B = 200  # bootstrap replicas
-_BOOT_MIX1 = 2654435761
-_BOOT_MIX2 = 1540483477
+# Overflow-safe portable hash (the COVERAGE.md traps-table convention:
+# reduce the key mod 2^32 BEFORE multiplying, multipliers < 2^31 —
+# (2^32-1)*(2^31-1) still fits int64, while key*multiplier on a raw
+# 64-bit id overflows both engines at ids ≥ ~3.5e9, i.e. at exactly
+# the 100 TB scale these ops are documented for).
+_BOOT_MIX1 = 1540483477   # < 2^31
+_BOOT_MIX2 = 1103515245   # < 2^31
 _BOOT_M32 = 4294967296
 # Poisson(1) CDF thresholds scaled to 2^32 (w = 0..4, else 5):
 # P(0)=.36788, P(<=1)=.73576, P(<=2)=.91970, P(<=3)=.98101, P(<=4)=.99634
@@ -484,8 +489,8 @@ _BOOT_ORACLE = f"""
 WITH u AS (SELECT event_id, value FROM events),
 rep AS (
   SELECT g.b,
-         ((u.event_id * {_BOOT_MIX1} + g.b) % {_BOOT_M32} * {_BOOT_MIX2}
-          + u.event_id) % {_BOOT_M32} AS h,
+         (((u.event_id % {_BOOT_M32}) * {_BOOT_MIX1} + g.b) % {_BOOT_M32}
+          * {_BOOT_MIX2} + u.event_id % {_BOOT_M32}) % {_BOOT_M32} AS h,
          u.value
   FROM u, generate_series(1, {BOOT_B}) g(b)
 ),
@@ -518,9 +523,10 @@ def boot_weighted_replicas(u: DataFrame) -> DataFrame:
         "value",
         (
             (
-                (F.col("event_id") * _BOOT_MIX1 + F.col("b")) % _BOOT_M32
+                (F.col("event_id") % _BOOT_M32 * _BOOT_MIX1 + F.col("b"))
+                % _BOOT_M32
                 * _BOOT_MIX2
-                + F.col("event_id")
+                + F.col("event_id") % _BOOT_M32
             )
             % _BOOT_M32
         ).alias("h"),

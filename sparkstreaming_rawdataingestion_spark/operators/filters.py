@@ -63,7 +63,11 @@ def _words(text_col: str = "text") -> Column:
 
 
 def _bigrams(ws: Column) -> Column:
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0)))
+    from ..functions import seq1
+
+    # seq1: a 1-word doc must yield NO bigrams (sequence(1, 0) would
+    # descend into slice(ws, 0, 2) and crash)
+    idx = seq1(F.size(ws) - 1)
     return F.transform(
         idx, lambda i: F.array_join(F.slice(ws, i, 2), " ")
     )
@@ -80,7 +84,8 @@ m AS (
          round(list_max([len(list_filter(ws, x -> x = u))
                          FOR u IN list_distinct(ws)]) * 1.0 / len(ws), 6)
            AS top_word_frac,
-         round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+         -- nullif: a 1-word doc has NO bigrams → NULL fraction
+         round(1.0 - len(list_distinct(bg)) * 1.0 / nullif(len(bg), 0), 6)
            AS dup_bigram_frac
   FROM (SELECT doc_id, ws,
                [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bg
@@ -113,7 +118,12 @@ def q_text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_frac = F.round(top_cnt / n.cast("double"), 6)
     dup_bg = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg).cast("double"),
+        # try_divide: a 1-word doc has no bigrams → NULL fraction,
+        # never DIVIDE_BY_ZERO under ANSI
+        F.lit(1.0)
+        - F.try_divide(
+            F.size(F.array_distinct(bg)), F.size(bg).cast("double")
+        ),
         6,
     )
     return d.select(
@@ -297,7 +307,8 @@ rep AS (
          round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_ratio,
          round(list_max([len(list_filter(ws, x -> x = u))
                          FOR u IN list_distinct(ws)]) * 1.0 / len(ws), 6) AS top_frac,
-         round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup_bg
+         round(1.0 - len(list_distinct(bg)) * 1.0 / nullif(len(bg), 0), 6)
+           AS dup_bg
   FROM (SELECT doc_id, ws,
                [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bg FROM w)),
 sh AS (

@@ -472,11 +472,14 @@ dots AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+       -- nullif: a doc built entirely of corpus-universal terms has
+       -- TF-IDF norm exactly 0 (tf*ln(1)); its pairs must drop as NULL,
+       -- not DIVIDE_BY_ZERO (NULL >= threshold filters false)
+       round(dot / nullif(na.nrm * nb.nrm, 0), 6) AS cosine_sim
 FROM dots
 JOIN norms na ON na.doc_id = doc_a
 JOIN norms nb ON nb.doc_id = doc_b
-WHERE round(dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COSINE_THRESHOLD}
+WHERE round(dot / nullif(na.nrm * nb.nrm, 0), 6) >= {TFIDF_COSINE_THRESHOLD}
 """
 
 
@@ -543,7 +546,10 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    # try_divide: a zero-norm doc (all terms corpus-universal, weights
+    # tf*ln(1) = 0) yields NULL cosine → the pair drops at the threshold
+    # filter instead of killing the query under ANSI
+    cos = F.round(F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 6)
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")

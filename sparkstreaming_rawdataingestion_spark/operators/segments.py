@@ -616,8 +616,11 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEN_SAMPLE_H = 8  # sampled partners per point
-_SEN_MIX1 = 2654435761
-_SEN_MIX2 = 1540483477
+# Overflow-safe portable hash: key reduced mod 2^32 BEFORE multiplying,
+# multipliers < 2^31 (raw key * multiplier overflows int64 on both
+# engines at ids >= ~3.5e9 — the COVERAGE.md traps-table convention)
+_SEN_MIX1 = 1540483477   # < 2^31
+_SEN_MIX2 = 1103515245   # < 2^31
 _SEN_M32 = 4294967296
 
 _SEN_SAMPLED_ORACLE = f"""
@@ -635,7 +638,8 @@ ranked AS (
 ),
 cand AS (
   SELECT r.user_id, r.i,
-         r.i + 1 + (((r.user_id * {_SEN_MIX1} + r.i) % {_SEN_M32})
+         r.i + 1 + ((((r.user_id % {_SEN_M32}) * {_SEN_MIX1} + r.i)
+                     % {_SEN_M32})
                     * {_SEN_MIX2} + g.j) % {_SEN_M32} % (r.k - r.i)
            AS partner
   FROM ranked r, generate_series(1, {SEN_SAMPLE_H}) g(j)
@@ -706,7 +710,8 @@ def q_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i")
                 + 1
                 + (
-                    (F.col("user_id") * _SEN_MIX1 + F.col("i")) % _SEN_M32
+                    (F.col("user_id") % _SEN_M32 * _SEN_MIX1 + F.col("i"))
+                    % _SEN_M32
                     * _SEN_MIX2
                     + F.col("j")
                 )

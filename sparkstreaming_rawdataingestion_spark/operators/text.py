@@ -561,12 +561,16 @@ tc AS (
 ),
 per_doc AS (
   -- same sufficient-statistics formula as the Spark side, term for
-  -- term: H = log2(n) - sum(c*log2 c)/n (a different algebraic form
-  -- would differ in the last ulp and could flip the 6th decimal)
+  -- term: H = log2(n) - sum(c*log2 c)/n, with the c*log2(c) terms
+  -- accumulated in DECIMAL(32,18) so the float sum is reduction-order-
+  -- exact (a parallel hash aggregate is free to reassociate a raw
+  -- double sum, which can flip the 6th decimal on boundary values)
   SELECT doc_id,
          CAST(sum(c) AS BIGINT)   AS n_tokens,
          CAST(count(*) AS BIGINT) AS n_distinct,
-         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+         log2(sum(c))
+           - CAST(sum(CAST(c * log2(c) AS DECIMAL(32,18))) AS DOUBLE)
+             / sum(c) AS h
   FROM tc GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, n_distinct,
@@ -598,9 +602,14 @@ def q_token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = tc.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        # DECIMAL accumulation: reduction-order-exact (see oracle note)
+        F.sum(
+            (F.col("c") * F.log2("c")).cast("decimal(32,18)")
+        ).alias("clog"),
     )
-    h = F.log2(F.col("n_tokens")) - F.col("clog") / F.col("n_tokens")
+    h = F.log2(F.col("n_tokens")) - F.col("clog").cast("double") / F.col(
+        "n_tokens"
+    )
     return per_doc.select(
         "doc_id",
         "n_tokens",

@@ -170,9 +170,11 @@ _QUERY_MODULES = (
 #         graph/pipeline/TPC-H/modern-SQL picks).
 # Everything previously green rotates to the extended region with its
 # driver row on record. The nine round-6 operators fit inside the
-# window's spare slots; three late additions (exact sparse TF-IDF
-# cosine, winnowing fingerprints, the PCA power step) queue in
-# OVERFLOW_QUEUE for round 7.
+# window's spare slots; nine late additions (exact sparse TF-IDF
+# cosine, winnowing fingerprints, the PCA power step, sampled
+# Theil-Sen, the Poisson-bootstrap CI, NDCG@10, Wilson CTR bounds,
+# Cohen kappa, burstiness profile) fill OVERFLOW_QUEUE to its ≤9 cap
+# for round 7.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
