@@ -1186,16 +1186,19 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by document length, embarrassingly parallel across docs."""
     d = catalog.load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    from ..functions import seq1
+
     grams = toks.select(
         "doc_id",
+        # seq1: docs shorter than WINNOW_K tokens get the EMPTY gram
+        # list (sequence(1, 0) would descend and crash slice) — the
+        # same guard every shingle consumer uses
         F.posexplode(
-            F.expr(
-                # guard: docs shorter than WINNOW_K tokens get the EMPTY
-                # gram list (sequence(1, 0) would descend and crash slice)
-                f"transform(CASE WHEN size(t) >= {WINNOW_K} THEN"
-                f" sequence(1, size(t) - {WINNOW_K - 1})"
-                f" ELSE CAST(array() AS array<int>) END,"
-                f" i -> concat_ws(' ', slice(t, i, {WINNOW_K})))"
+            F.transform(
+                seq1(F.size("t") - (WINNOW_K - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i, WINNOW_K)
+                ),
             )
         ).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")

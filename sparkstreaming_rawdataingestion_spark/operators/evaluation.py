@@ -201,7 +201,8 @@ agg AS (
   FROM ranked
 )
 SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-       round((rsum - np * (np + 1) / 2.0e0) / (np * CAST(nn AS DOUBLE)), 6)
+       round((rsum - np * (np + 1) / 2.0e0)
+             / nullif(np * CAST(nn AS DOUBLE), 0), 6)
          AS auc
 FROM agg
 """
@@ -240,9 +241,13 @@ def q_ranking_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         np_.cast("long").alias("n_pos"),
         nn.cast("long").alias("n_neg"),
+        # try_divide: a one-class slice has no defined AUC → NULL
+        # (mirrors the histogram twin's guard)
         F.round(
-            (F.col("rsum") - np_ * (np_ + 1) / 2.0)
-            / (np_ * nn.cast("double")),
+            F.try_divide(
+                F.col("rsum") - np_ * (np_ + 1) / 2.0,
+                np_ * nn.cast("double"),
+            ),
             6,
         ).alias("auc"),
     )
@@ -392,8 +397,13 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     scored = ev.crossJoin(F.broadcast(bounds)).select(
-        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
-        .alias("p"),
+        # all-equal scores → p = 0 for every row (oracle coalesce/nullif)
+        F.coalesce(
+            F.try_divide(
+                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
+            ),
+            F.lit(0.0),
+        ).alias("p"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     binned = scored.select(

@@ -164,8 +164,11 @@ scored AS (
                WHERE g IN (SELECT g FROM bench)) AS BIGINT) AS shared_shingles
   FROM sh d WHERE d.doc_id >= {BENCH_MAX_DOC_ID})
 SELECT doc_id, n_shingles, shared_shingles,
-       round(shared_shingles * 1.0 / n_shingles, 6) AS contamination_ratio,
-       shared_shingles * 1.0 / n_shingles >= {CONTAMINATION_TAU} AS contaminated
+       -- nullif: a sub-3-token doc has an EMPTY shingle set → NULL ratio
+       round(shared_shingles * 1.0 / nullif(n_shingles, 0), 6)
+         AS contamination_ratio,
+       shared_shingles * 1.0 / nullif(n_shingles, 0) >= {CONTAMINATION_TAU}
+         AS contaminated
 FROM scored
 """,
 )
@@ -192,7 +195,11 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_shingles"))
     )
-    ratio = F.col("shared_shingles") / F.col("n_shingles").cast("double")
+    # try_divide: an empty-shingle (sub-3-token) doc → NULL ratio,
+    # never DIVIDE_BY_ZERO (reachable since the seq1 short-doc fix)
+    ratio = F.try_divide(
+        F.col("shared_shingles"), F.col("n_shingles").cast("double")
+    )
     return (
         corpus.select("doc_id", F.size("s").cast("long").alias("n_shingles"))
         .join(shared, "doc_id", "left")

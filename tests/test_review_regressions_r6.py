@@ -233,3 +233,66 @@ def test_tfidf_zero_norm_doc_pairs_drop(spark, tmp_path):
     }
     assert (4, 5) in pairs
     assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+
+def test_calibration_constant_scores_single_bin(spark, tmp_path):
+    """All-equal scores: every row lands in bin 0 (p = 0), no crash —
+    the Spark side now matches the oracle's coalesce/nullif guard."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    rows = [
+        (i, 1, D(2024, 1, 1, 0, 0, i), "purchase" if i % 2 else "view", 7.0, "{}")
+        for i in range(10)
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out = evaluation.q_score_calibration_bins(spark, sf).collect()
+    assert len(out) == 1 and out[0].bin == 0
+
+
+def test_exact_auc_one_class_emits_null_like_its_twin(spark, tmp_path):
+    """The exact Mann-Whitney AUC must agree with its histogram twin on
+    degenerate one-class slices: NULL, never DIVIDE_BY_ZERO."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    rows = [
+        (i, 1, D(2024, 1, 1, 0, 0, i), "purchase", float(i), "{}")
+        for i in range(5)
+    ]
+    sf = _events(spark, tmp_path, rows)
+    r = evaluation.q_ranking_auc_report(spark, sf).collect()[0]
+    assert r.n_neg == 0 and r.auc is None
+
+
+def test_contamination_short_corpus_doc_null_ratio(spark, tmp_path):
+    """A sub-3-token corpus doc has an empty shingle set (post-seq1):
+    contamination ratio must be NULL, not DIVIDE_BY_ZERO — and the
+    DuckDB oracle must agree row-for-row."""
+    from sparkstreaming_rawdataingestion_spark.operators import filters
+    from sparkstreaming_rawdataingestion_spark.operators.filters import (
+        BENCH_MAX_DOC_ID,
+    )
+
+    base = BENCH_MAX_DOC_ID
+    rows = [
+        # bench side (doc_id < BENCH_MAX_DOC_ID)
+        (1, "alpha beta gamma delta epsilon", "en", "web", 30),
+        # corpus docs: one contaminated, one short
+        (base + 1, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (base + 2, "hi", "en", "web", 2),
+    ]
+    sf = _docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_shingles, r.contamination_ratio)
+        for r in filters.QUERIES["contamination_check"](spark, sf).collect()
+    }
+    assert got[base + 2] == (0, None)
+    assert got[base + 1][1] == 1.0
+    con = _duck_for(sf, tables=("documents",))
+    want = {
+        r[0]: (r[1], r[3])
+        for r in con.execute(
+            filters.ORACLES["contamination_check"]
+        ).fetchall()
+    }
+    con.close()
+    assert want == got
