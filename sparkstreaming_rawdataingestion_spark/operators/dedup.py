@@ -189,7 +189,22 @@ def _shingle_sets(
         # verification joins); persisting once cuts ~40% off the pair-query
         # wall time, and unlike localCheckpoint it survives executor loss
         # (lost partitions recompute from lineage).
-        sets = stage(sets)
+        #
+        # Sub-n-token docs have EMPTY shingle sets (seq1): they can never
+        # verify against anything, and keeping them would let blocking-only
+        # candidate pairs reach the Jaccard/containment ratios with union 0
+        # (DIVIDE_BY_ZERO under ANSI). The DuckDB oracles generate no pairs
+        # for them either — drop at the source, but only AFTER staging:
+        # a filter placed before persist gets pushed beneath the
+        # projection by Catalyst (alias substitution), evaluating the
+        # whole shingle transform twice per row — measured 1.9× on
+        # dedup_containment_pairs at sf0.1. Filtering the cached relation
+        # costs one size() over an in-memory array instead.
+        #
+        # The non-materialized path (hot_shingle_report) explodes the
+        # arrays — empties vanish on explode, no ratio is formed, so it
+        # needs no filter and keeps its single-pass projection.
+        return stage(sets).where(F.size("shingles") > 0)
     return sets
 
 
@@ -224,8 +239,11 @@ def _jaccard_from_counts(shared: DataFrame, sets: DataFrame) -> DataFrame:
     sizes = sets.select("doc_id", F.size("shingles").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    j = F.col("shared") * F.lit(1.0) / (
-        F.col("n_a") + F.col("n_b") - F.col("shared")
+    # try_divide: duplicate doc_ids in a malformed corpus can inflate
+    # |A∩B| past the union — emit NULL (filtered) instead of dying
+    j = F.try_divide(
+        F.col("shared") * F.lit(1.0),
+        F.col("n_a") + F.col("n_b") - F.col("shared"),
     )
     return (
         shared.join(sa, "doc_a")
@@ -447,7 +465,9 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sets.select("doc_id", F.size("shingles").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    c = F.col("shared") * F.lit(1.0) / F.least(F.col("n_a"), F.col("n_b"))
+    c = F.try_divide(
+        F.col("shared") * F.lit(1.0), F.least(F.col("n_a"), F.col("n_b"))
+    )
     return (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -805,7 +825,9 @@ def cosine(a: Column, b: Column) -> Column:
     nb = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
-    return dot / (na * nb)
+    # try_divide: a zero vector has norm 0 — cosine undefined → NULL
+    # (threshold filters and DESC rankings both drop NULLs)
+    return F.try_divide(dot, na * nb)
 
 
 @_register(

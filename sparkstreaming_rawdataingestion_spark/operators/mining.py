@@ -249,7 +249,8 @@ bounds AS (
 binned AS (
   SELECT t.event_type, t.cohort,
          least({_PSI_BINS - 1}, greatest(0, CAST(floor(
-             (t.value - b.lo) / ((b.hi - b.lo) / {_PSI_BINS}.0e0)
+             coalesce((t.value - b.lo)
+                      / nullif((b.hi - b.lo) / {_PSI_BINS}.0e0, 0), 0.0e0)
          ) AS BIGINT))) AS bin
   FROM tagged t JOIN bounds b ON b.event_type = t.event_type
 ),
@@ -336,7 +337,14 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                # coalesce(try_divide): a constant-valued type has
+                # width 0 → every row in bin 0 (oracle mirrors)
+                F.floor(
+                    F.coalesce(
+                        F.try_divide(F.col("value") - F.col("lo"), width),
+                        F.lit(0.0),
+                    )
+                ).cast("long"),
             ),
         ).alias("bin"),
     )
@@ -414,7 +422,7 @@ _WSAMPLE_K = 100
 # exponential-key variant would ride libm differences).
 _WSAMPLE_PRIORITY_SQL = f"""
 (((doc_id % 4294967296) * {_MMH2} % 4294967296) + 0.5e0) / 4294967296.0e0
-  / n_chars
+  / nullif(n_chars, 0)
 """
 
 _WSAMPLE_ORACLE = f"""
@@ -451,7 +459,9 @@ def q_weighted_sample_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    priority = u / F.col("n_chars")
+    # try_divide: a zero-length doc has weight 0 → NULL priority (it
+    # sorts last under DESC and is never sampled; oracle mirrors)
+    priority = F.try_divide(u, F.col("n_chars"))
     return (
         d.select(
             "doc_id",

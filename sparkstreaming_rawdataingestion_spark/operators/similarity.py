@@ -359,7 +359,10 @@ def q_vector_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("l2_dist"),
-        F.round(F.element_at("a", 1) / norm_a, 6).alias("unit_first"),
+        # try_divide: the zero vector has no unit direction → NULL
+        F.round(F.try_divide(F.element_at("a", 1), norm_a), 6).alias(
+            "unit_first"
+        ),
     )
 
 
@@ -381,7 +384,9 @@ WITH q AS (
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings)),
 dq AS (
   SELECT vec_id, a, scale,
-         list_transform(a, x -> greatest(least(floor(x / scale + 0.5),
+         -- coalesce/nullif: a zero vector has scale 0 → dq = 0
+         list_transform(a, x -> greatest(least(floor(
+             coalesce(x / nullif(scale, 0), 0.0) + 0.5),
                                                127.0), -127.0) * scale) AS d
   FROM q)
 SELECT vec_id,
@@ -407,8 +412,15 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dq = F.transform(
         a,
+        # coalesce(try_divide): a zero vector has scale 0 → dq = 0
         lambda x: F.greatest(
-            F.least(F.floor(x / F.col("scale") + 0.5).cast("double"), F.lit(127.0)),
+            F.least(
+                F.floor(
+                    F.coalesce(F.try_divide(x, F.col("scale")), F.lit(0.0))
+                    + 0.5
+                ).cast("double"),
+                F.lit(127.0),
+            ),
             F.lit(-127.0),
         )
         * F.col("scale"),
@@ -608,9 +620,10 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (F.col("sdot") / (F.col("qn") * F.sqrt(F.col("r2")))).alias(
-                "adc_cos"
-            ),
+            # try_divide: zero-norm query/codes → NULL (sorts last)
+            F.try_divide(
+                F.col("sdot"), F.col("qn") * F.sqrt(F.col("r2"))
+            ).alias("adc_cos"),
         )
     )
     sw = Window.partitionBy("query_id").orderBy(
@@ -679,8 +692,8 @@ def q_pq_reconstruction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c2"),
     )
     per_vec = per_sub.groupBy("neighbor_id").agg(
-        (
-            F.sum("pdot") / (F.sqrt(F.sum("v2")) * F.sqrt(F.sum("c2")))
+        F.try_divide(
+            F.sum("pdot"), F.sqrt(F.sum("v2")) * F.sqrt(F.sum("c2"))
         ).alias("recon_cos"),
         F.sum("errsq").alias("errsq"),
     )

@@ -243,9 +243,10 @@ SELECT e.event_id, e.event_type,
        round(CASE WHEN e.value < b.p05 THEN b.p05
                   WHEN e.value > b.p95 THEN b.p95
                   ELSE e.value END, 6) AS clipped,
+       -- nullif: constant slices have p95 = p05 → NULL robust z
        round((CASE WHEN e.value < b.p05 THEN b.p05
                    WHEN e.value > b.p95 THEN b.p95
-                   ELSE e.value END - b.med) / (b.p95 - b.p05), 6)
+                   ELSE e.value END - b.med) / nullif(b.p95 - b.p05, 0), 6)
          AS robust_z
 FROM events e JOIN b ON b.event_type = e.event_type
 WHERE e.event_id % 7 = 0
@@ -284,8 +285,12 @@ def q_winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round("value", 6).alias("value"),
             F.round(clipped, 6).alias("clipped"),
+            # try_divide: constant slice → p95 = p05 → NULL robust z
             F.round(
-                (clipped - F.col("med")) / (F.col("p95") - F.col("p05")), 6
+                F.try_divide(
+                    clipped - F.col("med"), F.col("p95") - F.col("p05")
+                ),
+                6,
             ).alias("robust_z"),
         )
     )

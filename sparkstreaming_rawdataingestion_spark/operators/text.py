@@ -113,8 +113,8 @@ FROM (
          len(list_filter(toks, t -> t IN ({_sql_list(STOPWORDS)}))) * 1.0
            / len(toks)                                        AS stop_ratio,
          len(list_distinct(toks)) * 1.0 / len(toks)           AS uniq_ratio,
-         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
-           / length(text)                                     AS punct_ratio
+         coalesce(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  * 1.0 / nullif(length(text), 0), 0.0e0)                                     AS punct_ratio
   FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
 """,
 )
@@ -129,10 +129,14 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) * F.lit(1.0) / n_tokens
     )
     uniq_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
-    punct_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
-        * F.lit(1.0)
-        / F.length("text")
+    # coalesce(try_divide): empty text → punct ratio 0 (oracle mirrors)
+    punct_ratio = F.coalesce(
+        F.try_divide(
+            F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+            * F.lit(1.0),
+            F.length("text"),
+        ),
+        F.lit(0.0),
     )
     quality = (
         F.lit(0.25) * F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)

@@ -649,7 +649,11 @@ SELECT p_brand,
        round(covar_pop(x, y) / nullif(var_pop(x), 0), 6) AS slope,
        round(avg(y) - covar_pop(x, y) / nullif(var_pop(x), 0) * avg(x), 6)
          AS intercept,
-       round(corr(x, y) * corr(x, y), 6) AS r2
+       -- covar²/(varx·vary) instead of corr²: Spark's corr RAISES under
+       -- ANSI on a zero-variance group, and this form keeps the two
+       -- engines term-for-term identical
+       round(covar_pop(x, y) * covar_pop(x, y)
+             / nullif(var_pop(x) * var_pop(y), 0), 6) AS r2
 FROM pts GROUP BY p_brand
 """
 
@@ -683,5 +687,11 @@ def q_ols_elasticity_by_segment(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
-        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r2"),
+        F.round(
+            F.try_divide(
+                F.covar_pop("x", "y") * F.covar_pop("x", "y"),
+                F.var_pop("x") * F.var_pop("y"),
+            ),
+            6,
+        ).alias("r2"),
     )

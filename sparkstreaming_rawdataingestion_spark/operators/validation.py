@@ -243,7 +243,8 @@ SELECT event_id, e.event_type, ts, value, z
 FROM (
   SELECT e.event_id, e.event_type, e.ts, e.value,
          round((CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE) - sv / n)
-               / sqrt((svv - sv * sv / n) / (n - 1)), 6) AS z
+               / nullif(sqrt((svv - sv * sv / n) / nullif(n - 1, 0)), 0),
+               6) AS z
   FROM events e JOIN s USING (event_type)
 ) e
 WHERE abs(z) > 2.5
@@ -264,8 +265,16 @@ def q_timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec * vdec).cast("double").alias("svv"),
     )
     mean = F.col("sv") / F.col("n")
-    sd = F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1))
-    z = F.round((vdec.cast("double") - mean) / sd, 6)
+    # try_divide: a single-row group has n - 1 = 0 → NULL sd → NULL z
+    sd = F.sqrt(
+        F.try_divide(
+            F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"),
+            F.col("n") - 1,
+        )
+    )
+    # try_divide: a zero-variance group has sd = 0 → NULL z (dropped
+    # by the |z| threshold), never DIVIDE_BY_ZERO
+    z = F.round(F.try_divide(vdec.cast("double") - mean, sd), 6)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "ts", "value", z.alias("z"))
@@ -337,7 +346,8 @@ cum AS (
   QUALIFY na > 0 AND nb > 0
 )
 SELECT event_type,
-       round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat,
+       round(max(abs(ca * 1.0 / nullif(na, 0)
+                     - cb * 1.0 / nullif(nb, 0))), 6) AS ks_stat,
        CAST(max(na) AS BIGINT) AS n_a,
        CAST(max(nb) AS BIGINT) AS n_b
 FROM cum
@@ -384,9 +394,11 @@ def q_distribution_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").over(wp).alias("na"),
         F.sum(1 - F.col("in_a")).over(wp).alias("nb"),
     )
+    # try_divide: a group whose rows are all one cohort has na or nb
+    # = 0 → NULL KS stat for that group (oracle mirrors)
     d = F.abs(
-        F.col("ca") * F.lit(1.0) / F.col("na")
-        - F.col("cb") * F.lit(1.0) / F.col("nb")
+        F.try_divide(F.col("ca") * F.lit(1.0), F.col("na"))
+        - F.try_divide(F.col("cb") * F.lit(1.0), F.col("nb"))
     )
     return (
         cum.groupBy("event_type")
@@ -637,7 +649,7 @@ FROM (
          e.value,
          round(s.sv / s.n, 6) AS slot_mean,
          round((CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE) - s.sv / s.n)
-               / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)), 6) AS z
+               / nullif(sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)), 0), 6) AS z
   FROM events e
   JOIN s ON s.event_type = e.event_type
         AND s.hr = CAST(hour(e.ts) AS INTEGER)
@@ -676,7 +688,9 @@ def q_seasonal_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
         / (F.col("n") - 1)
     )
-    z = F.round((vdec.cast("double") - mean) / sd, 6)
+    # try_divide: a zero-variance group has sd = 0 → NULL z (dropped
+    # by the |z| threshold), never DIVIDE_BY_ZERO
+    z = F.round(F.try_divide(vdec.cast("double") - mean, sd), 6)
     return (
         ev.withColumn("hr", hr)
         .join(F.broadcast(stats), ["event_type", "hr"])

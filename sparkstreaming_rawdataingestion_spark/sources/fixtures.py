@@ -76,7 +76,7 @@ def events_to_messages(events: DataFrame, include_edge_cases: bool = True) -> Da
         F.col("user_id"),
         F.struct(
             F.unix_millis(F.col("ts").cast("timestamp")).alias("dateTime"),
-            F.expr(OFFSET_MS_EXPR).cast("int").alias("offset"),
+            F.expr(OFFSET_MS_EXPR).try_cast("int").alias("offset"),
             # Parse the single-key props JSON so to_json embeds it as a raw
             # object (not an escaped string). Fixture-only schema; the
             # engine itself never imposes a schema on the payload.
@@ -89,7 +89,11 @@ def events_to_messages(events: DataFrame, include_edge_cases: bool = True) -> Da
         .select(
             F.to_json(
                 F.struct(
-                    F.col("user_id").cast("int").alias("datastream_id"),
+                    # try_cast: an id past int range becomes a null
+                    # datastream_id in the message — i.e. a MALFORMED
+                    # message the engine's lenient parse drops (op 4),
+                    # mirroring what any upstream producer bug yields
+                    F.col("user_id").try_cast("int").alias("datastream_id"),
                     F.col("data"),
                 )
             ).alias("value")
