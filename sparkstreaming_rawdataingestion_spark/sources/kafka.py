@@ -10,9 +10,15 @@ comma-separated list — the reference's source-level union, op 2), and
 ``startingOffsets=earliest`` matches ``auto.offset.reset=smallest``
 (``RawDataIngestion.java:97``).
 
-No broker exists in the test environment, so these builders are exercised
-only for plan construction; tests replay fixture files through
-``message_file_stream`` instead (same downstream schema: ``value: string``).
+No broker exists in the test environment, so the real-connector builders
+are exercised only for plan construction. The CONTRACT, however, is fully
+executable: ``kafka_sim`` (see ``kafka_sim.py``) is a Python-DataSource
+simulation of the connector — identical output schema, multi-topic
+subscribe, per-topic-partition parallelism, checkpoint-resumable offsets —
+and ``kafka_sim_value_stream`` / ``kafka_sim_value_batch`` below apply the
+exact same value projection to it, so ops 1-3 run end-to-end in tests
+(``tests/test_kafka_sim.py``). ``message_file_stream`` remains the minimal
+file stand-in used by the older streaming tests.
 """
 
 from __future__ import annotations
@@ -61,6 +67,45 @@ def kafka_value_batch(
         .option("subscribe", topics)
         .option("startingOffsets", "earliest")
         .option("endingOffsets", "latest")
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def kafka_sim_value_stream(
+    spark: SparkSession,
+    log_dir: str,
+    topics: str,
+    max_records_per_batch: int | None = None,
+) -> DataFrame:
+    """Op 1-3 over the simulated broker: direct-stream scan of ``topics``
+    (comma-separated) projected to the UTF-8 value — byte-for-byte the same
+    downstream DataFrame as ``kafka_value_stream`` against a real broker."""
+    from . import kafka_sim
+
+    kafka_sim.register(spark)
+    reader = (
+        spark.readStream.format(kafka_sim.SOURCE_NAME)
+        .option("path", log_dir)
+        .option("subscribe", topics)
+    )
+    if max_records_per_batch:
+        # Backpressure twin of maxOffsetsPerTrigger (see kafka_sim).
+        reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    return reader.load().select(F.col("value").cast("string").alias("value"))
+
+
+def kafka_sim_value_batch(
+    spark: SparkSession, log_dir: str, topics: str
+) -> DataFrame:
+    """Batch twin of the simulated direct stream (earliest→latest)."""
+    from . import kafka_sim
+
+    kafka_sim.register(spark)
+    return (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log_dir)
+        .option("subscribe", topics)
         .load()
         .select(F.col("value").cast("string").alias("value"))
     )

@@ -1,0 +1,304 @@
+"""Kafka-shaped simulated source over local log files (SURVEY §2.1 ops 1-2).
+
+The reference consumes Kafka with a receiver-less DIRECT stream: a
+comma-separated topic list, earliest offsets, one Kafka partition mapping
+to one Spark partition (``RawDataIngestion.java:80-110``). No broker or
+``spark-sql-kafka`` jars exist in this environment, so the real-connector
+builders in ``kafka.py`` can only be plan-constructed, never executed.
+
+This module closes that gap with a **Python DataSource** (public PySpark 4
+API, ``pyspark.sql.datasource``) that reproduces the Kafka source's
+CONTRACT end-to-end so every semantic the reference relies on is actually
+executable and tested:
+
+- same output schema as the real connector (``key binary, value binary,
+  topic string, partition int, offset long, timestamp timestamp,
+  timestampType int``) — downstream code cannot tell them apart;
+- multi-topic ``subscribe`` as a comma-separated list (op 2);
+- the direct-stream partition model: one topic-partition log → one
+  ``InputPartition`` → one Spark task, batch and streaming alike;
+- dense monotonically increasing per-partition offsets, resumable from a
+  Structured Streaming checkpoint (exactly-once restart is pinned by
+  ``tests/test_kafka_sim.py``);
+- per-partition ``maxRecordsPerBatch`` backpressure — the stand-in for the
+  real source's ``maxOffsetsPerTrigger`` replay-bounding knob.
+
+Log layout: ``<path>/<topic>/p<partition>.jsonl``; line N of a file is the
+record at offset N (offset IS the line number, like a Kafka segment's
+relative offset). ``produce()`` is the test-side producer.
+
+This is a TEST/DEV transport: records cross the Python worker boundary via
+Arrow, which is fine at fixture scale but is not the production path — on
+a real cluster the JVM Kafka connector (``kafka.py``) takes over, and the
+two expose identical DataFrames, so swapping is a format-string change.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "kafka_sim"
+
+# Matches the real Kafka connector's output columns (the driver-visible
+# contract; timestampType 0 = CreateTime).
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+_UTC = datetime.timezone.utc
+
+
+# ---------------------------------------------------------------------------
+# Log-directory helpers (shared by driver-side planning and executor reads)
+# ---------------------------------------------------------------------------
+
+
+def _partition_files(path: str, topics: Sequence[str]) -> list[tuple[str, int, str]]:
+    """(topic, partition, file) for every topic-partition log under
+    ``path`` belonging to ``topics`` — the direct-stream "what partitions
+    exist" metadata call."""
+    out: list[tuple[str, int, str]] = []
+    for topic in topics:
+        tdir = os.path.join(path, topic)
+        if not os.path.isdir(tdir):
+            # Mirrors subscribing to a not-yet-created topic: no
+            # partitions now, discovered on a later metadata refresh.
+            continue
+        for fname in sorted(os.listdir(tdir)):
+            if fname.startswith("p") and fname.endswith(".jsonl"):
+                out.append(
+                    (topic, int(fname[1:-6]), os.path.join(tdir, fname))
+                )
+    return out
+
+
+def _count_records(fpath: str) -> int:
+    n = 0
+    with open(fpath, "rb") as f:
+        for line in f:
+            if line.strip():
+                n += 1
+    return n
+
+
+def _read_slice(
+    topic: str, part: int, fpath: str, start: int, end: int
+) -> Iterator[tuple]:
+    """Rows [start, end) of one topic-partition log, in offset order."""
+    if end <= start:
+        return
+    with open(fpath, "rb") as f:
+        offset = 0
+        for line in f:
+            if not line.strip():
+                continue
+            if offset >= end:
+                break
+            if offset >= start:
+                rec = json.loads(line)
+                key = rec.get("key")
+                yield (
+                    key.encode("utf-8") if key is not None else None,
+                    rec["value"].encode("utf-8"),
+                    topic,
+                    part,
+                    offset,
+                    datetime.datetime.fromtimestamp(rec["ts"] / 1000.0, tz=_UTC),
+                    0,
+                )
+            offset += 1
+
+
+def _topics_from_options(options) -> list[str]:
+    subscribe = options.get("subscribe", "")
+    topics = [t.strip() for t in subscribe.split(",") if t.strip()]
+    if not topics:
+        raise ValueError("kafka_sim requires option 'subscribe' (CSV topics)")
+    return topics
+
+
+class _Slice(InputPartition):
+    """One (topic-partition, offset-range) unit of work — the simulator's
+    OffsetRange. Picklable; shipped to the Python worker that reads it."""
+
+    def __init__(self, topic: str, part: int, path: str, start: int, end: int):
+        self.topic = topic
+        self.part = part
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+# ---------------------------------------------------------------------------
+# Batch reader (backfills / reprocessing twin)
+# ---------------------------------------------------------------------------
+
+
+class KafkaSimBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("kafka_sim requires option 'path' (log dir)")
+        self._topics = _topics_from_options(options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One Spark partition per topic-partition log — the direct-stream
+        # mapping; a subscribe over T topics × P partitions yields T×P
+        # parallel tasks with no shuffle.
+        return [
+            _Slice(t, p, f, 0, _count_records(f))
+            for t, p, f in _partition_files(self._path, self._topics)
+        ]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        return _read_slice(
+            partition.topic,
+            partition.part,
+            partition.path,
+            partition.start,
+            partition.end,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stream reader (the op-1 direct stream)
+# ---------------------------------------------------------------------------
+
+
+class KafkaSimStreamReader(DataSourceStreamReader):
+    """Micro-batch offsets are ``{"topic:partition": next_offset}`` dicts —
+    the same shape the real source checkpoints. ``partitions(start, end)``
+    turns the delta into per-topic-partition slices, so recovery replays
+    exactly the checkpointed range (exactly-once with an idempotent or
+    transactional sink, e.g. ``sinks.dedup_on_pk``)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("kafka_sim requires option 'path' (log dir)")
+        self._topics = _topics_from_options(options)
+        cap = options.get("maxRecordsPerBatch")
+        self._cap = int(cap) if cap else None
+        # Rate-limit bookkeeping only (NOT correctness state): the engine
+        # owns committed offsets in the checkpoint; this just remembers the
+        # last end this process planned so the cap extends from there.
+        self._planned: dict[str, int] = {}
+
+    def initialOffset(self) -> dict:
+        return {
+            f"{t}:{p}": 0 for t, p, _ in _partition_files(self._path, self._topics)
+        }
+
+    def latestOffset(self) -> dict:
+        latest = {
+            f"{t}:{p}": _count_records(f)
+            for t, p, f in _partition_files(self._path, self._topics)
+        }
+        if self._cap is not None:
+            for tp, hi in latest.items():
+                base = self._planned.get(tp, 0)
+                # per-partition cap, like maxOffsetsPerTrigger's per-
+                # partition proration: never move backwards, never plan
+                # more than `cap` new records per partition per batch
+                latest[tp] = max(base, min(hi, base + self._cap))
+        self._planned = dict(latest)
+        return latest
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = {
+            f"{t}:{p}": (t, p, f)
+            for t, p, f in _partition_files(self._path, self._topics)
+        }
+        out = []
+        for tp, hi in end.items():
+            lo = start.get(tp, 0)
+            # After a crash the engine replans from the checkpoint: keep
+            # the rate-limit base at least at the recovered frontier so a
+            # fresh reader instance cannot plan an end below it.
+            if self._planned.get(tp, 0) < hi:
+                self._planned[tp] = hi
+            if tp in files and hi > lo:
+                t, p, f = files[tp]
+                out.append(_Slice(t, p, f, lo, hi))
+        # Empty delta → no partitions → an empty micro-batch (legal).
+        return out
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        return _read_slice(
+            partition.topic,
+            partition.part,
+            partition.path,
+            partition.start,
+            partition.end,
+        )
+
+    def commit(self, end: dict) -> None:
+        # Sink-side effects are the sink's job; the source log is
+        # immutable (Kafka retention is time-based, not commit-based).
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaSimDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return KAFKA_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return KafkaSimBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return KafkaSimStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Registration + producer
+# ---------------------------------------------------------------------------
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotently register the source on this session."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(KafkaSimDataSource)
+        _REGISTERED.add(key)
+
+
+def produce(
+    log_dir: str,
+    topic: str,
+    values: Sequence[str],
+    partition: int = 0,
+    key: str | None = None,
+    ts_ms: int = 1_700_000_000_000,
+) -> None:
+    """Append ``values`` to one topic-partition log (the test producer).
+    Offsets are implicit line numbers, so appends are naturally dense and
+    monotonic — redelivery tests re-run the STREAM, never rewrite the log."""
+    tdir = os.path.join(log_dir, topic)
+    os.makedirs(tdir, exist_ok=True)
+    fpath = os.path.join(tdir, f"p{partition}.jsonl")
+    with open(fpath, "a", encoding="utf-8") as f:
+        for v in values:
+            f.write(
+                json.dumps({"key": key, "value": v, "ts": ts_ms}) + "\n"
+            )

@@ -1,0 +1,246 @@
+"""End-to-end tests for the simulated Kafka source (SURVEY §2.1 ops 1-3).
+
+These certify the contract the env-blocked real connector could not:
+multi-topic subscribe over a comma-separated list, the direct-stream
+one-topic-partition→one-Spark-partition model, dense resumable offsets
+(checkpoint restart = exactly-once with the PK-dedup sink), per-partition
+backpressure, and the drop-key/keep-value projection feeding the same
+ingest pipeline the driver's flagship runs (RawDataIngestion.java:80-110).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sparkstreaming_rawdataingestion_spark import catalog
+from sparkstreaming_rawdataingestion_spark.operators import ingest
+from sparkstreaming_rawdataingestion_spark.sources import fixtures, kafka, kafka_sim
+
+
+def _produce_sample(log_dir: str) -> None:
+    kafka_sim.produce(log_dir, "hr-stream", [f"hr-{i}" for i in range(7)], 0)
+    kafka_sim.produce(log_dir, "hr-stream", [f"hr-p1-{i}" for i in range(5)], 1)
+    kafka_sim.produce(log_dir, "gps-stream", [f"gps-{i}" for i in range(4)], 0)
+
+
+def test_batch_multi_topic_subscribe_schema_and_offsets(spark, tmp_path):
+    log = str(tmp_path / "log")
+    _produce_sample(log)
+    kafka_sim.register(spark)
+    df = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", "hr-stream,gps-stream")
+        .load()
+    )
+    # Contract: identical to the real connector's output columns.
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("key", "binary"),
+        ("value", "binary"),
+        ("topic", "string"),
+        ("partition", "int"),
+        ("offset", "bigint"),
+        ("timestamp", "timestamp"),
+        ("timestampType", "int"),
+    ]
+    rows = df.collect()
+    assert len(rows) == 16
+    # Offsets are dense and 0-based within each topic-partition.
+    by_tp: dict[tuple, list[int]] = {}
+    for r in rows:
+        by_tp.setdefault((r["topic"], r["partition"]), []).append(r["offset"])
+    assert {tp: sorted(o) for tp, o in by_tp.items()} == {
+        ("hr-stream", 0): list(range(7)),
+        ("hr-stream", 1): list(range(5)),
+        ("gps-stream", 0): list(range(4)),
+    }
+    # Subscribe is a filter, not a union-all-topics (op 2).
+    only_gps = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", "gps-stream")
+        .load()
+    )
+    assert only_gps.select("topic").distinct().collect()[0][0] == "gps-stream"
+
+
+def test_direct_partition_model(spark, tmp_path):
+    """One topic-partition log → one Spark partition (the reference's
+    receiver-less direct-stream property, RawDataIngestion.java:100)."""
+    log = str(tmp_path / "log")
+    _produce_sample(log)
+    kafka_sim.register(spark)
+    df = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", "hr-stream,gps-stream")
+        .load()
+    )
+    parts = df.rdd.glom().map(len).collect()
+    assert sorted(p for p in parts if p) == [4, 5, 7]
+
+
+def test_value_projection_feeds_ingest_pipeline(spark, sf_dir, tmp_path):
+    """ops 1→3→10 end-to-end: fixture messages produced to the simulated
+    broker, consumed via the batch twin, normalized — equals normalizing
+    the fixture messages directly."""
+    log = str(tmp_path / "log")
+    messages = fixtures.events_to_messages(
+        catalog.load_table(spark, sf_dir, "events"), include_edge_cases=False
+    )
+    values = [r["value"] for r in messages.collect()]
+    # spread across 2 partitions like a keyed producer would
+    kafka_sim.produce(log, "datapoints", values[0::2], 0)
+    kafka_sim.produce(log, "datapoints", values[1::2], 1)
+
+    consumed = kafka.kafka_sim_value_batch(spark, log, "datapoints")
+    got = ingest.ingest_normalize(consumed)
+    want = ingest.ingest_normalize(messages)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def _drain_stream(spark, log, topic, checkpoint, out_rows, cap=None):
+    """Run the simulated direct stream to exhaustion (availableNow) and
+    append each micro-batch's values into out_rows; returns batch sizes."""
+    sizes = []
+
+    def sink(batch_df, _bid):
+        vals = [r["value"] for r in batch_df.collect()]
+        if vals:
+            sizes.append(len(vals))
+            out_rows.extend(vals)
+
+    q = (
+        kafka.kafka_sim_value_stream(
+            spark, log, topic, max_records_per_batch=cap
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sizes
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    log = str(tmp_path / "log")
+    _produce_sample(log)
+    got: list[str] = []
+    _drain_stream(spark, log, "hr-stream,gps-stream", str(tmp_path / "ckpt"), got)
+    batch = [
+        r["value"]
+        for r in kafka.kafka_sim_value_batch(
+            spark, log, "hr-stream,gps-stream"
+        ).collect()
+    ]
+    assert sorted(got) == sorted(batch)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop after draining, produce more, restart from the SAME checkpoint:
+    the second run reads only the new offsets — no loss, no redelivery."""
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    kafka_sim.produce(log, "hr-stream", [f"a-{i}" for i in range(6)], 0)
+
+    first: list[str] = []
+    _drain_stream(spark, log, "hr-stream", ckpt, first)
+    assert sorted(first) == [f"a-{i}" for i in range(6)]
+
+    # new records + a whole NEW partition appearing after the checkpoint
+    kafka_sim.produce(log, "hr-stream", [f"b-{i}" for i in range(3)], 0)
+    kafka_sim.produce(log, "hr-stream", ["c-0", "c-1"], 1)
+
+    second: list[str] = []
+    _drain_stream(spark, log, "hr-stream", ckpt, second)
+    assert sorted(second) == ["b-0", "b-1", "b-2", "c-0", "c-1"]
+
+
+def test_max_records_per_batch_backpressure(spark, tmp_path):
+    """The replay-bounding knob: draining a 12-record backlog with a
+    per-partition cap of 5 takes ceil(12/5)=3 micro-batches, none larger
+    than the cap (single-partition topic ⇒ cap == batch bound). Uses a
+    polling trigger: under availableNow the engine freezes its target at
+    the FIRST (capped) latestOffset, so the cap would also cap the drain —
+    exactly how a rate-limited real source behaves when its limit API
+    isn't consulted, and why the cap is a processing-trigger knob."""
+    import time
+
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", [f"m-{i}" for i in range(12)], 0)
+    sizes: list[int] = []
+    got: list[str] = []
+
+    def sink(batch_df, _bid):
+        vals = [r["value"] for r in batch_df.collect()]
+        if vals:
+            sizes.append(len(vals))
+            got.extend(vals)
+
+    q = (
+        kafka.kafka_sim_value_stream(spark, log, "hr-stream", max_records_per_batch=5)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while len(got) < 12 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sizes == [5, 5, 2]
+    assert sorted(got) == sorted(f"m-{i}" for i in range(12))
+
+
+def test_missing_subscribe_rejected(spark, tmp_path):
+    kafka_sim.register(spark)
+    with pytest.raises(Exception, match="subscribe"):
+        (
+            spark.read.format(kafka_sim.SOURCE_NAME)
+            .option("path", str(tmp_path))
+            .load()
+            .collect()
+        )
+
+
+def test_key_preserved_until_projected(spark, tmp_path):
+    """The raw source keeps the key (binary); the value projection drops
+    it — the reference's explicit op 3."""
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", ["v0"], 0, key="user-42")
+    kafka_sim.register(spark)
+    raw = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", "hr-stream")
+        .load()
+        .collect()
+    )
+    assert raw[0]["key"] == bytearray(b"user-42")
+    projected = kafka.kafka_sim_value_batch(spark, log, "hr-stream")
+    assert projected.columns == ["value"]
+    assert projected.collect()[0]["value"] == "v0"
+
+
+def test_malformed_values_flow_to_lenient_parse(spark, tmp_path):
+    """A corrupt payload on the wire must die in the PERMISSIVE parse
+    (op 4), not in the source: produce garbage next to a good message and
+    assert the pipeline yields exactly the good rows."""
+    log = str(tmp_path / "log")
+    good = json.dumps(
+        {
+            "datastream_id": 9,
+            "data": [{"dateTime": 1704067200000, "offset": 0, "sample": {"hr": 60}}],
+        }
+    )
+    kafka_sim.produce(log, "datapoints", ["{not json", good, '{"data": []}'], 0)
+    out = ingest.ingest_normalize(
+        kafka.kafka_sim_value_batch(spark, log, "datapoints")
+    ).collect()
+    assert len(out) == 1 and out[0]["datastream_id"] == 9
