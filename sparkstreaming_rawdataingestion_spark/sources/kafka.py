@@ -89,8 +89,10 @@ def kafka_sim_value_stream(
         .option("path", log_dir)
         .option("subscribe", topics)
     )
-    if max_records_per_batch:
+    if max_records_per_batch is not None:
         # Backpressure twin of maxOffsetsPerTrigger (see kafka_sim).
+        # `is not None`, not truthiness: a 0 must reach the source and
+        # raise its ValueError, not be silently dropped to "unlimited".
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
     return reader.load().select(F.col("value").cast("string").alias("value"))
 

@@ -21,7 +21,11 @@ executable and tested:
   Structured Streaming checkpoint (exactly-once restart is pinned by
   ``tests/test_kafka_sim.py``);
 - per-partition ``maxRecordsPerBatch`` backpressure — the stand-in for the
-  real source's ``maxOffsetsPerTrigger`` replay-bounding knob.
+  real source's ``maxOffsetsPerTrigger`` replay-bounding knob. Its pacing
+  base survives restarts via a broker-side ``_consumer_offsets/<groupId>``
+  sidecar (the analogue of Kafka's ``__consumer_offsets`` topic); give
+  concurrent capped queries over one log dir distinct ``groupId`` options,
+  exactly as distinct Kafka consumers need distinct ``group.id``s.
 
 Log layout: ``<path>/<topic>/p<partition>.jsonl``; line N of a file is the
 record at offset N (offset IS the line number, like a Kafka segment's
@@ -38,6 +42,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +64,12 @@ KAFKA_SCHEMA = (
 
 _UTC = datetime.timezone.utc
 
+# Strict log-file name: 'p' + canonical (non-zero-padded) partition int.
+# Anything else under a topic dir (editor temps, 'p01.jsonl' shadows of
+# 'p1.jsonl') is ignored by BOTH batch and stream readers, so the two can
+# never disagree about what the log contains.
+_LOG_NAME = re.compile(r"^p(0|[1-9][0-9]*)\.jsonl$")
+
 
 # ---------------------------------------------------------------------------
 # Log-directory helpers (shared by driver-side planning and executor reads)
@@ -77,19 +88,33 @@ def _partition_files(path: str, topics: Sequence[str]) -> list[tuple[str, int, s
             # partitions now, discovered on a later metadata refresh.
             continue
         for fname in sorted(os.listdir(tdir)):
-            if fname.startswith("p") and fname.endswith(".jsonl"):
+            m = _LOG_NAME.match(fname)
+            if m:
                 out.append(
-                    (topic, int(fname[1:-6]), os.path.join(tdir, fname))
+                    (topic, int(m.group(1)), os.path.join(tdir, fname))
                 )
     return out
 
 
+# (size, mtime_ns) → record count per log path: latestOffset() polls every
+# trigger, and without this an idle polling stream re-scans every log file
+# end-to-end each second (O(log-bytes) per trigger). stat() is enough to
+# detect appends — the producer only ever appends.
+_COUNT_CACHE: dict[str, tuple[tuple[int, int], int]] = {}
+
+
 def _count_records(fpath: str) -> int:
+    st = os.stat(fpath)
+    sig = (st.st_size, st.st_mtime_ns)
+    hit = _COUNT_CACHE.get(fpath)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     n = 0
     with open(fpath, "rb") as f:
         for line in f:
             if line.strip():
                 n += 1
+    _COUNT_CACHE[fpath] = (sig, n)
     return n
 
 
@@ -190,11 +215,47 @@ class KafkaSimStreamReader(DataSourceStreamReader):
             raise ValueError("kafka_sim requires option 'path' (log dir)")
         self._topics = _topics_from_options(options)
         cap = options.get("maxRecordsPerBatch")
-        self._cap = int(cap) if cap else None
-        # Rate-limit bookkeeping only (NOT correctness state): the engine
-        # owns committed offsets in the checkpoint; this just remembers the
-        # last end this process planned so the cap extends from there.
-        self._planned: dict[str, int] = {}
+        self._cap = int(cap) if cap is not None else None
+        if self._cap is not None and self._cap <= 0:
+            # '0' would otherwise stall the stream forever (every batch
+            # plans base+0 = base new records); fail loudly instead.
+            raise ValueError(
+                f"maxRecordsPerBatch must be a positive int, got {cap!r}"
+            )
+        self._group = options.get("groupId", "default")
+        # Rate-limit base (NOT correctness state — the engine owns
+        # committed offsets in its checkpoint). A fresh reader must not
+        # start the base at 0: after a clean restart the engine's FIRST
+        # call is latestOffset(), and an end below the checkpointed
+        # frontier moves the stream backwards and redelivers records. So
+        # the base is persisted broker-side at planning time, keyed by
+        # consumer group — the same place real Kafka keeps group offsets
+        # (__consumer_offsets). Planning-time persistence makes the base
+        # monotonically ≥ every end the engine can ever have committed;
+        # a base above an uncommitted replayed range is harmless (the
+        # engine passes that range explicitly to partitions()).
+        self._planned: dict[str, int] = self._load_group_offsets()
+
+    def _group_offsets_file(self) -> str:
+        return os.path.join(
+            self._path, "_consumer_offsets", f"{self._group}.json"
+        )
+
+    def _load_group_offsets(self) -> dict[str, int]:
+        try:
+            with open(self._group_offsets_file(), encoding="utf-8") as f:
+                raw = json.load(f)
+            return {str(k): int(v) for k, v in raw.items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _save_group_offsets(self) -> None:
+        fpath = self._group_offsets_file()
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        tmp = fpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self._planned, f)
+        os.replace(tmp, fpath)
 
     def initialOffset(self) -> dict:
         return {
@@ -214,6 +275,9 @@ class KafkaSimStreamReader(DataSourceStreamReader):
                 # more than `cap` new records per partition per batch
                 latest[tp] = max(base, min(hi, base + self._cap))
         self._planned = dict(latest)
+        # Persisted even when uncapped, so a LATER capped restart of the
+        # same group starts its pacing base at the true frontier.
+        self._save_group_offsets()
         return latest
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -223,10 +287,11 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         }
         out = []
         for tp, hi in end.items():
+            # After a crash the engine replans the uncommitted batch from
+            # the checkpoint: keep the rate-limit base at least at the
+            # recovered range's END so subsequent latestOffset() calls
+            # extend from the true frontier.
             lo = start.get(tp, 0)
-            # After a crash the engine replans from the checkpoint: keep
-            # the rate-limit base at least at the recovered frontier so a
-            # fresh reader instance cannot plan an end below it.
             if self._planned.get(tp, 0) < hi:
                 self._planned[tp] = hi
             if tp in files and hi > lo:
@@ -272,15 +337,11 @@ class KafkaSimDataSource(DataSource):
 # Registration + producer
 # ---------------------------------------------------------------------------
 
-_REGISTERED: set[int] = set()
-
-
 def register(spark: SparkSession) -> None:
-    """Idempotently register the source on this session."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(KafkaSimDataSource)
-        _REGISTERED.add(key)
+    """Register the source on this session. Re-registration is a harmless
+    overwrite, so no dedup bookkeeping (an ``id(spark)`` cache would break
+    when a GC'd session's address is reused by a new one)."""
+    spark.dataSource.register(KafkaSimDataSource)
 
 
 def produce(

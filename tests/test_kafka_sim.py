@@ -122,7 +122,10 @@ def _drain_stream(spark, log, topic, checkpoint, out_rows, cap=None):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "availableNow drain timed out"
+    finally:
+        q.stop()
     return sizes
 
 
@@ -257,7 +260,10 @@ def test_reference_job_end_to_end_over_sim_broker(spark, sf_dir, tmp_path):
             checkpoint_path=ckpt,
             trigger_seconds=None,  # availableNow: drain and stop
         )
-        q.awaitTermination(120)
+        try:
+            assert q.awaitTermination(120), "ingest drain timed out"
+        finally:
+            q.stop()
 
     run_once()
     # late traffic lands on a second partition (scale-out mid-job)
@@ -294,3 +300,77 @@ def test_malformed_values_flow_to_lenient_parse(spark, tmp_path):
         kafka.kafka_sim_value_batch(spark, log, "datapoints")
     ).collect()
     assert len(out) == 1 and out[0]["datastream_id"] == 9
+
+
+def test_nonpositive_cap_rejected():
+    """maxRecordsPerBatch=0 would plan base+0 = base forever (a silently
+    stalled stream); the reader must refuse it loudly instead — and the
+    wrapper must pass 0 THROUGH (``is not None``, not truthiness) so the
+    refusal actually fires."""
+    for bad in ("0", "-3"):
+        with pytest.raises(ValueError, match="positive"):
+            kafka_sim.KafkaSimStreamReader(
+                {"path": "/tmp/x", "subscribe": "t", "maxRecordsPerBatch": bad}
+            )
+
+
+def test_strict_log_name_filtering(spark, tmp_path):
+    """Editor temps, zero-padded shadows, and stray files in a topic dir
+    are invisible to both readers — batch and stream can never disagree
+    about what the log contains."""
+    import os
+
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", ["v0", "v1"], 0)
+    tdir = os.path.join(log, "hr-stream")
+    # p01.jsonl would shadow p1.jsonl's partition id as int('01') == 1
+    for junk in ("p01.jsonl", "p0.jsonl.tmp", "notes.txt", "p-1.jsonl"):
+        with open(os.path.join(tdir, junk), "w", encoding="utf-8") as f:
+            f.write(json.dumps({"key": None, "value": "JUNK", "ts": 0}) + "\n")
+    batch = kafka.kafka_sim_value_batch(spark, log, "hr-stream").collect()
+    assert sorted(r["value"] for r in batch) == ["v0", "v1"]
+    got: list[str] = []
+    _drain_stream(spark, log, "hr-stream", str(tmp_path / "ckpt"), got)
+    assert sorted(got) == ["v0", "v1"]
+
+
+def test_capped_restart_resumes_at_frontier_not_zero(spark, tmp_path):
+    """The round's restart-redelivery fix: an uncapped drain commits
+    frontier 6 to the checkpoint; a LATER capped restart constructs a
+    fresh reader whose pacing base must come from the broker-side
+    ``_consumer_offsets`` sidecar (6), not 0 — otherwise latestOffset
+    plans an end BELOW the committed frontier and the stream moves
+    backwards. Assert the capped run delivers only new records, within
+    the cap, and a final uncapped run drains the remainder exactly once."""
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    kafka_sim.produce(log, "hr-stream", [f"m-{i}" for i in range(6)], 0)
+
+    first: list[str] = []
+    _drain_stream(spark, log, "hr-stream", ckpt, first)  # uncapped
+    assert sorted(first) == [f"m-{i}" for i in range(6)]
+
+    kafka_sim.produce(log, "hr-stream", [f"n-{i}" for i in range(4)], 0)
+    second: list[str] = []
+    sizes = _drain_stream(spark, log, "hr-stream", ckpt, second, cap=2)
+    # availableNow freezes the target at the first latestOffset: base 6
+    # (from the sidecar) + cap 2 = 8 → exactly the first two new records,
+    # no redelivery of m-*, never a batch above the cap.
+    assert second == ["n-0", "n-1"]
+    assert all(s <= 2 for s in sizes)
+
+    third: list[str] = []
+    _drain_stream(spark, log, "hr-stream", ckpt, third)  # uncapped
+    assert sorted(third) == ["n-2", "n-3"]
+
+
+def test_count_cache_sees_appends(tmp_path):
+    """The latestOffset poll cache keys on (size, mtime_ns); an append
+    must invalidate it so new records are discovered next trigger."""
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", ["a", "b"], 0)
+    fpath = str(tmp_path / "log" / "hr-stream" / "p0.jsonl")
+    assert kafka_sim._count_records(fpath) == 2
+    assert kafka_sim._count_records(fpath) == 2  # cached path
+    kafka_sim.produce(log, "hr-stream", ["c"], 0)
+    assert kafka_sim._count_records(fpath) == 3
