@@ -77,6 +77,7 @@ def kafka_sim_value_stream(
     log_dir: str,
     topics: str,
     max_records_per_batch: int | None = None,
+    group_id: str | None = None,
 ) -> DataFrame:
     """Op 1-3 over the simulated broker: direct-stream scan of ``topics``
     (comma-separated) projected to the UTF-8 value — byte-for-byte the same
@@ -94,6 +95,11 @@ def kafka_sim_value_stream(
         # `is not None`, not truthiness: a 0 must reach the source and
         # raise its ValueError, not be silently dropped to "unlimited".
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    if group_id is not None:
+        # The `kafka.group.id` analogue: scopes the broker-side pacing
+        # base so concurrent capped queries over one log dir don't share
+        # a _consumer_offsets sidecar (see kafka_sim module docstring).
+        reader = reader.option("groupId", group_id)
     return reader.load().select(F.col("value").cast("string").alias("value"))
 
 

@@ -374,3 +374,45 @@ def test_count_cache_sees_appends(tmp_path):
     assert kafka_sim._count_records(fpath) == 2  # cached path
     kafka_sim.produce(log, "hr-stream", ["c"], 0)
     assert kafka_sim._count_records(fpath) == 3
+
+
+def test_distinct_groups_pace_independently(spark, tmp_path):
+    """Two capped consumers with distinct groupIds over ONE log dir keep
+    separate broker-side pacing bases — consumer B starts from offset 0
+    even after consumer A has drained ahead (shared-group behavior would
+    hand B a base at A's frontier and skip the early records)."""
+
+    def drain(group, ckpt, cap):
+        got: list[str] = []
+
+        def sink(batch_df, _bid):
+            got.extend(r["value"] for r in batch_df.collect())
+
+        q = (
+            kafka.kafka_sim_value_stream(
+                spark,
+                str(tmp_path / "log"),
+                "hr-stream",
+                max_records_per_batch=cap,
+                group_id=group,
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "drain timed out"
+        finally:
+            q.stop()
+        return got
+
+    kafka_sim.produce(
+        str(tmp_path / "log"), "hr-stream", [f"m-{i}" for i in range(8)], 0
+    )
+    # availableNow freezes each run's target at its first latestOffset:
+    # base (per group) + cap.
+    assert drain("group-a", "ckpt-a", 3) == ["m-0", "m-1", "m-2"]
+    assert drain("group-b", "ckpt-b", 5) == [f"m-{i}" for i in range(5)]
+    # group A resumes from ITS frontier (3), untouched by group B's run
+    assert drain("group-a", "ckpt-a", 3) == ["m-3", "m-4", "m-5"]
