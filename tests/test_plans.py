@@ -420,3 +420,32 @@ def test_burstiness_reuses_user_exchange(spark, sf_dir):
     p = plans.executed_plan(df)
     assert plans.count_exchanges(df) <= 2
     assert "rangepartitioning" not in p
+
+
+def test_tfidf_pairs_no_cartesian_no_global_sort(spark, sf_dir):
+    """The exact TF-IDF pair kernel must get its candidates from the
+    inverted term index (equi-join on term within the source block) —
+    an unbroadcast CartesianProduct means all-pairs; a rangepartitioning
+    exchange means something global-sorted the corpus. The df and
+    n_docs model tables join as broadcasts."""
+    from sparkstreaming_rawdataingestion_spark.operators import retrieval
+
+    df = retrieval.q_tfidf_cosine_pairs(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p  # df-model join stays broadcast
+
+
+def test_winnowing_pairs_df_capped_equi_join(spark, sf_dir):
+    """Winnowing pairs come from the df-capped inverted fingerprint
+    index: the pair join is an equi-join on fp (never cartesian, never
+    a global sort), and the whole kernel is a bounded shuffle chain —
+    per-doc windows plus the fp/pair aggregations."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.q_winnowing_candidate_pairs(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p
+    assert plans.count_exchanges(df) <= 6
