@@ -15,6 +15,10 @@ executable and tested:
   topic string, partition int, offset long, timestamp timestamp,
   timestampType int``) — downstream code cannot tell them apart;
 - multi-topic ``subscribe`` as a comma-separated list (op 2);
+- the connector's ``startingOffsets`` / ``endingOffsets`` grammar:
+  ``earliest``, ``latest``, or per-partition JSON with Kafka's -2/-1
+  sentinels — honored by the batch reader on both ends and by the
+  stream reader on a fresh checkpoint, exactly like the real source;
 - the direct-stream partition model: one topic-partition log → one
   ``InputPartition`` → one Spark task, batch and streaming alike;
 - dense monotonically increasing per-partition offsets, resumable from a
@@ -154,6 +158,44 @@ def _topics_from_options(options) -> list[str]:
     return topics
 
 
+def _resolve_offsets_option(
+    value: str, counts: dict[str, int], default_sentinel: int
+) -> dict[str, int]:
+    """Resolve a ``startingOffsets``/``endingOffsets`` option to concrete
+    per-topic-partition offsets — the real connector's grammar:
+    ``"earliest"``, ``"latest"``, or per-partition JSON
+    ``{"topic": {"0": 23, "1": -1}}`` with Kafka's sentinels (-2 =
+    earliest, -1 = latest). Unlisted partitions fall back to
+    ``default_sentinel`` (the connector's rule: -2 for starting, -1 for
+    ending). Out-of-range requests clamp to the log bounds — the log is
+    the retention horizon, so "before earliest" IS earliest here."""
+    spec = value.strip()
+    if spec == "earliest":
+        return {tp: 0 for tp in counts}
+    if spec == "latest":
+        return dict(counts)
+    try:
+        raw = json.loads(spec)
+        assert isinstance(raw, dict)
+    except (ValueError, AssertionError):
+        raise ValueError(
+            "offsets option must be 'earliest', 'latest', or "
+            f"per-partition JSON, got {value!r}"
+        ) from None
+    out: dict[str, int] = {}
+    for tp, hi in counts.items():
+        topic, _, part = tp.rpartition(":")
+        off = int(raw.get(topic, {}).get(part, default_sentinel))
+        if off == -2:
+            off = 0
+        elif off == -1:
+            off = hi
+        elif off < 0:
+            raise ValueError(f"invalid offset {off} for {tp}")
+        out[tp] = min(off, hi)
+    return out
+
+
 class _Slice(InputPartition):
     """One (topic-partition, offset-range) unit of work — the simulator's
     OffsetRange. Picklable; shipped to the Python worker that reads it."""
@@ -177,14 +219,22 @@ class KafkaSimBatchReader(DataSourceReader):
         if not self._path:
             raise ValueError("kafka_sim requires option 'path' (log dir)")
         self._topics = _topics_from_options(options)
+        # Real-connector batch semantics: default earliest → latest.
+        self._starting = options.get("startingOffsets", "earliest")
+        self._ending = options.get("endingOffsets", "latest")
 
     def partitions(self) -> Sequence[InputPartition]:
         # One Spark partition per topic-partition log — the direct-stream
         # mapping; a subscribe over T topics × P partitions yields T×P
         # parallel tasks with no shuffle.
+        files = _partition_files(self._path, self._topics)
+        counts = {f"{t}:{p}": _count_records(f) for t, p, f in files}
+        starts = _resolve_offsets_option(self._starting, counts, -2)
+        ends = _resolve_offsets_option(self._ending, counts, -1)
         return [
-            _Slice(t, p, f, 0, _count_records(f))
-            for t, p, f in _partition_files(self._path, self._topics)
+            _Slice(t, p, f, starts[f"{t}:{p}"], ends[f"{t}:{p}"])
+            for t, p, f in files
+            if ends[f"{t}:{p}"] > starts[f"{t}:{p}"]
         ]
 
     def read(self, partition: _Slice) -> Iterator[tuple]:
@@ -210,6 +260,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
     transactional sink, e.g. ``sinks.dedup_on_pk``)."""
 
     def __init__(self, options):
+        self._options = options
         self._path = options.get("path")
         if not self._path:
             raise ValueError("kafka_sim requires option 'path' (log dir)")
@@ -258,15 +309,52 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         os.replace(tmp, fpath)
 
     def initialOffset(self) -> dict:
-        return {
-            f"{t}:{p}": 0 for t, p, _ in _partition_files(self._path, self._topics)
+        # Consulted only on a FRESH checkpoint (the engine owns offsets
+        # afterwards) — exactly when the real connector honors
+        # startingOffsets. 'latest' makes the stream tail-only; JSON
+        # pins per-partition resume points for log-replay jobs.
+        counts = {
+            f"{t}:{p}": _count_records(f)
+            for t, p, f in _partition_files(self._path, self._topics)
         }
+        initial = _resolve_offsets_option(
+            self._options.get("startingOffsets", "earliest"), counts, -2
+        )
+        # The pacing base must never sit below the start position: a
+        # capped 'latest' stream would otherwise plan base(0)+cap — an
+        # end BELOW the initial offset — and walk backwards.
+        for tp, off in initial.items():
+            if self._planned.get(tp, 0) < off:
+                self._planned[tp] = off
+        self._save_group_offsets()
+        return initial
 
     def latestOffset(self) -> dict:
         latest = {
             f"{t}:{p}": _count_records(f)
             for t, p, f in _partition_files(self._path, self._topics)
         }
+        # First contact with a partition (no sidecar entry): the pacing
+        # base starts at the RESOLVED startingOffsets position, not 0.
+        # The engine calls latestOffset before initialOffset on a fresh
+        # query (availableNow single-batch capture), so a capped
+        # 'latest'/JSON stream that based at 0 would capture an end
+        # BELOW its own start and checkpoint a frontier behind it —
+        # redelivering the skipped backlog on restart. Partitions
+        # already in the sidecar keep their frontier (restarts pace
+        # forward from it); partitions appearing mid-stream still
+        # DELIVER from 0 — the engine passes their true range to
+        # partitions() — matching the real connector, where
+        # startingOffsets applies only at query start.
+        missing = [tp for tp in latest if tp not in self._planned]
+        if missing:
+            floor = _resolve_offsets_option(
+                self._options.get("startingOffsets", "earliest"),
+                dict(latest),
+                -2,
+            )
+            for tp in missing:
+                self._planned[tp] = floor[tp]
         if self._cap is not None:
             for tp, hi in latest.items():
                 base = self._planned.get(tp, 0)

@@ -416,3 +416,82 @@ def test_distinct_groups_pace_independently(spark, tmp_path):
     assert drain("group-b", "ckpt-b", 5) == [f"m-{i}" for i in range(5)]
     # group A resumes from ITS frontier (3), untouched by group B's run
     assert drain("group-a", "ckpt-a", 3) == ["m-3", "m-4", "m-5"]
+
+
+def test_batch_offset_ranges(spark, tmp_path):
+    """startingOffsets / endingOffsets on the batch reader: the real
+    connector's grammar — earliest/latest defaults, per-partition JSON,
+    and Kafka's -2 (earliest) / -1 (latest) sentinels for unlisted or
+    sentinel-valued partitions."""
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", [f"m-{i}" for i in range(6)], 0)
+    kafka_sim.produce(log, "hr-stream", [f"p1-{i}" for i in range(3)], 1)
+    kafka_sim.register(spark)
+
+    def read(**opts):
+        r = (
+            spark.read.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("subscribe", "hr-stream")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(x["value"].decode() for x in r.load().collect())
+
+    # JSON range on p0; p1 defaults to full range (-2 start, -1 end)
+    assert read(
+        startingOffsets='{"hr-stream": {"0": 2}}',
+        endingOffsets='{"hr-stream": {"0": 5}}',
+    ) == ["m-2", "m-3", "m-4", "p1-0", "p1-1", "p1-2"]
+    # sentinels inside JSON + clamping past the log end
+    assert read(startingOffsets='{"hr-stream": {"0": -1, "1": 1}}') == [
+        "p1-1",
+        "p1-2",
+    ]
+    assert read(endingOffsets='{"hr-stream": {"0": 99, "1": -2}}') == [
+        f"m-{i}" for i in range(6)
+    ]
+    with pytest.raises(Exception, match="offsets option"):
+        read(startingOffsets="bogus")
+
+
+def test_stream_starting_offsets_latest_tails_only(spark, tmp_path):
+    """startingOffsets=latest on a FRESH checkpoint: the backlog is
+    skipped (the tail-only monitoring pattern); records produced after
+    the first run arrive on restart — and a capped tail stream paces
+    FORWARD from the latest frontier, never below it."""
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    kafka_sim.produce(log, "hr-stream", [f"old-{i}" for i in range(5)], 0)
+
+    def drain(cap=None):
+        got: list[str] = []
+
+        def sink(batch_df, _bid):
+            got.extend(r["value"].decode() for r in batch_df.collect())
+
+        kafka_sim.register(spark)
+        reader = (
+            spark.readStream.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("subscribe", "hr-stream")
+            .option("startingOffsets", "latest")
+        )
+        if cap is not None:
+            reader = reader.option("maxRecordsPerBatch", str(cap))
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "drain timed out"
+        finally:
+            q.stop()
+        return got
+
+    assert drain(cap=3) == []  # fresh: backlog of 5 skipped, cap paces from 5
+    kafka_sim.produce(log, "hr-stream", ["new-0", "new-1"], 0)
+    assert drain() == ["new-0", "new-1"]  # checkpoint now owns offsets
