@@ -21,6 +21,10 @@ executable and tested:
   stream reader on a fresh checkpoint, exactly like the real source;
 - the direct-stream partition model: one topic-partition log → one
   ``InputPartition`` → one Spark task, batch and streaming alike;
+- ``failOnDataLoss`` (default true): a checkpointed range that the log
+  can no longer serve (truncated file = retention eviction, deleted
+  topic dir = topic deletion) raises instead of silently skipping;
+  ``false`` continues from what the log still has;
 - dense monotonically increasing per-partition offsets, resumable from a
   Structured Streaming checkpoint (exactly-once restart is pinned by
   ``tests/test_kafka_sim.py``);
@@ -373,6 +377,9 @@ class KafkaSimStreamReader(DataSourceStreamReader):
             f"{t}:{p}": (t, p, f)
             for t, p, f in _partition_files(self._path, self._topics)
         }
+        fail_on_loss = (
+            str(self._options.get("failOnDataLoss", "true")).lower() != "false"
+        )
         out = []
         for tp, hi in end.items():
             # After a crash the engine replans the uncommitted batch from
@@ -382,8 +389,30 @@ class KafkaSimStreamReader(DataSourceStreamReader):
             lo = start.get(tp, 0)
             if self._planned.get(tp, 0) < hi:
                 self._planned[tp] = hi
-            if tp in files and hi > lo:
-                t, p, f = files[tp]
+            if tp not in files:
+                # Topic/partition vanished (deleted log = Kafka topic
+                # deletion): checkpointed-but-unreadable range is data
+                # loss, the connector's failOnDataLoss contract.
+                if hi > lo and fail_on_loss:
+                    raise ValueError(
+                        f"data loss detected: {tp} no longer exists but "
+                        f"offsets [{lo}, {hi}) are checkpointed; set "
+                        "failOnDataLoss=false to continue"
+                    )
+                continue
+            t, p, f = files[tp]
+            if lo > _count_records(f):
+                # Log shrank below the committed frontier (out-of-range
+                # offsets = retention/truncation in Kafka terms).
+                if fail_on_loss:
+                    raise ValueError(
+                        f"data loss detected: {tp} has "
+                        f"{_count_records(f)} records but the stream is "
+                        f"committed at {lo}; set failOnDataLoss=false "
+                        "to continue from the new log end"
+                    )
+                continue
+            if hi > lo:
                 out.append(_Slice(t, p, f, lo, hi))
         # Empty delta → no partitions → an empty micro-batch (legal).
         return out

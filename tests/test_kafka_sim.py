@@ -495,3 +495,106 @@ def test_stream_starting_offsets_latest_tails_only(spark, tmp_path):
     assert drain(cap=3) == []  # fresh: backlog of 5 skipped, cap paces from 5
     kafka_sim.produce(log, "hr-stream", ["new-0", "new-1"], 0)
     assert drain() == ["new-0", "new-1"]  # checkpoint now owns offsets
+
+
+def test_fail_on_data_loss(spark, tmp_path):
+    """failOnDataLoss contract: a committed frontier the log can no
+    longer serve (truncation = retention eviction) kills the query by
+    default; failOnDataLoss=false continues, resuming once the log
+    grows past the committed offset — no phantom redelivery of the
+    evicted range."""
+    import os
+
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    kafka_sim.produce(log, "hr-stream", [f"m-{i}" for i in range(6)], 0)
+    first: list[str] = []
+    _drain_stream(spark, log, "hr-stream", ckpt, first)
+    assert len(first) == 6
+
+    # truncate the log below the committed frontier (6 -> 2 records)
+    fpath = os.path.join(log, "hr-stream", "p0.jsonl")
+    with open(fpath, encoding="utf-8") as f:
+        lines = f.readlines()
+    with open(fpath, "w", encoding="utf-8") as f:
+        f.writelines(lines[:2])
+
+    def restart(**opts):
+        got: list[str] = []
+
+        def sink(batch_df, _bid):
+            got.extend(r["value"] for r in batch_df.collect())
+
+        kafka_sim.register(spark)
+        reader = (
+            spark.readStream.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("subscribe", "hr-stream")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .selectExpr("CAST(value AS STRING) AS value")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return got
+
+    # grow the log again so a batch gets planned, but offsets 2-5 are gone
+    kafka_sim.produce(log, "hr-stream", ["after-0"], 0)  # count 3 < committed 6
+    kafka_sim.produce(log, "hr-stream", ["after-1", "after-2", "after-3", "after-4"], 0)
+    # count now 7 > committed 6 — the delta [6, 7) is plannable, but the
+    # checker sees lo(6) <= count(7): range [6,7) serves 'after-4'... the
+    # loss happened BEHIND the frontier, which offset-based resume cannot
+    # observe — exactly Kafka's semantics (only out-of-range offsets are
+    # detectable loss).
+    got = restart()
+    assert got == ["after-4"]
+
+    # now truncate BELOW the frontier and let the engine plan a replay:
+    # committed 7, log cut to 1 record, then grown to 2 — latest (2) stays
+    # below the frontier, so no loss is even plannable; cut + checkpointed
+    # uncommitted range is covered by the unit test below.
+    with open(fpath, "w", encoding="utf-8") as f:
+        f.writelines(lines[:1])
+    got = restart(failOnDataLoss="false")
+    assert got == []  # nothing plannable, no crash with the guard off
+
+
+def test_data_loss_detection_unit(tmp_path):
+    """partitions() itself enforces the contract (unit level, so the
+    vanished-topic and truncated-log branches are both exercised
+    deterministically)."""
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", ["a", "b"], 0)
+
+    def reader(**extra):
+        return kafka_sim.KafkaSimStreamReader(
+            {"path": log, "subscribe": "hr-stream", **extra}
+        )
+
+    # truncation: committed range starts past the 2-record log
+    with pytest.raises(ValueError, match="data loss"):
+        reader().partitions({"hr-stream:0": 5}, {"hr-stream:0": 7})
+    assert (
+        reader(failOnDataLoss="false").partitions(
+            {"hr-stream:0": 5}, {"hr-stream:0": 7}
+        )
+        == []
+    )
+    # vanished partition: checkpointed range for a log that's gone
+    with pytest.raises(ValueError, match="no longer exists"):
+        reader().partitions({"hr-stream:9": 0}, {"hr-stream:9": 3})
+    assert (
+        reader(failOnDataLoss="false").partitions(
+            {"hr-stream:9": 0}, {"hr-stream:9": 3}
+        )
+        == []
+    )
