@@ -14,13 +14,18 @@ executable and tested:
 - same output schema as the real connector (``key binary, value binary,
   topic string, partition int, offset long, timestamp timestamp,
   timestampType int``) — downstream code cannot tell them apart;
-- multi-topic ``subscribe`` as a comma-separated list (op 2);
+- the full source-selection grammar (op 2): multi-topic ``subscribe``
+  CSV, ``subscribePattern`` topic regex, and ``assign`` explicit
+  partition JSON — exactly one required, like the real connector;
 - the connector's ``startingOffsets`` / ``endingOffsets`` grammar:
   ``earliest``, ``latest``, or per-partition JSON with Kafka's -2/-1
   sentinels — honored by the batch reader on both ends and by the
   stream reader on a fresh checkpoint, exactly like the real source;
 - the direct-stream partition model: one topic-partition log → one
-  ``InputPartition`` → one Spark task, batch and streaming alike;
+  ``InputPartition`` → one Spark task, batch and streaming alike —
+  plus ``minPartitions``, which halves the widest offset ranges until
+  the requested task count is met (few fat Kafka partitions still fan
+  out across a big cluster);
 - ``failOnDataLoss`` (default true): a checkpointed range that the log
   can no longer serve (truncated file = retention eviction, deleted
   topic dir = topic deletion) raises instead of silently skipping;
@@ -154,12 +159,91 @@ def _read_slice(
             offset += 1
 
 
-def _topics_from_options(options) -> list[str]:
-    subscribe = options.get("subscribe", "")
-    topics = [t.strip() for t in subscribe.split(",") if t.strip()]
-    if not topics:
-        raise ValueError("kafka_sim requires option 'subscribe' (CSV topics)")
-    return topics
+def _selection_from_options(options) -> tuple[str, object]:
+    """The connector's source-selection grammar: exactly one of
+    ``subscribe`` (CSV topics), ``subscribePattern`` (topic regex), or
+    ``assign`` (JSON ``{"topic": [0, 1]}`` of explicit partitions)."""
+    given = [
+        k
+        for k in ("subscribe", "subscribePattern", "assign")
+        if options.get(k, "").strip()
+    ]
+    if len(given) != 1:
+        raise ValueError(
+            "kafka_sim requires exactly one of 'subscribe', "
+            f"'subscribePattern', 'assign' (got {given or 'none'})"
+        )
+    kind = given[0]
+    raw = options.get(kind).strip()
+    if kind == "subscribe":
+        return kind, [t.strip() for t in raw.split(",") if t.strip()]
+    if kind == "subscribePattern":
+        return kind, re.compile(raw)
+    try:
+        spec = json.loads(raw)
+        assert isinstance(spec, dict) and all(
+            isinstance(v, list) for v in spec.values()
+        )
+    except (ValueError, AssertionError):
+        raise ValueError(
+            f"assign must be JSON {{'topic': [partitions]}}, got {raw!r}"
+        ) from None
+    return kind, {t: {int(p) for p in ps} for t, ps in spec.items()}
+
+
+def _selected_files(path: str, selection: tuple[str, object]) -> list[tuple[str, int, str]]:
+    """(topic, partition, file) for the selection — the metadata-refresh
+    twin of ``_partition_files`` covering all three selection modes.
+    Pattern subscription discovers topics from the log dir itself
+    (``_consumer_offsets`` is broker metadata, never a topic)."""
+    kind, spec = selection
+    if kind == "subscribe":
+        return _partition_files(path, spec)  # type: ignore[arg-type]
+    if kind == "subscribePattern":
+        topics = sorted(
+            d
+            for d in (os.listdir(path) if os.path.isdir(path) else [])
+            if d != "_consumer_offsets"
+            and os.path.isdir(os.path.join(path, d))
+            and spec.fullmatch(d)  # type: ignore[union-attr]
+        )
+        return _partition_files(path, topics)
+    out = []
+    for topic, parts in spec.items():  # type: ignore[union-attr]
+        for t, p, f in _partition_files(path, [topic]):
+            if p in parts:
+                out.append((t, p, f))
+    return out
+
+
+def _min_partitions_option(options) -> int | None:
+    raw = options.get("minPartitions")
+    if raw is None:
+        return None
+    n = int(raw)
+    if n <= 0:
+        raise ValueError(f"minPartitions must be a positive int, got {raw!r}")
+    return n
+
+
+def _split_to_min_partitions(
+    slices: list[_Slice], min_partitions: int
+) -> list[_Slice]:
+    """The connector's ``minPartitions``: when fewer topic-partition
+    ranges exist than requested Spark tasks, repeatedly halve the widest
+    range — few fat Kafka partitions still fan out across the cluster.
+    Order-stable per (topic, partition, start) so plans are
+    deterministic."""
+    work = list(slices)
+    while len(work) < min_partitions:
+        widest = max(work, key=lambda s: s.end - s.start, default=None)
+        if widest is None or widest.end - widest.start <= 1:
+            break  # nothing splittable left
+        mid = (widest.start + widest.end) // 2
+        work.remove(widest)
+        work.append(_Slice(widest.topic, widest.part, widest.path, widest.start, mid))
+        work.append(_Slice(widest.topic, widest.part, widest.path, mid, widest.end))
+    return sorted(work, key=lambda s: (s.topic, s.part, s.start))
 
 
 def _resolve_offsets_option(
@@ -222,24 +306,29 @@ class KafkaSimBatchReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("kafka_sim requires option 'path' (log dir)")
-        self._topics = _topics_from_options(options)
+        self._selection = _selection_from_options(options)
         # Real-connector batch semantics: default earliest → latest.
         self._starting = options.get("startingOffsets", "earliest")
         self._ending = options.get("endingOffsets", "latest")
+        self._min_partitions = _min_partitions_option(options)
 
     def partitions(self) -> Sequence[InputPartition]:
         # One Spark partition per topic-partition log — the direct-stream
         # mapping; a subscribe over T topics × P partitions yields T×P
-        # parallel tasks with no shuffle.
-        files = _partition_files(self._path, self._topics)
+        # parallel tasks with no shuffle. minPartitions splits ranges
+        # further when fewer logs exist than requested tasks.
+        files = _selected_files(self._path, self._selection)
         counts = {f"{t}:{p}": _count_records(f) for t, p, f in files}
         starts = _resolve_offsets_option(self._starting, counts, -2)
         ends = _resolve_offsets_option(self._ending, counts, -1)
-        return [
+        slices = [
             _Slice(t, p, f, starts[f"{t}:{p}"], ends[f"{t}:{p}"])
             for t, p, f in files
             if ends[f"{t}:{p}"] > starts[f"{t}:{p}"]
         ]
+        if self._min_partitions is not None:
+            slices = _split_to_min_partitions(slices, self._min_partitions)
+        return slices
 
     def read(self, partition: _Slice) -> Iterator[tuple]:
         return _read_slice(
@@ -268,7 +357,8 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("kafka_sim requires option 'path' (log dir)")
-        self._topics = _topics_from_options(options)
+        self._selection = _selection_from_options(options)
+        self._min_partitions = _min_partitions_option(options)
         cap = options.get("maxRecordsPerBatch")
         self._cap = int(cap) if cap is not None else None
         if self._cap is not None and self._cap <= 0:
@@ -319,7 +409,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         # pins per-partition resume points for log-replay jobs.
         counts = {
             f"{t}:{p}": _count_records(f)
-            for t, p, f in _partition_files(self._path, self._topics)
+            for t, p, f in _selected_files(self._path, self._selection)
         }
         initial = _resolve_offsets_option(
             self._options.get("startingOffsets", "earliest"), counts, -2
@@ -336,7 +426,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         latest = {
             f"{t}:{p}": _count_records(f)
-            for t, p, f in _partition_files(self._path, self._topics)
+            for t, p, f in _selected_files(self._path, self._selection)
         }
         # First contact with a partition (no sidecar entry): the pacing
         # base starts at the RESOLVED startingOffsets position, not 0.
@@ -375,7 +465,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files = {
             f"{t}:{p}": (t, p, f)
-            for t, p, f in _partition_files(self._path, self._topics)
+            for t, p, f in _selected_files(self._path, self._selection)
         }
         fail_on_loss = (
             str(self._options.get("failOnDataLoss", "true")).lower() != "false"
@@ -414,6 +504,8 @@ class KafkaSimStreamReader(DataSourceStreamReader):
                 continue
             if hi > lo:
                 out.append(_Slice(t, p, f, lo, hi))
+        if self._min_partitions is not None:
+            out = _split_to_min_partitions(out, self._min_partitions)
         # Empty delta → no partitions → an empty micro-batch (legal).
         return out
 

@@ -598,3 +598,76 @@ def test_data_loss_detection_unit(tmp_path):
         )
         == []
     )
+
+
+def test_subscribe_pattern_and_assign(spark, tmp_path):
+    """The other two legs of the selection grammar: subscribePattern
+    (topic regex — discovers topics from the broker, never the
+    _consumer_offsets metadata dir) and assign (explicit partitions);
+    exactly one selection option is required."""
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", ["h0"], 0)
+    kafka_sim.produce(log, "hr-stream", ["h1"], 1)
+    kafka_sim.produce(log, "gps-stream", ["g0"], 0)
+    kafka_sim.produce(log, "audit", ["a0"], 0)
+    # a groupId sidecar must never be discovered as a topic
+    import os
+
+    os.makedirs(os.path.join(log, "_consumer_offsets"), exist_ok=True)
+    kafka_sim.register(spark)
+
+    def read(**opts):
+        r = spark.read.format(kafka_sim.SOURCE_NAME).option("path", log)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(x["value"].decode() for x in r.load().collect())
+
+    assert read(subscribePattern=".*-stream") == ["g0", "h0", "h1"]
+    assert read(subscribePattern=".*") == ["a0", "g0", "h0", "h1"]
+    assert read(assign='{"hr-stream": [1]}') == ["h1"]
+    assert read(assign='{"hr-stream": [0, 1], "audit": [0]}') == [
+        "a0",
+        "h0",
+        "h1",
+    ]
+    with pytest.raises(Exception, match="exactly one"):
+        read()
+    with pytest.raises(Exception, match="exactly one"):
+        read(subscribe="audit", subscribePattern=".*")
+    with pytest.raises(Exception, match="assign must be"):
+        read(assign="not json")
+
+
+def test_min_partitions_splits_ranges(spark, tmp_path):
+    """minPartitions: one fat topic-partition fans out into N Spark
+    tasks by halving the widest offset range; the union of the split
+    ranges is exactly the original data."""
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", [f"m-{i}" for i in range(16)], 0)
+    kafka_sim.register(spark)
+    df = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", "hr-stream")
+        .option("minPartitions", "4")
+        .load()
+    )
+    parts = df.rdd.glom().map(len).collect()
+    assert sorted(p for p in parts if p) == [4, 4, 4, 4]
+    assert sorted(r["value"].decode() for r in df.collect()) == sorted(
+        f"m-{i}" for i in range(16)
+    )
+    # streaming honors it too: a capped drain still respects the split
+    reader = kafka_sim.KafkaSimStreamReader(
+        {"path": log, "subscribe": "hr-stream", "minPartitions": "3"}
+    )
+    slices = reader.partitions({"hr-stream:0": 0}, {"hr-stream:0": 16})
+    assert len(slices) == 3
+    ranges = sorted((s.start, s.end) for s in slices)
+    # contiguous, non-overlapping cover of exactly [0, 16)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 16
+    assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+    with pytest.raises(Exception, match="positive"):
+        kafka_sim.KafkaSimStreamReader(
+            {"path": log, "subscribe": "hr-stream", "minPartitions": "0"}
+        )
