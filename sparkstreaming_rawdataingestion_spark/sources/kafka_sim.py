@@ -127,6 +127,15 @@ def _count_records(fpath: str) -> int:
         for line in f:
             if line.strip():
                 n += 1
+    if len(_COUNT_CACHE) >= 4096:
+        # Bound the cache in long-lived planner processes serving many
+        # rotating log dirs: drop entries for files that no longer
+        # exist; if everything is still live, drop it all (one re-count
+        # per file is cheaper than unbounded growth).
+        for k in [k for k in _COUNT_CACHE if not os.path.exists(k)]:
+            del _COUNT_CACHE[k]
+        if len(_COUNT_CACHE) >= 4096:
+            _COUNT_CACHE.clear()
     _COUNT_CACHE[fpath] = (sig, n)
     return n
 
@@ -176,19 +185,34 @@ def _selection_from_options(options) -> tuple[str, object]:
     kind = given[0]
     raw = options.get(kind).strip()
     if kind == "subscribe":
-        return kind, [t.strip() for t in raw.split(",") if t.strip()]
+        # dict.fromkeys: subscribe is a topic SET — a repeated topic in a
+        # programmatically-assembled CSV must not double-read the log
+        # (the stream reader's offset dict dedups implicitly; the batch
+        # reader would otherwise emit one slice per occurrence).
+        return kind, list(
+            dict.fromkeys(t.strip() for t in raw.split(",") if t.strip())
+        )
     if kind == "subscribePattern":
-        return kind, re.compile(raw)
+        try:
+            return kind, re.compile(raw)
+        except re.error as e:
+            raise ValueError(
+                f"subscribePattern is not a valid regex: {raw!r} ({e})"
+            ) from None
     try:
         spec = json.loads(raw)
         assert isinstance(spec, dict) and all(
             isinstance(v, list) for v in spec.values()
         )
+        # int(str(p)): rejects fractional partitions ('0.5' raises) and
+        # non-numeric entries INSIDE the guarded block, so every shape
+        # error gets the same grammar message.
+        parsed = {t: {int(str(p)) for p in ps} for t, ps in spec.items()}
     except (ValueError, AssertionError):
         raise ValueError(
             f"assign must be JSON {{'topic': [partitions]}}, got {raw!r}"
         ) from None
-    return kind, {t: {int(p) for p in ps} for t, ps in spec.items()}
+    return kind, parsed
 
 
 def _selected_files(path: str, selection: tuple[str, object]) -> list[tuple[str, int, str]]:
@@ -233,7 +257,12 @@ def _split_to_min_partitions(
     ranges exist than requested Spark tasks, repeatedly halve the widest
     range — few fat Kafka partitions still fan out across the cluster.
     Order-stable per (topic, partition, start) so plans are
-    deterministic."""
+    deterministic.
+
+    Cost note: ``_read_slice`` reaches a range by line-skipping from the
+    file head (JSONL has no byte index), so N splits of one log read
+    ~N/2 × the file in aggregate. Fine for this dev transport; the real
+    connector seeks by offset, which is one reason it owns production."""
     work = list(slices)
     while len(work) < min_partitions:
         widest = max(work, key=lambda s: s.end - s.start, default=None)
@@ -273,7 +302,19 @@ def _resolve_offsets_option(
     out: dict[str, int] = {}
     for tp, hi in counts.items():
         topic, _, part = tp.rpartition(":")
-        off = int(raw.get(topic, {}).get(part, default_sentinel))
+        entry = raw.get(topic, {})
+        if not isinstance(entry, dict):
+            raise ValueError(
+                "offsets JSON must map topics to {partition: offset} "
+                f"objects, got {entry!r} for topic {topic!r}"
+            )
+        try:
+            off = int(str(entry.get(part, default_sentinel)))
+        except ValueError:
+            raise ValueError(
+                f"offset for {tp} must be an int (or -1/-2 sentinel), "
+                f"got {entry.get(part)!r}"
+            ) from None
         if off == -2:
             off = 0
         elif off == -1:
@@ -307,9 +348,20 @@ class KafkaSimBatchReader(DataSourceReader):
         if not self._path:
             raise ValueError("kafka_sim requires option 'path' (log dir)")
         self._selection = _selection_from_options(options)
-        # Real-connector batch semantics: default earliest → latest.
+        # Real-connector batch semantics: default earliest → latest; the
+        # connector rejects 'latest' starts and 'earliest' ends for batch
+        # outright — a mistyped backfill must fail loudly, not return an
+        # empty frame.
         self._starting = options.get("startingOffsets", "earliest")
+        if self._starting.strip() == "latest":
+            raise ValueError(
+                "startingOffsets='latest' is not valid for batch queries"
+            )
         self._ending = options.get("endingOffsets", "latest")
+        if self._ending.strip() == "earliest":
+            raise ValueError(
+                "endingOffsets='earliest' is not valid for batch queries"
+            )
         self._min_partitions = _min_partitions_option(options)
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -321,6 +373,13 @@ class KafkaSimBatchReader(DataSourceReader):
         counts = {f"{t}:{p}": _count_records(f) for t, p, f in files}
         starts = _resolve_offsets_option(self._starting, counts, -2)
         ends = _resolve_offsets_option(self._ending, counts, -1)
+        for tp in counts:
+            if starts[tp] > ends[tp]:
+                # the real connector asserts start <= end per partition
+                raise ValueError(
+                    f"startingOffset {starts[tp]} > endingOffset "
+                    f"{ends[tp]} for {tp}"
+                )
         slices = [
             _Slice(t, p, f, starts[f"{t}:{p}"], ends[f"{t}:{p}"])
             for t, p, f in files
@@ -380,6 +439,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         # a base above an uncommitted replayed range is harmless (the
         # engine passes that range explicitly to partitions()).
         self._planned: dict[str, int] = self._load_group_offsets()
+        self._saved: dict[str, int] = dict(self._planned)
 
     def _group_offsets_file(self) -> str:
         return os.path.join(
@@ -395,12 +455,21 @@ class KafkaSimStreamReader(DataSourceStreamReader):
             return {}
 
     def _save_group_offsets(self) -> None:
-        fpath = self._group_offsets_file()
-        os.makedirs(os.path.dirname(fpath), exist_ok=True)
-        tmp = fpath + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(self._planned, f)
-        os.replace(tmp, fpath)
+        if self._planned == self._saved:
+            return  # idle polling stream: no frontier change, no I/O
+        try:
+            fpath = self._group_offsets_file()
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            tmp = fpath + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(self._planned, f)
+            os.replace(tmp, fpath)
+            self._saved = dict(self._planned)
+        except OSError:
+            # Best-effort: the sidecar is pacing bookkeeping, never
+            # correctness state — a read-only log dir must not kill a
+            # stream that never needed to write before this feature.
+            pass
 
     def initialOffset(self) -> dict:
         # Consulted only on a FRESH checkpoint (the engine owns offsets
@@ -414,12 +483,19 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         initial = _resolve_offsets_option(
             self._options.get("startingOffsets", "earliest"), counts, -2
         )
-        # The pacing base must never sit below the start position: a
-        # capped 'latest' stream would otherwise plan base(0)+cap — an
-        # end BELOW the initial offset — and walk backwards.
-        for tp, off in initial.items():
-            if self._planned.get(tp, 0) < off:
-                self._planned[tp] = off
+        # initialOffset fires ONLY for fresh queries, so it RESETS the
+        # pacing base to this query's own start — in both directions.
+        # Up: a capped 'latest' stream basing at 0 would plan an end
+        # below its start and walk backwards. Down: a stale sidecar from
+        # an earlier query over the same group would otherwise put the
+        # base at the OLD frontier, letting a fresh capped query's first
+        # batch span the whole backlog uncapped — the unbounded-replay
+        # batch the knob exists to prevent. (The group sidecar serves
+        # RESTARTS, which never call initialOffset. A capped query
+        # running concurrently on the same group sees its base yanked by
+        # this reset — same-group concurrency is documented-unsupported,
+        # exactly as in Kafka.)
+        self._planned = dict(initial)
         self._save_group_offsets()
         return initial
 

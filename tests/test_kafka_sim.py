@@ -671,3 +671,102 @@ def test_min_partitions_splits_ranges(spark, tmp_path):
         kafka_sim.KafkaSimStreamReader(
             {"path": log, "subscribe": "hr-stream", "minPartitions": "0"}
         )
+
+
+def test_review_regressions_round6_session(spark, tmp_path):
+    """Pins for the session's review findings: duplicate subscribe
+    topics read once (batch == stream), a stale group sidecar cannot
+    disable the cap for a FRESH query, batch rejects the grammar the
+    real connector rejects, and malformed offset/assign shapes all get
+    the friendly grammar error."""
+    import time
+
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", [f"m-{i}" for i in range(6)], 0)
+    kafka_sim.register(spark)
+
+    # 1) duplicate topics in the CSV are a set, not a multiplier
+    dup = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", "hr-stream,hr-stream")
+        .load()
+        .collect()
+    )
+    assert len(dup) == 6
+
+    # 2) stale sidecar: an earlier (uncapped) query leaves frontier 6 in
+    # the default group's sidecar; a FRESH capped polling query must
+    # still pace 2-at-a-time from ITS start (earliest), not deliver the
+    # whole backlog in one batch
+    first: list[str] = []
+    _drain_stream(spark, log, "hr-stream", str(tmp_path / "ckpt-a"), first)
+    assert len(first) == 6
+    sizes: list[int] = []
+    got: list[str] = []
+
+    def sink(batch_df, _bid):
+        vals = [r["value"] for r in batch_df.collect()]
+        if vals:
+            sizes.append(len(vals))
+            got.extend(vals)
+
+    q = (
+        kafka.kafka_sim_value_stream(
+            spark, log, "hr-stream", max_records_per_batch=2
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt-b"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while len(got) < 6 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(got) == [f"m-{i}" for i in range(6)]
+    assert max(sizes) <= 2
+
+    # 3) batch grammar: loud rejections, not silent empties
+    def batch(**opts):
+        r = (
+            spark.read.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("subscribe", "hr-stream")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load().collect()
+
+    with pytest.raises(Exception, match="not valid for batch"):
+        batch(startingOffsets="latest")
+    with pytest.raises(Exception, match="not valid for batch"):
+        batch(endingOffsets="earliest")
+    with pytest.raises(Exception, match="startingOffset"):
+        batch(
+            startingOffsets='{"hr-stream": {"0": 5}}',
+            endingOffsets='{"hr-stream": {"0": 2}}',
+        )
+    # 4) malformed shapes → the documented grammar errors
+    with pytest.raises(Exception, match="offsets JSON must map"):
+        batch(startingOffsets='{"hr-stream": [0, 5]}')
+    with pytest.raises(Exception, match="must be an int"):
+        batch(startingOffsets='{"hr-stream": {"0": "abc"}}')
+    with pytest.raises(Exception, match="assign must be"):
+        (
+            spark.read.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("assign", '{"hr-stream": [0.5]}')
+            .load()
+            .collect()
+        )
+    with pytest.raises(Exception, match="not a valid regex"):
+        (
+            spark.read.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("subscribePattern", "[")
+            .load()
+            .collect()
+        )
