@@ -770,3 +770,41 @@ def test_review_regressions_round6_session(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_pattern_discovers_new_topic_after_checkpoint(spark, tmp_path):
+    """subscribePattern is a live metadata refresh: a topic created
+    AFTER the first drain that matches the pattern is discovered on
+    restart and read from offset 0 (new-partition rule), without
+    touching already-committed topics."""
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    kafka_sim.produce(log, "metrics-a", ["a0", "a1"], 0)
+
+    def drain():
+        got: list[str] = []
+
+        def sink(batch_df, _bid):
+            got.extend(r["value"].decode() for r in batch_df.collect())
+
+        kafka_sim.register(spark)
+        q = (
+            spark.readStream.format(kafka_sim.SOURCE_NAME)
+            .option("path", log)
+            .option("subscribePattern", "metrics-.*")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "drain timed out"
+        finally:
+            q.stop()
+        return got
+
+    assert sorted(drain()) == ["a0", "a1"]
+    kafka_sim.produce(log, "metrics-b", ["b0"], 0)  # matches
+    kafka_sim.produce(log, "other", ["x0"], 0)  # does not
+    assert drain() == ["b0"]
