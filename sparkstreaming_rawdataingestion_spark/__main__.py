@@ -6,10 +6,11 @@
 
 SINK    output table root (parquet, day-partitioned) — stands in for the
         reference's Cassandra keyspace arg (args[0])
-SOURCE  message source: a directory of JSON-line message files, or Kafka
-        topics when --kafka-servers is given (args[1], comma-separated —
-        the reference's arg-count bug, which crashed on exactly one arg,
-        is fixed by actual argument parsing; SURVEY §0)
+SOURCE  message source: a directory of JSON-line message files; Kafka
+        topics when --kafka-servers is given; or simulated-broker topics
+        when --sim-log-dir is given (args[1], comma-separated — the
+        reference's arg-count bug, which crashed on exactly one arg, is
+        fixed by actual argument parsing; SURVEY §0)
 
 The query runs on the reference's 5 s processing-time cadence and blocks
 (``awaitTermination``, op 15) unless --available-now is passed, which
@@ -41,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drain available input once and exit (backfill)")
     p.add_argument("--kafka-servers", default=None,
                    help="bootstrap servers; SOURCE becomes the topic list")
+    p.add_argument("--sim-log-dir", default=None,
+                   help="simulated-broker log dir (sources/kafka_sim); "
+                   "SOURCE becomes the topic list — the full reference "
+                   "job with zero infrastructure")
     return p
 
 
@@ -56,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_path=args.checkpoint or f"{args.sink}/_checkpoint",
         trigger_seconds=None if args.available_now else args.trigger_seconds,
         kafka_servers=args.kafka_servers,
-        kafka_topics=args.source if args.kafka_servers else None,
+        kafka_topics=(
+            args.source if (args.kafka_servers or args.sim_log_dir) else None
+        ),
+        sim_log_dir=args.sim_log_dir,
     )
     query.awaitTermination()
     return 0

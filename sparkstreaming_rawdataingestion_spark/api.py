@@ -62,14 +62,22 @@ class Engine:
         trigger_seconds: int | None = _stream.DEFAULT_TRIGGER_SECONDS,
         kafka_servers: str | None = None,
         kafka_topics: str | None = None,
+        sim_log_dir: str | None = None,
     ):
         """The reference job: streaming messages → normalized parquet.
         With ``kafka_servers``/``kafka_topics`` the source is a real Kafka
-        subscription (ops 1-2); otherwise ``source_path`` is a message
-        file directory (the test stand-in)."""
+        subscription (ops 1-2); with ``sim_log_dir`` it is the simulated
+        broker (``sources/kafka_sim.py`` — same contract, no
+        infrastructure) subscribing to ``kafka_topics`` or
+        ``source_path`` as the topic list; otherwise ``source_path`` is a
+        message file directory (the test stand-in)."""
         if kafka_servers and kafka_topics:
             values = kafka.kafka_value_stream(
                 self.spark, kafka_servers, kafka_topics
+            )
+        elif sim_log_dir:
+            values = kafka.kafka_sim_value_stream(
+                self.spark, sim_log_dir, kafka_topics or source_path
             )
         else:
             values = kafka.message_file_stream(self.spark, source_path)

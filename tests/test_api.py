@@ -179,3 +179,33 @@ def test_engine_ctr_wilson_stream_facade(spark, tmp_path):
     assert set(df.columns) == {
         "day", "n_trials", "n_success", "p_hat", "wilson_lo", "wilson_hi",
     }
+
+
+def test_cli_entrypoint_sim_broker(spark, sf_dir, tmp_path):
+    """The reference job from the CLI against the simulated broker — the
+    complete spark-submit story with zero infrastructure: produce fixture
+    messages to topic logs, run `python -m ... SINK datapoints
+    --sim-log-dir LOG --available-now`, output equals one batch
+    normalize."""
+    from sparkstreaming_rawdataingestion_spark.__main__ import main
+    from sparkstreaming_rawdataingestion_spark.operators import ingest
+    from sparkstreaming_rawdataingestion_spark.sources import kafka_sim
+
+    log = str(tmp_path / "log")
+    messages = fixtures.events_to_messages(
+        Engine(spark, sf_dir).table("events"), include_edge_cases=True
+    )
+    values = [r["value"] for r in messages.collect()]
+    kafka_sim.produce(log, "datapoints", values[0::2], 0)
+    kafka_sim.produce(log, "datapoints", values[1::2], 1)
+
+    sink = str(tmp_path / "cli_sim_sink")
+    rc = main([sink, "datapoints", "--sim-log-dir", log, "--available-now"])
+    assert rc == 0
+    got = spark.read.parquet(sink)
+    want = ingest.ingest_normalize(messages)
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
