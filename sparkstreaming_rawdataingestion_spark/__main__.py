@@ -40,12 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="processing-time trigger (reference cadence: 5)")
     p.add_argument("--available-now", action="store_true",
                    help="drain available input once and exit (backfill)")
-    p.add_argument("--kafka-servers", default=None,
-                   help="bootstrap servers; SOURCE becomes the topic list")
-    p.add_argument("--sim-log-dir", default=None,
-                   help="simulated-broker log dir (sources/kafka_sim); "
-                   "SOURCE becomes the topic list — the full reference "
-                   "job with zero infrastructure")
+    broker = p.add_mutually_exclusive_group()
+    broker.add_argument("--kafka-servers", default=None,
+                        help="bootstrap servers; SOURCE becomes the topic "
+                        "list")
+    broker.add_argument("--sim-log-dir", default=None,
+                        help="simulated-broker log dir (sources/kafka_sim); "
+                        "SOURCE becomes the topic list — the full reference "
+                        "job with zero infrastructure")
     return p
 
 
