@@ -276,7 +276,11 @@ def _split_to_min_partitions(
 
 
 def _resolve_offsets_option(
-    value: str, counts: dict[str, int], default_sentinel: int
+    value: str,
+    counts: dict[str, int],
+    default_sentinel: int,
+    forbid_sentinel: int | None = None,
+    context: str = "offsets",
 ) -> dict[str, int]:
     """Resolve a ``startingOffsets``/``endingOffsets`` option to concrete
     per-topic-partition offsets — the real connector's grammar:
@@ -284,8 +288,12 @@ def _resolve_offsets_option(
     ``{"topic": {"0": 23, "1": -1}}`` with Kafka's sentinels (-2 =
     earliest, -1 = latest). Unlisted partitions fall back to
     ``default_sentinel`` (the connector's rule: -2 for starting, -1 for
-    ending). Out-of-range requests clamp to the log bounds — the log is
-    the retention horizon, so "before earliest" IS earliest here."""
+    ending); JSON keys outside the subscription raise, like the real
+    connector's unassigned-TopicPartition error — a typo'd backfill
+    range must fail loudly, not fall back to earliest. ``forbid_sentinel``
+    mirrors the batch rules (-1 starts / -2 ends are rejected even in
+    JSON form). Out-of-range requests clamp to the log bounds — the log
+    is the retention horizon, so "before earliest" IS earliest here."""
     spec = value.strip()
     if spec == "earliest":
         return {tp: 0 for tp in counts}
@@ -299,15 +307,23 @@ def _resolve_offsets_option(
             "offsets option must be 'earliest', 'latest', or "
             f"per-partition JSON, got {value!r}"
         ) from None
-    out: dict[str, int] = {}
-    for tp, hi in counts.items():
-        topic, _, part = tp.rpartition(":")
-        entry = raw.get(topic, {})
+    for topic, entry in raw.items():
         if not isinstance(entry, dict):
             raise ValueError(
                 "offsets JSON must map topics to {partition: offset} "
                 f"objects, got {entry!r} for topic {topic!r}"
             )
+        for part in entry:
+            if f"{topic}:{part}" not in counts:
+                raise ValueError(
+                    f"{context} JSON references {topic}:{part}, which is "
+                    "not in the subscription (typo, or the partition "
+                    "does not exist)"
+                )
+    out: dict[str, int] = {}
+    for tp, hi in counts.items():
+        topic, _, part = tp.rpartition(":")
+        entry = raw.get(topic, {})
         try:
             off = int(str(entry.get(part, default_sentinel)))
         except ValueError:
@@ -315,6 +331,10 @@ def _resolve_offsets_option(
                 f"offset for {tp} must be an int (or -1/-2 sentinel), "
                 f"got {entry.get(part)!r}"
             ) from None
+        if forbid_sentinel is not None and part in entry and off == forbid_sentinel:
+            raise ValueError(
+                f"sentinel {off} is not allowed in {context} for {tp}"
+            )
         if off == -2:
             off = 0
         elif off == -1:
@@ -371,8 +391,20 @@ class KafkaSimBatchReader(DataSourceReader):
         # further when fewer logs exist than requested tasks.
         files = _selected_files(self._path, self._selection)
         counts = {f"{t}:{p}": _count_records(f) for t, p, f in files}
-        starts = _resolve_offsets_option(self._starting, counts, -2)
-        ends = _resolve_offsets_option(self._ending, counts, -1)
+        starts = _resolve_offsets_option(
+            self._starting,
+            counts,
+            -2,
+            forbid_sentinel=-1,  # '-1 start' = latest: invalid for batch
+            context="batch startingOffsets",
+        )
+        ends = _resolve_offsets_option(
+            self._ending,
+            counts,
+            -1,
+            forbid_sentinel=-2,  # '-2 end' = earliest: invalid for batch
+            context="batch endingOffsets",
+        )
         for tp in counts:
             if starts[tp] > ends[tp]:
                 # the real connector asserts start <= end per partition
@@ -466,10 +498,14 @@ class KafkaSimStreamReader(DataSourceStreamReader):
             os.replace(tmp, fpath)
             self._saved = dict(self._planned)
         except OSError:
-            # Best-effort: the sidecar is pacing bookkeeping, never
-            # correctness state — a read-only log dir must not kill a
-            # stream that never needed to write before this feature.
-            pass
+            # Uncapped streams never consult the base, so a read-only
+            # log dir must not kill a stream that never needed to write
+            # before this feature. A CAPPED stream's base IS load-bearing
+            # across restarts (a lost sidecar ⇒ base 0 ⇒ ends planned
+            # below the committed frontier ⇒ redelivery), so there the
+            # write failure stays loud.
+            if self._cap is not None:
+                raise
 
     def initialOffset(self) -> dict:
         # Consulted only on a FRESH checkpoint (the engine owns offsets

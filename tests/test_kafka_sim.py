@@ -443,14 +443,22 @@ def test_batch_offset_ranges(spark, tmp_path):
         startingOffsets='{"hr-stream": {"0": 2}}',
         endingOffsets='{"hr-stream": {"0": 5}}',
     ) == ["m-2", "m-3", "m-4", "p1-0", "p1-1", "p1-2"]
-    # sentinels inside JSON + clamping past the log end
-    assert read(startingOffsets='{"hr-stream": {"0": -1, "1": 1}}') == [
-        "p1-1",
-        "p1-2",
-    ]
-    assert read(endingOffsets='{"hr-stream": {"0": 99, "1": -2}}') == [
-        f"m-{i}" for i in range(6)
-    ]
+    # legal sentinel (-2 start = earliest) + clamping past the log end
+    assert read(
+        startingOffsets='{"hr-stream": {"0": -2, "1": 1}}',
+        endingOffsets='{"hr-stream": {"0": 99}}',
+    ) == ["m-0", "m-1", "m-2", "m-3", "m-4", "m-5", "p1-1", "p1-2"]
+    # batch rejects the connector-invalid sentinels even in JSON form
+    with pytest.raises(Exception, match="not allowed in batch starting"):
+        read(startingOffsets='{"hr-stream": {"0": -1}}')
+    with pytest.raises(Exception, match="not allowed in batch ending"):
+        read(endingOffsets='{"hr-stream": {"1": -2}}')
+    # a typo'd topic or unknown partition must fail loudly, not silently
+    # fall back to earliest/latest
+    with pytest.raises(Exception, match="not in the subscription"):
+        read(startingOffsets='{"hr-strean": {"0": 1}}')
+    with pytest.raises(Exception, match="not in the subscription"):
+        read(endingOffsets='{"hr-stream": {"9": 1}}')
     with pytest.raises(Exception, match="offsets option"):
         read(startingOffsets="bogus")
 
