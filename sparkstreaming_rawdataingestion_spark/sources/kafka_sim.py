@@ -154,17 +154,32 @@ def _read_slice(
             if offset >= end:
                 break
             if offset >= start:
-                rec = json.loads(line)
-                key = rec.get("key")
-                yield (
-                    key.encode("utf-8") if key is not None else None,
-                    rec["value"].encode("utf-8"),
-                    topic,
-                    part,
-                    offset,
-                    datetime.datetime.fromtimestamp(rec["ts"] / 1000.0, tz=_UTC),
-                    0,
-                )
+                # Decode inside a guard that names the record's position:
+                # the sim is a test transport, so a malformed/hand-edited
+                # line must surface as a diagnosable error carrying topic,
+                # partition and offset — not a bare KeyError from a Python
+                # worker (the real connector's deserializer errors carry
+                # the same coordinates).
+                try:
+                    rec = json.loads(line)
+                    key = rec.get("key")
+                    row = (
+                        key.encode("utf-8") if key is not None else None,
+                        rec["value"].encode("utf-8"),
+                        topic,
+                        part,
+                        offset,
+                        datetime.datetime.fromtimestamp(
+                            rec["ts"] / 1000.0, tz=_UTC
+                        ),
+                        0,
+                    )
+                except (ValueError, KeyError, TypeError, AttributeError) as e:
+                    raise ValueError(
+                        f"kafka_sim: corrupt log record at {topic}-{part} "
+                        f"offset {offset} ({fpath}): {e!r}"
+                    ) from e
+                yield row
             offset += 1
 
 
@@ -603,17 +618,34 @@ class KafkaSimStreamReader(DataSourceStreamReader):
                     )
                 continue
             t, p, f = files[tp]
-            if lo > _count_records(f):
+            count = _count_records(f)
+            if lo > count:
                 # Log shrank below the committed frontier (out-of-range
                 # offsets = retention/truncation in Kafka terms).
                 if fail_on_loss:
                     raise ValueError(
                         f"data loss detected: {tp} has "
-                        f"{_count_records(f)} records but the stream is "
+                        f"{count} records but the stream is "
                         f"committed at {lo}; set failOnDataLoss=false "
                         "to continue from the new log end"
                     )
                 continue
+            if hi > count:
+                # Truncation INSIDE a checkpointed range (lo <= count <
+                # hi): the tail [count, hi) of a planned range is
+                # unreadable — the real connector raises offset-out-of-
+                # range for ANY unreadable part of a planned range, not
+                # just a start past the end. Without this, _read_slice
+                # would stop at EOF and silently drop the tail even with
+                # failOnDataLoss=true.
+                if fail_on_loss:
+                    raise ValueError(
+                        f"data loss detected: {tp} has {count} records "
+                        f"but offsets [{lo}, {hi}) are planned; set "
+                        "failOnDataLoss=false to continue with the "
+                        "readable prefix"
+                    )
+                hi = count
             if hi > lo:
                 out.append(_Slice(t, p, f, lo, hi))
         if self._min_partitions is not None:

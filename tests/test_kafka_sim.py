@@ -606,6 +606,40 @@ def test_data_loss_detection_unit(tmp_path):
         )
         == []
     )
+    # truncation INSIDE a checkpointed range (lo <= count < hi): the real
+    # connector raises offset-out-of-range for ANY unreadable part of a
+    # planned range — [0, 7) over a 2-record log must not silently read
+    # [0, 2) and drop the tail when failOnDataLoss is on
+    with pytest.raises(ValueError, match="data loss"):
+        reader().partitions({"hr-stream:0": 0}, {"hr-stream:0": 7})
+    # guard off: the slice clamps to the readable prefix [0, 2)
+    clamped = reader(failOnDataLoss="false").partitions(
+        {"hr-stream:0": 0}, {"hr-stream:0": 7}
+    )
+    assert [(s.start, s.end) for s in clamped] == [(0, 2)]
+
+
+def test_corrupt_log_line_error_names_coordinates(tmp_path):
+    """A malformed/hand-edited log line surfaces as a ValueError naming
+    topic, partition and offset — not a bare KeyError from the Python
+    worker (the sim is a test transport; its errors are what tests see)."""
+    import os
+
+    log = str(tmp_path / "log")
+    kafka_sim.produce(log, "hr-stream", ["good-0", "good-1"], 0)
+    fpath = os.path.join(log, "hr-stream", "p0.jsonl")
+    with open(fpath, "a", encoding="utf-8") as f:
+        f.write('{"ts": 123}\n')  # missing 'value'
+        f.write("not json at all\n")
+        f.write('{"value": 7, "ts": 1}\n')  # non-string value
+
+    def rows(start, end):
+        return list(kafka_sim._read_slice("hr-stream", 0, fpath, start, end))
+
+    assert len(rows(0, 2)) == 2  # the good prefix still reads cleanly
+    for offset in (2, 3, 4):
+        with pytest.raises(ValueError, match=f"hr-stream-0 offset {offset}"):
+            rows(offset, offset + 1)
 
 
 def test_subscribe_pattern_and_assign(spark, tmp_path):
