@@ -444,6 +444,26 @@ def q_blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TFIDF_COSINE_THRESHOLD = 0.6
+# A term shared by k docs of one source block yields k² join rows in the
+# pair join regardless of how many pairs survive the threshold — one
+# stopword-like term skew-explodes the shuffle at scale (the SHINGLE_MAX_DF
+# problem, dedup.py:36). Two-layer guard: (1) corpus-universal terms
+# (df == n_docs) weigh exactly tf·ln(1) = 0, so pruning them before ANY
+# downstream op is exactness-preserving — zero contribution to every norm
+# and dot product; (2) terms with df > TFIDF_MAX_DF are excluded from
+# CANDIDATE generation (bounding the worst term's fan-out at max_df²) but
+# patch their exact weight products into the discovered pairs afterwards,
+# so every reported cosine stays exact. Soundness bound, same as the
+# shingle index: a qualifying pair is missed only if EVERY term it shares
+# has df > max_df — i.e. the pair lives inside a >max_df-sized template
+# cluster, where pair enumeration is itself quadratic and the LSH/cluster
+# path is the right tool. 4000 bounds the worst term's join fan-out at
+# max_df² = 16M rows however many docs the block holds, while staying a
+# no-op on the fixture (max term df = 3923 at sf0.1 — the synthetic corpus
+# is template-heavy, so its qualifying pairs lean on those hot terms and a
+# binding cap would change real output; the patch path is exercised by
+# tests/test_round7_ops.py with a lowered cap instead).
+TFIDF_MAX_DF = 4000
 
 _TFIDF_PAIRS_ORACLE = f"""
 WITH tc AS (
@@ -458,6 +478,9 @@ w AS (
   SELECT tc.doc_id, tc.source, tc.term,
          tc.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) AS w
   FROM tc JOIN dfreq USING (term)
+  -- corpus-universal terms weigh exactly tf*ln(1) = 0: pruning them is
+  -- exactness-preserving (mirrors the engine's df < n_docs prune)
+  WHERE df < (SELECT n_docs FROM n)
 ),
 norms AS (
   SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(32, 18))) AS DOUBLE))
@@ -495,8 +518,29 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the float-sum-order trap that would otherwise make a
     cross-engine (or cross-partitioning) hash impossible. IDF uses the
     same ln(N/df) expression on both engines (bit-identical, as BM25
-    already pins)."""
-    d = catalog.load_table(spark, sf_dir, "documents")
+    already pins).
+
+    Skew guard (see TFIDF_MAX_DF): corpus-universal terms are pruned
+    before the index is even staged (weight exactly 0 — contributes
+    nothing to any norm or dot product), and the pair join runs only
+    over terms with df <= TFIDF_MAX_DF; hotter terms patch their exact
+    products into the discovered candidates via a pair-keyed join whose
+    fan-out is bounded by hot-terms-per-doc, never df². Contributions
+    accumulate in DECIMAL throughout, so the split sum equals the
+    oracle's single all-terms sum exactly."""
+    return tfidf_cosine_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_cosine_pairs(
+    d: DataFrame,
+    max_df: int | None = TFIDF_MAX_DF,
+    threshold: float = TFIDF_COSINE_THRESHOLD,
+) -> DataFrame:
+    """The parameterized kernel behind ``tfidf_cosine_pairs`` — see the
+    registered query's docstring for semantics and the skew guard;
+    ``max_df=None`` runs the fully lossless pair join (verification
+    corpora only, like ``count_verified_pairs(max_df=None)``)."""
+    dec = "decimal(32,18)"
     tc = (
         d.select(
             "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
@@ -509,10 +553,13 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = session.stage(
         tc.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
+        # zero-weight prune: df == n_docs ⇒ w = tf·ln(1) = 0 exactly
+        .where(F.col("df") < F.col("n_docs"))
         .select(
             "doc_id",
             "source",
             "term",
+            "df",
             (
                 F.col("tf")
                 * F.log(F.col("n_docs").cast("double") / F.col("df"))
@@ -521,28 +568,59 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
-            F.sum((F.col("w") * F.col("w")).cast("decimal(32,18)")).cast(
+            F.sum((F.col("w") * F.col("w")).cast(dec)).cast(
                 "double"
             )
         ).alias("nrm")
     )
-    a = w.select(
+    # candidate generation over rare terms only — filtered AFTER stage()
+    # so both branches scan the cached df column
+    cap = F.lit(max_df) if max_df is not None else F.col("df")
+    rare = w.where(F.col("df") <= cap)
+    hot = w.where(F.col("df") > cap)
+    a = rare.select(
         F.col("doc_id").alias("doc_a"), "source", "term",
         F.col("w").alias("wa"),
     )
-    b = w.select(
+    b = rare.select(
         F.col("doc_id").alias("doc_b"), "source", "term",
         F.col("w").alias("wb"),
     )
-    dots = (
+    # staged: consumed twice (union input + the hot patch's candidate
+    # list) — without this the pair join would execute twice
+    rare_dots = session.stage(
         a.join(b, ["term", "source"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(32,18)"))
-            .cast("double")
-            .alias("dot")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast(dec)).alias("contrib"))
+    )
+    # exact hot patch: the few >max_df terms join against the discovered
+    # pairs only, keyed on doc id (fan-out = hot-terms-per-doc, never df²)
+    ha = hot.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    hb = hot.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    hot_contribs = (
+        rare_dots.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "term"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("wa") * F.col("wb")).cast(dec).alias("contrib"),
         )
+    )
+    # one final DECIMAL re-sum over both contribution streams: decimal
+    # addition is exact, so this equals the oracle's single sum
+    dots = (
+        rare_dots.select(
+            "doc_a", "doc_b", F.col("contrib").cast(dec).alias("contrib")
+        )
+        .unionByName(hot_contribs)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("contrib").cast("double").alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
@@ -553,6 +631,6 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
-        .where(cos >= TFIDF_COSINE_THRESHOLD)
+        .where(cos >= threshold)
         .select("doc_a", "doc_b", cos.alias("cosine_sim"))
     )

@@ -21,6 +21,12 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """Analyzed logical plan — pre-cache-substitution, so filters inside
+    a persisted (staged) subtree remain visible for pinning."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the final (AQE-resolved) plan."""
     plan = executed_plan(df)

@@ -437,6 +437,27 @@ def test_tfidf_pairs_no_cartesian_no_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in p  # df-model join stays broadcast
 
 
+def test_tfidf_pair_join_input_is_df_guarded(spark, sf_dir):
+    """The term index feeding the TF-IDF pair join must be df-filtered in
+    the PLAN, not just benign on the fixture: (1) corpus-universal terms
+    (df = n_docs, weight exactly 0) pruned before the index is staged, and
+    (2) candidate generation restricted to df <= TFIDF_MAX_DF so one
+    stopword-like term can't contribute df² join rows at scale (the hot
+    remainder patches exact products through a pair-keyed join instead)."""
+    import re
+
+    from sparkstreaming_rawdataingestion_spark.operators import retrieval
+
+    df = retrieval.q_tfidf_cosine_pairs(spark, sf_dir)
+    logical = plans.analyzed_plan(df)
+    assert re.search(r"df#\d+L? < n_docs#\d+", logical), (
+        "zero-weight universal-term prune missing from the plan"
+    )
+    assert re.search(
+        rf"df#\d+L? <= cast\({retrieval.TFIDF_MAX_DF} as bigint\)", logical
+    ), "TFIDF_MAX_DF candidate cap missing from the plan"
+
+
 def test_winnowing_pairs_df_capped_equi_join(spark, sf_dir):
     """Winnowing pairs come from the df-capped inverted fingerprint
     index: the pair join is an equi-join on fp (never cartesian, never
