@@ -1260,3 +1260,91 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination_ngram_overlap — train/eval n-gram contamination probe
+# ---------------------------------------------------------------------------
+
+# 8-gram overlap is the published decontamination granularity (GPT-3
+# appendix C / Brown et al. 2020 use 13-grams; The Pile and Gopher use 8-13;
+# 8 fits the fixture's ~250-token docs). The EVAL side of a contamination
+# probe is a benchmark — small by definition — so its inverted n-gram index
+# broadcasts and the training corpus streams through a map-side join: the
+# 100 TB scan never shuffles document payloads, and the pair aggregation
+# carries (train_id, eval_id) pairs only, bounded by eval-set size.
+DECON_N = 8
+DECON_EVAL_MOD = 29  # fixture eval set: doc_id % 29 == 0 (~3% of corpus;
+#   chosen so the sf0.01 gate sees real contaminated pairs, not 0 rows)
+
+_DECON_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{DECON_N - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {DECON_N - 2})]) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ev AS (SELECT doc_id AS eval_doc_id, unnest(grams) AS gram
+       FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0),
+evs AS (SELECT doc_id AS eval_doc_id, len(grams) AS n_eval
+        FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_doc_id, unnest(grams) AS gram
+       FROM g WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+shared AS (
+  SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+  FROM tr JOIN ev USING (gram)
+  GROUP BY 1, 2
+)
+SELECT s.train_doc_id, s.eval_doc_id, s.shared_ngrams,
+       round(s.shared_ngrams * 1.0 / evs.n_eval, 6) AS eval_coverage
+FROM shared s JOIN evs USING (eval_doc_id)
+"""
+
+
+@_register("decontamination_ngram_overlap", _DECON_ORACLE)
+def q_decontamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-data decontamination probe: for every (train doc, eval
+    doc) pair sharing at least one distinct {DECON_N}-gram, report the
+    shared-gram count and the fraction of the eval doc's grams covered
+    (the quantity a "remove if coverage > τ" policy thresholds on).
+    Eval set = doc_id % {DECON_EVAL_MOD} == 0, standing in for a held-out
+    benchmark. The eval index is broadcast (a benchmark is model-table
+    sized); train grams never shuffle — the pair aggregation reduces
+    (train_id, eval_id) keys only."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    grams8 = _shingles(n=DECON_N)
+    ev = (
+        d.where(is_eval)
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.explode(grams8).alias("gram"),
+        )
+    )
+    ev_sizes = d.where(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.size(grams8).alias("n_eval"),
+    )
+    tr = (
+        d.where(~is_eval)
+        .select(
+            F.col("doc_id").alias("train_doc_id"),
+            F.explode(grams8).alias("gram"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+        .join(F.broadcast(ev_sizes), "eval_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            "shared_ngrams",
+            F.round(
+                F.col("shared_ngrams") * F.lit(1.0) / F.col("n_eval"), 6
+            ).alias("eval_coverage"),
+        )
+    )

@@ -136,13 +136,45 @@ def pack_documents(
     return sized.groupBy(stratum).applyInPandas(pack, schema=_PACK_SCHEMA)
 
 
-@_register("pack_documents")  # sequential state per stratum → rows-only
+# The running reset-on-overflow is beyond ANSI window functions but NOT
+# beyond SQL: a recursive CTE threads (bin_id, bin_fill) row-by-row down
+# each stratum's doc_id order — one recursion step per rank, all strata
+# advancing in parallel. The seed row needs no fill > 0 overflow check
+# (fill starts at its own n_tokens and never returns to 0), matching the
+# Python kernel exactly, oversized-doc-gets-own-bin included.
+_PACK_ORACLE = f"""
+WITH RECURSIVE sized AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.lang, s.doc_id, s.n_tokens, s.rn,
+         CASE WHEN p.bin_fill + s.n_tokens > {PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + s.n_tokens > {PACK_BUDGET}
+              THEN s.n_tokens ELSE p.bin_fill + s.n_tokens END
+  FROM packed p JOIN sized s ON s.lang = p.lang AND s.rn = p.rn + 1
+)
+SELECT lang, doc_id, n_tokens, bin_id, CAST(bin_fill AS INTEGER) AS bin_fill
+FROM packed
+"""
+
+
+@_register("pack_documents", _PACK_ORACLE)
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: per-language greedy bin assignment under
     a {PACK_BUDGET}-token budget. The bin id depends on every prior doc in
-    the stratum (a running reset-on-overflow), which ANSI SQL window
-    functions cannot express — invariants (coverage, budget, determinism)
-    are pinned in tests/test_packing.py instead of a SQL oracle."""
+    the stratum (a running reset-on-overflow) — sequential per stratum in
+    the engine (Arrow applyInPandas), and a recursive CTE on the DuckDB
+    side, so the hash oracle covers the exact bin assignment; invariants
+    (coverage, budget, determinism) are additionally pinned in
+    tests/test_packing.py."""
     return pack_documents(catalog.load_table(spark, sf_dir, "documents"))
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 from ..session import stage
 from .dedup import JACCARD_THRESHOLD, SHINGLE_N, _shingles, count_verified_pairs
 from .text import LANG_MARKERS, STOPWORDS, _sql_list
@@ -424,4 +424,85 @@ def q_mixture_reweight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), target_tokens / F.col("n_tokens")), 6
         ).alias("sample_rate"),
         F.round(target_tokens / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_weights — exponential-smoothing corpus mix (T = 2)
+# ---------------------------------------------------------------------------
+
+# Temperature-based sampling (Lample & Conneau 2019 / XLM; mT5 uses the
+# same q_i ∝ p_i^(1/T) rule): smooth the empirical source shares toward
+# uniform with exponent 1/T, so low-resource sources are upsampled without
+# flattening the mix entirely. T = 2 ⇒ exponent 0.5, computed as sqrt()
+# on BOTH engines — sqrt is IEEE-correctly-rounded where pow(x, 0.5) has
+# no such guarantee, which keeps the oracle hash bit-stable (other T
+# values would use pow and a looser comparison).
+MIX_TEMPERATURE = 2.0
+
+_TEMP_MIX_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per_source),
+smoothed AS (
+  SELECT source, n_tokens,
+         n_tokens / CAST(total_tokens AS DOUBLE) AS share,
+         sqrt(n_tokens / CAST(total_tokens AS DOUBLE)) AS q
+  FROM per_source, tot
+),
+z AS (SELECT sum(q) AS zq FROM smoothed)
+SELECT source, n_tokens,
+       round(share, 6)                            AS share,
+       round(q / zq, 6)                           AS temp_weight,
+       round((q / zq) / share, 6)                 AS epochs
+FROM smoothed, z
+"""
+
+
+@_register("temperature_mixture_weights", _TEMP_MIX_ORACLE)
+def q_temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed sampling weights per source (T = 2): weight
+    ∝ share^(1/T), renormalized; ``epochs`` = weight/share is the repeat
+    factor the assembly run applies to each source. One grouped token
+    census (map-side combine on source), then everything runs on the
+    sources-sized model table against two broadcast 1-row totals — the
+    corpus is scanned exactly once regardless of size."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    smoothed = session.stage(
+        per_source.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_tokens",
+            F.try_divide(
+                F.col("n_tokens"), F.col("total_tokens").cast("double")
+            ).alias("share"),
+            F.sqrt(
+                F.try_divide(
+                    F.col("n_tokens"), F.col("total_tokens").cast("double")
+                )
+            ).alias("q"),
+        )
+    )
+    z = smoothed.agg(F.sum("q").alias("zq"))
+    return smoothed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(F.try_divide(F.col("q"), F.col("zq")), 6).alias(
+            "temp_weight"
+        ),
+        F.round(
+            F.try_divide(
+                F.try_divide(F.col("q"), F.col("zq")), F.col("share")
+            ),
+            6,
+        ).alias("epochs"),
     )

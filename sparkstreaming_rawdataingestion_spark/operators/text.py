@@ -621,3 +621,90 @@ def q_token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("entropy_bits"),
         (F.round(h, 6) < ENTROPY_FLOOR).alias("low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition_filter — duplicate-token / top-bigram repetition rules
+# ---------------------------------------------------------------------------
+
+# Token-adapted versions of the Gopher repetition rules (Rae et al. 2021,
+# appendix A1 filters "fraction of duplicate lines/characters in the most
+# frequent n-gram"): per doc, (1) the fraction of tokens that are repeats
+# of an earlier token and (2) the fraction of tokens covered by the single
+# most frequent bigram. Thresholds are tuned so the synthetic fixture
+# exercises both keep and drop branches (the published char-based cuts
+# target web text); production uses the same plan with retuned constants.
+DUP_TOKEN_MAX = 0.6
+TOP_BIGRAM_MAX = 0.125
+
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t
+),
+bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, len(toks))]) AS g
+  FROM t
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       round(1.0 - s.nd * 1.0 / s.n, 6)                  AS dup_token_frac,
+       round(coalesce(top.top_c, 0) * 2.0 / s.n, 6)      AS top_bigram_frac,
+       (1.0 - s.nd * 1.0 / s.n) <= {DUP_TOKEN_MAX}
+         AND coalesce(top.top_c, 0) * 2.0 / s.n <= {TOP_BIGRAM_MAX} AS keep
+FROM s LEFT JOIN top USING (doc_id)
+"""
+
+
+@_register("gopher_repetition_filter", _REPETITION_ORACLE)
+def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (token-adapted Gopher rules): a
+    doc is kept iff its duplicate-token fraction and its most-frequent-
+    bigram coverage both sit under threshold. The duplicate fraction is
+    a per-row expression (size vs array_distinct size — no shuffle at
+    all); the top-bigram count is one (doc_id, bigram) aggregation
+    followed by a doc_id max — both keyed on the document, so the
+    reduction is embarrassingly parallel and skew-free at any corpus
+    size (no corpus-global state anywhere)."""
+    from ..functions import seq1
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    sizes = base.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+    )
+    bigrams = F.transform(
+        # seq1: a 1-token doc yields the EMPTY bigram list (sequence(1,0)
+        # would descend and crash slice) — the standard shingle guard
+        seq1(F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+    )
+    top = (
+        base.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    dup_frac = F.lit(1.0) - F.try_divide(
+        F.col("nd") * F.lit(1.0), F.col("n")
+    )
+    top_frac = F.try_divide(
+        F.coalesce(F.col("top_c"), F.lit(0)) * F.lit(2.0), F.col("n")
+    )
+    return sizes.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        (
+            (dup_frac <= DUP_TOKEN_MAX) & (top_frac <= TOP_BIGRAM_MAX)
+        ).alias("keep"),
+    )

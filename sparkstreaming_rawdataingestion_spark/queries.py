@@ -53,6 +53,30 @@ def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.ingest_normalize(messages)
 
 
+def q_ingest_via_kafka_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 1-3 driver-certified end-to-end through the simulated broker:
+    the fixture messages are produced into a 3-partition kafka_sim log,
+    read back through the DataSource batch path (exact connector schema,
+    earliest→latest offsets), value-projected (op 3: drop key, keep
+    value) and normalized — the reference job's actual source shape
+    (RawDataIngestion.java:100-110) rather than a pre-wrapped DataFrame.
+    Same oracle as ingest_normalize: the broker round-trip must be
+    content-neutral."""
+    from .sources import kafka_sim
+
+    log = fixtures.sim_message_log(spark, sf_dir)
+    kafka_sim.register(spark)
+    raw = (
+        spark.read.format(kafka_sim.SOURCE_NAME)
+        .option("path", log)
+        .option("subscribe", fixtures.SIM_TOPIC)
+        .load()
+    )
+    return ingest.ingest_normalize(
+        raw.selectExpr("CAST(value AS STRING) AS value")
+    )
+
+
 def q_ingest_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 11's upsert contract: ingesting the same messages twice (the
     at-least-once redelivery case) then PK-dedup yields the same table as
@@ -77,12 +101,14 @@ def q_datapoint_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INGEST_QUERIES: dict[str, QueryFn] = {
     "ingest_normalize": q_ingest_normalize,
+    "ingest_via_kafka_sim": q_ingest_via_kafka_sim,
     "ingest_idempotency": q_ingest_idempotency,
     "datapoint_day_rollup": q_datapoint_day_rollup,
 }
 
 INGEST_ORACLES: dict[str, str] = {
     "ingest_normalize": _INGEST_ORACLE,
+    "ingest_via_kafka_sim": _INGEST_ORACLE,  # broker round-trip is content-neutral
     "ingest_idempotency": _INGEST_ORACLE,  # PK unique in fixtures → same set
     "datapoint_day_rollup": f"""
 SELECT datastream_id, day,

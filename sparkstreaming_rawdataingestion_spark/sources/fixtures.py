@@ -108,6 +108,40 @@ def events_to_messages(events: DataFrame, include_edge_cases: bool = True) -> Da
     return messages
 
 
+# (session-id, sf_dir) → broker log dir holding the fixture messages; a
+# fresh mkdtemp per session so a stale dir from an earlier process can
+# never double-append (produce() appends to partition logs).
+_SIM_LOG_CACHE: dict = {}
+
+SIM_TOPIC = "raw-events"
+SIM_PARTITIONS = 3
+
+
+def sim_message_log(spark, sf_dir: str) -> str:
+    """Materialize the fixture messages into a kafka_sim broker log —
+    SIM_PARTITIONS partition files of one topic, values round-robined in
+    sorted order so the log content is deterministic per sf_dir. This is
+    fixture plumbing (a test producer writing a small per-user message
+    set), not an engine path: the engine reads it back through the
+    DataSource API exactly as it would a real broker."""
+    import tempfile
+
+    from . import kafka_sim
+
+    key = (id(spark._jsparkSession), sf_dir)
+    log = _SIM_LOG_CACHE.get(key)
+    if log is None:
+        log = tempfile.mkdtemp(prefix="spark_graft_kafka_sim_")
+        values = sorted(
+            r["value"]
+            for r in cached_messages(spark, sf_dir, True).collect()
+        )
+        for p in range(SIM_PARTITIONS):
+            kafka_sim.produce(log, SIM_TOPIC, values[p::SIM_PARTITIONS], p)
+        _SIM_LOG_CACHE[key] = log
+    return log
+
+
 def write_message_files(events: DataFrame, path: str, num_files: int = 4) -> None:
     """Materialize fixture messages as JSON-lines text files — the streaming
     tests replay these through a file source standing in for Kafka."""

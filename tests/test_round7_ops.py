@@ -89,3 +89,107 @@ def test_tfidf_universal_term_prune_changes_nothing(spark):
     base = _pairs(retrieval.tfidf_cosine_pairs(d, 2, 0.1))
     with_universal = _pairs(retrieval.tfidf_cosine_pairs(salted, 2, 0.1))
     assert base == with_universal
+
+
+# ---------------------------------------------------------------------------
+# Closed-form fixtures for the round-7 formula ops (the standing
+# convention: oracle parity cannot catch a formula bug shared by engine
+# and oracle, so every formula ships a hand-computed answer).
+# ---------------------------------------------------------------------------
+
+
+def _doc_rows(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, s, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = _doc_rows(spark, rows)
+    d.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_temperature_mixture_weights_closed_form(spark, tmp_path):
+    """Two sources with 100 and 400 tokens, T=2: shares .2/.8,
+    q = sqrt(share) → weights exactly 1/3 and 2/3, epochs 5/3 and 5/6
+    (hand-computed; upsampled low-resource source > 1 epoch)."""
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a", " ".join(["x"] * 100)),
+            (2, "b", " ".join(["y"] * 200)),
+            (3, "b", " ".join(["z"] * 200)),
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in pipeline.QUERIES["temperature_mixture_weights"](
+            spark, sf
+        ).collect()
+    }
+    assert out["a"]["n_tokens"] == 100 and out["b"]["n_tokens"] == 400
+    assert out["a"]["share"] == 0.2 and out["b"]["share"] == 0.8
+    assert out["a"]["temp_weight"] == 0.333333
+    assert out["b"]["temp_weight"] == 0.666667
+    assert out["a"]["epochs"] == 1.666667  # low-resource upsampled
+    assert out["b"]["epochs"] == 0.833333
+
+
+def test_gopher_repetition_filter_closed_form(spark, tmp_path):
+    """Hand-computed repetition metrics: an alternating 6-token doc has
+    dup_token_frac 1 - 2/6 and its top bigram ('a b' ×3) covers ALL
+    tokens; a 20-distinct-token doc keeps (dup 0, top bigram 2/20 =
+    0.1 <= 0.125); a 1-token doc has no bigram and keeps."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "s", "a b a b a b"),
+            (2, "s", " ".join(f"t{i}" for i in range(20))),
+            (3, "s", "solo"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.QUERIES["gopher_repetition_filter"](spark, sf).collect()
+    }
+    assert out[1]["dup_token_frac"] == 0.666667  # 1 - 2/6
+    assert out[1]["top_bigram_frac"] == 1.0  # 3 * 2 / 6
+    assert out[1]["keep"] is False
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.1
+    assert out[2]["keep"] is True
+    assert out[3]["top_bigram_frac"] == 0.0  # no bigram in a 1-token doc
+    assert out[3]["keep"] is True
+
+
+def test_decontamination_overlap_closed_form(spark, tmp_path):
+    """Eval doc 0 (10 tokens → 3 distinct 8-grams); train doc 1 holds
+    tokens 1..9 (grams 1-8 and 2-9 → shared 2 of 3, coverage 2/3);
+    train doc 2 is disjoint → no row."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    toks = [f"w{i}" for i in range(1, 11)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "s", " ".join(toks)),  # eval: doc_id % 29 == 0
+            (1, "s", " ".join(toks[:9])),
+            (2, "s", "entirely different words here nothing shared at all"),
+        ],
+    )
+    rows = dedup.QUERIES["decontamination_ngram_overlap"](spark, sf).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["train_doc_id"], r["eval_doc_id"], r["shared_ngrams"]) == (
+        1, 0, 2,
+    )
+    assert r["eval_coverage"] == 0.666667
