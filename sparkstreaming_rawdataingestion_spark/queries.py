@@ -172,132 +172,97 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-6 rotation (1 flagship + 10 drained/red + 6 rows-only +
-# 9 additions + 24 re-checks, then the queued overflow):
+# Round-7 rotation (1 flagship + 9 drained overflow + 5 new oracle-backed
+# + 35 re-checks; queue empty):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-10  the ENTIRE round-5 overflow queue — every oracle-backed query
+#   2-10  the ENTIRE round-6 overflow queue — every oracle-backed query
 #         still awaiting its first driver row (all 9 judge-verified
-#         PASS in the round-5 session).
-#   11    debounce_events — the round-5 red, re-certified after the
-#         oracle CAST fix (signals.py; DuckDB sum(INTEGER)→HUGEINT→
-#         float64 drift).
-#   12-17 the never-driver-checked rows-only entries (engine-specific
-#         sketches / sequential packing / the new percentile-sketch
-#         twin) — each gets its first rows-only driver record, closing
-#         VERDICT r5 item 6. All return scalar columns only (the
-#         driver canonicalizer cannot hash complex types).
-#   18-26 the round-6 additions: the MJPEG certification (VERDICT item
-#         4), the histogram-AUC scale twin (item 5), and the seven new
-#         corpus-pipeline operators — all validated engine + --plain
-#         at sf0.01 AND sf0.1 before entering.
-#   27-50 re-verification depth: surfaces whose modules changed this
-#         round (evaluation/signals/layout/dedup/text appends) and the
-#         oldest r1-r3 greens with the heaviest plans (dedup/ANN/
-#         graph/pipeline/TPC-H/modern-SQL picks).
+#         PASS at sf0.01 in the round-6 session).
+#   11-15 the round-7 additions: the kafka_sim-certified ingest path
+#         (ops 1-3 end-to-end through the simulated broker),
+#         pack_documents' upgrade from rows-only to a recursive-CTE
+#         hash oracle, and the three new corpus-pipeline operators
+#         (decontamination probe, repetition filter, temperature mix) —
+#         each validated engine + --plain at sf0.01 AND sf0.1 first.
+#   16-50 re-verification depth: first the modules this round touched
+#         (retrieval/pipeline/text/dedup/packing and the two
+#         bench-compare watch items bm25_keyword_search +
+#         cdc_latest_per_key), then the heaviest long-green plans
+#         (dedup/ANN/graph/TPC-H/modern-SQL picks).
 # Everything previously green rotates to the extended region with its
-# driver row on record. The nine round-6 operators fit inside the
-# window's spare slots; nine late additions (exact sparse TF-IDF
-# cosine, winnowing fingerprints, the PCA power step, sampled
-# Theil-Sen, the Poisson-bootstrap CI, NDCG@10, Wilson CTR bounds,
-# Cohen kappa, burstiness profile) fill OVERFLOW_QUEUE to its ≤9 cap
-# for round 7.
+# driver row on record; the rows-only sketch entries keep their r06
+# rows-only records (none re-window this round). OVERFLOW_QUEUE is
+# EMPTY — certification debt fully drained.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: the drained round-5 overflow queue -------------------
-    "text_readability_ari",
-    "ols_elasticity_by_segment",
-    "shipping_sla_percentiles",
-    "session_diversity_entropy",
-    "blocking_quality_report",
-    "multimodal_image_resize",
-    "multimodal_audio_frames",
-    "tokens_zipf_fit",
-    "conversion_latency_percentiles",
-    "debounce_events",
-    # -- band 3: first driver records for the rows-only tail ----------
-    "sketch_mergeable_hll",
+    # -- band 2: the drained round-6 overflow queue -------------------
+    "tfidf_cosine_pairs",
+    "winnowing_candidate_pairs",
+    "pca_power_iteration_step",
+    "theil_sen_sampled",
+    "bootstrap_mean_ci",
+    "ndcg_ranking_quality",
+    "ctr_wilson_bounds",
+    "label_agreement_kappa",
+    "user_burstiness_profile",
+    # -- band 3: round-7 additions ------------------------------------
+    "ingest_via_kafka_sim",
     "pack_documents",
-    "similarity_topk_pq",
-    "pq_reconstruction_report",
-    "sketch_heavy_hitters",
-    "quantile_normalize_approx",
-    # -- band 4: round-6 additions ------------------------------------
-    "multimodal_mjpeg_frame_sample",
-    "ranking_auc_histogram",
-    "token_entropy_filter",
-    "url_canonical_dedup",
-    "tokens_budget_allocation",
-    "mixture_reweight_plan",
-    "threshold_sweep_pr",
-    "kmeans_one_step",
-    "graph_degree_distribution",
-    # -- band 5: re-verification depth --------------------------------
-    "ranking_auc_report",
-    "quantile_normalize_sources",
-    "train_val_test_split",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_containment_pairs",
-    "dedup_exact_hash",
-    "dedup_clusters",
-    "similarity_topk_bruteforce",
-    "graph_pagerank_authority",
-    "graph_triangle_count",
-    "pipeline_training_build",
+    "decontamination_ngram_overlap",
+    "gopher_repetition_filter",
+    "temperature_mixture_weights",
+    # -- band 4: re-verification, touched modules first ---------------
+    "bm25_keyword_search",
     "pipeline_curation",
+    "pipeline_training_build",
+    "mixture_reweight_plan",
+    "tokens_budget_allocation",
+    "token_entropy_filter",
     "text_quality_score",
     "text_langid",
     "text_tfidf_topterms",
+    "tokens_zipf_fit",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_exact_hash",
+    "dedup_clusters",
+    "url_canonical_dedup",
+    "contrastive_negative_pairs",
+    "cdc_latest_per_key",
+    "debounce_events",
+    "ingest_idempotency",
+    "datapoint_day_rollup",
+    # -- band 5: heaviest long-green plans ----------------------------
+    "similarity_topk_bruteforce",
+    "kmeans_one_step",
+    "quantile_normalize_sources",
+    "ranking_auc_report",
+    "ranking_auc_histogram",
+    "graph_pagerank_authority",
+    "graph_triangle_count",
     "q3_shipping_priority",
-    "q18_large_orders",
     "q5_regional_revenue",
-    "sessionize_events",
-    "retention_cohorts",
+    "q18_large_orders",
+    "asof_join_purchase_click",
     "merge_upsert_apply",
     "scd2_dimension_history",
-    "asof_join_purchase_click",
-    # --- driver checks the first 50 entries; below: the queued
-    # overflow (see OVERFLOW_QUEUE) ---
-    "tfidf_cosine_pairs",
-    "winnowing_candidate_pairs",
-    "pca_power_iteration_step",
-    "theil_sen_sampled",
-    "bootstrap_mean_ci",
-    "ndcg_ranking_quality",
-    "ctr_wilson_bounds",
-    "label_agreement_kappa",
-    "user_burstiness_profile",
+    "sessionize_events",
 )
 
-# Window entries WITHOUT oracle SQL — the driver records its weaker
-# rows-only check for these (approximate / engine-hash / sketch ops
-# whose exact values are engine-specific; each carries a pytest
-# recall/error pin instead). Pinned by test_core_registry_window.
-ROWS_ONLY_WINDOW: tuple[str, ...] = (
-    "sketch_mergeable_hll",
-    "pack_documents",
-    "similarity_topk_pq",
-    "pq_reconstruction_report",
-    "sketch_heavy_hitters",
-    "quantile_normalize_approx",
-)
+# Window entries WITHOUT oracle SQL — none this round: the six sketch /
+# approx entries got their rows-only driver records in round 6 and
+# pack_documents graduated to a full hash oracle (recursive CTE), so
+# every round-7 window slot carries a hash check. Pinned by
+# test_core_registry_window.
+ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — first in line for round 7's rotation; each entry
-# validated engine + --plain at sf0.01 AND sf0.1 before queueing.
+# first driver row — EMPTY this round: the round-6 queue drained into
+# slots 2-10 and all five new oracle-backed entries fit the window.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = (
-    "tfidf_cosine_pairs",
-    "winnowing_candidate_pairs",
-    "pca_power_iteration_step",
-    "theil_sen_sampled",
-    "bootstrap_mean_ci",
-    "ndcg_ranking_quality",
-    "ctr_wilson_bounds",
-    "label_agreement_kappa",
-    "user_burstiness_profile",
-)
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:
