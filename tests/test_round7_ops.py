@@ -193,3 +193,50 @@ def test_decontamination_overlap_closed_form(spark, tmp_path):
         1, 0, 2,
     )
     assert r["eval_coverage"] == 0.666667
+
+
+def test_ingest_batch_time_under_trigger(spark, sf_dir, tmp_path):
+    """The reference's implied SLO (batch time < the 5 s trigger,
+    RawDataIngestion.java:61,91) as a regression tripwire: the ACTUAL
+    job path (sim broker → normalize → day-partitioned parquet sink)
+    drains the fixture backlog in capped micro-batches, and every
+    batch's triggerExecution must finish far inside the reference
+    interval. tools/ingest_slo.py measures the same thing at sf0.1 for
+    BASELINE.md; this pins the order of magnitude in CI."""
+    import time
+
+    from sparkstreaming_rawdataingestion_spark.sources import fixtures, kafka
+    from sparkstreaming_rawdataingestion_spark.streaming.ingest_stream import (
+        start_ingest_file_sink,
+    )
+
+    log = fixtures.sim_message_log(spark, sf_dir)
+    n_messages = sum(
+        1
+        for p in range(fixtures.SIM_PARTITIONS)
+        for _ in open(f"{log}/{fixtures.SIM_TOPIC}/p{p}.jsonl")
+    )
+    # cap sized so the fixture backlog needs ≥3 batches regardless of sf
+    cap = max(1, n_messages // (fixtures.SIM_PARTITIONS * 3))
+    values = kafka.kafka_sim_value_stream(
+        spark, log, fixtures.SIM_TOPIC, cap, group_id="slo-guard"
+    )
+    q = start_ingest_file_sink(
+        values,
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    deadline = time.monotonic() + 180
+    try:
+        while time.monotonic() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= n_messages:
+                break
+            time.sleep(0.5)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert sum(p["numInputRows"] for p in progress) >= n_messages
+    assert len(progress) >= 2  # the cap actually paced the backlog
+    durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in progress]
+    assert max(durs) < 5.0, f"batch exceeded the reference trigger: {durs}"
