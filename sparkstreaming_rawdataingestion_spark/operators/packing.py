@@ -159,7 +159,11 @@ packed AS (
               THEN p.bin_id + 1 ELSE p.bin_id END,
          CASE WHEN p.bin_fill + s.n_tokens > {PACK_BUDGET}
               THEN s.n_tokens ELSE p.bin_fill + s.n_tokens END
-  FROM packed p JOIN sized s ON s.lang = p.lang AND s.rn = p.rn + 1
+  -- IS NOT DISTINCT FROM: a NULL-lang stratum must advance through the
+  -- recursion like any other (NULL = NULL would stall it at rank 1 and
+  -- silently drop the stratum's tail)
+  FROM packed p
+  JOIN sized s ON s.lang IS NOT DISTINCT FROM p.lang AND s.rn = p.rn + 1
 )
 SELECT lang, doc_id, n_tokens, bin_id, CAST(bin_fill AS INTEGER) AS bin_fill
 FROM packed

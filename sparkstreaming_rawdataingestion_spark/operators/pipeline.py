@@ -453,7 +453,8 @@ smoothed AS (
          sqrt(n_tokens / CAST(total_tokens AS DOUBLE)) AS q
   FROM per_source, tot
 ),
-z AS (SELECT sum(q) AS zq FROM smoothed)
+z AS (SELECT CAST(sum(CAST(q AS DECIMAL(32, 18))) AS DOUBLE) AS zq
+     FROM smoothed)
 SELECT source, n_tokens,
        round(share, 6)                            AS share,
        round(q / zq, 6)                           AS temp_weight,
@@ -491,7 +492,13 @@ def q_temperature_mixture_weights(
             ).alias("q"),
         )
     )
-    z = smoothed.agg(F.sum("q").alias("zq"))
+    # DECIMAL accumulation: the normalizer is the one cross-row sum in
+    # this kernel — double addition is order-dependent (partial-agg order
+    # vs DuckDB scan order), and a q/zq on a 0.5e-6 boundary would flip
+    # round(,6); DECIMAL(32,18) makes the sum reduction-order-exact
+    z = smoothed.agg(
+        F.sum(F.col("q").cast("decimal(32,18)")).cast("double").alias("zq")
+    )
     return smoothed.crossJoin(F.broadcast(z)).select(
         "source",
         "n_tokens",

@@ -146,3 +146,14 @@ def write_message_files(events: DataFrame, path: str, num_files: int = 4) -> Non
     """Materialize fixture messages as JSON-lines text files — the streaming
     tests replay these through a file source standing in for Kafka."""
     events_to_messages(events).repartition(num_files).write.mode("overwrite").text(path)
+
+
+def sim_message_count(log: str) -> int:
+    """Messages in a sim_message_log dir (offsets are line numbers)."""
+    import os
+
+    return sum(
+        1
+        for p in range(SIM_PARTITIONS)
+        for _ in open(os.path.join(log, SIM_TOPIC, f"p{p}.jsonl"))
+    )

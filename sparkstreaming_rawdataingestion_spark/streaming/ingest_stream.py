@@ -92,3 +92,25 @@ def start_ingest_upsert_sink(
         .trigger(**_trigger_kwargs(trigger_seconds))
         .start()
     )
+
+
+def drain_progress(
+    query: StreamingQuery, n_messages: int, timeout_s: float = 300.0
+) -> list[dict]:
+    """Poll a running ingest query until ``n_messages`` source rows have
+    been consumed (or ``timeout_s`` elapses) and return the non-empty
+    progress events. Shared by tools/ingest_slo.py (the BASELINE
+    measurement) and the CI batch-time guard so both read batch
+    durations from the same accounting — ``recentProgress`` keeps the
+    last ~100 events, ample for both callers' batch counts."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if (
+            sum(p["numInputRows"] for p in query.recentProgress)
+            >= n_messages
+        ):
+            break
+        time.sleep(0.5)
+    return [p for p in query.recentProgress if p["numInputRows"] > 0]

@@ -202,22 +202,22 @@ def test_ingest_batch_time_under_trigger(spark, sf_dir, tmp_path):
     drains the fixture backlog in capped micro-batches, and every
     batch's triggerExecution must finish far inside the reference
     interval. tools/ingest_slo.py measures the same thing at sf0.1 for
-    BASELINE.md; this pins the order of magnitude in CI."""
-    import time
-
+    BASELINE.md; this pins the order of magnitude in CI (sharing the
+    drain/count helpers, so both read the same progress accounting)."""
     from sparkstreaming_rawdataingestion_spark.sources import fixtures, kafka
     from sparkstreaming_rawdataingestion_spark.streaming.ingest_stream import (
+        drain_progress,
         start_ingest_file_sink,
     )
 
     log = fixtures.sim_message_log(spark, sf_dir)
-    n_messages = sum(
-        1
-        for p in range(fixtures.SIM_PARTITIONS)
-        for _ in open(f"{log}/{fixtures.SIM_TOPIC}/p{p}.jsonl")
-    )
-    # cap sized so the fixture backlog needs ≥3 batches regardless of sf
-    cap = max(1, n_messages // (fixtures.SIM_PARTITIONS * 3))
+    n_messages = fixtures.sim_message_count(log)
+    # cap sized so the fixture backlog needs ≥4 batches regardless of sf:
+    # the FIRST batch is excluded from the assertion (it pays the
+    # session's one-time plan/sink/codegen init — the same reason
+    # tools/ingest_slo.py discards a warmup pass), so ≥3 steady-state
+    # batches must remain
+    cap = max(1, n_messages // (fixtures.SIM_PARTITIONS * 4))
     values = kafka.kafka_sim_value_stream(
         spark, log, fixtures.SIM_TOPIC, cap, group_id="slo-guard"
     )
@@ -227,16 +227,52 @@ def test_ingest_batch_time_under_trigger(spark, sf_dir, tmp_path):
         str(tmp_path / "ckpt"),
         trigger_seconds=1,
     )
-    deadline = time.monotonic() + 180
     try:
-        while time.monotonic() < deadline:
-            if sum(p["numInputRows"] for p in q.recentProgress) >= n_messages:
-                break
-            time.sleep(0.5)
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        progress = drain_progress(q, n_messages, timeout_s=180)
     finally:
         q.stop()
     assert sum(p["numInputRows"] for p in progress) >= n_messages
-    assert len(progress) >= 2  # the cap actually paced the backlog
+    assert len(progress) >= 4  # the cap actually paced the backlog
     durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in progress]
-    assert max(durs) < 5.0, f"batch exceeded the reference trigger: {durs}"
+    assert max(durs[1:]) < 5.0, (
+        f"steady-state batch exceeded the reference trigger: {durs}"
+    )
+
+
+def test_pack_oracle_null_lang_stratum_parity(spark):
+    """The recursive-CTE pack oracle must advance a NULL-lang stratum
+    like any other (the recursion joins with IS NOT DISTINCT FROM —
+    plain equality would stall NULL at rank 1 and silently drop the
+    stratum's tail): engine and oracle agree row-for-row on a corpus
+    where one stratum's lang is NULL."""
+    import duckdb
+
+    from sparkstreaming_rawdataingestion_spark.operators import packing
+
+    rows = [
+        (i, " ".join(["w"] * n), lang, "s", 1)
+        for i, (lang, n) in enumerate(
+            [("en", 300), ("en", 300), ("en", 100), (None, 400),
+             (None, 200), (None, 500), (None, 10)]
+        )
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    engine = {
+        (r["lang"], r["doc_id"]): (r["n_tokens"], r["bin_id"], r["bin_fill"])
+        for r in packing.pack_documents(d).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", d.toPandas()[["doc_id", "text", "lang"]]
+    )
+    oracle = {
+        (lang, doc_id): (nt, bid, fill)
+        for lang, doc_id, nt, bid, fill in con.execute(
+            packing._PACK_ORACLE
+        ).fetchall()
+    }
+    assert len(engine) == len(rows)
+    assert engine == oracle

@@ -34,16 +34,13 @@ def run(sf_dir: str) -> list[dict]:
     from sparkstreaming_rawdataingestion_spark.session import get_spark
     from sparkstreaming_rawdataingestion_spark.sources import fixtures, kafka
     from sparkstreaming_rawdataingestion_spark.streaming.ingest_stream import (
+        drain_progress,
         start_ingest_file_sink,
     )
 
     spark = get_spark(app_name="ingest-slo")
     log = fixtures.sim_message_log(spark, sf_dir)
-    n_messages = sum(
-        1
-        for p in range(fixtures.SIM_PARTITIONS)
-        for _ in open(f"{log}/{fixtures.SIM_TOPIC}/p{p}.jsonl")
-    )
+    n_messages = fixtures.sim_message_count(log)
     results = []
     # caps are per partition per batch (the maxOffsetsPerTrigger twin);
     # None = the whole backlog in one batch (the restart worst case).
@@ -63,17 +60,8 @@ def run(sf_dir: str) -> list[dict]:
         q = start_ingest_file_sink(
             values, f"{work}/sink", f"{work}/ckpt", trigger_seconds=5
         )
-        deadline = time.monotonic() + 300
         try:
-            # drain: the job has consumed every produced message
-            while time.monotonic() < deadline:
-                done = sum(
-                    p["numInputRows"] for p in q.recentProgress
-                ) >= n_messages
-                if done:
-                    break
-                time.sleep(0.5)
-            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            progress = drain_progress(q, n_messages, timeout_s=300)
         finally:
             q.stop()
             shutil.rmtree(work, ignore_errors=True)
