@@ -469,7 +469,10 @@ def q_temperature_mixture_weights(
 ) -> DataFrame:
     """Temperature-smoothed sampling weights per source (T = 2): weight
     ∝ share^(1/T), renormalized; ``epochs`` = weight/share is the repeat
-    factor the assembly run applies to each source. One grouped token
+    factor the assembly run applies to each source. Complements
+    mining.temperature_mix_sample (the ROW-level doc sampler at n_docs^τ
+    per lang) and mixture_reweight_plan (uniform target): this is the
+    token-budget PLAN table for the smoothed mix. One grouped token
     census (map-side combine on source), then everything runs on the
     sources-sized model table against two broadcast 1-row totals — the
     corpus is scanned exactly once regardless of size."""

@@ -470,3 +470,42 @@ def test_winnowing_pairs_df_capped_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "rangepartitioning" not in p
     assert plans.count_exchanges(df) <= 6
+
+
+def test_decontamination_eval_index_broadcasts(spark, sf_dir):
+    """The contamination probe's scale contract: the eval-side n-gram
+    index and sizes join as BROADCASTS (a benchmark is model-table
+    sized), the train-side gram stream never shuffles payloads — the
+    single exchange is the (train_id, eval_id) pair aggregation."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.QUERIES["decontamination_ngram_overlap"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert plans.count_exchanges(df) <= 2
+
+
+def test_gopher_filter_doc_keyed_only(spark, sf_dir):
+    """The repetition filter must stay embarrassingly parallel over
+    documents: bigram count + per-doc max are doc-keyed aggregations
+    (bounded exchanges), with no corpus-global sort or cross join."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.QUERIES["gopher_repetition_filter"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p
+    assert plans.count_exchanges(df) <= 3
+
+
+def test_temperature_mix_no_global_sort(spark, sf_dir):
+    """The mix planner reduces the corpus once (source-keyed census) and
+    finishes on model tables against broadcast totals — never a global
+    sort, never a cartesian over data tables."""
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+
+    df = pipeline.QUERIES["temperature_mixture_weights"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "rangepartitioning" not in p
+    assert plans.count_exchanges(df) <= 4
