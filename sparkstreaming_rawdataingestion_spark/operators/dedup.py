@@ -1348,3 +1348,77 @@ def q_decontamination_ngram_overlap(
             ).alias("eval_coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_substring_chunks — chunk-granular exact duplication census
+# ---------------------------------------------------------------------------
+
+# Exact SUBSTRING duplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better") at chunk granularity: doc-level
+# exact dedup misses boilerplate spans pasted into otherwise-distinct
+# documents. Non-overlapping token windows are the tractable census: a
+# span duplicated across docs shows up as >=1 duplicated chunk once it
+# covers a window. 64 tokens matches chunk_documents' training-window
+# width.
+SUBSTR_CHUNK_TOKENS = 64
+
+_SUBSTR_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         sha256(array_to_string(
+             toks[1 + u.i * {SUBSTR_CHUNK_TOKENS}
+                  : 1 + u.i * {SUBSTR_CHUNK_TOKENS}
+                    + {SUBSTR_CHUNK_TOKENS - 1}], ' ')) AS chunk_sha256
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       unnest([{{'i': i}} FOR i IN range(0,
+           CAST(ceil(len(toks) / {SUBSTR_CHUNK_TOKENS}.0) AS BIGINT))])
+         AS u(u)
+)
+SELECT chunk_sha256,
+       CAST(count(*) AS BIGINT)                AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT)  AS n_docs
+FROM c
+GROUP BY chunk_sha256
+HAVING count(*) > 1
+"""
+
+
+@_register("dedup_exact_substring_chunks", _SUBSTR_ORACLE)
+def q_dedup_exact_substring_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicated {SUBSTR_CHUNK_TOKENS}-token chunks across the corpus:
+    each non-overlapping window is keyed by its sha256 (the shuffle
+    carries 32-byte digests, never chunk text — the dedup_exact_hash
+    discipline), grouped, and reported where it occurs more than once.
+    Map-only chunk generation (sequence + slice, zero Python), one
+    digest-keyed aggregation; embarrassingly parallel at any corpus
+    size."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(
+        F.size(toks) / F.lit(float(SUBSTR_CHUNK_TOKENS))
+    ).cast("int")
+    idx = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx", "_"),
+    )
+    chunk = F.array_join(
+        F.slice(
+            F.col("toks"),
+            F.col("chunk_idx") * SUBSTR_CHUNK_TOKENS + 1,
+            SUBSTR_CHUNK_TOKENS,
+        ),
+        " ",
+    )
+    return (
+        idx.select("doc_id", F.sha2(chunk, 256).alias("chunk_sha256"))
+        .groupBy("chunk_sha256")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )

@@ -945,3 +945,117 @@ def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["label_agreement_kappa"] = _KAPPA_ORACLE_TEMPLATE.format(
     pred=_langid_pred_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# calibration_ece_report — ECE / MCE / Brier one-row summary
+# ---------------------------------------------------------------------------
+
+_ECE_ORACLE = """
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+scored AS (
+  SELECT coalesce((value - (SELECT lo FROM bounds))
+           / nullif((SELECT hi FROM bounds)
+                    - (SELECT lo FROM bounds), 0), 0.0e0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y FROM scored
+),
+b AS (
+  SELECT bin, count(*) AS n,
+         CAST(sum(CAST(p AS DECIMAL(32, 18))) AS DOUBLE) AS sp,
+         CAST(sum(y) AS DOUBLE) AS sy
+  FROM binned GROUP BY bin
+),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+             CAST(sum(n) AS BIGINT) AS n_events FROM b),
+gaps AS (SELECT n, abs(sy / n - sp / n) AS gap FROM b),
+brier AS (
+  SELECT CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(32, 18))) AS DOUBLE)
+           AS sq
+  FROM binned
+)
+SELECT round(CAST(sum(CAST(gap * n AS DECIMAL(32, 18))) AS DOUBLE)
+             / t.n_total, 6)                       AS ece,
+       round(max(gap), 6)                          AS mce,
+       round(brier.sq / t.n_total, 6)              AS brier,
+       t.n_events                                  AS n_events
+FROM gaps, t, brier
+GROUP BY t.n_total, t.n_events, brier.sq
+"""
+
+
+@_register("calibration_ece_report", _ECE_ORACLE)
+def q_calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. 2015 / Guo et al. 2017)
+    over the same 10-bin reliability layout as score_calibration_bins,
+    plus MCE (the worst bin's gap) and the Brier score — the one-row
+    acceptance gate a model-eval pipeline thresholds on.
+
+    Per-bin score mass and the squared-error total accumulate in
+    DECIMAL(32,18), so every cross-row sum is reduction-order-exact and
+    the final ratios hash cross-engine; the per-bin gap |acc − conf| is
+    pure per-row double algebra on identical inputs. Plan: one 10-key
+    aggregation + two broadcast 1-row totals — corpus scanned once."""
+    dec = "decimal(32,18)"
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    scored = ev.crossJoin(F.broadcast(bounds)).select(
+        F.coalesce(
+            F.try_divide(
+                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
+            ),
+            F.lit(0.0),
+        ).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = session.stage(
+        scored.select(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+            "p",
+            "y",
+        )
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p").cast(dec)).cast("double").alias("sp"),
+        F.sum("y").cast("double").alias("sy"),
+    )
+    gaps = b.select(
+        "n",
+        F.abs(
+            F.col("sy") / F.col("n") - F.col("sp") / F.col("n")
+        ).alias("gap"),
+    )
+    t = b.agg(
+        F.sum("n").cast("double").alias("n_total"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    brier = binned.agg(
+        F.sum(((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(dec))
+        .cast("double")
+        .alias("sq")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(brier))
+        .groupBy("n_total", "n_events", "sq")
+        .agg(
+            F.round(
+                F.sum((F.col("gap") * F.col("n")).cast(dec)).cast("double")
+                / F.first("n_total"),
+                6,
+            ).alias("ece"),
+            F.round(F.max("gap"), 6).alias("mce"),
+        )
+        .select(
+            "ece",
+            "mce",
+            F.round(F.col("sq") / F.col("n_total"), 6).alias("brier"),
+            "n_events",
+        )
+    )

@@ -781,3 +781,54 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction_stats — digit-run scrubbing audit over event payloads
+# ---------------------------------------------------------------------------
+
+# A PII scrub's first pass in any training pipeline is pattern-based
+# (digit runs: account/phone/ID numbers; the fixture's props payloads
+# carry synthetic integers standing in for them). The operator reports,
+# per event_type, how much a `[0-9]+` redaction would remove — the audit
+# a privacy review reads BEFORE the destructive scrub runs. The regex is
+# deliberately dialect-portable (a plain character class + quantifier,
+# identical semantics in Java regex and RE2/DuckDB).
+PII_DIGIT_RUN = "[0-9]+"
+
+_PII_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(len(regexp_extract_all(props, '{PII_DIGIT_RUN}')))
+            AS BIGINT)          AS n_matches,
+       CAST(sum(length(props)
+                - length(regexp_replace(props, '{PII_DIGIT_RUN}', '', 'g')))
+            AS BIGINT)          AS chars_redacted,
+       round(sum(len(regexp_extract_all(props, '{PII_DIGIT_RUN}'))) * 1.0
+             / count(*), 6)     AS matches_per_event
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("pii_redaction_stats", _PII_ORACLE)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction audit for the digit-run scrub: per event_type, how many
+    `[0-9]+` matches a redaction pass would hit and how many characters
+    it would remove. Pure per-row regex algebra folded into one grouped
+    aggregation — one scan, one |event_types|-key reduce, no joins; at
+    100 TB this is the same single-reduce shape as data_quality_checks
+    (the audit never materializes redacted payloads)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    n_matches = F.regexp_count("props", F.lit(PII_DIGIT_RUN))
+    removed = F.length("props") - F.length(
+        F.regexp_replace("props", PII_DIGIT_RUN, "")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(n_matches).cast("long").alias("n_matches"),
+        F.sum(removed).cast("long").alias("chars_redacted"),
+        F.round(
+            F.sum(n_matches) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("matches_per_event"),
+    )

@@ -249,6 +249,11 @@ CORE_ORDER: tuple[str, ...] = (
     "merge_upsert_apply",
     "scd2_dimension_history",
     "sessionize_events",
+    # --- driver checks the first 50 entries; below: the queued
+    # overflow (see OVERFLOW_QUEUE) ---
+    "calibration_ece_report",
+    "pii_redaction_stats",
+    "dedup_exact_substring_chunks",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -259,10 +264,18 @@ CORE_ORDER: tuple[str, ...] = (
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — EMPTY this round: the round-6 queue drained into
-# slots 2-10 and all five new oracle-backed entries fit the window.
+# first driver row — the round-6 queue drained into slots 2-10 and all
+# five round-7 headline entries fit the window; three late round-7
+# additions (the ECE/MCE/Brier calibration gate, the digit-run PII
+# redaction audit, and chunk-granular exact-substring dedup) queue here
+# for round 8's rotation, each validated engine + --plain at sf0.01 AND
+# sf0.1 plus a closed-form fixture test before entry.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = ()
+OVERFLOW_QUEUE: tuple[str, ...] = (
+    "calibration_ece_report",
+    "pii_redaction_stats",
+    "dedup_exact_substring_chunks",
+)
 
 
 def _operator_registries(attr: str) -> dict:

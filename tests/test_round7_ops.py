@@ -276,3 +276,112 @@ def test_pack_oracle_null_lang_stratum_parity(spark):
     }
     assert len(engine) == len(rows)
     assert engine == oracle
+
+
+# ---------------------------------------------------------------------------
+# Round-8 queue ops (OVERFLOW_QUEUE): closed-form fixtures
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    import datetime
+
+    D = datetime.datetime
+    full = [
+        (i, D(2024, 1, 1, 0, 0, i % 60), 1, et, v, p)
+        for i, (et, v, p) in enumerate(rows)
+    ]
+    spark.createDataFrame(full, _EV_SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_calibration_ece_closed_form(spark, tmp_path):
+    """Hand-computed ECE/MCE/Brier: scores {0, 100} normalize to p = 0
+    and 1 (bins 0 and 9); two p=0.5 events (bin 5) with one positive.
+    bin0: conf 0 acc 0 (gap 0); bin9: conf 1 acc 1 (gap 0); bin5:
+    conf 0.5 acc 0.5 (gap 0) → ECE = MCE = 0, perfectly calibrated.
+    Brier = (0² + 0² + .5² + .5²)/4 = 0.125."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            ("view", 0.0, "{}"),
+            ("purchase", 100.0, "{}"),
+            ("view", 50.0, "{}"),
+            ("purchase", 50.0, "{}"),
+        ],
+    )
+    [r] = evaluation.QUERIES["calibration_ece_report"](spark, sf).collect()
+    assert (r["ece"], r["mce"], r["brier"], r["n_events"]) == (
+        0.0, 0.0, 0.125, 4,
+    )
+
+
+def test_calibration_ece_worst_case(spark, tmp_path):
+    """Anti-calibrated scorer: p=1 never converts, p=0 always does —
+    both bins' gap is 1 → ECE = MCE = Brier = 1 exactly."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [("view", 100.0, "{}"), ("purchase", 0.0, "{}")],
+    )
+    [r] = evaluation.QUERIES["calibration_ece_report"](spark, sf).collect()
+    assert (r["ece"], r["mce"], r["brier"]) == (1.0, 1.0, 1.0)
+
+
+def test_pii_redaction_stats_closed_form(spark, tmp_path):
+    """'ab12cd345' has 2 digit runs, 5 digits; '{}' has none: counts and
+    removed-char totals are exact per event_type."""
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            ("click", 1.0, "ab12cd345"),
+            ("click", 1.0, "{}"),
+            ("view", 1.0, "tel 5551234"),
+        ],
+    )
+    out = {
+        r["event_type"]: r
+        for r in validation.QUERIES["pii_redaction_stats"](spark, sf).collect()
+    }
+    assert out["click"]["n_matches"] == 2
+    assert out["click"]["chars_redacted"] == 5
+    assert out["click"]["matches_per_event"] == 1.0
+    assert out["view"]["n_matches"] == 1
+    assert out["view"]["chars_redacted"] == 7
+
+
+def test_exact_substring_chunks_closed_form(spark, tmp_path):
+    """Two docs share an identical second 64-token window inside
+    otherwise-distinct text (the boilerplate-span case doc-level dedup
+    misses); a third doc is unique → exactly one duplicated chunk with
+    n_occurrences = n_docs = 2."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    boiler = " ".join(["same"] * 64)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "s", " ".join(f"a{i}" for i in range(64)) + " " + boiler),
+            (2, "s", " ".join(f"b{i}" for i in range(64)) + " " + boiler),
+            (3, "s", " ".join(f"c{i}" for i in range(64))),
+        ],
+    )
+    rows = dedup.QUERIES["dedup_exact_substring_chunks"](spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_occurrences"], rows[0]["n_docs"]) == (2, 2)
