@@ -1315,24 +1315,37 @@ def q_decontamination_ngram_overlap(
     (train_id, eval_id) keys only."""
     d = catalog.load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev, ev_sizes = build_eval_index(d.where(is_eval))
+    return decontamination_pairs(d.where(~is_eval), ev, ev_sizes)
+
+
+def build_eval_index(eval_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(inverted distinct-{DECON_N}-gram index, per-doc gram counts) for
+    an eval/benchmark corpus — the static, broadcastable side of the
+    contamination probe. The streaming monitor stages both once and
+    reuses them across every micro-batch."""
     grams8 = _shingles(n=DECON_N)
-    ev = (
-        d.where(is_eval)
-        .select(
-            F.col("doc_id").alias("eval_doc_id"),
-            F.explode(grams8).alias("gram"),
-        )
+    ev = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(grams8).alias("gram"),
     )
-    ev_sizes = d.where(is_eval).select(
+    ev_sizes = eval_docs.select(
         F.col("doc_id").alias("eval_doc_id"),
         F.size(grams8).alias("n_eval"),
     )
-    tr = (
-        d.where(~is_eval)
-        .select(
-            F.col("doc_id").alias("train_doc_id"),
-            F.explode(grams8).alias("gram"),
-        )
+    return ev, ev_sizes
+
+
+def decontamination_pairs(
+    train: DataFrame, ev: DataFrame, ev_sizes: DataFrame
+) -> DataFrame:
+    """The contamination kernel: (train, eval) pairs sharing ≥1 distinct
+    {DECON_N}-gram with shared count + eval-coverage fraction. Shared
+    between the batch query and streaming/decon_stream — both sides of
+    the eval index broadcast, the train gram stream never shuffles."""
+    tr = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(_shingles(n=DECON_N)).alias("gram"),
     )
     return (
         tr.join(F.broadcast(ev), "gram")
