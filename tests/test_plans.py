@@ -509,3 +509,42 @@ def test_temperature_mix_no_global_sort(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "rangepartitioning" not in p
     assert plans.count_exchanges(df) <= 4
+
+
+def test_pii_audit_single_reduce(spark, sf_dir):
+    """The redaction audit folds every regex statistic into ONE grouped
+    aggregation over one scan (the data_quality_checks shape): a single
+    exchange, no joins, no Python."""
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    df = validation.QUERIES["pii_redaction_stats"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 1
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_substring_chunks_digest_keyed(spark, sf_dir):
+    """Chunk generation is a map-only sequence+slice projection and the
+    census shuffles sha256 digests only: bounded exchanges (count +
+    countDistinct), never a sort or cartesian, no Python."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.QUERIES["dedup_exact_substring_chunks"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) <= 2
+    assert "rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_ece_report_model_table_algebra(spark, sf_dir):
+    """ECE scans the corpus once into a 10-key bin aggregation; the
+    gap/total/Brier algebra runs on model tables against broadcast
+    1-row frames — bounded exchanges, no global sort."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    df = evaluation.QUERIES["calibration_ece_report"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) <= 3
+    assert "rangepartitioning" not in p
