@@ -1413,10 +1413,16 @@ def q_dedup_exact_substring_chunks(
     n_chunks = F.ceil(
         F.size(toks) / F.lit(float(SUBSTR_CHUNK_TOKENS))
     ).cast("int")
+    # explode over 0..n_chunks-1 states the 0-based index directly and
+    # matches the oracle's range(0, ceil(len/64)); n_chunks >= 1 for any
+    # non-null text, so the descending-sequence hazard (_shingles) never
+    # applies here
     idx = d.select(
         "doc_id",
         toks.alias("toks"),
-        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx", "_"),
+        F.explode(
+            F.sequence(F.lit(0), n_chunks - F.lit(1))
+        ).alias("chunk_idx"),
     )
     chunk = F.array_join(
         F.slice(

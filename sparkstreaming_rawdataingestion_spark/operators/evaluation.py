@@ -362,11 +362,16 @@ def q_ranking_auc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # ---------------------------------------------------------------------------
-# score_calibration_bins — reliability diagram data
+# Shared reliability layout: min-max-normalized scores in equal bins
 # ---------------------------------------------------------------------------
 
-_CALIB_ORACLE = """
+def _minmax_binned_sql(bins: int) -> str:
+    """The oracle-side of `_minmax_binned` — shared CTE prefix so the
+    reliability layout (normalization, zero-range fallback, clamped top
+    bin) stays identical by construction across every consumer."""
+    return f"""
 WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
 scored AS (
   -- coalesce/nullif: all-equal scores → p = 0 for every row, never
@@ -378,8 +383,41 @@ scored AS (
   FROM events
 ),
 binned AS (
-  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y FROM scored
-)
+  SELECT least(CAST(floor(p * {bins}) AS INTEGER), {bins} - 1) AS bin, p, y
+  FROM scored
+)"""
+
+
+def _minmax_binned(ev: DataFrame, bins: int) -> DataFrame:
+    """(bin, p, y): min-max-normalized event scores in ``bins`` equal
+    bins, purchase as the positive class — the reliability layout shared
+    by score_calibration_bins, threshold_sweep_pr and
+    calibration_ece_report (one bounds broadcast, map-side bin
+    arithmetic; an all-equal-scores slice lands wholly in bin 0)."""
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    scored = ev.crossJoin(F.broadcast(bounds)).select(
+        F.coalesce(
+            F.try_divide(
+                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
+            ),
+            F.lit(0.0),
+        ).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return scored.select(
+        F.least(
+            F.floor(F.col("p") * bins).cast("int"), F.lit(bins - 1)
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+
+
+# ---------------------------------------------------------------------------
+# score_calibration_bins — reliability diagram data
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = _minmax_binned_sql(10) + """
 SELECT bin,
        CAST(count(*) AS BIGINT) AS n,
        round(avg(p), 6) AS mean_score,
@@ -395,22 +433,7 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer tracks the diagonal). 1-row bounds broadcast, map-side bin
     arithmetic, one 10-key aggregation."""
     ev = catalog.load_table(spark, sf_dir, "events")
-    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    scored = ev.crossJoin(F.broadcast(bounds)).select(
-        # all-equal scores → p = 0 for every row (oracle coalesce/nullif)
-        F.coalesce(
-            F.try_divide(
-                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
-            ),
-            F.lit(0.0),
-        ).alias("p"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-    )
-    binned = scored.select(
-        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
-        "p",
-        "y",
-    )
+    binned = _minmax_binned(ev, 10)
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg("p"), 6).alias("mean_score"),
@@ -514,22 +537,10 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SWEEP_STEPS = 20  # thresholds k/20, k = 0..19
 
-_SWEEP_ORACLE = f"""
-WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-scored AS (
-  -- coalesce/nullif: all-equal scores → p = 0 for every row, never
-  -- DIVIDE_BY_ZERO
-  SELECT coalesce((value - (SELECT lo FROM bounds))
-           / nullif((SELECT hi FROM bounds)
-                    - (SELECT lo FROM bounds), 0), 0.0e0) AS p,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-  FROM events
-),
+_SWEEP_ORACLE = _minmax_binned_sql(SWEEP_STEPS) + f""",
 hist AS (
-  SELECT least(CAST(floor(p * {SWEEP_STEPS}) AS INTEGER), {SWEEP_STEPS} - 1)
-           AS bin,
-         sum(y) AS pos, sum(1 - y) AS neg
-  FROM scored GROUP BY 1
+  SELECT bin, sum(y) AS pos, sum(1 - y) AS neg
+  FROM binned GROUP BY 1
 ),
 grid AS (SELECT g.k FROM generate_series(0, {SWEEP_STEPS} - 1) g(k)),
 cum AS (
@@ -562,25 +573,9 @@ def q_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning loop (choose the threshold that hits a precision target)
     reads straight off this table."""
     ev = catalog.load_table(spark, sf_dir, "events")
-    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    scored = ev.crossJoin(F.broadcast(bounds)).select(
-        # all-equal scores → p = 0 everywhere (see oracle note)
-        F.coalesce(
-            F.try_divide(
-                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
-            ),
-            F.lit(0.0),
-        ).alias("p"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-    )
     hist = (
-        scored.select(
-            F.least(
-                F.floor(F.col("p") * SWEEP_STEPS).cast("int"),
-                F.lit(SWEEP_STEPS - 1),
-            ).alias("bin"),
-            "y",
-        )
+        _minmax_binned(ev, SWEEP_STEPS)
+        .select("bin", "y")
         .groupBy("bin")
         .agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
     )
@@ -951,18 +946,7 @@ ORACLES["label_agreement_kappa"] = _KAPPA_ORACLE_TEMPLATE.format(
 # calibration_ece_report — ECE / MCE / Brier one-row summary
 # ---------------------------------------------------------------------------
 
-_ECE_ORACLE = """
-WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-scored AS (
-  SELECT coalesce((value - (SELECT lo FROM bounds))
-           / nullif((SELECT hi FROM bounds)
-                    - (SELECT lo FROM bounds), 0), 0.0e0) AS p,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-  FROM events
-),
-binned AS (
-  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y FROM scored
-),
+_ECE_ORACLE = _minmax_binned_sql(10) + """,
 b AS (
   SELECT bin, count(*) AS n,
          CAST(sum(CAST(p AS DECIMAL(32, 18))) AS DOUBLE) AS sp,
@@ -1001,25 +985,7 @@ def q_calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation + two broadcast 1-row totals — corpus scanned once."""
     dec = "decimal(32,18)"
     ev = catalog.load_table(spark, sf_dir, "events")
-    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    scored = ev.crossJoin(F.broadcast(bounds)).select(
-        F.coalesce(
-            F.try_divide(
-                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
-            ),
-            F.lit(0.0),
-        ).alias("p"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
-    )
-    binned = session.stage(
-        scored.select(
-            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias(
-                "bin"
-            ),
-            "p",
-            "y",
-        )
-    )
+    binned = session.stage(_minmax_binned(ev, 10))
     b = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("p").cast(dec)).cast("double").alias("sp"),

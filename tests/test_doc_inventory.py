@@ -40,3 +40,23 @@ def test_coverage_counts_match_registry():
     )
     assert f"{n_o} with DuckDB oracles" in re.sub(r"\s+", " ", text)
     assert f"{n_rows_only} rows-only" in re.sub(r"\s+", " ", text)
+
+
+def test_coverage_extended_count_matches_registry():
+    """The one figure the other pins missed (round-7 review): the
+    extended-region size documented in COVERAGE.md must equal
+    len(all_queries()) - len(CORE_ORDER)."""
+    import re
+
+    from sparkstreaming_rawdataingestion_spark.queries import (
+        all_queries,
+        extended_queries,
+        CORE_ORDER,
+    )
+
+    n_ext = len(extended_queries())
+    assert n_ext == len(all_queries()) - len(CORE_ORDER)
+    text = re.sub(r"\s+", " ", open(os.path.join(REPO, "COVERAGE.md")).read())
+    assert f"{n_ext} extended)" in text, (
+        f"COVERAGE.md extended count is stale: registry has {n_ext}"
+    )
