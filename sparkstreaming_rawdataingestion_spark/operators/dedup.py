@@ -1441,3 +1441,46 @@ def q_dedup_exact_substring_chunks(
         )
         .where(F.col("n_occurrences") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_rate_report — per-source duplication census
+# ---------------------------------------------------------------------------
+
+_DEDUP_RATE_ORACLE = """
+WITH per_text AS (
+  SELECT source, sha256(text) AS h, count(*) AS copies
+  FROM documents GROUP BY source, sha256(text)
+)
+SELECT source,
+       CAST(sum(copies) AS BIGINT)   AS n_docs,
+       CAST(count(*) AS BIGINT)      AS n_unique,
+       round(1.0 - count(*) * 1.0 / sum(copies), 6) AS dup_rate,
+       CAST(max(copies) AS BIGINT)   AS max_copies
+FROM per_text
+GROUP BY source
+"""
+
+
+@_register("dedup_rate_report", _DEDUP_RATE_ORACLE)
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication census a curation run reads FIRST: per source,
+    how many docs, how many unique texts, the dup rate, and the largest
+    exact-copy cluster — the number that decides whether dedup is worth
+    a pass at all and which sources are template farms. Two digest-keyed
+    aggregations (the shuffle carries (source, 32-byte sha) pairs, never
+    text — the dedup_exact_hash discipline), embarrassingly parallel."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    per_text = d.groupBy(
+        "source", F.sha2("text", 256).alias("h")
+    ).agg(F.count(F.lit(1)).alias("copies"))
+    return per_text.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.lit(1)) * F.lit(1.0) / F.sum("copies"),
+            6,
+        ).alias("dup_rate"),
+        F.max("copies").cast("long").alias("max_copies"),
+    )

@@ -832,3 +832,143 @@ def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_matches) * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("matches_per_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# score_drift_psi — population stability index between the drift cohorts
+# ---------------------------------------------------------------------------
+
+# PSI is the binned companion of the KS statistic above (same
+# event_id-parity cohorts standing in for expected-vs-actual windows):
+# Σ (p_a − p_b)·ln(p_a/p_b) over 10 equal-width bins of each
+# event_type's own score range. Shares are Laplace-smoothed
+# ((c + 0.5)/(n + 5)) so empty bins keep ln defined — and the sum runs
+# over ALL 10 bins via an explicit grid (a bin empty in both cohorts
+# still contributes its smoothed term when n_a ≠ n_b; dropping absent
+# rows would silently change the statistic). Industry reading: < 0.1
+# stable, 0.1-0.25 moderate shift, > 0.25 action.
+PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events
+  WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         sum(in_a) AS na, sum(1 - in_a) AS nb
+  FROM tagged GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type,
+         least(CAST(floor(coalesce((t.value - b.lo)
+                                   / nullif(b.hi - b.lo, 0), 0.0e0)
+                          * {PSI_BINS}) AS INTEGER), {PSI_BINS} - 1) AS bin,
+         t.in_a
+  FROM tagged t JOIN bounds b USING (event_type)
+),
+counts AS (
+  SELECT event_type, bin, sum(in_a) AS ca, sum(1 - in_a) AS cb
+  FROM binned GROUP BY event_type, bin
+),
+grid AS (
+  SELECT b.event_type, g.k AS bin, b.na, b.nb
+  FROM bounds b, generate_series(0, {PSI_BINS} - 1) g(k)
+),
+terms AS (
+  SELECT g.event_type, g.na, g.nb,
+         (coalesce(c.ca, 0) + 0.5e0) / (g.na + {PSI_BINS} * 0.5e0) AS pa,
+         (coalesce(c.cb, 0) + 0.5e0) / (g.nb + {PSI_BINS} * 0.5e0) AS pb
+  FROM grid g LEFT JOIN counts c USING (event_type, bin)
+)
+SELECT event_type,
+       round(CAST(sum(CAST((pa - pb) * ln(pa / pb)
+                           AS DECIMAL(32, 18))) AS DOUBLE), 6) AS psi,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM terms
+GROUP BY event_type
+"""
+
+
+@_register("score_drift_psi", _PSI_ORACLE)
+def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the two drift
+    cohorts — the binned drift gate model-monitoring dashboards
+    threshold on (KS above is its continuous sibling). Laplace-smoothed
+    shares over an explicit 10-bin grid; per-bin terms are identical
+    per-row double algebra on both engines, and the cross-bin sum
+    accumulates in DECIMAL so the statistic is reduction-order-exact.
+    Plan: one grouped count, a bounds/grid broadcast, one
+    |event_types|-key reduce — the corpus is scanned once."""
+    dec = "decimal(32,18)"
+    ev = catalog.load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    bounds = tagged.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum("in_a").alias("na"),
+        F.sum(1 - F.col("in_a")).alias("nb"),
+    )
+    binned = tagged.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("value") - F.col("lo"),
+                        F.col("hi") - F.col("lo"),
+                    ),
+                    F.lit(0.0),
+                )
+                * PSI_BINS
+            ).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        "in_a",
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    grid = bounds.select("event_type", "na", "nb").crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(PSI_BINS).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    smooth = float(PSI_BINS * 0.5)
+    terms = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "na",
+        "nb",
+        (
+            (F.coalesce(F.col("ca"), F.lit(0)) + F.lit(0.5))
+            / (F.col("na") + F.lit(smooth))
+        ).alias("pa"),
+        (
+            (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(0.5))
+            / (F.col("nb") + F.lit(smooth))
+        ).alias("pb"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(
+            F.sum(
+                (
+                    (F.col("pa") - F.col("pb"))
+                    * F.log(F.col("pa") / F.col("pb"))
+                ).cast(dec)
+            ).cast("double"),
+            6,
+        ).alias("psi"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )

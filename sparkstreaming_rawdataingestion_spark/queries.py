@@ -254,6 +254,8 @@ CORE_ORDER: tuple[str, ...] = (
     "calibration_ece_report",
     "pii_redaction_stats",
     "dedup_exact_substring_chunks",
+    "score_drift_psi",
+    "dedup_rate_report",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -275,6 +277,8 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     "calibration_ece_report",
     "pii_redaction_stats",
     "dedup_exact_substring_chunks",
+    "score_drift_psi",
+    "dedup_rate_report",
 )
 
 

@@ -385,3 +385,64 @@ def test_exact_substring_chunks_closed_form(spark, tmp_path):
     rows = dedup.QUERIES["dedup_exact_substring_chunks"](spark, sf).collect()
     assert len(rows) == 1
     assert (rows[0]["n_occurrences"], rows[0]["n_docs"]) == (2, 2)
+
+
+def test_psi_identical_cohorts_is_zero(spark, tmp_path):
+    """Cohorts with identical value multisets (each value appears at an
+    even and an odd event_id) have pa == pb in every bin → PSI exactly
+    0 — the smoothing must not manufacture drift."""
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    rows = []
+    for i, v in enumerate([5.0, 10.0, 40.0, 90.0]):
+        rows.append(("click", v, "{}"))  # event_id 2i (cohort A)
+        rows.append(("click", v, "{}"))  # event_id 2i+1 (cohort B)
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = validation.QUERIES["score_drift_psi"](spark, sf).collect()
+    assert (r["psi"], r["n_a"], r["n_b"]) == (0.0, 4, 4)
+
+
+def test_psi_total_shift_closed_form(spark, tmp_path):
+    """Hand-computed total shift: cohort A = two values at the range
+    bottom (bin 0), cohort B = two at the top (bin 9). Smoothed shares:
+    occupied-for-one-side bins have 2.5/7 vs 0.5/7, so
+    PSI = 2 · (2/7)·ln(5) = 4/7·ln(5)."""
+    import math
+
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    rows = [
+        ("click", 0.0, "{}"),    # id 0 → A, bin 0
+        ("click", 100.0, "{}"),  # id 1 → B, bin 9
+        ("click", 0.0, "{}"),    # id 2 → A, bin 0
+        ("click", 100.0, "{}"),  # id 3 → B, bin 9
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = validation.QUERIES["score_drift_psi"](spark, sf).collect()
+    assert r["psi"] == round(4.0 / 7.0 * math.log(5.0), 6)
+
+
+def test_dedup_rate_report_closed_form(spark, tmp_path):
+    """Source 'a': 3 docs, one text twice → 2 unique, rate 1/3, max
+    cluster 2; source 'b': all unique → rate 0."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a", "same text"),
+            (2, "a", "same text"),
+            (3, "a", "other text"),
+            (4, "b", "unique one"),
+            (5, "b", "unique two"),
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in dedup.QUERIES["dedup_rate_report"](spark, sf).collect()
+    }
+    assert (out["a"]["n_docs"], out["a"]["n_unique"]) == (3, 2)
+    assert out["a"]["dup_rate"] == 0.333333
+    assert out["a"]["max_copies"] == 2
+    assert (out["b"]["dup_rate"], out["b"]["max_copies"]) == (0.0, 1)
