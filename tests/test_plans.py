@@ -548,3 +548,29 @@ def test_ece_report_model_table_algebra(spark, sf_dir):
     p = plans.executed_plan(df)
     assert plans.count_exchanges(df) <= 3
     assert "rangepartitioning" not in p
+
+
+def test_psi_model_table_algebra(spark, sf_dir):
+    """PSI scans the corpus once into a (type, bin) count; bounds, grid
+    and terms are model tables — bounded exchanges, never a sort, no
+    Python."""
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    df = validation.QUERIES["score_drift_psi"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) <= 3
+    assert "rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_dedup_rate_digest_keyed(spark, sf_dir):
+    """The duplication census shuffles (source, sha) digests only —
+    two aggregations, no joins, no sort."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.QUERIES["dedup_rate_report"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) <= 2
+    assert "Join" not in p
+    assert "rangepartitioning" not in p
