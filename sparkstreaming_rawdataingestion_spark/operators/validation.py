@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -902,15 +902,20 @@ def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row double algebra on both engines, and the cross-bin sum
     accumulates in DECIMAL so the statistic is reduction-order-exact.
     Plan: one grouped count, a bounds/grid broadcast, one
-    |event_types|-key reduce — the corpus is scanned once."""
+    |event_types|-key reduce — the corpus is scanned once (the tagged
+    projection is staged and feeds both the bounds aggregate and the
+    binning pass — later consumers read the cache, so bounds' two uses
+    cost cache scans, not corpus scans)."""
     dec = "decimal(32,18)"
     ev = catalog.load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
-    tagged = ev.select(
-        "event_type",
-        "value",
-        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    tagged = session.stage(
+        ev.select(
+            "event_type",
+            "value",
+            F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        )
     )
     bounds = tagged.groupBy("event_type").agg(
         F.min("value").alias("lo"),

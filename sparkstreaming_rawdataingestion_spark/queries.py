@@ -267,9 +267,10 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
 # first driver row — the round-6 queue drained into slots 2-10 and all
-# five round-7 headline entries fit the window; three late round-7
+# five round-7 headline entries fit the window; five late round-7
 # additions (the ECE/MCE/Brier calibration gate, the digit-run PII
-# redaction audit, and chunk-granular exact-substring dedup) queue here
+# redaction audit, chunk-granular exact-substring dedup, the PSI drift
+# gate, and the per-source duplication census) queue here
 # for round 8's rotation, each validated engine + --plain at sf0.01 AND
 # sf0.1 plus a closed-form fixture test before entry.
 # test_core_registry_window pins membership, placement and the ≤9 cap.

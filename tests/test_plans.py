@@ -551,14 +551,18 @@ def test_ece_report_model_table_algebra(spark, sf_dir):
 
 
 def test_psi_model_table_algebra(spark, sf_dir):
-    """PSI scans the corpus once into a (type, bin) count; bounds, grid
-    and terms are model tables — bounded exchanges, never a sort, no
-    Python."""
+    """PSI scans the corpus once into a staged (type, value, cohort)
+    projection; bounds, grid and terms are model tables — bounded
+    exchanges, never a sort, no Python. Every parquet scan in the plan
+    string must sit under an InMemoryRelation (the one cached plan,
+    printed once per reference): a consumer bypassing the cache would
+    add a bare scan and re-read the corpus."""
     from sparkstreaming_rawdataingestion_spark.operators import validation
 
     df = validation.QUERIES["score_drift_psi"](spark, sf_dir)
     p = plans.executed_plan(df)
     assert plans.count_exchanges(df) <= 3
+    assert p.count("Scan parquet") == p.count("InMemoryRelation")
     assert "rangepartitioning" not in p
     assert "CartesianProduct" not in p
     assert "Python" not in p
