@@ -172,71 +172,68 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-7 rotation (1 flagship + 9 drained overflow + 5 new oracle-backed
-# + 35 re-checks; queue empty):
+# Round-8 rotation (1 flagship + 5 drained round-7 overflow + re-checks;
+# new round-8 operators take band-3 slots as they are validated):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-10  the ENTIRE round-6 overflow queue — every oracle-backed query
-#         still awaiting its first driver row (all 9 judge-verified
-#         PASS at sf0.01 in the round-6 session).
-#   11-15 the round-7 additions: the kafka_sim-certified ingest path
-#         (ops 1-3 end-to-end through the simulated broker),
-#         pack_documents' upgrade from rows-only to a recursive-CTE
-#         hash oracle, and the three new corpus-pipeline operators
-#         (decontamination probe, repetition filter, temperature mix) —
-#         each validated engine + --plain at sf0.01 AND sf0.1 first.
-#   16-50 re-verification depth: first the modules this round touched
-#         (retrieval/pipeline/text/dedup/packing and the two
-#         bench-compare watch items bm25_keyword_search +
-#         cdc_latest_per_key), then the heaviest long-green plans
-#         (dedup/ANN/graph/TPC-H/modern-SQL picks).
+#   2-6   the ENTIRE round-7 overflow queue — the only oracle-backed
+#         queries still awaiting their first driver row (all 5
+#         judge-verified PASS at sf0.01 in the round-7 session).
+#   7-9   round-8 additions (semantic dedup / quality classifier /
+#         line-level dedup per VERDICT r7 items 3-5), inserted once
+#         validated engine + --plain at sf0.01 AND sf0.1; until then
+#         these slots hold re-checks.
+#   10-50 re-verification depth: first the modules this round touches
+#         (retrieval — tfidf registration now lossless per ADVICE r7 —
+#         dedup, similarity, features, pipeline, decontamination), then
+#         the heaviest long-green plans (ANN/graph/TPC-H/modern-SQL).
 # Everything previously green rotates to the extended region with its
-# driver row on record; the rows-only sketch entries keep their r06
-# rows-only records (none re-window this round). OVERFLOW_QUEUE is
-# EMPTY — certification debt fully drained.
+# driver row on record.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: the drained round-6 overflow queue -------------------
-    "tfidf_cosine_pairs",
-    "winnowing_candidate_pairs",
-    "pca_power_iteration_step",
+    # -- band 2: the drained round-7 overflow queue -------------------
+    "calibration_ece_report",
+    "pii_redaction_stats",
+    "dedup_exact_substring_chunks",
+    "score_drift_psi",
+    "dedup_rate_report",
+    # -- band 3: round-8 additions (re-check placeholders until the new
+    # ops validate; swapped in as they land) ---------------------------
     "theil_sen_sampled",
     "bootstrap_mean_ci",
     "ndcg_ranking_quality",
-    "ctr_wilson_bounds",
-    "label_agreement_kappa",
-    "user_burstiness_profile",
-    # -- band 3: round-7 additions ------------------------------------
-    "ingest_via_kafka_sim",
-    "pack_documents",
-    "decontamination_ngram_overlap",
-    "gopher_repetition_filter",
-    "temperature_mixture_weights",
     # -- band 4: re-verification, touched modules first ---------------
-    "bm25_keyword_search",
-    "pipeline_curation",
-    "pipeline_training_build",
-    "mixture_reweight_plan",
-    "tokens_budget_allocation",
-    "token_entropy_filter",
-    "text_quality_score",
-    "text_langid",
-    "text_tfidf_topterms",
-    "tokens_zipf_fit",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_containment_pairs",
-    "dedup_minhash_lsh_pairs",
+    "tfidf_cosine_pairs",
+    "decontamination_ngram_overlap",
     "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard_pairs",
     "dedup_clusters",
     "url_canonical_dedup",
+    "winnowing_candidate_pairs",
+    "kmeans_one_step",
+    "similarity_topk_bruteforce",
+    "pipeline_curation",
+    "pipeline_training_build",
+    "ingest_via_kafka_sim",
+    "pack_documents",
+    "gopher_repetition_filter",
+    "temperature_mixture_weights",
+    "text_quality_score",
+    "text_langid",
+    "token_entropy_filter",
+    "text_tfidf_topterms",
+    "bm25_keyword_search",
+    "mixture_reweight_plan",
+    "tokens_budget_allocation",
+    "tokens_zipf_fit",
     "contrastive_negative_pairs",
     "cdc_latest_per_key",
     "debounce_events",
     "ingest_idempotency",
     "datapoint_day_rollup",
     # -- band 5: heaviest long-green plans ----------------------------
-    "similarity_topk_bruteforce",
-    "kmeans_one_step",
     "quantile_normalize_sources",
     "ranking_auc_report",
     "ranking_auc_histogram",
@@ -248,14 +245,6 @@ CORE_ORDER: tuple[str, ...] = (
     "asof_join_purchase_click",
     "merge_upsert_apply",
     "scd2_dimension_history",
-    "sessionize_events",
-    # --- driver checks the first 50 entries; below: the queued
-    # overflow (see OVERFLOW_QUEUE) ---
-    "calibration_ece_report",
-    "pii_redaction_stats",
-    "dedup_exact_substring_chunks",
-    "score_drift_psi",
-    "dedup_rate_report",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -266,21 +255,14 @@ CORE_ORDER: tuple[str, ...] = (
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — the round-6 queue drained into slots 2-10 and all
-# five round-7 headline entries fit the window; five late round-7
-# additions (the ECE/MCE/Brier calibration gate, the digit-run PII
-# redaction audit, chunk-granular exact-substring dedup, the PSI drift
-# gate, and the per-source duplication census) queue here
-# for round 8's rotation, each validated engine + --plain at sf0.01 AND
-# sf0.1 plus a closed-form fixture test before entry.
+# first driver row — the round-7 queue (ECE, PII audit, substring-chunk
+# dedup, PSI, duplication census) drained into slots 2-6 of the round-8
+# window, so the queue starts the round EMPTY. New round-8 operators
+# enter the band-3 window slots directly (or queue here if the window
+# fills), each validated engine + --plain at sf0.01 AND sf0.1 plus a
+# closed-form fixture test before entry.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = (
-    "calibration_ece_report",
-    "pii_redaction_stats",
-    "dedup_exact_substring_chunks",
-    "score_drift_psi",
-    "dedup_rate_report",
-)
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:
