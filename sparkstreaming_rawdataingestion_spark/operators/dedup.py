@@ -1342,7 +1342,18 @@ def decontamination_pairs(
     """The contamination kernel: (train, eval) pairs sharing ≥1 distinct
     {DECON_N}-gram with shared count + eval-coverage fraction. Shared
     between the batch query and streaming/decon_stream — both sides of
-    the eval index broadcast, the train gram stream never shuffles."""
+    the eval index broadcast, the train gram stream never shuffles.
+
+    Broadcast ceiling (numeric contract): an eval gram row is ~80 bytes
+    in the broadcast hashtable (8-byte id + ~50-char gram + overhead),
+    so Spark's default 8 GiB broadcast-table hard limit accommodates
+    roughly 100M distinct eval grams — about 500k benchmark documents of
+    ~200 distinct {DECON_N}-grams each; a typical held-out suite (tens
+    of thousands of docs) uses <1% of that. Past the ceiling the
+    broadcast fails LOUDLY (it does not silently degrade); callers with
+    a web-scale "eval" side should drop the two F.broadcast hints below
+    and let the same equi-join run as a shuffle join — semantics are
+    identical, only the train grams then shuffle on gram."""
     tr = train.select(
         F.col("doc_id").alias("train_doc_id"),
         F.explode(_shingles(n=DECON_N)).alias("gram"),

@@ -520,15 +520,22 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ln(N/df) expression on both engines (bit-identical, as BM25
     already pins).
 
-    Skew guard (see TFIDF_MAX_DF): corpus-universal terms are pruned
+    Registered form is the LOSSLESS kernel (``max_df=None``), matching
+    the ``count_verified_pairs`` convention: oracle parity must not
+    depend on the fixture's term-frequency profile (the capped kernel
+    agrees with the uncapped oracle only while no term's df exceeds
+    TFIDF_MAX_DF — 2% headroom at sf0.1). Pipeline/scale callers keep
+    the default-capped kernel below: corpus-universal terms are pruned
     before the index is even staged (weight exactly 0 — contributes
-    nothing to any norm or dot product), and the pair join runs only
-    over terms with df <= TFIDF_MAX_DF; hotter terms patch their exact
+    nothing to any norm or dot product), the pair join runs only over
+    terms with df <= TFIDF_MAX_DF, and hotter terms patch their exact
     products into the discovered candidates via a pair-keyed join whose
     fan-out is bounded by hot-terms-per-doc, never df². Contributions
     accumulate in DECIMAL throughout, so the split sum equals the
     oracle's single all-terms sum exactly."""
-    return tfidf_cosine_pairs(catalog.load_table(spark, sf_dir, "documents"))
+    return tfidf_cosine_pairs(
+        catalog.load_table(spark, sf_dir, "documents"), max_df=None
+    )
 
 
 def tfidf_cosine_pairs(

@@ -43,8 +43,18 @@ def decon_increment(
     report: DataFrame | None,
 ) -> DataFrame:
     """Contaminated pairs of one micro-batch, minus pairs the report
-    already holds (replay absorption)."""
-    pairs = decontamination_pairs(batch, ev, ev_sizes)
+    already holds (replay absorption).
+
+    The anti-join absorbs replays only ACROSS micro-batches; a train
+    document delivered twice INSIDE one batch (producer duplicates under
+    at-least-once) would double its gram rows and inflate the persisted
+    shared_ngrams/eval_coverage 2x (ADVICE r7) — so duplicate doc_ids
+    are dropped from the arriving batch first. Gram counts per (train,
+    eval) pair are invariant to WHICH copy survives: the kernel counts
+    distinct shared grams of the document's text."""
+    pairs = decontamination_pairs(
+        batch.dropDuplicates(["doc_id"]), ev, ev_sizes
+    )
     if report is not None:
         pairs = pairs.join(
             report.select("train_doc_id", "eval_doc_id"),

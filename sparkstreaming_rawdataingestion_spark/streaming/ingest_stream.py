@@ -101,16 +101,34 @@ def drain_progress(
     been consumed (or ``timeout_s`` elapses) and return the non-empty
     progress events. Shared by tools/ingest_slo.py (the BASELINE
     measurement) and the CI batch-time guard so both read batch
-    durations from the same accounting — ``recentProgress`` keeps the
-    last ~100 events, ample for both callers' batch counts."""
+    durations from the same accounting.
+
+    ``recentProgress`` is a ~100-event ring buffer: a slow drain on a
+    short trigger accumulates empty-batch events that EVICT the early
+    data-bearing ones, so a naive sum over the buffer can permanently
+    undercount and spin to timeout (ADVICE r7). Totals are therefore
+    accumulated across polls — each batchId's numInputRows is added
+    exactly once, and data-bearing events are retained even after the
+    ring buffer drops them."""
     import time
 
+    seen: dict[int, dict] = {}
+    consumed = 0
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
-        if (
-            sum(p["numInputRows"] for p in query.recentProgress)
-            >= n_messages
-        ):
+        for p in query.recentProgress:
+            if p["batchId"] not in seen:
+                seen[p["batchId"]] = p
+                consumed += p["numInputRows"]
+        if consumed >= n_messages:
             break
         time.sleep(0.5)
-    return [p for p in query.recentProgress if p["numInputRows"] > 0]
+    else:
+        for p in query.recentProgress:
+            if p["batchId"] not in seen:
+                seen[p["batchId"]] = p
+    return [
+        p
+        for _, p in sorted(seen.items())
+        if p["numInputRows"] > 0
+    ]

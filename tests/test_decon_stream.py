@@ -80,3 +80,31 @@ def test_replay_appends_nothing(spark, tmp_path, split_corpus):
     _run(spark, src, train.schema, eval_docs, report, str(tmp_path / "c2"))
     assert _report_rows(spark, report) == first
     assert spark.read.parquet(report).count() == len(first)
+
+
+def test_intra_batch_duplicate_doc_not_double_counted(spark):
+    """ADVICE r7: a train document delivered TWICE inside one micro-batch
+    (producer duplicates under at-least-once) must not double its gram
+    rows — decon_increment drops duplicate doc_ids before the kernel, so
+    the persisted shared_ngrams/eval_coverage equal the single-copy
+    values."""
+    eval_docs = spark.createDataFrame(
+        [(100, "a b c d e f g h i j", "web")],
+        "doc_id long, text string, source string",
+    )
+    train_once = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l", "web")],
+        "doc_id long, text string, source string",
+    )
+    train_dup = train_once.unionAll(train_once)
+    ev, ev_sizes = build_eval_index(eval_docs)
+    once = {
+        (r.train_doc_id, r.eval_doc_id): (r.shared_ngrams, r.eval_coverage)
+        for r in ds.decon_increment(train_once, ev, ev_sizes, None).collect()
+    }
+    dup = {
+        (r.train_doc_id, r.eval_doc_id): (r.shared_ngrams, r.eval_coverage)
+        for r in ds.decon_increment(train_dup, ev, ev_sizes, None).collect()
+    }
+    assert once, "fixture pair must be contaminated"
+    assert dup == once

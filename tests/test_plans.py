@@ -438,24 +438,34 @@ def test_tfidf_pairs_no_cartesian_no_global_sort(spark, sf_dir):
 
 
 def test_tfidf_pair_join_input_is_df_guarded(spark, sf_dir):
-    """The term index feeding the TF-IDF pair join must be df-filtered in
+    """The DEFAULT (pipeline/scale) TF-IDF kernel must be df-filtered in
     the PLAN, not just benign on the fixture: (1) corpus-universal terms
     (df = n_docs, weight exactly 0) pruned before the index is staged, and
     (2) candidate generation restricted to df <= TFIDF_MAX_DF so one
     stopword-like term can't contribute df² join rows at scale (the hot
-    remainder patches exact products through a pair-keyed join instead)."""
+    remainder patches exact products through a pair-keyed join instead).
+    The REGISTERED query, by contrast, is the lossless max_df=None form
+    (ADVICE r7: oracle parity must not depend on the fixture's df
+    profile), so its plan carries the zero-weight prune but NO cap."""
     import re
 
+    from sparkstreaming_rawdataingestion_spark import catalog
     from sparkstreaming_rawdataingestion_spark.operators import retrieval
 
-    df = retrieval.q_tfidf_cosine_pairs(spark, sf_dir)
-    logical = plans.analyzed_plan(df)
-    assert re.search(r"df#\d+L? < n_docs#\d+", logical), (
+    d = catalog.load_table(spark, sf_dir, "documents")
+    capped = plans.analyzed_plan(retrieval.tfidf_cosine_pairs(d))
+    assert re.search(r"df#\d+L? < n_docs#\d+", capped), (
         "zero-weight universal-term prune missing from the plan"
     )
     assert re.search(
-        rf"df#\d+L? <= cast\({retrieval.TFIDF_MAX_DF} as bigint\)", logical
+        rf"df#\d+L? <= cast\({retrieval.TFIDF_MAX_DF} as bigint\)", capped
     ), "TFIDF_MAX_DF candidate cap missing from the plan"
+
+    registered = plans.analyzed_plan(retrieval.q_tfidf_cosine_pairs(spark, sf_dir))
+    assert re.search(r"df#\d+L? < n_docs#\d+", registered)
+    assert not re.search(
+        rf"df#\d+L? <= cast\({retrieval.TFIDF_MAX_DF} as bigint\)", registered
+    ), "registered query must run the lossless kernel (max_df=None)"
 
 
 def test_winnowing_pairs_df_capped_equi_join(spark, sf_dir):
