@@ -122,6 +122,21 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed CPU-bound probe (codegen range-sum, no IO, no shuffle read):
+    identical work every invocation, so its wall time moves ONLY with
+    machine load. Timed at panel start and end; a >1.3x drift between
+    the two means the panel ran under concurrent load and per-query
+    'regressions' are contention artifacts (BENCH_r07: a skewed 95.8 s
+    panel re-ran solo at 77.2 s — tools/bench_compare.py refuses to
+    flag regressions when the probe drifted)."""
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 64).selectExpr(
+        "sum(id % 7) AS s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     from sparkstreaming_rawdataingestion_spark.queries import all_queries
     from sparkstreaming_rawdataingestion_spark.session import get_spark
@@ -134,6 +149,10 @@ def main() -> None:
 
     # warm-up: touch the IO + codegen paths once
     registry[names[0]](spark, SF_DIR).limit(1).count()
+
+    load_before = os.getloadavg()[0]
+    _calibration_probe(spark)  # probe's own codegen warm-up, untimed
+    cal_start = _calibration_probe(spark)
 
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "1"))
 
@@ -150,11 +169,21 @@ def main() -> None:
             run_once(name)
         timings[name] = round(run_once(name), 3)
 
+    cal_end = _calibration_probe(spark)
+    load_after = os.getloadavg()[0]
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # self-diagnosis: fixed-work probe at panel start/end + 1-min
+        # loadavg before/after. cal drift >1.3x = the panel ran under
+        # concurrent load; treat per-query deltas as contention, not
+        # regression (bench_compare enforces this).
+        "cal": [round(cal_start, 3), round(cal_end, 3)],
+        "load": [round(load_before, 2), round(load_after, 2)],
+        "cpus": os.cpu_count(),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

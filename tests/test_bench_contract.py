@@ -28,10 +28,32 @@ def test_final_line_fits_driver_tail_at_worst_case_timings():
         "metric": "headline_queries_total_sec",
         "value": 9999.999,
         "unit": "sec",
+        "cal": [999.999, 999.999],
+        "load": [99.99, 99.99],
+        "cpus": 32,
         "queries": {n: 999.999 for n in bench.HEADLINE},
         "sf": 0.1,
     }
     assert len(json.dumps(payload)) <= 1900
+
+
+def test_skew_verdict_flags_drift_and_preload():
+    """The self-diagnosis contract (VERDICT r7 item 2): a run whose
+    fixed-work calibration probe drifted >1.3x start-to-end, or that
+    started with loadavg above the core count, must self-report as
+    skewed; a clean run must not."""
+    sys.path.insert(0, ".")
+    sys.path.insert(0, "tools")
+    from bench_compare import _skew_verdict
+
+    clean = {"cal": [1.0, 1.1], "load": [3.0, 20.0], "cpus": 32}
+    assert _skew_verdict(clean) is None
+    drifted = {"cal": [1.0, 1.5], "load": [3.0, 20.0], "cpus": 32}
+    assert "drifted" in _skew_verdict(drifted)
+    preloaded = {"cal": [1.0, 1.1], "load": [40.0, 41.0], "cpus": 32}
+    assert "loadavg" in _skew_verdict(preloaded)
+    legacy = {"queries": {}}  # pre-round-8 artifacts lack the fields
+    assert _skew_verdict(legacy) is None
 
 
 def test_headline_keeps_round3_comparable_panel():

@@ -18,13 +18,30 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_queries(path: str) -> dict[str, float]:
+def _load_payload(path: str) -> dict:
     d = json.load(open(path))
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     if d is None or "queries" not in d:
         raise SystemExit(f"{path}: no parsed per-query map")
-    return d["queries"]
+    return d
+
+
+def _skew_verdict(payload: dict) -> str | None:
+    """Reason string if the run self-reports contention, else None.
+
+    A run is untrustworthy for regression-flagging when its fixed-work
+    calibration probe drifted >1.3x between panel start and end, or the
+    1-min loadavg already exceeded the core count before the panel even
+    started (another Spark session running — BENCH_r07's failure mode)."""
+    cal = payload.get("cal")
+    if cal and min(cal) > 0 and max(cal) / min(cal) > 1.3:
+        return f"calibration probe drifted {max(cal) / min(cal):.2f}x ({cal})"
+    load = payload.get("load")
+    cpus = payload.get("cpus")
+    if load and cpus and load[0] > cpus:
+        return f"loadavg {load[0]} > {cpus} cpus at panel start"
+    return None
 
 
 def main() -> int:
@@ -36,8 +53,9 @@ def main() -> int:
     current_path = (
         args[1] if len(args) > 1 else os.path.join(REPO, "BENCH_DETAIL.json")
     )
-    base = _load_queries(baseline_path)
-    cur = _load_queries(current_path)
+    base_payload = _load_payload(baseline_path)
+    cur_payload = _load_payload(current_path)
+    base, cur = base_payload["queries"], cur_payload["queries"]
 
     shared = sorted(set(base) & set(cur))
     tb = sum(base[k] for k in shared)
@@ -51,9 +69,22 @@ def main() -> int:
         for k in shared
         if cur[k] > base[k] * threshold and cur[k] > 0.3
     ]
-    for r, k in sorted(regressions, reverse=True):
-        print(f"  REGRESSION {k}: {base[k]} -> {cur[k]} ({r:.2f}x)")
-    if not regressions:
+    skew = _skew_verdict(cur_payload)
+    if skew is None and base_payload.get("cal") and cur_payload.get("cal"):
+        # cross-run environment drift: same fixed work, different machine
+        # state — per-query ratios inherit the probe's ratio, not code.
+        b, c = min(base_payload["cal"]), min(cur_payload["cal"])
+        if b > 0 and c / b > 1.3:
+            skew = f"calibration probe {b:.2f}s -> {c:.2f}s across runs"
+    if skew is not None:
+        print(f"  SKEWED RUN ({skew}) — regressions suppressed; re-run solo:")
+        for r, k in sorted(regressions, reverse=True):
+            print(f"    (contention?) {k}: {base[k]} -> {cur[k]} ({r:.2f}x)")
+        regressions = []
+    else:
+        for r, k in sorted(regressions, reverse=True):
+            print(f"  REGRESSION {k}: {base[k]} -> {cur[k]} ({r:.2f}x)")
+    if not regressions and skew is None:
         print(f"  no regressions > {threshold}x (and > 0.3s)")
     improvements = sorted(
         ((cur[k] / base[k], k) for k in shared if base[k] > 0.5)
