@@ -859,6 +859,108 @@ def q_dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means clusters bound the
+# cosine pair join exactly the way source-blocking bounds the TF-IDF pairs
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # cluster count; scales with the corpus (see docstring)
+SEMDEDUP_THRESHOLD = COSINE_THRESHOLD  # within-cluster near-dup bar
+
+_SEMDEDUP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+d AS (
+  -- |v-c|^2 via three ordered inner products (term-for-term the engine's
+  -- kmeans_assign expression)
+  SELECT v.vec_id, c.cid, ve,
+         list_inner_product(ve, ve) + list_inner_product(ce, ce)
+           - 2 * list_inner_product(ve, ce) AS d2
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, cid, ve,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(d2, 9), cid) AS rk
+  FROM d
+)
+SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine_sim
+FROM (SELECT * FROM assigned WHERE rk = 1) a
+JOIN (SELECT * FROM assigned WHERE rk = 1) b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.ve, b.ve) >= {SEMDEDUP_THRESHOLD}
+"""
+
+
+@_register("dedup_semantic_clusters", _SEMDEDUP_ORACLE)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
+    embedding to its nearest deterministic k-means centroid
+    (similarity.kmeans_assign — the Lloyd-step kernel), then emit
+    near-dup pairs by exact cosine WITHIN each cluster only. The cluster
+    id bounds the pair join exactly the way source-blocking bounds
+    tfidf_cosine_pairs: candidates are (n/K)² per cluster, never n²
+    globally, and a "keep lowest vec_id per pair" policy downstream
+    (dedup_cluster_canonical composes directly) prunes the corpus.
+
+    Scale shape: centroids broadcast (K-row model table), assignment is
+    map-side; the pair join is an equi-join keyed on cluster_id. K
+    scales with the corpus (SemDeDup runs 10k-100k clusters at web
+    scale), so per-cluster pair work is bounded by the cluster size the
+    operator is CONFIGURED for — the knob is explicit, not emergent.
+    Cosines are exact (the dedup_embedding_cosine_pairs kernel), so the
+    only approximation vs the brute-force ground truth is the documented
+    SemDeDup one: cross-cluster near-dups are out of scope by design."""
+    return semantic_cluster_pairs(
+        catalog.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def semantic_cluster_pairs(
+    e: DataFrame,
+    k: int = SEMDEDUP_K,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """The parameterized kernel behind ``dedup_semantic_clusters`` —
+    ``e`` is an embeddings table (vec_id, embedding); centroids are the
+    deterministic vec_id < k seeds."""
+    from .similarity import _emb_double, kmeans_assign
+
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), _emb_double().alias("ce")
+    )
+    vecs = e.select("vec_id", _emb_double().alias("ve"))
+    # staged: consumed by both sides of the pair self-join — without it
+    # the crossJoin+window assignment subtree would execute twice
+    assigned = stage(kmeans_assign(vecs, cents).select("vec_id", "cid", "ve"))
+    a = assigned.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("ve").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("ve").alias("emb_b"),
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= threshold)
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components → canonical representative
 # ---------------------------------------------------------------------------
 

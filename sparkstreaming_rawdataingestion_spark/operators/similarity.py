@@ -949,6 +949,45 @@ def q_similarity_lsh_portable_pairs(
 
 KMEANS_K = 8  # deterministic init: centroids = embeddings with vec_id < K
 
+
+def kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Deterministic nearest-centroid assignment — the shared Lloyd-step
+    kernel behind ``kmeans_one_step`` and ``dedup_semantic_clusters``
+    (SemDeDup composes it with within-cluster cosine pruning).
+
+    ``vecs`` is (vec_id, ve: array<double>), ``cents`` is (cid, ce);
+    returns one row per vector: (vec_id, cid, d2, ve). Squared L2 is
+    computed as three ordered inner products so the float expression is
+    term-for-term identical to the DuckDB oracles; the argmin is made
+    partition- and engine-stable by ranking on (round(d2, 9), cid).
+
+    Scale shape: centroids broadcast (a model table — K rows), the
+    distance fanout is map-side; the only shuffle is the per-vec_id
+    row_number window. K is a knob that scales with the corpus
+    (SemDeDup runs ~10k-100k clusters at web scale) — per-cluster
+    work downstream is bounded by n/K regardless."""
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    d2 = (
+        dot(F.col("ve"), F.col("ve"))
+        + dot(F.col("ce"), F.col("ce"))
+        - 2 * dot(F.col("ve"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 9), "cid")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"), "ve")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
 _KMEANS_ORACLE = f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
@@ -1000,30 +1039,8 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), _emb_double().alias("ce")
     )
     vecs = e.select("vec_id", _emb_double().alias("ve"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    d2 = (
-        dot(F.col("ve"), F.col("ve"))
-        + dot(F.col("ce"), F.col("ce"))
-        - 2 * dot(F.col("ve"), F.col("ce"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 9), "cid")
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            d2.alias("d2"),
-            F.element_at(F.col("ve"), 1).alias("dim0"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+    assigned = kmeans_assign(vecs, cents).withColumn(
+        "dim0", F.element_at(F.col("ve"), 1)
     )
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),

@@ -199,7 +199,7 @@ CORE_ORDER: tuple[str, ...] = (
     "dedup_rate_report",
     # -- band 3: round-8 additions (re-check placeholders until the new
     # ops validate; swapped in as they land) ---------------------------
-    "theil_sen_sampled",
+    "dedup_semantic_clusters",
     "bootstrap_mean_ci",
     "ndcg_ranking_quality",
     # -- band 4: re-verification, touched modules first ---------------

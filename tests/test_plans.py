@@ -588,3 +588,27 @@ def test_dedup_rate_digest_keyed(spark, sf_dir):
     assert plans.count_exchanges(df) <= 2
     assert "Join" not in p
     assert "rangepartitioning" not in p
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
+    """SemDeDup's contract IS the plan shape: the cosine pair join must
+    be an equi-join keyed on cluster_id (cluster membership bounds the
+    candidate set — no CartesianProduct anywhere), the K-row centroid
+    table must broadcast into the assignment, and the assignment frame
+    must be staged ONCE and reused by both sides of the self-join."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.q_dedup_semantic_clusters(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    # The only nested-loop broadcast allowed is the K-row centroid
+    # fanout inside kmeans_assign — which lives in the STAGED assignment
+    # subtree, and each InMemoryRelation reference reprints its cached
+    # child plan (the round-7 plan-string lesson), so the textual count
+    # must equal the InMemoryRelation count exactly. The PAIR join is
+    # OUTSIDE the cache: if it were nested-loop, BNLJ would exceed IMR.
+    assert p.count("BroadcastNestedLoopJoin") == p.count("InMemoryRelation")
+    assert p.count("InMemoryRelation") >= 1  # staged assignment, built once
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # equi pair join
+    logical = plans.analyzed_plan(df)
+    assert "cluster_id" in logical

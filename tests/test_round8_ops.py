@@ -69,3 +69,61 @@ def test_drain_progress_counts_each_batch_once():
     # double-counting batch 0/1 on the second poll)
     events = drain_progress(_StableQuery(), n_messages=700, timeout_s=2.0)
     assert sum(e["numInputRows"] for e in events) == 600
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_clusters (SemDeDup) — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_closed_form(spark):
+    """Hand-built geometry: centroid seeds are the axis vectors e0/e1
+    (k=2), and the seeds are corpus members themselves (the registered
+    semantics: centroids = vec_id < k). vec 2 = 10*e0 (cluster 0),
+    vec 3 ≈ e0 slightly perturbed (cluster 0, cosine ≈ 0.9999), vec 4 =
+    e1 (cluster 1, orthogonal to everything in cluster 0). Surviving
+    pairs are exactly the within-cluster near-parallel ones — (0,2),
+    (0,3), (2,3) in cluster 0 and (1,4) in cluster 1 — and NEVER a
+    cross-cluster pair, even though e.g. cos(2, 4) is well-defined."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        semantic_cluster_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # centroid seed 0
+        (1, [0.0, 1.0, 0.0]),          # centroid seed 1
+        (2, [10.0, 0.0, 0.0]),         # cluster 0
+        (3, [1.0, 0.014, 0.0]),        # cluster 0, near-dup of 2
+        (4, [0.0, 1.0, 0.0]),          # cluster 1, orthogonal
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.cluster_id, r.vec_a, r.vec_b): r.cosine_sim
+        for r in semantic_cluster_pairs(e, k=2, threshold=0.9).collect()
+    }
+    # cos(2,3) = 10 / (10 * sqrt(1 + 0.014^2)) = 0.999902...
+    assert set(got) == {(0, 0, 2), (0, 0, 3), (0, 2, 3), (1, 1, 4)}
+    assert got[(0, 0, 2)] == 1.0
+    assert got[(1, 1, 4)] == 1.0
+    assert abs(got[(0, 2, 3)] - 0.999902) < 1e-6
+    assert abs(got[(0, 0, 3)] - 0.999902) < 1e-6
+
+
+def test_semantic_dedup_assignment_is_nearest_centroid(spark):
+    """The composition must use the SAME deterministic assignment as
+    kmeans_one_step: a vector between the two seeds but nearer seed 1
+    lands in cluster 1, so it can NOT pair with a near-parallel vector
+    assigned to cluster 0 (the SemDeDup scope contract)."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        semantic_cluster_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),    # seed 0
+        (1, [0.0, 1.0]),    # seed 1
+        (2, [0.4, 0.6]),    # nearer seed 1 -> cluster 1
+        (3, [0.45, 0.55]),  # nearer seed 1 -> cluster 1; cosine(2,3)~0.999
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_cluster_pairs(e, k=2, threshold=0.99).collect()
+    assert {(r.cluster_id, r.vec_a, r.vec_b) for r in got} == {(1, 2, 3)}
