@@ -131,19 +131,39 @@ def _near_dropped(exact_kept: DataFrame) -> DataFrame:
     )
 
 
-def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def _stages(
+    spark: SparkSession, sf_dir: str, classifier_gate: bool = False
+) -> dict[str, DataFrame]:
+    """``classifier_gate=True`` inserts the model-based quality stage
+    (text.quality_classifier_score keep flag, a left-semi join on
+    doc_id) between the heuristic quality filter and exact dedup — the
+    production ordering: cheap heuristics first, the classifier on the
+    reduced set, dedup on what the model keeps."""
     scored = _scored(spark, sf_dir)
     lang_kept = scored.where(F.col("predicted_lang") == "en")
     qual_kept = lang_kept.where(F.col("quality_score") >= QUALITY_MIN)
-    exact_kept = _exact_kept(qual_kept)
-    final = exact_kept.join(_near_dropped(exact_kept), "doc_id", "left_anti")
-    return {
+    stages = {
         "total": scored,
         "lang_en": lang_kept,
         "quality": qual_kept,
-        "exact_dedup": exact_kept,
-        "near_dedup": final,
     }
+    if classifier_gate:
+        from .text import quality_classifier_score
+
+        keep_ids = (
+            quality_classifier_score(
+                catalog.load_table(spark, sf_dir, "documents")
+            )
+            .where(F.col("keep"))
+            .select("doc_id")
+        )
+        qual_kept = qual_kept.join(keep_ids, "doc_id", "left_semi")
+        stages["classifier"] = qual_kept
+    exact_kept = _exact_kept(qual_kept)
+    final = exact_kept.join(_near_dropped(exact_kept), "doc_id", "left_anti")
+    stages["exact_dedup"] = exact_kept
+    stages["near_dedup"] = final
+    return stages
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +273,52 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_classified — curation with the model-based quality gate
+# ---------------------------------------------------------------------------
+
+# The classified chain = the standard chain with a classifier CTE spliced
+# between qual_kept and exact_dedup (same stage order as the Spark side).
+# Built by substitution on the shared template so the two chains can
+# never drift stage-for-stage.
+_CLF_CTES = """,
+clf AS (SELECT doc_id FROM ({clf_sql}) WHERE keep),
+clf_kept AS (
+  SELECT * FROM qual_kept WHERE doc_id IN (SELECT doc_id FROM clf))"""
+
+
+def _classified_stages_sql() -> str:
+    from .text import _QUALITY_ORACLE
+
+    qual_cte = f"qual_kept AS (SELECT * FROM lang_kept WHERE quality_score >= {QUALITY_MIN})"
+    assert qual_cte in _ORACLE_STAGES and "FROM qual_kept) WHERE rn = 1)" in _ORACLE_STAGES
+    return _ORACLE_STAGES.replace(
+        qual_cte, qual_cte + _CLF_CTES.format(clf_sql=_QUALITY_ORACLE)
+    ).replace("FROM qual_kept) WHERE rn = 1)", "FROM clf_kept) WHERE rn = 1)")
+
+
+@_register(
+    "pipeline_curation_classified",
+    _classified_stages_sql()
+    + """
+SELECT doc_id, predicted_lang, quality_score, n_copies FROM final
+""",
+)
+def q_pipeline_curation_classified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation pipeline with the model-based quality stage wired in
+    (VERDICT r7 item 4): heuristic filters first, then the broadcast-
+    weight classifier's keep flag (text.quality_classifier_score) as a
+    left-semi join on doc_id, then both dedup stages on the reduced
+    set — the production ordering (cheap rules prune before the model
+    runs; the model prunes before the expensive pair joins)."""
+    final = _stages(spark, sf_dir, classifier_gate=True)["near_dedup"]
+    return final.select(
+        "doc_id", "predicted_lang", "quality_score", "n_copies"
+    )
 
 
 # ---------------------------------------------------------------------------

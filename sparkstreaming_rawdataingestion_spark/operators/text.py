@@ -337,7 +337,13 @@ def q_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is explicit integer algebra — mod 2³² each step, so it never leaves
     int64 — making the oracle bit-identical rather than
     engine-hash-dependent."""
-    d = catalog.load_table(spark, sf_dir, "documents")
+    return feature_hash_long(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def feature_hash_long(d: DataFrame) -> DataFrame:
+    """The hashing-trick kernel behind ``feature_hash_embedding`` —
+    (doc_id, dim, weight) sparse vectors; shared with the quality
+    classifier (its feature extractor)."""
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -356,6 +362,99 @@ def q_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy(
         "doc_id", (F.col("h") % F.lit(_FHASH_DIMS)).alias("dim")
     ).agg(F.sum(sign).alias("weight"))
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score — broadcast-weight linear (logistic) scorer
+# ---------------------------------------------------------------------------
+
+# Fixed model: one weight per hashed dimension + a bias, as decimal
+# strings so BOTH engines parse exact DECIMAL literals (a bare 0.08
+# would be DECIMAL in SQL but float in Python). Stands in for trained
+# fasttext-style quality-classifier coefficients.
+QUALITY_WEIGHTS: tuple[str, ...] = (
+    "0.08", "-0.05", "0.11", "-0.02", "0.07", "-0.09", "0.04", "0.01",
+    "-0.06", "0.10", "-0.03", "0.05", "-0.08", "0.02", "0.06", "-0.04",
+)
+QUALITY_BIAS = "-0.10"
+# keep iff logit >= 0  ⟺  sigmoid(logit) >= 0.5: sigmoid is monotone,
+# so thresholding the LINEAR score is the same decision rule with zero
+# cross-engine libm (exp) risk.
+QUALITY_LOGIT_THRESHOLD = "0.0"
+
+_QUALITY_ORACLE = f"""
+WITH feats AS ({_FHASH_ORACLE}),
+w(dim, wt) AS (VALUES {", ".join(
+    f"({i}, CAST({w} AS DECIMAL(32, 18)))"
+    for i, w in enumerate(QUALITY_WEIGHTS)
+)})
+SELECT doc_id,
+       round(CAST(sum(wt * weight)
+                  + CAST({QUALITY_BIAS} AS DECIMAL(32, 18)) AS DOUBLE), 6)
+         AS logit,
+       CAST(sum(wt * weight)
+            + CAST({QUALITY_BIAS} AS DECIMAL(32, 18)) AS DOUBLE)
+         >= CAST({QUALITY_LOGIT_THRESHOLD} AS DOUBLE) AS keep
+FROM feats JOIN w USING (dim)
+GROUP BY doc_id
+"""
+
+
+@_register("quality_classifier_score", _QUALITY_ORACLE)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference — the fasttext-style model-based
+    scoring stage production curation pipelines run in front of the
+    heuristic (Gopher) rules: a linear scorer over the hashing-trick
+    sparse features, weights broadcast as a model table.
+
+    The score emitted is the LOGIT (w·x + b). The logistic probability
+    is sigmoid(logit) — strictly monotone — so "prob >= 0.5" is exactly
+    "logit >= 0", and the decision rule needs no exp() on either
+    engine (cross-engine libm ulp drift is the round-6 lesson; here it
+    is designed out rather than tolerated). Weights and bias are exact
+    DECIMAL literals, the sparse dot product accumulates wt*count in
+    DECIMAL — the sum is reduction-order-exact, so the hash matches the
+    oracle under any partitioning.
+
+    Scale shape: features are one explode + one (doc, dim) aggregation
+    (the hashing trick's no-vocabulary contract), the weight table is a
+    broadcast model table (fasttext's 2M-bucket table is ~30 MB — still
+    broadcast territory), and the scoring is one doc-keyed aggregation.
+    Nothing in the plan grows super-linearly with the corpus."""
+    return quality_classifier_score(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def quality_classifier_score(
+    d: DataFrame,
+    weights: tuple[str, ...] = QUALITY_WEIGHTS,
+    bias: str = QUALITY_BIAS,
+) -> DataFrame:
+    """The parameterized kernel — ``weights[i]``/``bias`` are decimal
+    strings (exact literals on both engines)."""
+    from decimal import Decimal
+
+    spark = d.sparkSession
+    dec = "decimal(32,18)"
+    wdf = spark.createDataFrame(
+        [(i, Decimal(w)) for i, w in enumerate(weights)],
+        f"dim long, wt {dec}",
+    )
+    logit_dec = F.sum(F.col("wt") * F.col("weight")) + F.lit(
+        Decimal(bias)
+    ).cast(dec)
+    logit = logit_dec.cast("double")
+    thresh = F.lit(float(QUALITY_LOGIT_THRESHOLD))
+    return (
+        feature_hash_long(d)
+        .join(F.broadcast(wdf), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.round(logit, 6).alias("logit"),
+            (logit >= thresh).alias("keep"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

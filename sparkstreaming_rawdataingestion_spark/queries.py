@@ -200,7 +200,7 @@ CORE_ORDER: tuple[str, ...] = (
     # -- band 3: round-8 additions (re-check placeholders until the new
     # ops validate; swapped in as they land) ---------------------------
     "dedup_semantic_clusters",
-    "bootstrap_mean_ci",
+    "quality_classifier_score",
     "ndcg_ranking_quality",
     # -- band 4: re-verification, touched modules first ---------------
     "tfidf_cosine_pairs",
@@ -245,6 +245,9 @@ CORE_ORDER: tuple[str, ...] = (
     "asof_join_purchase_click",
     "merge_upsert_apply",
     "scd2_dimension_history",
+    # --- driver checks the first 50 entries; below: the queued
+    # overflow (see OVERFLOW_QUEUE) ---
+    "pipeline_curation_classified",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -262,7 +265,9 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # fills), each validated engine + --plain at sf0.01 AND sf0.1 plus a
 # closed-form fixture test before entry.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = ()
+OVERFLOW_QUEUE: tuple[str, ...] = (
+    "pipeline_curation_classified",
+)
 
 
 def _operator_registries(attr: str) -> dict:

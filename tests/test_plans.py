@@ -612,3 +612,19 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # equi pair join
     logical = plans.analyzed_plan(df)
     assert "cluster_id" in logical
+
+
+def test_quality_classifier_weights_broadcast_no_extra_shuffle(spark, sf_dir):
+    """The model table must broadcast onto the sparse features (never a
+    shuffle join against a 16-row table), and the whole scorer is the
+    hashing trick's two doc-keyed aggregations — no vocabulary join, no
+    Python, no range partitioning."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.q_quality_classifier_score(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "rangepartitioning" not in p
+    assert "Python" not in p
+    assert plans.count_exchanges(df) <= 2  # (doc,dim) agg + doc agg
