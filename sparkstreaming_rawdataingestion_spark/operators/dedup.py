@@ -1557,6 +1557,118 @@ def q_dedup_exact_substring_chunks(
 
 
 # ---------------------------------------------------------------------------
+# dedup_line_level — CCNet/RefinedWeb-style duplicated-line removal
+# ---------------------------------------------------------------------------
+
+# Line-granular dedup WITH REASSEMBLY (CCNet, Wenzek et al. 2020;
+# RefinedWeb, Penedo et al. 2023): a line duplicated across documents is
+# boilerplate (headers, footers, nav text) — remove the LINE and keep
+# the document, the transform that doc-level and chunk-census dedup both
+# straddle. The fixture corpus has no newlines, so "lines" are
+# deterministic non-overlapping {LINE_WORDS}-word segments (the same
+# segmenter discipline as dedup_exact_substring_chunks); a real corpus
+# would split on '\n' first and fall back to the segmenter for
+# newline-free docs.
+LINE_WORDS = 12
+LINE_DF_MAX = 1  # keep a line only if NO other document contains it
+
+_LINE_ORACLE = f"""
+WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lines AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS line_no,
+         array_to_string(
+             toks[1 + u.i * {LINE_WORDS}
+                  : u.i * {LINE_WORDS} + {LINE_WORDS}], ' ') AS line
+  FROM tokd,
+       unnest([{{'i': i}} FOR i IN range(0,
+           CAST(ceil(len(toks) / {LINE_WORDS}.0) AS BIGINT))]) AS u(u)
+),
+-- df over the line TEXT: equality classes are identical to the engine's
+-- sha256-digest keys (digest equality == text equality)
+dfl AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN df <= {LINE_DF_MAX} THEN l.line END,
+                           ' ' ORDER BY l.line_no), '') AS clean_text,
+       CAST(count(*) FILTER (df <= {LINE_DF_MAX}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (df > {LINE_DF_MAX}) AS BIGINT)  AS n_dropped
+FROM lines l JOIN dfl USING (line)
+GROUP BY l.doc_id
+"""
+
+
+@_register("dedup_line_level", _LINE_ORACLE)
+def q_dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-line removal with document reassembly: every doc is
+    split into {LINE_WORDS}-word lines, a line's document frequency is
+    counted over sha256 digests (the shuffle carries 32-byte keys, never
+    line text — the dedup_exact_hash discipline), lines with df >
+    {LINE_DF_MAX} are dropped, and each document is reassembled from its
+    surviving lines in order. Emits (doc_id, clean_text, n_kept,
+    n_dropped) — a doc whose every line is boilerplate survives as the
+    empty string with its drop count, so the caller can threshold.
+
+    Scale shape: line generation is map-only (sequence + slice, zero
+    Python); then ONE digest-keyed df aggregation, one digest-keyed
+    join back, one doc-keyed reassembly aggregation — every shuffle key
+    is either a fixed-width digest or doc_id. Reassembly order comes
+    from array_sort over (line_no, ...) structs inside the aggregation,
+    not a global sort."""
+    return line_level_dedup(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def line_level_dedup(
+    d: DataFrame,
+    line_words: int = LINE_WORDS,
+    max_line_df: int = LINE_DF_MAX,
+) -> DataFrame:
+    """The parameterized kernel behind ``dedup_line_level``."""
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
+    idx = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_lines - F.lit(1))).alias(
+            "line_no"
+        ),
+    )
+    line = F.array_join(
+        F.slice(
+            F.col("toks"), F.col("line_no") * line_words + 1, line_words
+        ),
+        " ",
+    )
+    # staged: consumed twice (df census + the reassembly join)
+    lines = stage(
+        idx.select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            line.alias("line"),
+            F.sha2(line, 256).alias("h"),
+        )
+    )
+    dfl = lines.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = lines.join(dfl, "h").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (F.col("df") <= max_line_df).alias("keep"),
+    )
+    entries = F.array_sort(
+        F.collect_list(F.struct("line_no", "keep", "line"))
+    )
+    kept = F.filter(entries, lambda x: x["keep"])
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept, lambda x: x["line"]), " "
+        ).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(entries) - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_rate_report — per-source duplication census
 # ---------------------------------------------------------------------------
 

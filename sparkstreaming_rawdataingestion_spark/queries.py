@@ -197,11 +197,12 @@ CORE_ORDER: tuple[str, ...] = (
     "dedup_exact_substring_chunks",
     "score_drift_psi",
     "dedup_rate_report",
-    # -- band 3: round-8 additions (re-check placeholders until the new
-    # ops validate; swapped in as they land) ---------------------------
+    # -- band 3: round-8 additions (VERDICT r7 items 3-5), each
+    # validated engine + --plain at sf0.01 AND sf0.1 + closed-form
+    # fixture + plan pin before entry ----------------------------------
     "dedup_semantic_clusters",
     "quality_classifier_score",
-    "ndcg_ranking_quality",
+    "dedup_line_level",
     # -- band 4: re-verification, touched modules first ---------------
     "tfidf_cosine_pairs",
     "decontamination_ngram_overlap",

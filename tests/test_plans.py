@@ -628,3 +628,20 @@ def test_quality_classifier_weights_broadcast_no_extra_shuffle(spark, sf_dir):
     assert "rangepartitioning" not in p
     assert "Python" not in p
     assert plans.count_exchanges(df) <= 2  # (doc,dim) agg + doc agg
+
+
+def test_line_level_dedup_digest_keyed_and_staged_once(spark, sf_dir):
+    """Line generation is map-only; the ONLY shuffles are the digest df
+    census, the digest join back, and the doc-keyed reassembly — no
+    cartesian, no global sort, and the line frame is staged ONCE
+    (consumed by both the census and the join)."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.q_dedup_line_level(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p
+    assert "Python" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged line frame
+    # one source scan materialized once into the staged frame
+    assert p.count("Scan parquet") == p.count("InMemoryRelation")

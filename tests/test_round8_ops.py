@@ -205,3 +205,66 @@ def test_curation_classifier_gate_parity(spark):
     assert classified <= clf_keep
     assert classified <= plain | clf_keep
     assert classified != plain, "fixture must exercise the gate"
+
+
+# ---------------------------------------------------------------------------
+# dedup_line_level — closed-form fixture (shared header corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_line_level_dedup_closed_form(spark):
+    """Four docs, 12-word segment lines, max_line_df=1. Docs 1/2/4 share
+    the identical 12-word header H (df=3 -> dropped everywhere); each
+    tail is unique (kept). Doc 3 shares nothing (all lines kept). Doc 4
+    is ONLY the header -> reassembles to the empty string but survives
+    as a row with its drop count."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        line_level_dedup,
+    )
+
+    H = " ".join(f"h{i}" for i in range(12))
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta"
+    d3 = " ".join(f"u{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, f"{H} {t1}"), (2, f"{H} {t2}"), (3, d3), (4, H)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in line_level_dedup(docs).collect()
+    }
+    assert got == {
+        1: (t1, 1, 1),
+        2: (t2, 1, 1),
+        3: (d3, 2, 0),
+        4: ("", 0, 1),
+    }
+
+
+def test_line_level_dedup_threshold_and_reassembly_order(spark):
+    """max_line_df=2 keeps a line shared by exactly two docs; surviving
+    lines must reassemble in original order even when a MIDDLE line is
+    dropped."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        line_level_dedup,
+    )
+
+    A = " ".join(f"a{i}" for i in range(12))   # in docs 1+2 (df=2)
+    B = " ".join(f"b{i}" for i in range(12))   # in all three (df=3)
+    C1 = " ".join(f"c{i}" for i in range(12))  # unique
+    docs = spark.createDataFrame(
+        [
+            (1, f"{A} {B} {C1}"),  # middle line B drops, A+C1 keep
+            (2, f"{A} {B}"),
+            (3, B),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in line_level_dedup(docs, max_line_df=2).collect()
+    }
+    assert got[1] == (f"{A} {C1}", 2, 1)
+    assert got[2] == (A, 1, 1)
+    assert got[3] == ("", 0, 1)
