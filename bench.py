@@ -119,19 +119,26 @@ HEADLINE = [
     "graph_common_neighbors",
     "similarity_topk_pq",
     "bm25_keyword_search",
+    # round-8 flagship additions: clustered semantic dedup, line-level
+    # dedup with reassembly (the two heaviest new plans)
+    "dedup_semantic_clusters",
+    "dedup_line_level",
 ]
 
 
 def _calibration_probe(spark) -> float:
     """Fixed CPU-bound probe (codegen range-sum, no IO, no shuffle read):
     identical work every invocation, so its wall time moves ONLY with
-    machine load. Timed at panel start and end; a >1.3x drift between
-    the two means the panel ran under concurrent load and per-query
-    'regressions' are contention artifacts (BENCH_r07: a skewed 95.8 s
-    panel re-ran solo at 77.2 s — tools/bench_compare.py refuses to
-    flag regressions when the probe drifted). min-of-2 at ~0.7 s of
-    fixed work per run: a single 0.24 s probe run showed 1.39x
-    scheduler-noise drift on a genuinely solo panel."""
+    machine load. Timed at panel start and end; the end probe running
+    >1.3x SLOWER than the start probe means contention arrived during
+    the panel and per-query 'regressions' are contention artifacts
+    (BENCH_r07: a skewed 95.8 s panel re-ran solo at 77.2 s —
+    tools/bench_compare.py refuses to flag regressions when the probe
+    slowed). The check is directional: an end probe FASTER than start
+    is benign deep-JIT warmup (measured 0.295 s -> 0.207 s on a
+    verified-solo panel). min-of-2 at ~0.7 s of fixed work per run: a
+    single 0.24 s probe run showed 1.39x scheduler-noise drift on a
+    genuinely solo panel."""
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

@@ -617,6 +617,142 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dsir_importance_weights — domain-targeted data selection (DSIR)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# RAW-pool document by the log importance weight of a target-domain
+# unigram LM over a raw-pool unigram LM, log w(d) = Σ_tok tf·(ln p_T −
+# ln p_R), both Laplace-smoothed over the shared vocabulary. The fixture
+# target domain is source = 'src0' (a 5% in-domain exemplar, the DSIR
+# setup: small target, big raw pool).
+DSIR_TARGET_SOURCE = "src0"
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, tok, count(*) AS tf
+  FROM toks GROUP BY doc_id, source, tok
+),
+tc AS (
+  SELECT tok,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN tf ELSE 0 END)
+           AS ct,
+         sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN tf ELSE 0 END)
+           AS cr
+  FROM tf GROUP BY tok
+),
+totals AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS vocab FROM tc
+),
+-- per-token log ratio rounded to 9 dp and accumulated in DECIMAL(18,9),
+-- the unigram_logprob_quality discipline: ln inputs are identical exact
+-- integer ratios on both engines
+model AS (
+  SELECT tok,
+         CAST(round(ln((ct + 1.0e0) / (nt + vocab))
+                    - ln((cr + 1.0e0) / (nr + vocab)), 9)
+              AS DECIMAL(18,9)) AS lr
+  FROM tc CROSS JOIN totals
+)
+-- round the exact DECIMAL sum BEFORE the double cast: the sum lives on
+-- the 1e-9 grid, so ...500-ending values are common and round(DOUBLE,6)
+-- breaks those ties differently per engine (Spark rounds the shortest
+-- decimal repr, DuckDB the binary double); DECIMAL round is half-away
+-- -from-zero and exact on both
+SELECT f.doc_id,
+       CAST(round(sum(CAST(f.tf AS DECIMAL(10,0)) * m.lr), 6) AS DOUBLE)
+         AS log_weight,
+       CAST(sum(f.tf) AS BIGINT)                  AS n_tokens
+FROM tf f JOIN model m USING (tok)
+WHERE f.source <> '{DSIR_TARGET_SOURCE}'
+GROUP BY f.doc_id
+"""
+
+
+@_register("dsir_importance_weights", _DSIR_ORACLE)
+def q_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every raw-pool doc
+    scored by Σ tf·(ln p_target − ln p_raw) under Laplace-smoothed
+    unigram LMs — the principled replacement for "just take everything"
+    when a pipeline wants web data that LOOKS like a curated target
+    domain; downstream, sampling ∝ exp(log_weight) is temperature_mix's
+    job.
+
+    Plan: one explode feeding the (doc, tok) tf aggregation; the token
+    model is the vocabulary-sized tc table (staged once — its totals
+    come from a sum over the cached vocabulary, never a second corpus
+    scan) joined back on the token key; the final reduce is doc-keyed.
+    Per-token log ratios round to 9 dp and accumulate in DECIMAL(18,9)
+    (the unigram_logprob_quality discipline), so the per-doc sum is
+    exact under any reduction order. At 100 TB the model table is
+    vocabulary-sized (Heaps' law ≪ corpus) — broadcast or shuffle join,
+    either way the corpus tokens shuffle once."""
+    return dsir_importance_weights(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def dsir_importance_weights(
+    d: DataFrame, target_source: str = DSIR_TARGET_SOURCE
+) -> DataFrame:
+    """The parameterized kernel behind ``dsir_importance_weights``."""
+    from .. import session
+
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    tf = session.stage(
+        toks.groupBy("doc_id", "source", "tok").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    is_t = F.col("source") == target_source
+    tc = session.stage(
+        tf.groupBy("tok").agg(
+            F.sum(F.when(is_t, F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(~is_t, F.col("tf")).otherwise(F.lit(0))).alias("cr"),
+        )
+    )
+    totals = tc.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    lr = F.round(
+        F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("vocab")))
+        - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.col("vocab"))),
+        9,
+    ).cast("decimal(18,9)")
+    model = tc.crossJoin(F.broadcast(totals)).select("tok", lr.alias("lr"))
+    return (
+        tf.where(~is_t)
+        .join(model, "tok")
+        .groupBy("doc_id")
+        .agg(
+            # tf must be DECIMAL(10,0): bigint×decimal(18,9) widens past
+            # precision 38 and Spark REDUCES the result scale to 8,
+            # rounding every term at 1e-8. round the exact DECIMAL sum,
+            # THEN cast: sums live on the 1e-9 grid where 6-dp ties are
+            # common, and double-round tie-breaking is engine-specific
+            F.round(
+                F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lr")), 6
+            )
+            .cast("double")
+            .alias("log_weight"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ewma_smoothing — exponentially weighted moving average (stateful recurrence)
 # ---------------------------------------------------------------------------
 

@@ -835,6 +835,46 @@ def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pii_redact_text — the destructive scrub the audit above previews
+# ---------------------------------------------------------------------------
+
+PII_REDACTION_TOKEN = "<NUM>"
+
+_PII_REDACT_ORACLE = f"""
+SELECT event_id, event_type,
+       regexp_replace(props, '{PII_DIGIT_RUN}',
+                      '{PII_REDACTION_TOKEN}', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '{PII_DIGIT_RUN}')) AS BIGINT)
+         AS n_redacted
+FROM events
+"""
+
+
+@_register("pii_redact_text", _PII_REDACT_ORACLE)
+def q_pii_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction pass itself — every digit run replaced by
+    {PII_REDACTION_TOKEN}, with a per-row match count so downstream
+    joins can threshold or audit (pii_redaction_stats is this pass's
+    dry-run aggregate, sharing PII_DIGIT_RUN so the audit can never
+    disagree with the scrub). Pure map-side regex projection: zero
+    shuffles, zero joins, whole-stage codegen — the embarrassingly
+    parallel shape a 100 TB scrub needs. The pattern stays
+    dialect-portable (plain character class + quantifier, identical in
+    Java regex and DuckDB/RE2)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.regexp_replace("props", PII_DIGIT_RUN, PII_REDACTION_TOKEN).alias(
+            "props_redacted"
+        ),
+        F.regexp_count("props", F.lit(PII_DIGIT_RUN))
+        .cast("long")
+        .alias("n_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # score_drift_psi — population stability index between the drift cohorts
 # ---------------------------------------------------------------------------
 

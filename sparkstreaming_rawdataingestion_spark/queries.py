@@ -249,6 +249,8 @@ CORE_ORDER: tuple[str, ...] = (
     # --- driver checks the first 50 entries; below: the queued
     # overflow (see OVERFLOW_QUEUE) ---
     "pipeline_curation_classified",
+    "dsir_importance_weights",
+    "pii_redact_text",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -268,6 +270,13 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # test_core_registry_window pins membership, placement and the ≤9 cap.
 OVERFLOW_QUEUE: tuple[str, ...] = (
     "pipeline_curation_classified",
+    # round-8 late additions (validated engine + --plain at sf0.01 AND
+    # sf0.1, closed-form fixtures in tests/test_round8_ops.py):
+    # DSIR importance weights (the last-ulp lesson: bigint×decimal(18,9)
+    # silently drops to scale 8 in Spark — cast tf to DECIMAL(10,0))
+    # and the PII digit-run scrub sharing PII_DIGIT_RUN with its audit.
+    "dsir_importance_weights",
+    "pii_redact_text",
 )
 
 

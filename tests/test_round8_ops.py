@@ -268,3 +268,105 @@ def test_line_level_dedup_threshold_and_reassembly_order(spark):
     assert got[1] == (f"{A} {C1}", 2, 1)
     assert got[2] == (A, 1, 1)
     assert got[3] == ("", 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_weights_closed_form(spark):
+    """Hand-computed DSIR log weights on a 3-doc corpus. Target (src0):
+    "x x y" -> ct = {x:2, y:1}, nt=3. Raw: "x y" and "z z" -> cr =
+    {x:1, y:1, z:2}, nr=4. vocab=3. Laplace-smoothed log ratios:
+      lr(x) = ln(3/6) - ln(2/7);  lr(y) = ln(2/6) - ln(2/7)
+      lr(z) = ln(1/6) - ln(3/7)
+    each rounded to 9 dp before the per-doc sum (the DECIMAL(18,9)
+    accumulation discipline)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sparkstreaming_rawdataingestion_spark.operators.mining import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x x y", "src0"), (1, "x y", "web"), (2, "z z", "web")],
+        "doc_id long, text string, source string",
+    )
+
+    def q(x, places):  # exact decimal half-away rounding, both engines'
+        return Decimal(x).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP)
+
+    lr = {
+        "x": q(repr(math.log(3 / 6) - math.log(2 / 7)), 9),
+        "y": q(repr(math.log(2 / 6) - math.log(2 / 7)), 9),
+        "z": q(repr(math.log(1 / 6) - math.log(3 / 7)), 9),
+    }
+    want = {
+        1: (float(q(lr["x"] + lr["y"], 6)), 2),
+        2: (float(q(2 * lr["z"], 6)), 2),
+    }
+    got = {
+        r.doc_id: (r.log_weight, r.n_tokens)
+        for r in dsir_importance_weights(docs, "src0").collect()
+    }
+    assert got == want
+    # directionally: the target-like doc must outscore the off-domain one
+    assert got[1][0] > got[2][0]
+
+
+# ---------------------------------------------------------------------------
+# pii_redact_text — the scrub agrees with its audit
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_text_matches_audit_counts(spark):
+    """The redaction pass and the audit share PII_DIGIT_RUN: summing the
+    transform's per-row n_redacted per event_type must equal the
+    audit's n_matches, and no digit run may survive the scrub."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators.validation import (
+        q_pii_redact_text,
+        q_pii_redaction_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    red = q_pii_redact_text(spark, sf)
+    audit = {
+        r.event_type: r.n_matches
+        for r in q_pii_redaction_stats(spark, sf).collect()
+    }
+    per_type = {
+        r.event_type: r.total
+        for r in red.groupBy("event_type")
+        .agg(F.sum("n_redacted").alias("total"))
+        .collect()
+    }
+    assert per_type == audit
+    survivors = red.where(
+        F.col("props_redacted").rlike("[0-9]")
+    ).count()
+    assert survivors == 0
+
+
+def test_pii_redact_text_closed_form(spark):
+    from sparkstreaming_rawdataingestion_spark.operators.validation import (
+        PII_DIGIT_RUN,
+        PII_REDACTION_TOKEN,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"acct": 1234567, "note": "call 555 then 9"}')],
+        "event_id long, props string",
+    )
+    row = df.select(
+        F.regexp_replace("props", PII_DIGIT_RUN, PII_REDACTION_TOKEN).alias(
+            "r"
+        ),
+        F.regexp_count("props", F.lit(PII_DIGIT_RUN)).alias("n"),
+    ).collect()[0]
+    assert row.r == '{"acct": <NUM>, "note": "call <NUM> then <NUM>"}'
+    assert row.n == 3

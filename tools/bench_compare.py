@@ -31,12 +31,17 @@ def _skew_verdict(payload: dict) -> str | None:
     """Reason string if the run self-reports contention, else None.
 
     A run is untrustworthy for regression-flagging when its fixed-work
-    calibration probe drifted >1.3x between panel start and end, or the
-    1-min loadavg already exceeded the core count before the panel even
-    started (another Spark session running — BENCH_r07's failure mode)."""
+    calibration probe got >1.3x SLOWER between panel start and end
+    (contention arriving mid-panel), or the 1-min loadavg already
+    exceeded the core count before the panel even started (another
+    Spark session running — BENCH_r07's failure mode). The check is
+    directional: an END probe FASTER than the start probe is benign —
+    deep JIT/code-cache warmup keeps improving fixed-work times well
+    into a session (measured 0.295 s -> 0.207 s on a verified-solo
+    panel) and says nothing about load during the panel."""
     cal = payload.get("cal")
-    if cal and min(cal) > 0 and max(cal) / min(cal) > 1.3:
-        return f"calibration probe drifted {max(cal) / min(cal):.2f}x ({cal})"
+    if cal and cal[0] > 0 and cal[1] / cal[0] > 1.3:
+        return f"calibration probe drifted {cal[1] / cal[0]:.2f}x ({cal})"
     load = payload.get("load")
     cpus = payload.get("cpus")
     if load and cpus and load[0] > cpus:
