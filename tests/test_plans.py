@@ -645,3 +645,33 @@ def test_line_level_dedup_digest_keyed_and_staged_once(spark, sf_dir):
     assert p.count("InMemoryRelation") >= 1  # staged line frame
     # one source scan materialized once into the staged frame
     assert p.count("Scan parquet") == p.count("InMemoryRelation")
+
+
+def test_pii_redact_map_only(spark, sf_dir):
+    """The scrub is a pure projection over the scan: ZERO exchanges, no
+    joins, no Python — the embarrassingly parallel shape its docstring
+    promises for a 100 TB pass."""
+    from sparkstreaming_rawdataingestion_spark.operators import validation
+
+    df = validation.QUERIES["pii_redact_text"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_dsir_model_table_join_no_global_sort(spark, sf_dir):
+    """DSIR scores via the vocabulary-sized model table joined back on
+    the token key: no cartesian over data tables (the totals crossJoin
+    is a broadcast 1-row frame), no global sort, no Python, and the tf
+    frame is staged so the model derives from the cache, not a second
+    corpus scan. (tc stages on top of staged tf, so plan-STRING counts
+    reprint — pin properties, not counts.)"""
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    df = mining.QUERIES["dsir_importance_weights"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p
+    assert "Python" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged tf/model frames
