@@ -1709,3 +1709,125 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.max("copies").cast("long").alias("max_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix — pairwise cross-source boilerplate census
+# ---------------------------------------------------------------------------
+
+# Which sources duplicate into which: for every source pair, how many
+# distinct LINE_WORDS-word segments (the dedup_line_level segmenter)
+# both contain, plus each side's distinct-segment total and the segment
+# Jaccard. The mirror/aggregator detector a curation run consults
+# before deciding which source pairs are worth a cross-dedup pass —
+# dedup_rate_report answers "is source X internally duplicated";
+# this answers "is source X a copy OF source Y". Whole-document
+# exact-hash overlap is too blunt for that (zero cross-source full-copy
+# collisions even at sf0.01); shared boilerplate segments are the
+# signal mirrors actually emit.
+_OVERLAP_ORACLE = f"""
+WITH tokd AS (SELECT source, string_split(text, ' ') AS toks
+              FROM documents),
+lines AS (
+  SELECT DISTINCT source,
+         array_to_string(
+             toks[1 + u.i * {LINE_WORDS}
+                  : u.i * {LINE_WORDS} + {LINE_WORDS}], ' ') AS line
+  FROM tokd,
+       unnest([{{'i': i}} FOR i IN range(0,
+           CAST(ceil(len(toks) / {LINE_WORDS}.0) AS BIGINT))]) AS u(u)
+),
+tot AS (SELECT source, count(*) AS n FROM lines GROUP BY source),
+pr AS (
+  -- equality on line TEXT == equality on the engine's sha256 keys
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared_segments
+  FROM lines a JOIN lines b ON a.line = b.line AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.shared_segments AS BIGINT) AS shared_segments,
+       CAST(ta.n AS BIGINT) AS n_segments_a,
+       CAST(tb.n AS BIGINT) AS n_segments_b,
+       round(CAST(p.shared_segments AS DOUBLE)
+             / (ta.n + tb.n - p.shared_segments), 6) AS seg_jaccard
+FROM pr p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+"""
+
+
+@_register("source_overlap_matrix", _OVERLAP_ORACLE)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over line segments: one row per
+    source pair sharing at least one segment, with the shared count,
+    each side's distinct-segment total, and the segment Jaccard.
+
+    Plan: segment generation is the map-only dedup_line_level shape;
+    (source, digest) presence dedupes once (digest-keyed shuffle — the
+    32-byte-key discipline), then per-digest source sets explode into
+    pairs MAP-SIDE (the market_basket pattern: fan-out is bounded by
+    |sources|² per digest, independent of corpus size — never a
+    digest-keyed self-join row explosion), and totals join back as a
+    |sources|-row broadcast. All outputs are exact integer counts; the
+    one float is an integer-ratio division rounded once."""
+    return source_overlap_matrix(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def source_overlap_matrix(
+    d: DataFrame, line_words: int = LINE_WORDS
+) -> DataFrame:
+    """Parameterized kernel behind ``source_overlap_matrix``."""
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
+    idx = d.select(
+        "source",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_lines - F.lit(1))).alias("line_no"),
+    )
+    seg = F.array_join(
+        F.slice(F.col("toks"), F.col("line_no") * line_words + 1, line_words),
+        " ",
+    )
+    per = idx.select("source", F.sha2(seg, 256).alias("h")).distinct()
+    tot = per.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sets = (
+        per.groupBy("h")
+        .agg(F.collect_set("source").alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = (
+        sets.select(F.col("ss"), F.explode("ss").alias("source_a"))
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_segments"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_segments_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_segments_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_segments").cast("long").alias("shared_segments"),
+            F.col("n_segments_a").cast("long").alias("n_segments_a"),
+            F.col("n_segments_b").cast("long").alias("n_segments_b"),
+            F.round(
+                F.col("shared_segments").cast("double")
+                / (
+                    F.col("n_segments_a")
+                    + F.col("n_segments_b")
+                    - F.col("shared_segments")
+                ),
+                6,
+            ).alias("seg_jaccard"),
+        )
+    )

@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
-from .profiling import _MMH2
+from .profiling import _MMH2, _bucket_col, _bucket_sql
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -749,6 +749,164 @@ def dsir_importance_weights(
             .alias("log_weight"),
             F.sum("tf").cast("long").alias("n_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets — per-language head/middle/tail LM terciles
+# ---------------------------------------------------------------------------
+
+# CCNet (Wenzek et al. 2020): bucket each document into head / middle /
+# tail by language-model perplexity terciles WITHIN its language — the
+# standard web-corpus quality partitioning (head feeds pretraining,
+# tail gets dropped or re-filtered). Our LM is the in-repo corpus
+# unigram model (the unigram_logprob_quality score; higher avg_logprob
+# = lower perplexity = better). Tercile cutpoints come from a
+# DETERMINISTIC 20% hash sample — CCNet itself computes cutoffs on a
+# sample, and at 100 TB per-language rank windows over the full corpus
+# would funnel each language into one task; the sample bounds that
+# window while bucketing stays a map-side comparison against two
+# broadcast cutpoints per language.
+CCNET_SAMPLE_PCT = 20
+
+_CCNET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+),
+n AS (SELECT sum(n_tok) AS n_total FROM freq),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(round(ln(CAST(f.n_tok AS DOUBLE) / n.n_total), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN n
+),
+docs AS (
+  SELECT doc_id, lang,
+         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT lang, avg_logprob,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM docs
+  WHERE {_bucket_sql("doc_id")} < {CCNET_SAMPLE_PCT}
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n + 2) // 3 THEN avg_logprob END)
+           AS cut_head,
+         max(CASE WHEN rn = (2 * n + 2) // 3 THEN avg_logprob END)
+           AS cut_middle
+  FROM ranked GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.avg_logprob,
+       CASE WHEN c.cut_head IS NOT NULL
+                 AND d.avg_logprob >= c.cut_head THEN 'head'
+            WHEN c.cut_middle IS NOT NULL
+                 AND d.avg_logprob >= c.cut_middle THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docs d LEFT JOIN cuts c USING (lang)
+"""
+
+
+@_register("ccnet_perplexity_buckets", _CCNET_ORACLE)
+def q_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020): every
+    document bucketed by corpus-LM quality terciles within its
+    language. Cutpoints are discrete sample values (percentile_disc
+    semantics via rank arithmetic — an actual score from the sample,
+    never an interpolated float), so cross-engine parity needs no new
+    float algebra: the score is the hash-green unigram_logprob_quality
+    expression, and every comparison is between doubles both engines
+    already agree on bit-for-bit.
+
+    Plan: the scored frame stages once (one corpus explode + the
+    vocabulary-sized model join); the rank window runs over the 20%
+    hash sample only (per-language task bounded by the sample, the
+    documented CCNet approach); cutpoints are a |langs|-row broadcast
+    and final bucketing is a map-side CASE. Ties at a cutpoint go to
+    the better bucket deterministically (>= against a discrete sample
+    value)."""
+    return ccnet_perplexity_buckets(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def ccnet_perplexity_buckets(
+    d: DataFrame, sample_pct: int = CCNET_SAMPLE_PCT
+) -> DataFrame:
+    """Parameterized kernel behind ``ccnet_perplexity_buckets``
+    (fixtures pass sample_pct=100 so cutpoints are exact terciles of
+    the whole corpus)."""
+    from .. import session
+
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = session.stage(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n = freq.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    lp = F.round(
+        F.log(F.col("n_tok").cast("double") / F.col("n_total")), 9
+    ).cast("decimal(18,9)")
+    docs = session.stage(
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "lang", lp.alias("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    ranked = (
+        docs.where(_bucket_col(F.col("doc_id")) < sample_pct)
+        .select(
+            "lang",
+            "avg_logprob",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("avg_logprob"))
+        ).alias("cut_head"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(2 * n + 2) div 3"),
+                F.col("avg_logprob"),
+            )
+        ).alias("cut_middle"),
+    )
+    bucket = (
+        F.when(
+            F.col("cut_head").isNotNull()
+            & (F.col("avg_logprob") >= F.col("cut_head")),
+            F.lit("head"),
+        )
+        .when(
+            F.col("cut_middle").isNotNull()
+            & (F.col("avg_logprob") >= F.col("cut_middle")),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return docs.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
     )
 
 

@@ -251,6 +251,8 @@ CORE_ORDER: tuple[str, ...] = (
     "pipeline_curation_classified",
     "dsir_importance_weights",
     "pii_redact_text",
+    "ccnet_perplexity_buckets",
+    "source_overlap_matrix",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -277,6 +279,12 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     # and the PII digit-run scrub sharing PII_DIGIT_RUN with its audit.
     "dsir_importance_weights",
     "pii_redact_text",
+    # CCNet head/middle/tail LM terciles per language (Wenzek et al.
+    # 2020): discrete sample-value cutpoints, no new float algebra.
+    "ccnet_perplexity_buckets",
+    # cross-source boilerplate census over line-segment digests (the
+    # mirror detector; integer counts + one rounded ratio).
+    "source_overlap_matrix",
 )
 
 

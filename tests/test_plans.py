@@ -675,3 +675,33 @@ def test_dsir_model_table_join_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in p
     assert "Python" not in p
     assert p.count("InMemoryRelation") >= 1  # staged tf/model frames
+
+
+def test_ccnet_buckets_sampled_window_and_broadcast_cuts(spark, sf_dir):
+    """The rank window runs over the hash SAMPLE only; cutpoints join
+    back as a broadcast; no data-table cartesian, no Python. (Nested
+    staged frames reprint cached children in the plan string — pin
+    properties, not counts.)"""
+    from sparkstreaming_rawdataingestion_spark.operators import mining
+
+    df = mining.QUERIES["ccnet_perplexity_buckets"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert p.count("InMemoryRelation") >= 1
+
+
+def test_source_overlap_pairs_explode_map_side(spark, sf_dir):
+    """The pair matrix comes from per-digest source SETS exploded
+    map-side, never a digest-keyed self-join of presence rows, and the
+    totals join back broadcast: no SortMergeJoin, no cartesian, no
+    Python anywhere."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.QUERIES["source_overlap_matrix"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+    assert "BroadcastHashJoin" in p

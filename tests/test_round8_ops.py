@@ -370,3 +370,101 @@ def test_pii_redact_text_closed_form(spark):
     ).collect()[0]
     assert row.r == '{"acct": <NUM>, "note": "call <NUM> then <NUM>"}'
     assert row.n == 3
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_perplexity_buckets_closed_form(spark):
+    """Hand-computed terciles on a 4-doc corpus (sample_pct=100 so the
+    cutpoints are exact). Corpus LM over ALL docs: freq a=4 b=2 c=2,
+    n_total=8, lp(a)=ln(1/2), lp(b)=lp(c)=ln(1/4), each rounded 9 dp.
+    en scores: d0=-0.693147 > d1=-1.039721 > d2=-1.386294 with n=3 →
+    cut_head=rank-1 score, cut_middle=rank-2 score → head/middle/tail.
+    fr has one doc: both cuts equal its own score → head."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sparkstreaming_rawdataingestion_spark.operators.mining import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a", "en"),
+            (1, "a b", "en"),
+            (2, "b c", "en"),
+            (3, "c", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    def q(x, places):
+        return Decimal(x).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP)
+
+    lp_a = q(repr(math.log(4 / 8)), 9)
+    lp_b = q(repr(math.log(2 / 8)), 9)
+    want = {
+        0: (float(q(repr(float(3 * lp_a) / 3), 6)), "head"),
+        1: (float(q(repr(float(lp_a + lp_b) / 2), 6)), "middle"),
+        2: (float(q(repr(float(2 * lp_b) / 2), 6)), "tail"),
+        3: (float(q(repr(float(lp_b) / 1), 6)), "head"),
+    }
+    got = {
+        r.doc_id: (r.avg_logprob, r.bucket)
+        for r in ccnet_perplexity_buckets(docs, sample_pct=100).collect()
+    }
+    assert got == want
+
+
+def test_ccnet_buckets_unsampled_lang_falls_to_tail(spark):
+    """A language with NO sampled docs has NULL cutpoints — every doc
+    of that language lands in 'tail' deterministically (the CASE's
+    else branch), never in an engine-dependent null bucket."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators.mining import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "a b c", "xx"), (8, "a", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    got = ccnet_perplexity_buckets(docs, sample_pct=0)
+    assert [r.bucket for r in got.collect()] == ["tail", "tail"]
+    assert got.where(F.col("bucket").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_closed_form(spark):
+    """3 sources with controlled 2-word segments (line_words=2):
+    s1 = {AB, CD}, s2 = {AB, EF}, s3 = {GH}. Only (s1,s2) overlaps:
+    shared=1, totals 2 and 2, jaccard 1/(2+2-1) = 0.333333. s3 pairs
+    with nobody and must be absent. Duplicate segments WITHIN a source
+    count once (distinct (source, digest) presence)."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A B C D", "s1"),
+            (1, "A B E F", "s2"),
+            (2, "A B", "s2"),       # repeat of AB inside s2: counts once
+            (3, "G H", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap_matrix(docs, line_words=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("s1", "s2")
+    assert (r.shared_segments, r.n_segments_a, r.n_segments_b) == (1, 2, 2)
+    assert r.seg_jaccard == 0.333333
