@@ -1133,3 +1133,128 @@ def q_pca_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("u_d"), 6).alias("cov_component"),
         F.round(F.col("u_d") / F.col("nrm"), 6).alias("v1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_int8_report — symmetric int8 scalar quantization + fidelity
+# ---------------------------------------------------------------------------
+
+# Symmetric max-abs int8 quantization — the standard 4x storage cut for
+# embedding tables (float32 -> int8 codes + one float scale per vector)
+# and the cheap sibling of PQ: PQ buys ~32x at recall cost, int8 buys 4x
+# nearly free. The registered query is the per-vector FIDELITY report
+# (the acceptance gate a 100 TB re-encode runs before committing);
+# the codes themselves come from the embedding_int8_quantize kernel.
+#
+# code_i = floor(x_i * 127 / amax + 0.5) (half-up; floor of identical
+# doubles is engine-exact, unlike round(DOUBLE, n) tie-breaking), and
+# the error algebra is mirrored term for term: err_i = x_i - code_i *
+# amax / 127. Per-element double algebra on identical inputs is safe;
+# the cross-dim sum accumulates in DECIMAL(32,18) (the PSI pattern).
+
+_INT8_ORACLE = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(u.x AS DOUBLE) AS x,
+         list_aggregate(list_transform(embedding,
+                                       v -> abs(CAST(v AS DOUBLE))),
+                        'max') AS amax
+  FROM embeddings, unnest(embedding) AS u(x)
+),
+err AS (
+  SELECT vec_id, amax,
+         CASE WHEN amax = 0 THEN 0.0e0
+              ELSE x - floor(x * 127.0e0 / amax + 0.5e0) * amax / 127.0e0
+         END AS e
+  FROM el
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       round(CASE WHEN max(amax) = 0 THEN NULL
+                  ELSE 127.0e0 / max(amax) END, 6) AS scale,
+       round(CAST(sum(CAST(e * e AS DECIMAL(32,18))) AS DOUBLE)
+             / count(*) * 1.0e6, 6) AS mse_ppm,
+       round(max(abs(e)) * 1.0e6, 6) AS max_abs_err_ppm
+FROM err
+GROUP BY vec_id
+"""
+
+
+@_register("embedding_int8_report", _INT8_ORACLE)
+def q_embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization fidelity: dim count, the symmetric
+    scale (127/amax), reconstruction MSE and worst-dimension error
+    (both in ppm — raw values are ~1e-6 and would vanish at 6 dp).
+
+    Plan: amax is a map-side array fold (max is order-independent and
+    exact — no shuffle to learn the scale); elements then explode into
+    ONE vec-keyed aggregation. A zero vector quantizes losslessly to
+    zeros (scale NULL, errors 0) rather than tripping ANSI division."""
+    return embedding_int8_report(
+        catalog.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def embedding_int8_report(e: DataFrame) -> DataFrame:
+    """Parameterized fidelity kernel behind ``embedding_int8_report``."""
+    amax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    el = e.select(
+        "vec_id",
+        amax.alias("amax"),
+        F.explode("embedding").alias("xf"),
+    ).select("vec_id", "amax", F.col("xf").cast("double").alias("x"))
+    err = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+        F.col("x")
+        - F.floor(F.col("x") * F.lit(127.0) / F.col("amax") + F.lit(0.5))
+        * F.col("amax")
+        / F.lit(127.0)
+    )
+    g = el.select("vec_id", "amax", err.alias("e")).groupBy("vec_id")
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(
+            F.when(F.max("amax") == 0, F.lit(None)).otherwise(
+                F.lit(127.0) / F.max("amax")
+            ),
+            6,
+        ).alias("scale"),
+        F.round(
+            F.sum((F.col("e") * F.col("e")).cast("decimal(32,18)"))
+            .cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1.0e6),
+            6,
+        ).alias("mse_ppm"),
+        F.round(F.max(F.abs("e")) * F.lit(1.0e6), 6).alias(
+            "max_abs_err_ppm"
+        ),
+    )
+
+
+def embedding_int8_quantize(e: DataFrame) -> DataFrame:
+    """The quantization itself: (vec_id, codes array<int>, amax) with
+    code_i = floor(x_i*127/amax + 0.5) — map-only (two array ops per
+    row, no shuffle at all), the shape a 100 TB re-encode wants. Zero
+    vectors emit all-zero codes with amax 0."""
+    amax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    codes = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("amax") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("amax") + F.lit(0.5)
+            )
+        )
+        .cast("int"),
+    )
+    return e.select("vec_id", amax.alias("amax"), "embedding").select(
+        "vec_id", codes.alias("codes"), "amax"
+    )

@@ -253,6 +253,7 @@ CORE_ORDER: tuple[str, ...] = (
     "pii_redact_text",
     "ccnet_perplexity_buckets",
     "source_overlap_matrix",
+    "embedding_int8_report",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -285,6 +286,9 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     # cross-source boilerplate census over line-segment digests (the
     # mirror detector; integer counts + one rounded ratio).
     "source_overlap_matrix",
+    # symmetric int8 quantization fidelity report (floor-based codes —
+    # no round(DOUBLE) tie risk; DECIMAL error sums).
+    "embedding_int8_report",
 )
 
 

@@ -705,3 +705,15 @@ def test_source_overlap_pairs_explode_map_side(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "Python" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_int8_report_single_vec_keyed_shuffle(spark, sf_dir):
+    """amax folds map-side inside the array; the ONLY shuffle is the
+    vec-keyed error aggregation — no joins, no Python, one exchange."""
+    from sparkstreaming_rawdataingestion_spark.operators import similarity
+
+    df = similarity.QUERIES["embedding_int8_report"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 1
+    assert "Join" not in p
+    assert "Python" not in p

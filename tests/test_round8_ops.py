@@ -468,3 +468,47 @@ def test_source_overlap_matrix_closed_form(spark):
     assert (r.source_a, r.source_b) == ("s1", "s2")
     assert (r.shared_segments, r.n_segments_a, r.n_segments_b) == (1, 2, 2)
     assert r.seg_jaccard == 0.333333
+
+
+# ---------------------------------------------------------------------------
+# embedding int8 quantization — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_int8_closed_form(spark):
+    """Hand-quantized vector [1.0, -0.5, 0.25, 0.0] (amax=1, scale=127):
+    codes floor(x*127+0.5) = [127, -63, 32, 0]; errors
+    [0, -0.5+63/127, 0.25-32/127, 0]. A zero vector quantizes to zero
+    codes, NULL scale, zero error (never an ANSI divide crash)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sparkstreaming_rawdataingestion_spark.operators.similarity import (
+        embedding_int8_quantize,
+        embedding_int8_report,
+    )
+
+    e = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {
+        r.vec_id: (r.codes, r.amax)
+        for r in embedding_int8_quantize(e).collect()
+    }
+    assert codes == {0: ([127, -63, 32, 0], 1.0), 1: ([0, 0, 0, 0], 0.0)}
+
+    errs = [0.0, -0.5 + 63 / 127, 0.25 - 32 / 127, 0.0]
+
+    def q6(x):  # str() round-trips floats AND Decimals
+        return float(
+            Decimal(str(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    mse_ppm = q6(sum(Decimal(repr(er * er)) for er in errs) / 4 * 10**6)
+    max_ppm = q6(max(abs(er) for er in errs) * 1e6)
+    got = {
+        r.vec_id: (r.n_dims, r.scale, r.mse_ppm, r.max_abs_err_ppm)
+        for r in embedding_int8_report(e).collect()
+    }
+    assert got[0] == (4, 127.0, mse_ppm, max_ppm)
+    assert got[1] == (4, None, 0.0, 0.0)
