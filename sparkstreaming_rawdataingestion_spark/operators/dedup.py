@@ -1572,17 +1572,54 @@ def q_dedup_exact_substring_chunks(
 LINE_WORDS = 12
 LINE_DF_MAX = 1  # keep a line only if NO other document contains it
 
-_LINE_ORACLE = f"""
-WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+
+def segment_lines(
+    d: DataFrame, keys: tuple[str, ...], line_words: int = LINE_WORDS
+) -> DataFrame:
+    """THE segmenter: map-only ``line_words``-word segments of ``text``,
+    one row per (keys..., line_no, line). Shared by ``dedup_line_level``
+    and ``source_overlap_matrix`` (and mirrored by ``_segments_cte`` on
+    the oracle side) so the dedup pass and the overlap census can never
+    disagree about what a "line" is — change it once, both move."""
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
+    idx = d.select(
+        *keys,
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_lines - F.lit(1))).alias(
+            "line_no"
+        ),
+    )
+    line = F.array_join(
+        F.slice(
+            F.col("toks"), F.col("line_no") * line_words + 1, line_words
+        ),
+        " ",
+    )
+    return idx.select(
+        *keys,
+        F.col("line_no").cast("long").alias("line_no"),
+        line.alias("line"),
+    )
+
+
+def _segments_cte(key: str) -> str:
+    """Oracle-side twin of ``segment_lines`` — the two leading CTEs
+    (tokenize + segment), parameterized only by the carried key."""
+    return f"""tokd AS (SELECT {key}, string_split(text, ' ') AS toks
+              FROM documents),
 lines AS (
-  SELECT doc_id, CAST(u.i AS BIGINT) AS line_no,
+  SELECT {key}, CAST(u.i AS BIGINT) AS line_no,
          array_to_string(
              toks[1 + u.i * {LINE_WORDS}
                   : u.i * {LINE_WORDS} + {LINE_WORDS}], ' ') AS line
   FROM tokd,
        unnest([{{'i': i}} FOR i IN range(0,
            CAST(ceil(len(toks) / {LINE_WORDS}.0) AS BIGINT))]) AS u(u)
-),
+)"""
+
+_LINE_ORACLE = f"""
+WITH {_segments_cte("doc_id")},
 -- df over the line TEXT: equality classes are identical to the engine's
 -- sha256-digest keys (digest equality == text equality)
 dfl AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
@@ -1622,28 +1659,10 @@ def line_level_dedup(
     max_line_df: int = LINE_DF_MAX,
 ) -> DataFrame:
     """The parameterized kernel behind ``dedup_line_level``."""
-    toks = F.split(F.col("text"), " ")
-    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
-    idx = d.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), n_lines - F.lit(1))).alias(
-            "line_no"
-        ),
-    )
-    line = F.array_join(
-        F.slice(
-            F.col("toks"), F.col("line_no") * line_words + 1, line_words
-        ),
-        " ",
-    )
     # staged: consumed twice (df census + the reassembly join)
     lines = stage(
-        idx.select(
-            "doc_id",
-            F.col("line_no").cast("long").alias("line_no"),
-            line.alias("line"),
-            F.sha2(line, 256).alias("h"),
+        segment_lines(d, ("doc_id",), line_words).withColumn(
+            "h", F.sha2("line", 256)
         )
     )
     dfl = lines.groupBy("h").agg(
@@ -1726,23 +1745,14 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collisions even at sf0.01); shared boilerplate segments are the
 # signal mirrors actually emit.
 _OVERLAP_ORACLE = f"""
-WITH tokd AS (SELECT source, string_split(text, ' ') AS toks
-              FROM documents),
-lines AS (
-  SELECT DISTINCT source,
-         array_to_string(
-             toks[1 + u.i * {LINE_WORDS}
-                  : u.i * {LINE_WORDS} + {LINE_WORDS}], ' ') AS line
-  FROM tokd,
-       unnest([{{'i': i}} FOR i IN range(0,
-           CAST(ceil(len(toks) / {LINE_WORDS}.0) AS BIGINT))]) AS u(u)
-),
-tot AS (SELECT source, count(*) AS n FROM lines GROUP BY source),
+WITH {_segments_cte("source")},
+pres AS (SELECT DISTINCT source, line FROM lines),
+tot AS (SELECT source, count(*) AS n FROM pres GROUP BY source),
 pr AS (
   -- equality on line TEXT == equality on the engine's sha256 keys
   SELECT a.source AS source_a, b.source AS source_b,
          count(*) AS shared_segments
-  FROM lines a JOIN lines b ON a.line = b.line AND a.source < b.source
+  FROM pres a JOIN pres b ON a.line = b.line AND a.source < b.source
   GROUP BY 1, 2
 )
 SELECT p.source_a, p.source_b,
@@ -1780,18 +1790,11 @@ def source_overlap_matrix(
     d: DataFrame, line_words: int = LINE_WORDS
 ) -> DataFrame:
     """Parameterized kernel behind ``source_overlap_matrix``."""
-    toks = F.split(F.col("text"), " ")
-    n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
-    idx = d.select(
-        "source",
-        toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), n_lines - F.lit(1))).alias("line_no"),
+    per = (
+        segment_lines(d, ("source",), line_words)
+        .select("source", F.sha2("line", 256).alias("h"))
+        .distinct()
     )
-    seg = F.array_join(
-        F.slice(F.col("toks"), F.col("line_no") * line_words + 1, line_words),
-        " ",
-    )
-    per = idx.select("source", F.sha2(seg, 256).alias("h")).distinct()
     tot = per.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     sets = (
         per.groupBy("h")

@@ -150,10 +150,13 @@ def _stages(
     if classifier_gate:
         from .text import quality_classifier_score
 
+        # score the heuristic SURVIVORS, not a fresh full-corpus scan:
+        # the keep flag is per-doc independent, so the semi-join result
+        # is identical, and the stage ordering's whole point is that
+        # model inference (feature hashing + the weight join) runs on
+        # the reduced set
         keep_ids = (
-            quality_classifier_score(
-                catalog.load_table(spark, sf_dir, "documents")
-            )
+            quality_classifier_score(qual_kept.select("doc_id", "text"))
             .where(F.col("keep"))
             .select("doc_id")
         )

@@ -950,22 +950,29 @@ def q_similarity_lsh_portable_pairs(
 KMEANS_K = 8  # deterministic init: centroids = embeddings with vec_id < K
 
 
-def kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def kmeans_assign(
+    vecs: DataFrame, cents: DataFrame, keep_embedding: bool = True
+) -> DataFrame:
     """Deterministic nearest-centroid assignment — the shared Lloyd-step
     kernel behind ``kmeans_one_step`` and ``dedup_semantic_clusters``
     (SemDeDup composes it with within-cluster cosine pruning).
 
-    ``vecs`` is (vec_id, ve: array<double>), ``cents`` is (cid, ce);
-    returns one row per vector: (vec_id, cid, d2, ve). Squared L2 is
-    computed as three ordered inner products so the float expression is
-    term-for-term identical to the DuckDB oracles; the argmin is made
-    partition- and engine-stable by ranking on (round(d2, 9), cid).
+    ``vecs`` is (vec_id, ve: array<double>) plus any scalar payload
+    columns the caller wants back; ``cents`` is (cid, ce). Returns one
+    row per vector: (vec_id, cid, d2, <payload...>[, ve]). Squared L2
+    is computed as three ordered inner products so the float expression
+    is term-for-term identical to the DuckDB oracles; the argmin is
+    made partition- and engine-stable by ranking on (round(d2, 9), cid).
 
     Scale shape: centroids broadcast (a model table — K rows), the
     distance fanout is map-side; the only shuffle is the per-vec_id
-    row_number window. K is a knob that scales with the corpus
-    (SemDeDup runs ~10k-100k clusters at web scale) — per-cluster
-    work downstream is bounded by n/K regardless."""
+    row_number window — and its payload is ONLY what the caller needs
+    downstream: pass keep_embedding=False (and project scalar payloads
+    into ``vecs`` beforehand) when the array itself isn't used, so the
+    window exchange carries 8-byte scalars instead of 8·d-byte arrays
+    across all n·K candidate rows. K is a knob that scales with the
+    corpus (SemDeDup runs ~10k-100k clusters at web scale) —
+    per-cluster work downstream is bounded by n/K regardless."""
 
     def dot(a, b):
         return F.aggregate(
@@ -980,9 +987,13 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         - 2 * dot(F.col("ve"), F.col("ce"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 9), "cid")
+    payload = [c for c in vecs.columns if c not in ("vec_id", "ve")]
+    cols = ["vec_id", "cid", d2.alias("d2"), *payload] + (
+        ["ve"] if keep_embedding else []
+    )
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", d2.alias("d2"), "ve")
+        .select(*cols)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .drop("rk")
@@ -1038,10 +1049,14 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), _emb_double().alias("ce")
     )
-    vecs = e.select("vec_id", _emb_double().alias("ve"))
-    assigned = kmeans_assign(vecs, cents).withColumn(
-        "dim0", F.element_at(F.col("ve"), 1)
+    # project the scalar dim0 BEFORE assignment so the per-vec_id
+    # window shuffles (vec_id, cid, d2, dim0) — never the d-wide array
+    vecs = e.select(
+        "vec_id",
+        _emb_double().alias("ve"),
+        F.element_at(_emb_double(), 1).alias("dim0"),
     )
+    assigned = kmeans_assign(vecs, cents, keep_embedding=False)
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(F.avg("d2"), 6).alias("mean_dist2"),

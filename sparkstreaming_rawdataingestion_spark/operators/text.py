@@ -382,18 +382,26 @@ QUALITY_BIAS = "-0.10"
 # cross-engine libm (exp) risk.
 QUALITY_LOGIT_THRESHOLD = "0.0"
 
+# DECIMAL(20,18) weights x DECIMAL(10,0) counts keep the product at
+# scale 18 EXACTLY on both engines (precision 31 in Spark, 30 in
+# DuckDB — under the 38 cap). The wider (32,18) x BIGINT spelling
+# silently widens past 38 and Spark REDUCES the product scale to 6,
+# rounding every term (the same trap dsir_importance_weights fixes by
+# casting tf to DECIMAL(10,0)). Contract: |weight| < 100 with <= 18 dp,
+# per-doc feature counts < 1e10 — both comfortably true of
+# fasttext-style coefficients and document term counts.
 _QUALITY_ORACLE = f"""
 WITH feats AS ({_FHASH_ORACLE}),
 w(dim, wt) AS (VALUES {", ".join(
-    f"({i}, CAST({w} AS DECIMAL(32, 18)))"
+    f"({i}, CAST({w} AS DECIMAL(20, 18)))"
     for i, w in enumerate(QUALITY_WEIGHTS)
 )})
 SELECT doc_id,
-       round(CAST(sum(wt * weight)
-                  + CAST({QUALITY_BIAS} AS DECIMAL(32, 18)) AS DOUBLE), 6)
+       round(CAST(sum(wt * CAST(weight AS DECIMAL(10, 0)))
+                  + CAST({QUALITY_BIAS} AS DECIMAL(20, 18)) AS DOUBLE), 6)
          AS logit,
-       CAST(sum(wt * weight)
-            + CAST({QUALITY_BIAS} AS DECIMAL(32, 18)) AS DOUBLE)
+       CAST(sum(wt * CAST(weight AS DECIMAL(10, 0)))
+            + CAST({QUALITY_BIAS} AS DECIMAL(20, 18)) AS DOUBLE)
          >= CAST({QUALITY_LOGIT_THRESHOLD} AS DOUBLE) AS keep
 FROM feats JOIN w USING (dim)
 GROUP BY doc_id
@@ -436,14 +444,17 @@ def quality_classifier_score(
     from decimal import Decimal
 
     spark = d.sparkSession
-    dec = "decimal(32,18)"
+    dec = "decimal(20,18)"
     wdf = spark.createDataFrame(
         [(i, Decimal(w)) for i, w in enumerate(weights)],
         f"dim long, wt {dec}",
     )
-    logit_dec = F.sum(F.col("wt") * F.col("weight")) + F.lit(
-        Decimal(bias)
-    ).cast(dec)
+    # counts as DECIMAL(10,0): (20,18)x(10,0) -> (31,18), scale-exact;
+    # wt * BIGINT would widen past precision 38 and Spark would REDUCE
+    # the product scale to 6 (the dsir tf lesson)
+    logit_dec = F.sum(
+        F.col("wt") * F.col("weight").cast("decimal(10,0)")
+    ) + F.lit(Decimal(bias)).cast(dec)
     logit = logit_dec.cast("double")
     thresh = F.lit(float(QUALITY_LOGIT_THRESHOLD))
     return (

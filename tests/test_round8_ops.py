@@ -203,8 +203,43 @@ def test_curation_classifier_gate_parity(spark):
     # the gate only removes docs (never adds), every classified survivor
     # is classifier-kept, and the gate actually binds on the fixture
     assert classified <= clf_keep
-    assert classified <= plain | clf_keep
     assert classified != plain, "fixture must exercise the gate"
+
+    # full independent recomputation of the classified chain with
+    # DIFFERENT spellings (min-per-digest groupBy instead of the
+    # pipeline's row_number window; set algebra for the gate): a
+    # misplaced gate (e.g. applied AFTER exact dedup, changing which
+    # near-dup representative survives) fails this equality
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        count_verified_pairs,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.pipeline import (
+        QUALITY_MIN,
+        _shingles,
+        score_documents,
+    )
+
+    docs = catalog.load_table(spark, sf, "documents")
+    scored = score_documents(docs)
+    gated = (
+        scored.where(F.col("predicted_lang") == "en")
+        .where(F.col("quality_score") >= QUALITY_MIN)
+        .where(F.col("doc_id").isin(list(clf_keep)))
+    )
+    keepers = {
+        r.keep_id
+        for r in gated.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    kept = gated.where(F.col("doc_id").isin(list(keepers)))
+    near_dropped = {
+        r.doc_b
+        for r in count_verified_pairs(
+            kept.select("doc_id", _shingles().alias("shingles"))
+        ).collect()
+    }
+    assert classified == keepers - near_dropped
 
 
 # ---------------------------------------------------------------------------
