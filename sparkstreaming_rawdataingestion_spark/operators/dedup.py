@@ -1834,3 +1834,81 @@ def source_overlap_matrix(
             ).alias("seg_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_census — ingest-order novelty accounting per source
+# ---------------------------------------------------------------------------
+
+# The incremental-ingest question at 100 TB: you never re-dedup the
+# whole corpus — each arriving source is deduped against the archive of
+# everything ingested BEFORE it. Modeling ingest order as lexicographic
+# source order, classify every document: a duplicate of an EARLIER
+# source (the cross-shard hit the archive check exists for), the first
+# copy of a digest new to the corpus, or an extra copy within the
+# digest's own first source (intra-shard dup). Exact integer counts
+# with a per-source conservation law n_docs = dup_of_earlier +
+# novel_unique + dup_within (pinned in the fixture test).
+_INCR_ORACLE = """
+WITH per AS (
+  SELECT source, sha256(text) AS h, count(*) AS copies
+  FROM documents GROUP BY source, sha256(text)
+),
+first_seen AS (SELECT h, min(source) AS first_src FROM per GROUP BY h)
+SELECT source,
+       CAST(sum(copies) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN first_src < source THEN copies ELSE 0 END)
+            AS BIGINT) AS n_dup_of_earlier,
+       CAST(sum(CASE WHEN first_src = source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel_unique,
+       CAST(sum(CASE WHEN first_src = source THEN copies - 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_within
+FROM per JOIN first_seen USING (h)
+GROUP BY source
+"""
+
+
+@_register("dedup_incremental_census", _INCR_ORACLE)
+def q_dedup_incremental_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source novelty census under ingest order (sources
+    lexicographic): how many docs each source would contribute against
+    the archive of earlier sources vs duplicate into it vs duplicate
+    within itself — the accounting an incremental dedup pass reports.
+
+    Plan: two digest-keyed aggregations and one digest-keyed join —
+    the shuffles carry (source, 32-byte sha, count) triples, never
+    text (the dedup_exact_hash discipline); the final reduce is
+    sources-sized."""
+    return incremental_census(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def incremental_census(d: DataFrame) -> DataFrame:
+    """Parameterized kernel behind ``dedup_incremental_census``."""
+    per = d.groupBy("source", F.sha2("text", 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    first_seen = per.groupBy("h").agg(F.min("source").alias("first_src"))
+    earlier = F.col("first_src") < F.col("source")
+    here = F.col("first_src") == F.col("source")
+    return (
+        per.join(first_seen, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.sum(F.when(earlier, F.col("copies")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_of_earlier"),
+            F.sum(F.when(here, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_novel_unique"),
+            F.sum(
+                F.when(here, F.col("copies") - F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dup_within"),
+        )
+    )

@@ -1025,3 +1025,90 @@ def q_calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_pass_at_k — unbiased pass@k estimator (Chen et al. 2021, Codex)
+# ---------------------------------------------------------------------------
+
+PASS_AT_KS: tuple[int, ...] = (1, 5, 10)
+PASS_MIN_SAMPLES = 10  # tasks need n >= max(k) for the estimator
+
+# pass@k = 1 - C(n-c, k)/C(n, k), computed the numerically-stable way
+# the original release does: 1 - prod_{i=0..k-1} (n-c-i)/(n-i). Each
+# task's product is a PER-ROW ordered left fold of correctly-rounded
+# double ops on exact integer inputs — bit-identical across engines by
+# IEEE 754, no cross-row float accumulation at all. When n-c < k the
+# fold hits an exactly-zero factor and the product collapses to 0
+# (pass@k = 1), which is the estimator's own boundary semantics — no
+# clamp needed.
+
+
+def _pass_product_sql(k: int) -> str:
+    return (
+        f"round(1.0e0 - list_reduce([1.0e0] || "
+        f"[CAST(n - c - i AS DOUBLE) / (n - i) FOR i IN range(0, {k})], "
+        f"(acc, x) -> acc * x), 6)"
+    )
+
+
+_PASS_ORACLE = f"""
+WITH t AS (
+  SELECT user_id AS task_id,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY user_id
+)
+SELECT task_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(c AS BIGINT) AS n_correct,
+       {", ".join(f"{_pass_product_sql(k)} AS pass_at_{k}"
+                  for k in PASS_AT_KS)}
+FROM t WHERE n >= {PASS_MIN_SAMPLES}
+"""
+
+
+@_register("eval_pass_at_k", _PASS_ORACLE)
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k over the events fixture: each user is a "task", each
+    event a "sample", purchases are "correct" — the unbiased estimator
+    every code-eval harness reports (Chen et al. 2021, HumanEval).
+
+    Plan: ONE grouped count pass over events (n, c per task), then the
+    k-fold product is pure per-row map work — the eval table is
+    tasks-sized, so at any corpus scale the cost is the single
+    events aggregation."""
+    return eval_pass_at_k(catalog.load_table(spark, sf_dir, "events"))
+
+
+def eval_pass_at_k(
+    ev: DataFrame,
+    ks: tuple[int, ...] = PASS_AT_KS,
+    min_samples: int = PASS_MIN_SAMPLES,
+) -> DataFrame:
+    """Parameterized kernel behind ``eval_pass_at_k``."""
+
+    def pass_at(k: int):
+        fold = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc
+            * (
+                (F.col("n") - F.col("c") - i).cast("double")
+                / (F.col("n") - i)
+            ),
+        )
+        return F.round(F.lit(1.0) - fold, 6)
+
+    t = ev.groupBy(F.col("user_id").alias("task_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c"),
+    )
+    return t.where(F.col("n") >= min_samples).select(
+        "task_id",
+        F.col("n").cast("long").alias("n_samples"),
+        F.col("c").cast("long").alias("n_correct"),
+        *[pass_at(k).alias(f"pass_at_{k}") for k in ks],
+    )

@@ -254,6 +254,8 @@ CORE_ORDER: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "source_overlap_matrix",
     "embedding_int8_report",
+    "eval_pass_at_k",
+    "dedup_incremental_census",
 )
 
 # Window entries WITHOUT oracle SQL — none this round: the six sketch /
@@ -289,6 +291,10 @@ OVERFLOW_QUEUE: tuple[str, ...] = (
     # symmetric int8 quantization fidelity report (floor-based codes —
     # no round(DOUBLE) tie risk; DECIMAL error sums).
     "embedding_int8_report",
+    # unbiased pass@k estimator (per-row ordered fold, no cross-row
+    # floats) and the ingest-order novelty census (exact integers).
+    "eval_pass_at_k",
+    "dedup_incremental_census",
 )
 
 

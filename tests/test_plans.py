@@ -717,3 +717,29 @@ def test_int8_report_single_vec_keyed_shuffle(spark, sf_dir):
     assert plans.count_exchanges(df) == 1
     assert "Join" not in p
     assert "Python" not in p
+
+
+def test_pass_at_k_single_task_aggregation(spark, sf_dir):
+    """pass@k is ONE grouped pass over events; the k-fold product is
+    per-row map work on the tasks-sized table — one exchange, no joins,
+    no Python."""
+    from sparkstreaming_rawdataingestion_spark.operators import evaluation
+
+    df = evaluation.QUERIES["eval_pass_at_k"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 1
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_incremental_census_digest_keyed_only(spark, sf_dir):
+    """The census shuffles (source, sha, count) triples only: digest
+    aggregations + one digest join, never text bodies, no sort, no
+    cartesian, no Python."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.QUERIES["dedup_incremental_census"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p

@@ -547,3 +547,65 @@ def test_embedding_int8_closed_form(spark):
     }
     assert got[0] == (4, 127.0, mse_ppm, max_ppm)
     assert got[1] == (4, None, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# eval_pass_at_k — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_eval_pass_at_k_closed_form(spark):
+    """Hand-computed estimator: task A has n=5, c=2 →
+    pass@1 = c/n = 0.4; pass@3 = 1 - (3/5)(2/4)(1/3) = 0.9.
+    Task B has n=5, c=4 → n-c=1 < 3, the fold hits a zero factor and
+    pass@3 = 1.0 exactly (the estimator's boundary: any 3-subset must
+    contain a correct sample). Task C (n=2) is filtered by
+    min_samples."""
+    from sparkstreaming_rawdataingestion_spark.operators.evaluation import (
+        eval_pass_at_k,
+    )
+
+    rows = [(u, t) for u, kinds in
+            [(1, "ppxxx"), (2, "ppppx"), (3, "px")]
+            for t in kinds]
+    ev = spark.createDataFrame(
+        [(u, "purchase" if t == "p" else "view") for u, t in rows],
+        "user_id long, event_type string",
+    )
+    got = {
+        r.task_id: (r.n_samples, r.n_correct, r.pass_at_1, r.pass_at_3)
+        for r in eval_pass_at_k(ev, ks=(1, 3), min_samples=5).collect()
+    }
+    assert got == {1: (5, 2, 0.4, 0.9), 2: (5, 4, 0.8, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_census — closed-form fixture
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_census_closed_form(spark):
+    """Ingest order s1 < s2. s1 = {X, X, Y}: nothing earlier, X+Y novel,
+    one extra X copy. s2 = {X, Z, Z}: X duplicates the archive, Z is
+    novel with one extra copy. Per-source conservation law holds:
+    n_docs = dup_of_earlier + novel_unique + dup_within."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        incremental_census,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "X", "s1"), (1, "X", "s1"), (2, "Y", "s1"),
+            (3, "X", "s2"), (4, "Z", "s2"), (5, "Z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: (
+            r.n_docs, r.n_dup_of_earlier, r.n_novel_unique, r.n_dup_within
+        )
+        for r in incremental_census(docs).collect()
+    }
+    assert got == {"s1": (3, 0, 2, 1), "s2": (3, 1, 1, 1)}
+    for n, de, nu, dw in got.values():
+        assert n == de + nu + dw
