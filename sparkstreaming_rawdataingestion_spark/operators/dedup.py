@@ -1691,11 +1691,26 @@ def line_level_dedup(
 # dedup_rate_report — per-source duplication census
 # ---------------------------------------------------------------------------
 
-_DEDUP_RATE_ORACLE = """
-WITH per_text AS (
+# THE per-(source, digest) copy-count kernel — shared by
+# dedup_rate_report and dedup_incremental_census (engine helper +
+# oracle CTE, the segment_lines discipline): change digest handling
+# once, both censuses move together.
+_PER_TEXT_CTE = """per_text AS (
   SELECT source, sha256(text) AS h, count(*) AS copies
   FROM documents GROUP BY source, sha256(text)
-)
+)"""
+
+
+def per_source_digest_counts(d: DataFrame) -> DataFrame:
+    """(source, h, copies) — one digest-keyed aggregation, the engine
+    twin of ``_PER_TEXT_CTE``."""
+    return d.groupBy("source", F.sha2("text", 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+
+
+_DEDUP_RATE_ORACLE = f"""
+WITH {_PER_TEXT_CTE}
 SELECT source,
        CAST(sum(copies) AS BIGINT)   AS n_docs,
        CAST(count(*) AS BIGINT)      AS n_unique,
@@ -1715,9 +1730,7 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (the shuffle carries (source, 32-byte sha) pairs, never
     text — the dedup_exact_hash discipline), embarrassingly parallel."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    per_text = d.groupBy(
-        "source", F.sha2("text", 256).alias("h")
-    ).agg(F.count(F.lit(1)).alias("copies"))
+    per_text = per_source_digest_counts(d)
     return per_text.groupBy("source").agg(
         F.sum("copies").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_unique"),
@@ -1849,12 +1862,10 @@ def source_overlap_matrix(
 # digest's own first source (intra-shard dup). Exact integer counts
 # with a per-source conservation law n_docs = dup_of_earlier +
 # novel_unique + dup_within (pinned in the fixture test).
-_INCR_ORACLE = """
-WITH per AS (
-  SELECT source, sha256(text) AS h, count(*) AS copies
-  FROM documents GROUP BY source, sha256(text)
-),
-first_seen AS (SELECT h, min(source) AS first_src FROM per GROUP BY h)
+_INCR_ORACLE = f"""
+WITH {_PER_TEXT_CTE},
+first_seen AS (SELECT h, min(source) AS first_src
+               FROM per_text GROUP BY h)
 SELECT source,
        CAST(sum(copies) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN first_src < source THEN copies ELSE 0 END)
@@ -1863,7 +1874,9 @@ SELECT source,
             AS BIGINT) AS n_novel_unique,
        CAST(sum(CASE WHEN first_src = source THEN copies - 1 ELSE 0 END)
             AS BIGINT) AS n_dup_within
-FROM per JOIN first_seen USING (h)
+-- null-safe: a NULL-text doc has a NULL digest; plain equality would
+-- silently drop it and n_docs would disagree with dedup_rate_report
+FROM per_text p JOIN first_seen f ON p.h IS NOT DISTINCT FROM f.h
 GROUP BY source
 """
 
@@ -1888,14 +1901,18 @@ def q_dedup_incremental_census(
 
 def incremental_census(d: DataFrame) -> DataFrame:
     """Parameterized kernel behind ``dedup_incremental_census``."""
-    per = d.groupBy("source", F.sha2("text", 256).alias("h")).agg(
-        F.count(F.lit(1)).alias("copies")
-    )
+    per = per_source_digest_counts(d)
     first_seen = per.groupBy("h").agg(F.min("source").alias("first_src"))
     earlier = F.col("first_src") < F.col("source")
     here = F.col("first_src") == F.col("source")
     return (
-        per.join(first_seen, "h")
+        # eqNullSafe: NULL-text docs (NULL digest) must not vanish in
+        # the join — groupBy already treats NULL digests as one class
+        per.join(
+            first_seen,
+            per["h"].eqNullSafe(first_seen["h"]),
+        )
+        .drop(first_seen["h"])
         .groupBy("source")
         .agg(
             F.sum("copies").cast("long").alias("n_docs"),

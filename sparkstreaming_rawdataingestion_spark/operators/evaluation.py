@@ -1086,7 +1086,10 @@ def eval_pass_at_k(
     ks: tuple[int, ...] = PASS_AT_KS,
     min_samples: int = PASS_MIN_SAMPLES,
 ) -> DataFrame:
-    """Parameterized kernel behind ``eval_pass_at_k``."""
+    """Parameterized kernel behind ``eval_pass_at_k``. Tasks must have
+    n >= max(ks) for every fold denominator to stay positive, so the
+    effective sample floor is max(min_samples, max(ks))."""
+    min_samples = max(min_samples, max(ks))
 
     def pass_at(k: int):
         fold = F.aggregate(

@@ -733,9 +733,10 @@ def test_pass_at_k_single_task_aggregation(spark, sf_dir):
 
 
 def test_incremental_census_digest_keyed_only(spark, sf_dir):
-    """The census shuffles (source, sha, count) triples only: digest
-    aggregations + one digest join, never text bodies, no sort, no
-    cartesian, no Python."""
+    """The census shuffles (source, sha, count) triples only: the
+    per-digest aggregation, the first-seen aggregation, ONE digest join
+    and the sources-sized reduce — text never travels past the initial
+    digest projection, no sort, no cartesian, no Python."""
     from sparkstreaming_rawdataingestion_spark.operators import dedup
 
     df = dedup.QUERIES["dedup_incremental_census"](spark, sf_dir)
@@ -743,3 +744,11 @@ def test_incremental_census_digest_keyed_only(spark, sf_dir):
     assert "rangepartitioning" not in p
     assert "CartesianProduct" not in p
     assert "Python" not in p
+    assert plans.count_exchanges(df) <= 4
+    # text is consumed by sha2 directly above the scan and never rides
+    # any other operator (shuffle, join, aggregate output): every plan
+    # line mentioning the column is either the digest projection or the
+    # scan itself
+    for ln in p.splitlines():
+        if "text#" in ln:
+            assert "sha2(" in ln or "FileScan" in ln, ln

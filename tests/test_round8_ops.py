@@ -609,3 +609,40 @@ def test_incremental_census_closed_form(spark):
     assert got == {"s1": (3, 0, 2, 1), "s2": (3, 1, 1, 1)}
     for n, de, nu, dw in got.values():
         assert n == de + nu + dw
+
+
+def test_incremental_census_null_text_not_dropped(spark):
+    """NULL-text docs have a NULL digest; the first-seen join is
+    null-safe so they stay in the census and n_docs keeps agreeing with
+    the per-source row count (two NULL docs across two sources form one
+    digest class: first source novel, second a dup of earlier)."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        incremental_census,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None, "s1"), (1, "X", "s1"), (2, None, "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: (
+            r.n_docs, r.n_dup_of_earlier, r.n_novel_unique, r.n_dup_within
+        )
+        for r in incremental_census(docs).collect()
+    }
+    assert got == {"s1": (2, 0, 2, 0), "s2": (1, 1, 0, 0)}
+
+
+def test_pass_at_k_floor_rises_to_max_k(spark):
+    """ks above min_samples must raise the effective sample floor, not
+    divide by zero: with ks=(20,) and min_samples=10, a task with n=10
+    is filtered out instead of evaluating a 0 denominator."""
+    from sparkstreaming_rawdataingestion_spark.operators.evaluation import (
+        eval_pass_at_k,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "purchase")] * 4 + [(1, "view")] * 6,
+        "user_id long, event_type string",
+    )
+    assert eval_pass_at_k(ev, ks=(20,), min_samples=10).count() == 0
