@@ -266,12 +266,11 @@ CORE_ORDER: tuple[str, ...] = (
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — the round-7 queue (ECE, PII audit, substring-chunk
-# dedup, PSI, duplication census) drained into slots 2-6 of the round-8
-# window, so the queue starts the round EMPTY. New round-8 operators
-# enter the band-3 window slots directly (or queue here if the window
-# fills), each validated engine + --plain at sf0.01 AND sf0.1 plus a
-# closed-form fixture test before entry.
+# first driver row. Round-8 filled 8 of the 9 slots (the classified
+# pipeline + 7 late-round additions, each validated engine + --plain at
+# sf0.01 AND sf0.1 plus a closed-form fixture test before entry) —
+# ROUND-9 MUST DRAIN THESE THROUGH WINDOW SLOTS 2-9 FIRST, exactly the
+# round-7→8 pattern, before registering new oracle-backed operators.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
 OVERFLOW_QUEUE: tuple[str, ...] = (
     "pipeline_curation_classified",
