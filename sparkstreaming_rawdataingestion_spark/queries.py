@@ -172,22 +172,24 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-8 rotation (1 flagship + 5 drained round-7 overflow + re-checks;
-# new round-8 operators take band-3 slots as they are validated):
+# Round-8 rotation (final form — late-round ops promoted into the
+# window once 4-way validated, the round-7 pattern):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-6   the ENTIRE round-7 overflow queue — the only oracle-backed
-#         queries still awaiting their first driver row (all 5
-#         judge-verified PASS at sf0.01 in the round-7 session).
-#   7-9   round-8 additions (semantic dedup / quality classifier /
-#         line-level dedup per VERDICT r7 items 3-5), inserted once
-#         validated engine + --plain at sf0.01 AND sf0.1; until then
-#         these slots hold re-checks.
-#   10-50 re-verification depth: first the modules this round touches
-#         (retrieval — tfidf registration now lossless per ADVICE r7 —
-#         dedup, similarity, features, pipeline, decontamination), then
-#         the heaviest long-green plans (ANN/graph/TPC-H/modern-SQL).
-# Everything previously green rotates to the extended region with its
-# driver row on record.
+#   2-6   the ENTIRE round-7 overflow queue — first driver rows.
+#   7-9   round-8 items 3-5 (semantic dedup / quality classifier /
+#         line-level dedup).
+#   10-17 the round-8 late additions, promoted from the overflow queue
+#         after each validated engine + --plain at sf0.01 AND sf0.1
+#         with a closed-form fixture and plan pin — with these in the
+#         window, EVERY oracle-backed query in the repo has either a
+#         cumulative driver-green row or a slot in THIS round's check.
+#   18-50 re-verification depth: touched modules first (retrieval,
+#         dedup, similarity, pipeline), then long-green heavy plans.
+# Rotated out to the extended region this round (each with 3 driver-
+# green rows on record, latest r7): text_quality_score, text_langid,
+# text_tfidf_topterms, graph_triangle_count, q3_shipping_priority,
+# q5_regional_revenue, quantile_normalize_sources,
+# asof_join_purchase_click.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
@@ -197,12 +199,19 @@ CORE_ORDER: tuple[str, ...] = (
     "dedup_exact_substring_chunks",
     "score_drift_psi",
     "dedup_rate_report",
-    # -- band 3: round-8 additions (VERDICT r7 items 3-5), each
-    # validated engine + --plain at sf0.01 AND sf0.1 + closed-form
-    # fixture + plan pin before entry ----------------------------------
+    # -- band 3: round-8 additions (VERDICT r7 items 3-5) -------------
     "dedup_semantic_clusters",
     "quality_classifier_score",
     "dedup_line_level",
+    # -- band 3b: round-8 late additions, promoted from the queue -----
+    "pipeline_curation_classified",
+    "dsir_importance_weights",
+    "pii_redact_text",
+    "ccnet_perplexity_buckets",
+    "source_overlap_matrix",
+    "embedding_int8_report",
+    "eval_pass_at_k",
+    "dedup_incremental_census",
     # -- band 4: re-verification, touched modules first ---------------
     "tfidf_cosine_pairs",
     "decontamination_ngram_overlap",
@@ -221,10 +230,7 @@ CORE_ORDER: tuple[str, ...] = (
     "pack_documents",
     "gopher_repetition_filter",
     "temperature_mixture_weights",
-    "text_quality_score",
-    "text_langid",
     "token_entropy_filter",
-    "text_tfidf_topterms",
     "bm25_keyword_search",
     "mixture_reweight_plan",
     "tokens_budget_allocation",
@@ -235,66 +241,28 @@ CORE_ORDER: tuple[str, ...] = (
     "ingest_idempotency",
     "datapoint_day_rollup",
     # -- band 5: heaviest long-green plans ----------------------------
-    "quantile_normalize_sources",
     "ranking_auc_report",
     "ranking_auc_histogram",
     "graph_pagerank_authority",
-    "graph_triangle_count",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
     "q18_large_orders",
-    "asof_join_purchase_click",
     "merge_upsert_apply",
     "scd2_dimension_history",
-    # --- driver checks the first 50 entries; below: the queued
-    # overflow (see OVERFLOW_QUEUE) ---
-    "pipeline_curation_classified",
-    "dsir_importance_weights",
-    "pii_redact_text",
-    "ccnet_perplexity_buckets",
-    "source_overlap_matrix",
-    "embedding_int8_report",
-    "eval_pass_at_k",
-    "dedup_incremental_census",
 )
 
-# Window entries WITHOUT oracle SQL — none this round: the six sketch /
-# approx entries got their rows-only driver records in round 6 and
-# pack_documents graduated to a full hash oracle (recursive CTE), so
-# every round-7 window slot carries a hash check. Pinned by
-# test_core_registry_window.
+# Window entries WITHOUT oracle SQL — none this round (every slot
+# carries a full hash check). Pinned by test_core_registry_window.
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row. Round-8 filled 8 of the 9 slots (the classified
-# pipeline + 7 late-round additions, each validated engine + --plain at
-# sf0.01 AND sf0.1 plus a closed-form fixture test before entry) —
-# ROUND-9 MUST DRAIN THESE THROUGH WINDOW SLOTS 2-9 FIRST, exactly the
-# round-7→8 pattern, before registering new oracle-backed operators.
+# first driver row — EMPTY: the round-8 late additions were promoted
+# into window slots 10-17 once 4-way validated, so every oracle-backed
+# query either has a cumulative driver-green row or sits in this
+# round's checked window. Round 9 starts with a clean queue; new
+# operators enter the window's band-3 slots (or queue here, cap 9)
+# after the usual gate: engine + --plain at sf0.01 AND sf0.1 plus a
+# closed-form fixture test.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = (
-    "pipeline_curation_classified",
-    # round-8 late additions (validated engine + --plain at sf0.01 AND
-    # sf0.1, closed-form fixtures in tests/test_round8_ops.py):
-    # DSIR importance weights (the last-ulp lesson: bigint×decimal(18,9)
-    # silently drops to scale 8 in Spark — cast tf to DECIMAL(10,0))
-    # and the PII digit-run scrub sharing PII_DIGIT_RUN with its audit.
-    "dsir_importance_weights",
-    "pii_redact_text",
-    # CCNet head/middle/tail LM terciles per language (Wenzek et al.
-    # 2020): discrete sample-value cutpoints, no new float algebra.
-    "ccnet_perplexity_buckets",
-    # cross-source boilerplate census over line-segment digests (the
-    # mirror detector; integer counts + one rounded ratio).
-    "source_overlap_matrix",
-    # symmetric int8 quantization fidelity report (floor-based codes —
-    # no round(DOUBLE) tie risk; DECIMAL error sums).
-    "embedding_int8_report",
-    # unbiased pass@k estimator (per-row ordered fold, no cross-row
-    # floats) and the ingest-order novelty census (exact integers).
-    "eval_pass_at_k",
-    "dedup_incremental_census",
-)
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:
