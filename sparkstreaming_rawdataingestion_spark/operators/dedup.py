@@ -1580,8 +1580,17 @@ def segment_lines(
     one row per (keys..., line_no, line). Shared by ``dedup_line_level``
     and ``source_overlap_matrix`` (and mirrored by ``_segments_cte`` on
     the oracle side) so the dedup pass and the overlap census can never
-    disagree about what a "line" is — change it once, both move."""
-    toks = F.split(F.col("text"), " ")
+    disagree about what a "line" is — change it once, both move.
+
+    NULL text is coalesced to '' BEFORE tokenizing (one empty segment),
+    so a NULL-text doc still yields a reassembly row — consistent with
+    the NULL-text accounting in ``dedup_incremental_census`` — and the
+    segment count is a plain expression over a non-NULL array,
+    independent of the ANSI/``sizeOfNull`` config (under legacy
+    ``size(NULL) = -1`` semantics a NULL array would otherwise emit a
+    phantom descending ``sequence(0, -1) = [0, -1]`` pair of NULL
+    segments that could fabricate cross-source pairs)."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
     idx = d.select(
         *keys,
@@ -1606,7 +1615,7 @@ def segment_lines(
 def _segments_cte(key: str) -> str:
     """Oracle-side twin of ``segment_lines`` — the two leading CTEs
     (tokenize + segment), parameterized only by the carried key."""
-    return f"""tokd AS (SELECT {key}, string_split(text, ' ') AS toks
+    return f"""tokd AS (SELECT {key}, string_split(coalesce(text, ''), ' ') AS toks
               FROM documents),
 lines AS (
   SELECT {key}, CAST(u.i AS BIGINT) AS line_no,

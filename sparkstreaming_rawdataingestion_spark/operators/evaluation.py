@@ -1064,7 +1064,7 @@ SELECT task_id,
        CAST(c AS BIGINT) AS n_correct,
        {", ".join(f"{_pass_product_sql(k)} AS pass_at_{k}"
                   for k in PASS_AT_KS)}
-FROM t WHERE n >= {PASS_MIN_SAMPLES}
+FROM t WHERE n >= {max(PASS_MIN_SAMPLES, max(PASS_AT_KS))}
 """
 
 

@@ -296,7 +296,15 @@ def _classified_stages_sql() -> str:
     from .text import _QUALITY_ORACLE
 
     qual_cte = f"qual_kept AS (SELECT * FROM lang_kept WHERE quality_score >= {QUALITY_MIN})"
-    assert qual_cte in _ORACLE_STAGES and "FROM qual_kept) WHERE rn = 1)" in _ORACLE_STAGES
+    # explicit raise, not assert: under ``python -O`` an assert is
+    # stripped and a drifted _ORACLE_STAGES template would silently
+    # yield an oracle missing the classifier stage (replace() no-ops)
+    if qual_cte not in _ORACLE_STAGES or (
+        "FROM qual_kept) WHERE rn = 1)" not in _ORACLE_STAGES
+    ):
+        raise RuntimeError(
+            "_ORACLE_STAGES drifted: classifier-splice anchors missing"
+        )
     return _ORACLE_STAGES.replace(
         qual_cte, qual_cte + _CLF_CTES.format(clf_sql=_QUALITY_ORACLE)
     ).replace("FROM qual_kept) WHERE rn = 1)", "FROM clf_kept) WHERE rn = 1)")

@@ -440,8 +440,18 @@ def quality_classifier_score(
     bias: str = QUALITY_BIAS,
 ) -> DataFrame:
     """The parameterized kernel — ``weights[i]``/``bias`` are decimal
-    strings (exact literals on both engines)."""
+    strings (exact literals on both engines). ``weights`` must cover
+    every hash dim: the feature→weight join is an inner join on dim, so
+    an uncovered dim would silently drop feature rows (and a document
+    whose features ALL hash to uncovered dims would vanish from the
+    output instead of receiving a bias-only score)."""
     from decimal import Decimal
+
+    if len(weights) != _FHASH_DIMS:
+        raise ValueError(
+            f"weights must cover all {_FHASH_DIMS} hash dims, "
+            f"got {len(weights)}"
+        )
 
     spark = d.sparkSession
     dec = "decimal(20,18)"

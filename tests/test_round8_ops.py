@@ -646,3 +646,66 @@ def test_pass_at_k_floor_rises_to_max_k(spark):
         "user_id long, event_type string",
     )
     assert eval_pass_at_k(ev, ks=(20,), min_samples=10).count() == 0
+
+
+def test_pass_at_k_oracle_shares_the_engine_floor():
+    """ADVICE r8: the oracle's WHERE floor must be the engine kernel's
+    effective floor max(min_samples, max(ks)) — raising any k in
+    PASS_AT_KS above PASS_MIN_SAMPLES must move BOTH sides together
+    (the old f-string used the raw constant and would have divided by
+    zero for tasks with n < k)."""
+    from sparkstreaming_rawdataingestion_spark.operators.evaluation import (
+        PASS_AT_KS,
+        PASS_MIN_SAMPLES,
+        _PASS_ORACLE,
+    )
+
+    floor = max(PASS_MIN_SAMPLES, max(PASS_AT_KS))
+    assert f"WHERE n >= {floor}" in _PASS_ORACLE
+
+
+def test_classifier_rejects_partial_weight_tables(spark):
+    """ADVICE r8: a weights tuple shorter than the hash-dim count would
+    make documents whose features all hash to uncovered dims vanish
+    from the inner join — the kernel must refuse it loudly."""
+    import pytest
+
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash dims"):
+        quality_classifier_score(docs, weights=("0.5",), bias="0")
+
+
+def test_segment_lines_null_text_yields_empty_segment(spark):
+    """ADVICE r8: NULL text is coalesced to '' before segmentation so
+    the doc keeps a reassembly row (consistent with the census's
+    NULL-text accounting) instead of vanishing — and no phantom
+    [0, -1] sequence can appear under legacy sizeOfNull semantics."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        segment_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.doc_id, r.line_no, r.line)
+        for r in segment_lines(docs, ("doc_id",), line_words=2).collect()
+    )
+    assert rows == [(1, 0, ""), (2, 0, "a b")]
+
+
+def test_classified_oracle_anchor_check_is_not_an_assert(monkeypatch):
+    """ADVICE r8: the template-anchor guard must survive ``python -O``
+    — a drifted _ORACLE_STAGES raises RuntimeError instead of letting
+    replace() silently no-op the classifier stage away."""
+    import pytest
+
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+
+    monkeypatch.setattr(pipeline, "_ORACLE_STAGES", "WITH drifted AS ()")
+    with pytest.raises(RuntimeError, match="drifted"):
+        pipeline._classified_stages_sql()
