@@ -172,81 +172,94 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-8 rotation (final form — late-round ops promoted into the
-# window once 4-way validated, the round-7 pattern):
+# Round-9 rotation: with 279/279 oracle-backed queries cumulatively
+# driver-green and an empty queue (round 8), the scarce resource is
+# re-verification FRESHNESS — 115 standing greens date from rounds 1-3,
+# certified under shared kernels (stage(), digest helpers, DECIMAL
+# discipline, seq1) that have all evolved since. This window is the
+# stalest-first sweep the round-8 verdict asked for:
 #   1     the flagship (standing first-slot re-check every round).
-#   2-6   the ENTIRE round-7 overflow queue — first driver rows.
-#   7-9   round-8 items 3-5 (semantic dedup / quality classifier /
-#         line-level dedup).
-#   10-17 the round-8 late additions, promoted from the overflow queue
-#         after each validated engine + --plain at sf0.01 AND sf0.1
-#         with a closed-form fixture and plan pin — with these in the
-#         window, EVERY oracle-backed query in the repo has either a
-#         cumulative driver-green row or a slot in THIS round's check.
-#   18-50 re-verification depth: touched modules first (retrieval,
-#         dedup, similarity, pipeline), then long-green heavy plans.
-# Rotated out to the extended region this round (each with 3 driver-
-# green rows on record, latest r7): text_quality_score, text_langid,
-# text_tfidf_topterms, graph_triangle_count, q3_shipping_priority,
-# q5_regional_revenue, quantile_normalize_sources,
-# asof_join_purchase_click.
+#   2-35  ALL 34 queries whose latest driver-green row is ROUND 1 —
+#         the oldest certificates in the repo.
+#   36-50 round-2-latest entries, chosen for evolved-kernel exposure:
+#         heavy TPC-H joins (q8/q9), multidim/stats/window/streaming
+#         packs, salted-agg equivalence, temporal/lateral joins, the
+#         text_analysis_pack bench flag (fresh driver row while the 3x
+#         protocol adjudicates it), and multimodal_pack alongside the
+#         round's image-dedup work. Round-9 NEW ops displace the
+#         tail-most of these as they pass the 4-way gate.
+#
+# AUDIT CORRECTION (round-8 ADVICE, low): the round-8 comment above
+# this block undercounted its rotation — SIXTEEN entries left the
+# 50-slot window for the extended region that round, not eight. The
+# full list with actual driver-green row counts at rotation time:
+#   3 rows (r1/r6/r7): text_quality_score, text_langid,
+#     text_tfidf_topterms, asof_join_purchase_click
+#   3 rows (r2/r6/r7): q3_shipping_priority, q5_regional_revenue
+#   3 rows (r3/r6/r7): sessionize_events
+#   3 rows (r4/r6/r7): graph_triangle_count
+#   3 rows (r5/r6/r7): quantile_normalize_sources
+#   1 row  (r7 only): pca_power_iteration_step, theil_sen_sampled,
+#     bootstrap_mean_ci, ndcg_ranking_quality, ctr_wilson_bounds,
+#     label_agreement_kappa, user_burstiness_profile
+# The seven single-row r7 entries got their FIRST driver row in round
+# 7 and rotated out after one certification; all sixteen remain
+# locally verified every round by tools/check_oracles.py.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: the drained round-7 overflow queue -------------------
-    "calibration_ece_report",
-    "pii_redaction_stats",
-    "dedup_exact_substring_chunks",
-    "score_drift_psi",
-    "dedup_rate_report",
-    # -- band 3: round-8 additions (VERDICT r7 items 3-5) -------------
-    "dedup_semantic_clusters",
-    "quality_classifier_score",
-    "dedup_line_level",
-    # -- band 3b: round-8 late additions, promoted from the queue -----
-    "pipeline_curation_classified",
-    "dsir_importance_weights",
-    "pii_redact_text",
-    "ccnet_perplexity_buckets",
-    "source_overlap_matrix",
-    "embedding_int8_report",
-    "eval_pass_at_k",
-    "dedup_incremental_census",
-    # -- band 4: re-verification, touched modules first ---------------
-    "tfidf_cosine_pairs",
-    "decontamination_ngram_overlap",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh_pairs",
-    "dedup_containment_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_clusters",
-    "url_canonical_dedup",
-    "winnowing_candidate_pairs",
-    "kmeans_one_step",
-    "similarity_topk_bruteforce",
-    "pipeline_curation",
-    "pipeline_training_build",
-    "ingest_via_kafka_sim",
-    "pack_documents",
-    "gopher_repetition_filter",
-    "temperature_mixture_weights",
-    "token_entropy_filter",
-    "bm25_keyword_search",
-    "mixture_reweight_plan",
-    "tokens_budget_allocation",
-    "tokens_zipf_fit",
-    "contrastive_negative_pairs",
-    "cdc_latest_per_key",
-    "debounce_events",
-    "ingest_idempotency",
-    "datapoint_day_rollup",
-    # -- band 5: heaviest long-green plans ----------------------------
-    "ranking_auc_report",
-    "ranking_auc_histogram",
-    "graph_pagerank_authority",
-    "q18_large_orders",
-    "merge_upsert_apply",
-    "scd2_dimension_history",
+    # -- band 2: every round-1-latest green (34 oldest certificates) --
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact",
+    "filter_project_pushdown",
+    "generator_explode_outer",
+    "generator_posexplode",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_fact_fact_revenue",
+    "join_left_outer_counts",
+    "join_semi",
+    "join_theta_range",
+    "multimodal_binary_stats",
+    "multimodal_decode_meta",
+    "range_join_recent_clicks",
+    "scalar_date_pack",
+    "scalar_json_pack",
+    "scalar_math_pack",
+    "scalar_string_pack",
+    "set_operations",
+    "text_fingerprint",
+    "text_token_stats",
+    "topk_global",
+    "udf_exact_percentiles",
+    "udf_grouped_map_trend",
+    "udf_vectorized_scalar",
+    "vector_algebra_pack",
+    "window_lag_lead",
+    "window_running_total",
+    "window_topk_per_group",
+    # -- band 3: round-2-latest greens, evolved-kernel exposure -------
+    "q8_market_share",
+    "q9_product_profit",
+    "agg_multidim_pack",
+    "stats_agg_pack",
+    "window_functions_pack",
+    "streaming_window_pack",
+    "temporal_join_pack",
+    "lateral_topk_per_group",
+    "salted_agg_equivalence",
+    "correlated_subquery_above_avg",
+    "text_analysis_pack",
+    "multimodal_pack",
+    # -- band 3b: displaced first by round-9 new ops ------------------
+    "having_filter",
+    "in_exists_subqueries",
+    "nulls_ordering",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

@@ -112,6 +112,7 @@ def test_core_registry_window():
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
+        "CORRECTNESS_r08.json",
     ):
         path = os.path.join(os.path.dirname(__file__), "..", rec)
         if os.path.exists(path):
