@@ -1477,6 +1477,122 @@ def decontamination_pairs(
 
 
 # ---------------------------------------------------------------------------
+# decontamination_semantic_pairs — embedding-side contamination probe
+# ---------------------------------------------------------------------------
+
+# The n-gram probe above catches verbatim leakage only: a PARAPHRASED
+# eval item shares no 8-gram with its training-set twin but sits right
+# next to it in embedding space. The semantic probe composes the
+# SemDeDup machinery (kmeans_assign + within-cluster exact cosine,
+# dedup_semantic_clusters) with the decon eval/train split: eval
+# embeddings are benchmark-sized — broadcast, like the gram index — and
+# the cluster key bounds each train row's candidate eval set. The bar is
+# LOWER than the near-dup threshold (0.35 vs COSINE_THRESHOLD's 0.45):
+# paraphrases are semantically close but not near-identical, and a
+# contamination sweep prefers recall (flagged pairs get human/ngram
+# review; missed pairs leak into training).
+SEMDECON_THRESHOLD = 0.35
+
+_SEMDECON_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+v AS (SELECT vec_id, vec_id % {DECON_EVAL_MOD} = 0 AS is_eval,
+             embedding::DOUBLE[] AS ve FROM embeddings),
+d AS (
+  -- |v-c|^2 via three ordered inner products (term-for-term the
+  -- engine's kmeans_assign expression)
+  SELECT v.vec_id, is_eval, c.cid, ve,
+         list_inner_product(ve, ve) + list_inner_product(ce, ce)
+           - 2 * list_inner_product(ve, ce) AS d2
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, is_eval, cid, ve,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(d2, 9), cid) AS rk
+  FROM d
+)
+SELECT e.vec_id AS eval_id, t.vec_id AS train_id, e.cid AS cluster_id,
+       round(list_cosine_similarity(e.ve, t.ve), 6) AS cosine_sim
+FROM (SELECT * FROM assigned WHERE rk = 1 AND is_eval) e
+JOIN (SELECT * FROM assigned WHERE rk = 1 AND NOT is_eval) t
+  ON e.cid = t.cid
+WHERE list_cosine_similarity(e.ve, t.ve) >= {SEMDECON_THRESHOLD}
+"""
+
+
+@_register("decontamination_semantic_pairs", _SEMDECON_ORACLE)
+def q_decontamination_semantic_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-side decontamination: (train, eval) embedding pairs
+    whose exact cosine clears the paraphrase bar, candidates bounded by
+    a shared k-means cluster id — the leakage class the n-gram monitor
+    cannot see. Eval set = vec_id % {DECON_EVAL_MOD} == 0 (the n-gram
+    probe's split convention).
+
+    Scale shape: centroids broadcast (K-row model table), assignment is
+    map-side for BOTH sides; the eval side after assignment is
+    benchmark-sized so it broadcasts too, making the cluster-keyed pair
+    join itself map-side — the 100 TB train scan never shuffles. The
+    documented SemDeDup approximation applies: a paraphrase pair whose
+    members land in different clusters is out of scope; widening K (or
+    probing multiple nearest clusters, the IVF trick) trades map-side
+    work for recall."""
+    return semantic_decon_pairs(
+        catalog.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def semantic_decon_pairs(
+    e: DataFrame,
+    k: int = SEMDEDUP_K,
+    eval_mod: int = DECON_EVAL_MOD,
+    threshold: float = SEMDECON_THRESHOLD,
+) -> DataFrame:
+    """Parameterized kernel behind ``decontamination_semantic_pairs`` —
+    ``e`` is an embeddings table (vec_id, embedding); centroids are the
+    deterministic vec_id < k seeds (the SemDeDup convention here)."""
+    from .similarity import _emb_double, kmeans_assign
+
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), _emb_double().alias("ce")
+    )
+    vecs = e.select(
+        "vec_id",
+        (F.col("vec_id") % eval_mod == 0).alias("is_eval"),
+        _emb_double().alias("ve"),
+    )
+    # staged: both the eval and train legs read the assignment
+    assigned = stage(
+        kmeans_assign(vecs, cents).select("vec_id", "cid", "is_eval", "ve")
+    )
+    ev = assigned.where(F.col("is_eval")).select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("eval_id"),
+        F.col("ve").alias("emb_e"),
+    )
+    tr = assigned.where(~F.col("is_eval")).select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("train_id"),
+        F.col("ve").alias("emb_t"),
+    )
+    sim = cosine(F.col("emb_e"), F.col("emb_t"))
+    return (
+        tr.join(F.broadcast(ev), "cluster_id")
+        .where(sim >= threshold)
+        .select(
+            "eval_id",
+            "train_id",
+            "cluster_id",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_exact_substring_chunks — chunk-granular exact duplication census
 # ---------------------------------------------------------------------------
 

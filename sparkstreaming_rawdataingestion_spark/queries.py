@@ -256,10 +256,14 @@ CORE_ORDER: tuple[str, ...] = (
     "correlated_subquery_above_avg",
     "text_analysis_pack",
     "multimodal_pack",
-    # -- band 3b: displaced first by round-9 new ops ------------------
+    # -- band 3b: round-9 new ops (4-way validated: engine + --plain at
+    #    sf0.01 AND sf0.1, closed-form fixture, plan pin) — each entry
+    #    displaced one of the r2-latest placeholders listed in git
+    #    history (nulls_ordering, in_exists_subqueries, having_filter)
+    "decontamination_semantic_pairs",
+    # -- band 3c: remaining r2-latest placeholders --------------------
     "having_filter",
     "in_exists_subqueries",
-    "nulls_ordering",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

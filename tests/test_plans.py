@@ -752,3 +752,22 @@ def test_incremental_census_digest_keyed_only(spark, sf_dir):
     for ln in p.splitlines():
         if "text#" in ln:
             assert "sha2(" in ln or "FileScan" in ln, ln
+
+
+def test_semantic_decon_eval_side_broadcasts(spark, sf_dir):
+    """The decon contract at 100 TB: the 100 TB train scan never
+    shuffles. Centroids broadcast into the (staged) assignment; the
+    benchmark-sized eval side broadcasts into the cluster-keyed pair
+    join — so the pair join is a BroadcastHashJoin, and the only
+    nested-loop broadcast is the K-row centroid fanout inside the
+    staged assignment subtree (textual count == InMemoryRelation count,
+    the round-7 plan-string lesson)."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.q_decontamination_semantic_pairs(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == p.count("InMemoryRelation")
+    assert p.count("InMemoryRelation") >= 1
+    assert "BroadcastHashJoin" in p  # eval side broadcast, map-side pair join
+    assert "SortMergeJoin" not in p  # nothing shuffles on cluster_id
