@@ -542,6 +542,168 @@ def q_tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tokenizer_greedy_subword — token counts under a frozen subword vocab
+# ---------------------------------------------------------------------------
+
+# A frozen WordPiece-style vocabulary: every single letter (the char
+# fallback, so alphabetic words never hit UNK) plus multi-char merges.
+# Several corpus words are deliberately NOT in the vocab as whole pieces
+# (table→tab+le, value→val+ue, stream→str+eam, window→win+dow,
+# order→or+der, column→col+um+n, customer→cust+om+er, query→qu+er+y,
+# merge→mer+ge, batch→ba+tch, filter→fil+ter, vector→vec+tor,
+# dup→d+u+p) so the greedy fold does real segmentation work; the rest
+# encode as one piece. Production budgets count THESE tokens, not
+# whitespace words — tokens_budget_allocation/tokens_zipf_fit budget in
+# words and this operator is the subword upgrade path.
+VOCAB_GREEDY_PIECES: tuple[str, ...] = tuple(
+    "abcdefghijklmnopqrstuvwxyz"
+) + (
+    "agg", "ba", "big", "col", "cust", "data", "der", "dow", "eam",
+    "er", "fast", "fil", "ge", "group", "hash", "join", "key", "le",
+    "line", "mer", "om", "or", "part", "qu", "row", "scan", "slow",
+    "small", "sort", "spark", "str", "tab", "tch", "ter", "the",
+    "tor", "ue", "um", "val", "vec", "win",
+)
+
+
+def _vocab_values_sql(pieces: tuple[str, ...]) -> str:
+    return ", ".join(f"('{p}')" for p in pieces)
+
+
+# The oracle replays the SAME greedy longest-prefix fold as a recursive
+# CTE: one step per emitted token, all distinct words advance in
+# parallel; the scalar subquery picks max(length(piece)) among vocab
+# pieces prefixing the unconsumed suffix — exactly "longest match
+# first". No match → advance one char and count an UNK token (the char
+# fallback every production tokenizer ends in).
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE
+words AS (SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS w
+          FROM documents),
+dw AS (SELECT DISTINCT w FROM words),
+vocab(piece) AS (VALUES {_vocab_values_sql(VOCAB_GREEDY_PIECES)}),
+step(w, pos, n_tok, n_unk) AS (
+  SELECT w, 0, 0, 0 FROM dw
+  UNION ALL
+  SELECT w,
+         pos + coalesce((SELECT max(length(piece)) FROM vocab
+                         WHERE piece = substr(step.w, step.pos + 1,
+                                              length(piece))), 1),
+         n_tok + 1,
+         n_unk + CASE WHEN (SELECT max(length(piece)) FROM vocab
+                            WHERE piece = substr(step.w, step.pos + 1,
+                                                 length(piece))) IS NULL
+                      THEN 1 ELSE 0 END
+  FROM step WHERE pos < length(w)
+),
+fin AS (SELECT w, n_tok, n_unk FROM step WHERE pos >= length(w))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)   AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_unk) AS BIGINT) AS n_unk
+FROM words JOIN fin USING (w)
+GROUP BY doc_id
+"""
+
+
+@_register("tokenizer_greedy_subword", _GREEDY_ORACLE)
+def q_tokenizer_greedy_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy longest-match subword encoding (the
+    WordPiece inference rule: repeatedly take the LONGEST vocab piece
+    prefixing the unconsumed suffix; no match → one UNK char step) over
+    the frozen VOCAB_GREEDY_PIECES table, reported as per-document
+    token counts — the BPE-token budget every production data mix is
+    actually planned in.
+
+    Greedy variable-length matching over a per-position suffix is the
+    genuinely non-relational case: each step's advance depends on the
+    previous match length, so it runs as an Arrow-batched mapInPandas
+    fold (the house rule: pandas-batched, never row-at-a-time) with the
+    vocab as a broadcast-by-closure frozen set and a per-batch word
+    memo — the fixture corpus has ~31 distinct words, so each batch
+    tokenizes each word once. Plan shape: PURE MAP — the corpus never
+    shuffles, there is no explode, no join, no aggregation; at 100 TB
+    the cost is one scan with per-split Python batches. The DuckDB
+    oracle replays the identical fold as a recursive CTE (one step per
+    token, distinct words advance in parallel), so the hash check
+    certifies the greedy semantics end to end."""
+    return tokenizer_greedy_subword(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def tokenizer_greedy_subword(
+    d: DataFrame, pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES
+) -> DataFrame:
+    """Parameterized kernel behind ``tokenizer_greedy_subword`` —
+    ``d`` needs (doc_id, text); ``pieces`` is the frozen vocab."""
+    from collections.abc import Iterator
+
+    import pyspark.sql.types as T
+
+    vocab = frozenset(pieces)
+    max_len = max(len(p) for p in pieces)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_unk", T.LongType()),
+        ]
+    )
+
+    def encode_word(word: str) -> tuple[int, int]:
+        pos, n_tok, n_unk, n = 0, 0, 0, len(word)
+        while pos < n:
+            for plen in range(min(max_len, n - pos), 0, -1):
+                if word[pos : pos + plen] in vocab:
+                    pos += plen
+                    n_tok += 1
+                    break
+            else:
+                pos += 1
+                n_tok += 1
+                n_unk += 1
+        return n_tok, n_unk
+
+    def tokenize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict = {}
+
+        def enc(w: str) -> tuple[int, int]:
+            hit = memo.get(w)
+            if hit is None:
+                hit = memo[w] = encode_word(w)
+            return hit
+
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split(" ")
+                n_tok = n_unk = 0
+                for w in words:
+                    t, u = enc(w)
+                    n_tok += t
+                    n_unk += u
+                recs.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_words": len(words),
+                        "n_tokens": n_tok,
+                        "n_unk": n_unk,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return d.select("doc_id", "text").mapInPandas(
+        tokenize_batches, schema=out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
 # ngram_novelty_score — share of bigrams unique to the document
 # ---------------------------------------------------------------------------
 

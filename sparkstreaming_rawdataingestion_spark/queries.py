@@ -261,9 +261,9 @@ CORE_ORDER: tuple[str, ...] = (
     #    displaced one of the r2-latest placeholders listed in git
     #    history (nulls_ordering, in_exists_subqueries, having_filter)
     "decontamination_semantic_pairs",
+    "tokenizer_greedy_subword",
     # -- band 3c: remaining r2-latest placeholders --------------------
     "having_filter",
-    "in_exists_subqueries",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

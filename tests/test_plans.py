@@ -771,3 +771,17 @@ def test_semantic_decon_eval_side_broadcasts(spark, sf_dir):
     assert p.count("InMemoryRelation") >= 1
     assert "BroadcastHashJoin" in p  # eval side broadcast, map-side pair join
     assert "SortMergeJoin" not in p  # nothing shuffles on cluster_id
+
+
+def test_greedy_tokenizer_is_a_pure_map(spark, sf_dir):
+    """The subword encoder's 100 TB contract: ONE scan, per-split
+    Arrow-batched Python, and nothing else — no exchange, no join, no
+    aggregation. Token counting must never shuffle the corpus."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.q_tokenizer_greedy_subword(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()

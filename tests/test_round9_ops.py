@@ -58,3 +58,60 @@ def test_semantic_decon_flags_within_cluster_paraphrase_only(spark):
         )
 
     assert cos([1.2, 1.1], [1.1, 1.2]) > 0.99
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_greedy_subword
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_tokenizer_hand_tokenized_fixture(spark):
+    """Hand-applied WordPiece rule over a tiny custom vocab:
+
+    - 'table' → tab+le (2): LONGEST match wins over 't'/'ta' prefixes.
+    - 'tables' → tab+le+s (3): leftover char falls back to a single.
+    - 'dup' → d+u+p (3): no multi-char piece covers it.
+    - 'x9y' → x + UNK('9') + y (3 tokens, 1 unk): the char fallback
+      only covers letters, digits are out-of-alphabet.
+    - '' (empty word from a double space) → 0 tokens.
+    """
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        tokenizer_greedy_subword,
+    )
+
+    pieces = tuple("abcdefghijklmnopqrstuvwxyz") + ("t", "ta", "tab", "le")
+    docs = spark.createDataFrame(
+        [(1, "table tables"), (2, "dup  x9y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_unk)
+        for r in tokenizer_greedy_subword(docs, pieces=pieces).collect()
+    }
+    # doc 2: 'dup', '', 'x9y' → 3 words, 3+0+3 tokens, 1 unk
+    assert got == {1: (2, 5, 0), 2: (3, 6, 1)}
+
+
+def test_greedy_tokenizer_longest_match_beats_first_match(spark):
+    """With both 'st' and 'stream' in the vocab the encoder must take
+    'stream' (1 token), not 'st'+... — the property separating greedy
+    LONGEST-match from any shorter-first scan."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        tokenizer_greedy_subword,
+    )
+
+    pieces = tuple("abcdefghijklmnopqrstuvwxyz") + ("st", "stream")
+    docs = spark.createDataFrame([(1, "stream")], "doc_id long, text string")
+    row = tokenizer_greedy_subword(docs, pieces=pieces).collect()[0]
+    assert (row.n_words, row.n_tokens, row.n_unk) == (1, 1, 0)
+
+
+def test_greedy_tokenizer_null_text_is_empty(spark):
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        tokenizer_greedy_subword,
+    )
+
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = tokenizer_greedy_subword(docs).collect()[0]
+    # ''.split(' ') == [''] — one empty word, zero tokens
+    assert (row.n_words, row.n_tokens, row.n_unk) == (1, 0, 0)
