@@ -797,3 +797,295 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing boundaries AND the energy kernel exactly, including the
     partial last frame."""
     return frame_wav_energy(synthesize_wav_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dhash_pairs — perceptual-hash image near-dup
+# ---------------------------------------------------------------------------
+
+# Image near-duplicate detection by difference hash (dHash, the
+# perceptual-hash family's gradient member: downsample to a 9x8
+# grayscale grid, hash = the 64 signs of horizontal neighbor
+# differences). dHash is invariant to uniform brightness shift by
+# construction — gradients are unchanged — which is exactly the
+# "re-encoded / re-exposed copy" class a training-image dedup pass
+# must catch and byte-level dedup cannot. Candidate generation reuses
+# the repo's pigeonhole band discipline (dedup.py simhash kernel): the
+# 64-bit hash splits into 4 x 16-bit bands, a pair at hamming <= 3 is
+# GUARANTEED to agree on >= 1 whole band, so the equi-join on
+# (band_idx, band_val) finds every qualifying pair and the exact
+# hamming verify prunes band-collision noise.
+DHASH_W, DHASH_H = 18, 16  # fixture frame: 2x2 blocks -> the 9x8 grid
+DHASH_GRID_W, DHASH_GRID_H = 9, 8
+DHASH_BANDS = 4
+DHASH_MAX_HAMMING = 3  # pigeonhole: <= (bands - 1) band-misses covered
+DHASH_FAMILY_VARIANTS = 4  # fixture: media_id // 4 = scene family
+
+
+def _dhash_px(f: int, v: int, i: int, y: int) -> int:
+    """The fixture pixel formula — Python twin of ``_dhash_px_sql``."""
+    k1 = f * 977 + i * 7919 + y * 6271
+    return (
+        ((k1 * k1) % 65521) % 176
+        + v * 8
+        + (48 if v == 3 and i < 2 and y < 2 else 0)
+    )
+
+
+def synthesize_dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode stage: one real 18x16 grayscale PNG per document.
+
+    Pixel formula (all BIGINT arithmetic, replayed verbatim by the
+    oracle): family f = media_id // 4, variant v = media_id % 4,
+
+        k1 = f*977 + i*7919 + y*6271
+        px(i, y) = ((k1*k1) % 65521) % 176 + v*8
+                   + (48 if v == 3 and i < 2 and y < 2 else 0)
+
+    The QUADRATIC mix matters: any formula linear in (f, i, y) makes
+    families mere phase shifts of one shared sawtooth, so gradient
+    signs barely depend on f and cross-family hashes collide en masse
+    (measured: thousands of spurious pairs at sf0.01); squaring modulo
+    a prime scatters the gradients — 1250/1250 distinct family hashes
+    at sf0.1 with ZERO cross-family matches at the hamming bar, while
+    a handful of 16-bit band collisions survive to exercise the
+    verify-prune path. Variants 0-2 are uniform-brightness copies of
+    the family scene (+8 gray levels each — dHash-identical by
+    gradient invariance); variant 3 additionally brightens the 2x2
+    corner block (+48), moving exactly one grid cell and at most one
+    hash bit — the near-but-not-identical copy that exercises nonzero
+    hamming (measured ~43% of families flip the bit). Bounded at
+    175 + 24 + 48 = 247 < 256: no mod-256 wrap, so decoded bytes are
+    exactly the formula values. Filter type cycles through all five
+    PNG filters."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") / DHASH_FAMILY_VARIANTS)
+        .cast("long")
+        .alias("f"),
+        (F.col("doc_id") % DHASH_FAMILY_VARIANTS).cast("long").alias("v"),
+        (F.col("doc_id") % 5).cast("int").alias("ftype"),
+    )
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples():
+                rows = []
+                for y in range(DHASH_H):
+                    rows.append(
+                        bytes(
+                            _dhash_px(r.f, r.v, i, y)
+                            for i in range(DHASH_W)
+                        )
+                    )
+                payloads.append(
+                    media_codecs.png_encode(
+                        rows, color_type=0, filter_type=r.ftype
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
+DHASH_BANDS_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [
+        T.StructField(f"band{k}", T.LongType())
+        for k in range(DHASH_BANDS)
+    ]
+)
+
+
+def image_dhash_bands(media: DataFrame) -> DataFrame:
+    """Decode + hash stage: real PNG parse -> integer 2x2-block-mean
+    grayscale downsample to the 9x8 dHash grid -> 64 gradient-sign bits
+    packed as 4 x 16-bit band values (band k = grid rows 2k, 2k+1; bit
+    (r, c) at weight 1 << ((r % 2) * 8 + c)). Integer arithmetic end to
+    end — floor block means, strict > comparisons — so the oracle can
+    replay the exact hash from the pixel formula. Pure map over splits:
+    zero shuffle; at 100 TB the hash costs one scan.
+
+    Grayscale inputs whose dims are exact grid multiples are required
+    (the fixture's 18x16); a production pipeline resamples to the grid
+    first — resampling kernels are codec territory, not hash territory.
+    """
+
+    def hash_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.png_decode(bytes(payload))
+                w, h = d["width"], d["height"]
+                if (
+                    d["channels"] != 1
+                    or w % DHASH_GRID_W
+                    or h % DHASH_GRID_H
+                ):
+                    raise ValueError(
+                        "dHash expects grayscale with dims a multiple "
+                        f"of the {DHASH_GRID_W}x{DHASH_GRID_H} grid, "
+                        f"got {w}x{h}x{d['channels']}"
+                    )
+                bw, bh = w // DHASH_GRID_W, h // DHASH_GRID_H
+                a = (
+                    np.frombuffer(d["pixels"], dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                g = a.reshape(DHASH_GRID_H, bh, DHASH_GRID_W, bw).sum(
+                    axis=(1, 3)
+                ) // (bh * bw)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8x8
+                weights = np.int64(1) << np.arange(8, dtype=np.int64)
+                rowvals = bits @ weights  # one 8-bit value per grid row
+                rec = {"media_id": mid}
+                for k in range(DHASH_BANDS):
+                    rec[f"band{k}"] = int(
+                        rowvals[2 * k] + (rowvals[2 * k + 1] << 8)
+                    )
+                recs.append(rec)
+            yield pd.DataFrame.from_records(recs)
+
+    return media.mapInPandas(hash_batches, schema=DHASH_BANDS_SCHEMA)
+
+
+def _dhash_px_sql(i: str, y: str) -> str:
+    """The pixel formula as a SQL fragment — i/y are column expressions;
+    SQL twin of ``_dhash_px``."""
+    k1 = f"(f * 977 + ({i}) * 7919 + ({y}) * 6271)"
+    return (
+        f"((({k1} * {k1}) % 65521) % 176 + v * 8"
+        f" + CASE WHEN v = 3 AND ({i}) < 2 AND ({y}) < 2"
+        f"        THEN 48 ELSE 0 END)"
+    )
+
+
+_DHASH_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id // {DHASH_FAMILY_VARIANTS} AS f,
+         doc_id %  {DHASH_FAMILY_VARIANTS} AS v
+  FROM documents
+),
+cells AS (
+  SELECT media_id, r.r AS r, c.c AS c,
+         ({_dhash_px_sql("2*c.c", "2*r.r")}
+          + {_dhash_px_sql("2*c.c + 1", "2*r.r")}
+          + {_dhash_px_sql("2*c.c", "2*r.r + 1")}
+          + {_dhash_px_sql("2*c.c + 1", "2*r.r + 1")}) // 4 AS g
+  FROM p, range({DHASH_GRID_H}) r(r), range({DHASH_GRID_W}) c(c)
+),
+bits AS (
+  SELECT media_id, r, c,
+         CASE WHEN lead(g) OVER (PARTITION BY media_id, r ORDER BY c) > g
+              THEN 1 ELSE 0 END AS bit
+  FROM cells
+),
+bands AS (
+  SELECT media_id, r // 2 AS band_idx,
+         CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS band_val
+  FROM bits WHERE c < 8
+  GROUP BY media_id, r // 2
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+)
+SELECT c.media_a, c.media_b,
+       CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+         AS hamming
+FROM cand c
+JOIN bands x ON x.media_id = c.media_a
+JOIN bands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
+GROUP BY 1, 2
+HAVING sum(bit_count(xor(x.band_val, y.band_val))) <= {DHASH_MAX_HAMMING}
+"""
+
+
+@_register("multimodal_image_dhash_pairs", _DHASH_ORACLE)
+def q_multimodal_image_dhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-dup pairs by perceptual dHash over REAL PNG decode:
+    synthesize one 18x16 grayscale PNG per document (brightness-copy
+    families of {DHASH_FAMILY_VARIANTS}), parse it back through the
+    CRC-verified codec, hash to 64 gradient bits, and emit every pair
+    at hamming <= {DHASH_MAX_HAMMING} via the pigeonhole band join.
+    The oracle replays pixels -> grid -> bits -> bands -> pairs from
+    the closed-form pixel formula, so the hash certifies codec
+    roundtrip AND hash kernel AND pair algebra together."""
+    return image_dhash_pairs(synthesize_dhash_media(spark, sf_dir))
+
+
+def image_dhash_pairs(
+    media: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Pair stage behind ``multimodal_image_dhash_pairs``: band-keyed
+    candidate join + exact hamming verify.
+
+    Scale shape: the hash stage is a pure map; the ONLY corpus-sized
+    shuffle is the band equi-join on (band_idx, band_val) — candidates
+    are bounded by band-bucket occupancy exactly like the simhash/LSH
+    kernels, never n² — and the verify join carries 4 small ints per
+    side. Staged once: the band frame feeds the two candidate legs and
+    the two verify legs."""
+    from ..session import stage
+
+    bands = stage(image_dhash_bands(media))
+    long = bands.select(
+        "media_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    cand = (
+        long.alias("a")
+        .join(
+            long.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    x = bands.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"band{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
+    )
+    y = bands.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"band{k}").alias(f"yb{k}") for k in range(DHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"xb{k}").bitwiseXOR(F.col(f"yb{k}")))
+        for k in range(DHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.join(x, "media_a")
+        .join(y, "media_b")
+        .select("media_a", "media_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -262,8 +262,7 @@ CORE_ORDER: tuple[str, ...] = (
     #    history (nulls_ordering, in_exists_subqueries, having_filter)
     "decontamination_semantic_pairs",
     "tokenizer_greedy_subword",
-    # -- band 3c: remaining r2-latest placeholders --------------------
-    "having_filter",
+    "multimodal_image_dhash_pairs",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

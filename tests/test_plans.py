@@ -785,3 +785,21 @@ def test_greedy_tokenizer_is_a_pure_map(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
     assert "MapInPandas" in p or "mapInPandas" in p.lower()
+
+
+def test_image_dhash_pair_join_is_band_keyed(spark, sf_dir):
+    """The image near-dup contract at scale: the hash is a pure-map
+    stage (staged ONCE, feeding both candidate legs and both verify
+    legs), candidates come from an EQUI-join on (band_idx, band_val) —
+    the pigeonhole discipline, never n² — and nothing in the plan is a
+    cartesian or nested-loop broadcast."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_image_dhash_pairs(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged band frame
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )

@@ -115,3 +115,102 @@ def test_greedy_tokenizer_null_text_is_empty(spark):
     row = tokenizer_greedy_subword(docs).collect()[0]
     # ''.split(' ') == [''] — one empty word, zero tokens
     assert (row.n_words, row.n_tokens, row.n_unk) == (1, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dhash_pairs
+# ---------------------------------------------------------------------------
+
+
+def _png_media(spark, rows_by_id):
+    from sparkstreaming_rawdataingestion_spark.operators import media_codecs
+
+    data = [
+        (mid, "image/png", media_codecs.png_encode(rows, color_type=0))
+        for mid, rows in rows_by_id.items()
+    ]
+    return spark.createDataFrame(
+        data, "media_id long, mime string, payload binary"
+    )
+
+
+def test_dhash_bands_closed_form_monotone_images(spark):
+    """Hand-derived hashes: an image strictly increasing in x has every
+    gradient bit 1 (all four bands 0xFFFF); strictly decreasing has
+    every bit 0 (all bands 0). Block means of px = 10*i are 20c + 5 —
+    monotone survives the 2x2 downsample by construction."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        image_dhash_bands,
+    )
+
+    inc = [bytes(10 * i for i in range(18)) for _ in range(16)]
+    dec = [bytes(170 - 10 * i for i in range(18)) for _ in range(16)]
+    media = _png_media(spark, {1: inc, 2: dec})
+    got = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in image_dhash_bands(media).collect()
+    }
+    assert got == {
+        1: (0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF),
+        2: (0, 0, 0, 0),
+    }
+
+
+def test_dhash_pairs_brightness_copy_matches_distinct_does_not(spark):
+    """The perceptual contract: a +20-gray uniform brightness copy
+    hashes identically (gradients unchanged → hamming 0, flagged); a
+    structurally different image (opposite gradient) is 64 bits away
+    (not flagged)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        image_dhash_pairs,
+    )
+
+    inc = [bytes(10 * i for i in range(18)) for _ in range(16)]
+    bright = [bytes(10 * i + 20 for i in range(18)) for _ in range(16)]
+    dec = [bytes(170 - 10 * i for i in range(18)) for _ in range(16)]
+    media = _png_media(spark, {1: inc, 2: bright, 3: dec})
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in image_dhash_pairs(media).collect()
+    }
+    assert got == {(1, 2, 0)}
+
+
+def test_dhash_rejects_non_grid_dims_and_color(spark):
+    """The hash stage's contract is explicit: grayscale with dims an
+    exact grid multiple — anything else must raise, not silently
+    mis-hash (resampling is codec territory)."""
+    from sparkstreaming_rawdataingestion_spark.operators import media_codecs
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        image_dhash_bands,
+    )
+
+    bad = [bytes(range(17)) for _ in range(16)]  # 17 % 9 != 0
+    media = spark.createDataFrame(
+        [(1, "image/png", media_codecs.png_encode(bad, color_type=0))],
+        "media_id long, mime string, payload binary",
+    )
+    with pytest.raises(Exception, match="dHash expects"):
+        image_dhash_bands(media).collect()
+
+
+def test_dhash_fixture_variant3_perturbs_at_most_one_bit(spark):
+    """The synthesized corpus's variant-3 corner block moves exactly
+    one grid cell, so its hamming to the family scene is 0 or 1 —
+    never enough to unmatch (bar is 3)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        q_multimodal_image_dhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = q_multimodal_image_dhash_pairs(spark, sf)
+    rows = df.collect()
+    # every family of 4 yields all 6 pairs
+    from sparkstreaming_rawdataingestion_spark import catalog
+
+    n_docs = catalog.load_table(spark, sf, "documents").count()
+    assert len(rows) == (n_docs // 4) * 6
+    assert all(r.hamming <= 1 for r in rows)
+    assert all(
+        r.media_a // 4 == r.media_b // 4 for r in rows
+    )  # no cross-family pair survives
