@@ -64,13 +64,37 @@ def read_archive(spark: SparkSession, sink_dir: str) -> DataFrame | None:
         raise
 
 
-def curate_increment(batch: DataFrame, archive: DataFrame | None) -> DataFrame:
+def curate_increment(
+    batch: DataFrame,
+    archive: DataFrame | None,
+    classifier_gate: bool = False,
+) -> DataFrame:
     """Curate one micro-batch of documents against the archive; returns
-    the rows to append (ARCHIVE_COLUMNS)."""
+    the rows to append (ARCHIVE_COLUMNS).
+
+    ``classifier_gate=True`` inserts the model-based quality stage
+    between the heuristic filters and exact dedup — the batch
+    pipeline's `_stages(classifier_gate=True)` ordering. The classifier
+    is per-document and its weight table broadcasts (a frozen model),
+    so the stage is trivially incremental: no cross-batch state, the
+    same keep decision in every replay — streaming parity with
+    ``pipeline_curation_classified`` holds stage for stage."""
     kept = score_documents(batch).where(
         (F.col("predicted_lang") == "en")
         & (F.col("quality_score") >= QUALITY_MIN)
     )
+    if classifier_gate:
+        from ..operators.text import quality_classifier_score
+
+        # score the heuristic SURVIVORS of this micro-batch only (the
+        # batch pipeline's production ordering: model inference runs on
+        # the reduced set)
+        keep_ids = (
+            quality_classifier_score(kept.select("doc_id", "text"))
+            .where(F.col("keep"))
+            .select("doc_id")
+        )
+        kept = kept.join(keep_ids, "doc_id", "left_semi")
     kept = _exact_kept(kept).drop("n_copies")
     kept = kept.withColumn("text_sha256", F.sha2("text", 256)).withColumn(
         "shingles", _shingles()
@@ -122,6 +146,7 @@ def start_incremental_curation(
     sink_dir: str,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    classifier_gate: bool = False,
 ) -> StreamingQuery:
     """Streaming curation query: documents stream → curated archive.
 
@@ -130,7 +155,9 @@ def start_incremental_curation(
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        out = curate_increment(batch, read_archive(spark, sink_dir))
+        out = curate_increment(
+            batch, read_archive(spark, sink_dir), classifier_gate
+        )
         out.write.mode("append").parquet(sink_dir)
 
     return (

@@ -92,3 +92,77 @@ def test_replay_appends_nothing(spark, sf_dir, tmp_path, chunked_docs):
     _run_stream(spark, src, docs.schema, sink, str(tmp_path / "ckpt2"))
     n2 = spark.read.parquet(sink).count()
     assert n2 == n1
+
+
+def _run_classified_stream(spark, src, schema, sink, ckpt):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cs.start_incremental_curation(stream, sink, ckpt, classifier_gate=True)
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_classified_stream_parity_with_batch_gate(
+    spark, sf_dir, tmp_path, chunked_docs
+):
+    """The round-8 model gate, incrementally (VERDICT r8 item 6): the
+    streaming archive with classifier_gate=True must (a) contain ONLY
+    docs the classifier keeps, (b) apply the gate at the batch stage
+    order — uncontested docs (no near-dup pair anywhere) agree exactly
+    with pipeline._stages(classifier_gate=True)['near_dedup'], the
+    same strongest-comparable property the unclassified parity test
+    pins."""
+    docs, src = chunked_docs
+    sink, ckpt = str(tmp_path / "arc_clf"), str(tmp_path / "ckpt_clf")
+    _run_classified_stream(spark, src, docs.schema, sink, ckpt)
+    archive = spark.read.parquet(sink)
+    ids = {r.doc_id for r in archive.select("doc_id").collect()}
+    assert ids
+
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    clf_keep = {
+        r.doc_id
+        for r in quality_classifier_score(
+            catalog.load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+        )
+        .where(F.col("keep"))
+        .collect()
+    }
+    assert ids <= clf_keep  # (a) nothing the model drops is archived
+
+    stages = pipeline._stages(spark, sf_dir, classifier_gate=True)
+    batch_final = {r.doc_id for r in stages["near_dedup"].collect()}
+    pairs = count_verified_pairs(
+        stages["exact_dedup"]
+        .select("doc_id", pipeline._shingles().alias("shingles"))
+    )
+    contested = {
+        r.doc_id
+        for r in pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).collect()
+    }
+    assert ids - contested == batch_final - contested  # (b)
+
+
+def test_classified_stream_replay_appends_nothing(
+    spark, sf_dir, tmp_path, chunked_docs
+):
+    """Replay idempotency must survive the extra stage: the classifier
+    is deterministic per doc, so a full at-least-once replay re-drops
+    everything at the exact-sha anti-join."""
+    docs, src = chunked_docs
+    sink = str(tmp_path / "arc_clf")
+    _run_classified_stream(spark, src, docs.schema, sink, str(tmp_path / "c1"))
+    n1 = spark.read.parquet(sink).count()
+    _run_classified_stream(spark, src, docs.schema, sink, str(tmp_path / "c2"))
+    n2 = spark.read.parquet(sink).count()
+    assert n2 == n1
