@@ -1705,7 +1705,15 @@ def segment_lines(
     independent of the ANSI/``sizeOfNull`` config (under legacy
     ``size(NULL) = -1`` semantics a NULL array would otherwise emit a
     phantom descending ``sequence(0, -1) = [0, -1]`` pair of NULL
-    segments that could fabricate cross-source pairs)."""
+    segments that could fabricate cross-source pairs).
+
+    Consumers must EXCLUDE the empty segment from any sharing census:
+    an empty segment is the absence of content, not shareable content —
+    two missing-text docs are not copies of each other. Both
+    ``dedup_line_level`` (df census) and ``source_overlap_matrix``
+    (presence sets) filter ``line != ''`` before counting, on engine
+    and oracle sides alike; the empty segment survives only as the
+    reassembly placeholder."""
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(float(line_words))).cast("int")
     idx = d.select(
@@ -1746,14 +1754,20 @@ lines AS (
 _LINE_ORACLE = f"""
 WITH {_segments_cte("doc_id")},
 -- df over the line TEXT: equality classes are identical to the engine's
--- sha256-digest keys (digest equality == text equality)
-dfl AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+-- sha256-digest keys (digest equality == text equality). The EMPTY
+-- segment (missing-text placeholder) is excluded from the census —
+-- absence of content is not shareable content — so it left-joins to a
+-- NULL df and is always kept.
+dfl AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines
+        WHERE line <> '' GROUP BY line)
 SELECT l.doc_id,
-       coalesce(string_agg(CASE WHEN df <= {LINE_DF_MAX} THEN l.line END,
+       coalesce(string_agg(CASE WHEN df IS NULL OR df <= {LINE_DF_MAX}
+                                THEN l.line END,
                            ' ' ORDER BY l.line_no), '') AS clean_text,
-       CAST(count(*) FILTER (df <= {LINE_DF_MAX}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (df IS NULL OR df <= {LINE_DF_MAX}) AS BIGINT)
+         AS n_kept,
        CAST(count(*) FILTER (df > {LINE_DF_MAX}) AS BIGINT)  AS n_dropped
-FROM lines l JOIN dfl USING (line)
+FROM lines l LEFT JOIN dfl USING (line)
 GROUP BY l.doc_id
 """
 
@@ -1790,14 +1804,16 @@ def line_level_dedup(
             "h", F.sha2("line", 256)
         )
     )
-    dfl = lines.groupBy("h").agg(
+    # empty segments (missing-text placeholders) stay OUT of the census
+    # and left-join to a NULL df — always kept, never "boilerplate"
+    dfl = lines.where(F.col("line") != "").groupBy("h").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    flagged = lines.join(dfl, "h").select(
+    flagged = lines.join(dfl, "h", "left").select(
         "doc_id",
         "line_no",
         "line",
-        (F.col("df") <= max_line_df).alias("keep"),
+        (F.col("df").isNull() | (F.col("df") <= max_line_df)).alias("keep"),
     )
     entries = F.array_sort(
         F.collect_list(F.struct("line_no", "keep", "line"))
@@ -1884,7 +1900,9 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signal mirrors actually emit.
 _OVERLAP_ORACLE = f"""
 WITH {_segments_cte("source")},
-pres AS (SELECT DISTINCT source, line FROM lines),
+-- the empty segment (missing-text placeholder) is not shareable
+-- content: two sources of NULL-text docs must not register overlap
+pres AS (SELECT DISTINCT source, line FROM lines WHERE line <> ''),
 tot AS (SELECT source, count(*) AS n FROM pres GROUP BY source),
 pr AS (
   -- equality on line TEXT == equality on the engine's sha256 keys
@@ -1930,6 +1948,7 @@ def source_overlap_matrix(
     """Parameterized kernel behind ``source_overlap_matrix``."""
     per = (
         segment_lines(d, ("source",), line_words)
+        .where(F.col("line") != "")  # empty placeholder is not content
         .select("source", F.sha2("line", 256).alias("h"))
         .distinct()
     )

@@ -567,7 +567,9 @@ VOCAB_GREEDY_PIECES: tuple[str, ...] = tuple(
 
 
 def _vocab_values_sql(pieces: tuple[str, ...]) -> str:
-    return ", ".join(f"('{p}')" for p in pieces)
+    # SQL-escape single quotes so a future piece like "don't" cannot
+    # break the oracle at module import
+    return ", ".join("('{}')".format(p.replace("'", "''")) for p in pieces)
 
 
 # The oracle replays the SAME greedy longest-prefix fold as a recursive

@@ -85,10 +85,16 @@ def curate_increment(
     )
     if classifier_gate:
         from ..operators.text import quality_classifier_score
+        from ..session import stage
 
         # score the heuristic SURVIVORS of this micro-batch only (the
         # batch pipeline's production ordering: model inference runs on
-        # the reduced set)
+        # the reduced set). Staged: the scored frame feeds BOTH the
+        # classifier leg and the semi-join probe side — without it the
+        # regex/heuristic scoring subtree executes twice per trigger.
+        # start_incremental_curation releases the stage after each
+        # batch's append.
+        kept = stage(kept)
         keep_ids = (
             quality_classifier_score(kept.select("doc_id", "text"))
             .where(F.col("keep"))
@@ -154,11 +160,16 @@ def start_incremental_curation(
     append-survivors cycle is race-free within one query."""
 
     def process(batch: DataFrame, _batch_id: int) -> None:
+        from ..session import release_staged
+
         spark = batch.sparkSession
         out = curate_increment(
             batch, read_archive(spark, sink_dir), classifier_gate
         )
         out.write.mode("append").parquet(sink_dir)
+        # drop the per-batch staged scoring frame (classifier_gate) so
+        # a long-running stream never accumulates persisted batches
+        release_staged()
 
     return (
         docs_stream.writeStream.foreachBatch(process)

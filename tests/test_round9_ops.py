@@ -214,3 +214,49 @@ def test_dhash_fixture_variant3_perturbs_at_most_one_bit(spark):
     assert all(
         r.media_a // 4 == r.media_b // 4 for r in rows
     )  # no cross-family pair survives
+
+
+# ---------------------------------------------------------------------------
+# empty-segment census exclusion (round-9 review finding)
+# ---------------------------------------------------------------------------
+
+
+def test_missing_text_docs_do_not_fabricate_shared_lines(spark):
+    """Two NULL-text docs in different sources must NOT register as
+    sharing content: the empty reassembly placeholder stays out of the
+    line-df census and the overlap presence sets. The NULL-text doc
+    still gets its reassembly row (kept, not boilerplate), and real
+    duplicated lines still count."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        line_level_dedup,
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "s1"),
+            (2, None, "s2"),
+            (3, "x y", "s1"),
+            (4, "x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # line dedup: the real duplicated line 'x y' drops (df=2); the two
+    # empty placeholders are kept and never flag each other
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in line_level_dedup(docs, line_words=2).collect()
+    }
+    assert got == {
+        1: ("", 1, 0),
+        2: ("", 1, 0),
+        3: ("", 0, 1),
+        4: ("", 0, 1),
+    }
+    # overlap: exactly one (s1, s2) row, from the REAL shared segment —
+    # shared count 1, not 2
+    rows = source_overlap_matrix(docs, line_words=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.shared_segments) == ("s1", "s2", 1)
+    assert (r.n_segments_a, r.n_segments_b) == (1, 1)
