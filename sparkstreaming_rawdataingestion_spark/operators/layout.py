@@ -316,3 +316,91 @@ def q_tokens_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokens_budget_subword — the same greedy budget, in REAL tokenizer units
+# ---------------------------------------------------------------------------
+
+# Production budgets are counted in tokenizer tokens, not whitespace
+# words — this is the subword upgrade of tokens_budget_allocation
+# promised by text.tokenizer_greedy_subword's docstring. The budget is
+# larger than the word budget because every multi-piece word inflates
+# the count (the fixture vocab averages ~1.2 pieces/word).
+SUBWORD_BUDGET_PER_SOURCE = 360
+
+
+def _subword_budget_oracle() -> str:
+    from .text import greedy_fold_ctes
+
+    return f"""
+WITH RECURSIVE
+{greedy_fold_ctes()},
+doc_toks AS (
+  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM words JOIN fin USING (w) GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source, t.n_tokens, d.n_chars AS quality
+  FROM documents d JOIN doc_toks t USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE cum_tokens - n_tokens < {SUBWORD_BUDGET_PER_SOURCE}
+"""
+
+
+@_register("tokens_budget_subword", _subword_budget_oracle())
+def q_tokens_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source budget selection in SUBWORD tokens: identical
+    admission rule to tokens_budget_allocation (quality order, doc_id
+    tiebreak, admitted iff the budget wasn't spent when its turn came)
+    but n_tokens comes from the frozen-vocab greedy encoder — the unit
+    production data mixes are actually planned in.
+
+    Plan shape: the tokenizer is a pure map CARRYING (source, quality)
+    through the batch (no re-join against documents — the carry
+    pattern), so the whole operator is one scan + one per-source
+    window, exactly the word-budget plan with the encoder fused into
+    the scan stage. The oracle composes the SHARED greedy-fold CTE
+    chain (text.greedy_fold_ctes — one fold definition for every
+    consumer) with the same window SQL."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", F.col("n_chars")
+    )
+    return subword_budget_allocation(d)
+
+
+def subword_budget_allocation(
+    d: DataFrame,
+    budget: int = SUBWORD_BUDGET_PER_SOURCE,
+    pieces: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Parameterized kernel behind ``tokens_budget_subword`` — ``d``
+    needs (doc_id, text, source, n_chars)."""
+    from .text import VOCAB_GREEDY_PIECES, tokenizer_greedy_subword
+
+    toks = tokenizer_greedy_subword(
+        d,
+        pieces=pieces or VOCAB_GREEDY_PIECES,
+        carry=("source", "n_chars"),
+    ).withColumnRenamed("n_chars", "quality")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.where(
+        F.col("cum_tokens") - F.col("n_tokens") < budget
+    ).select(
+        "doc_id", "source", "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

@@ -578,9 +578,15 @@ def _vocab_values_sql(pieces: tuple[str, ...]) -> str:
 # pieces prefixing the unconsumed suffix — exactly "longest match
 # first". No match → advance one char and count an UNK token (the char
 # fallback every production tokenizer ends in).
-_GREEDY_ORACLE = f"""
-WITH RECURSIVE
-words AS (SELECT doc_id,
+
+
+def greedy_fold_ctes() -> str:
+    """THE greedy-fold CTE chain (words → dw → vocab → step → fin) —
+    shared by the tokenizer oracle and every downstream consumer oracle
+    (the segment_lines discipline: one fold definition, all oracles
+    move together). Callers prepend ``WITH RECURSIVE`` and aggregate
+    ``words JOIN fin USING (w)`` however they need."""
+    return f"""words AS (SELECT doc_id,
                  unnest(string_split(coalesce(text, ''), ' ')) AS w
           FROM documents),
 dw AS (SELECT DISTINCT w FROM words),
@@ -599,7 +605,12 @@ step(w, pos, n_tok, n_unk) AS (
                       THEN 1 ELSE 0 END
   FROM step WHERE pos < length(w)
 ),
-fin AS (SELECT w, n_tok, n_unk FROM step WHERE pos >= length(w))
+fin AS (SELECT w, n_tok, n_unk FROM step WHERE pos >= length(w))"""
+
+
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE
+{greedy_fold_ctes()}
 SELECT doc_id,
        CAST(count(*) AS BIGINT)   AS n_words,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -636,10 +647,16 @@ def q_tokenizer_greedy_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tokenizer_greedy_subword(
-    d: DataFrame, pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES
+    d: DataFrame,
+    pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parameterized kernel behind ``tokenizer_greedy_subword`` —
-    ``d`` needs (doc_id, text); ``pieces`` is the frozen vocab."""
+    ``d`` needs (doc_id, text); ``pieces`` is the frozen vocab.
+    ``carry``: extra input columns passed through the batch unchanged
+    (the decode_image_meta pattern — downstream consumers keep their
+    payload columns without a re-join, so the pure-map plan shape
+    survives composition)."""
     from collections.abc import Iterator
 
     import pyspark.sql.types as T
@@ -654,6 +671,7 @@ def tokenizer_greedy_subword(
             T.StructField("n_tokens", T.LongType()),
             T.StructField("n_unk", T.LongType()),
         ]
+        + [d.schema[c] for c in carry]
     )
 
     def encode_word(word: str) -> tuple[int, int]:
@@ -683,24 +701,25 @@ def tokenizer_greedy_subword(
 
         for pdf in batches:
             recs = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = (text or "").split(" ")
+            for row in pdf.itertuples(index=False):
+                words = (row.text or "").split(" ")
                 n_tok = n_unk = 0
                 for w in words:
                     t, u = enc(w)
                     n_tok += t
                     n_unk += u
-                recs.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_words": len(words),
-                        "n_tokens": n_tok,
-                        "n_unk": n_unk,
-                    }
-                )
+                rec = {
+                    "doc_id": row.doc_id,
+                    "n_words": len(words),
+                    "n_tokens": n_tok,
+                    "n_unk": n_unk,
+                }
+                for c in carry:
+                    rec[c] = getattr(row, c)
+                recs.append(rec)
             yield pd.DataFrame.from_records(recs)
 
-    return d.select("doc_id", "text").mapInPandas(
+    return d.select("doc_id", "text", *carry).mapInPandas(
         tokenize_batches, schema=out_schema
     )
 

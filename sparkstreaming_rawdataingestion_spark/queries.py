@@ -253,7 +253,6 @@ CORE_ORDER: tuple[str, ...] = (
     "temporal_join_pack",
     "lateral_topk_per_group",
     "salted_agg_equivalence",
-    "correlated_subquery_above_avg",
     "text_analysis_pack",
     "multimodal_pack",
     # -- band 3b: round-9 new ops (4-way validated: engine + --plain at
@@ -263,6 +262,7 @@ CORE_ORDER: tuple[str, ...] = (
     "decontamination_semantic_pairs",
     "tokenizer_greedy_subword",
     "multimodal_image_dhash_pairs",
+    "tokens_budget_subword",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

@@ -803,3 +803,17 @@ def test_image_dhash_pair_join_is_band_keyed(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_subword_budget_is_scan_fused_plus_one_window(spark, sf_dir):
+    """The carry pattern's payoff: the encoder rides the scan stage (no
+    re-join against documents), so the whole budget operator is ONE
+    scan + ONE per-source window exchange — identical plan shape to
+    the word-budget op, with the tokenizer fused in."""
+    from sparkstreaming_rawdataingestion_spark.operators import layout
+
+    df = layout.q_tokens_budget_subword(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert plans.count_exchanges(df) == 1  # the per-source window

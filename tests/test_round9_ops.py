@@ -260,3 +260,45 @@ def test_missing_text_docs_do_not_fabricate_shared_lines(spark):
     r = rows[0]
     assert (r.source_a, r.source_b, r.shared_segments) == ("s1", "s2", 1)
     assert (r.n_segments_a, r.n_segments_b) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# tokens_budget_subword
+# ---------------------------------------------------------------------------
+
+
+def test_subword_budget_hand_computed_admission(spark):
+    """Hand-applied greedy budget in subword units (vocab: letters +
+    'tab'/'le', so 'table'=2 tokens, 'go'=2, 'a'=1):
+
+    source s1, budget 5, quality order by n_chars desc then doc_id:
+      doc 2 (q=9): 'table table' = 4 tokens, cum 4, admitted (0 < 5)
+      doc 1 (q=5): 'table a'     = 3 tokens, cum 7, admitted (4 < 5 —
+                   the greedy overshoot rule)
+      doc 3 (q=1): 'a'           = 1 token,  cum 8, REJECTED (7 >= 5)
+    source s2: doc 4 alone, always admitted."""
+    from sparkstreaming_rawdataingestion_spark.operators.layout import (
+        subword_budget_allocation,
+    )
+
+    pieces = tuple("abcdefghijklmnopqrstuvwxyz") + ("tab", "le")
+    docs = spark.createDataFrame(
+        [
+            (1, "table a", "s1", 5),
+            (2, "table table", "s1", 9),
+            (3, "a", "s1", 1),
+            (4, "go go", "s2", 2),
+        ],
+        "doc_id long, text string, source string, n_chars int",
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+        for r in subword_budget_allocation(
+            docs, budget=5, pieces=pieces
+        ).collect()
+    }
+    assert got == {
+        2: ("s1", 4, 4),
+        1: ("s1", 3, 7),
+        4: ("s2", 4, 4),
+    }
