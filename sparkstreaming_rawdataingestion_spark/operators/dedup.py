@@ -1593,6 +1593,111 @@ def semantic_decon_pairs(
 
 
 # ---------------------------------------------------------------------------
+# decontamination_semantic_multiprobe — the documented recall upgrade
+# ---------------------------------------------------------------------------
+
+SEMDECON_PROBES = 2  # eval side probes its P nearest clusters (IVF trick)
+
+_SEMDECON_MP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+v AS (SELECT vec_id, vec_id % {DECON_EVAL_MOD} = 0 AS is_eval,
+             embedding::DOUBLE[] AS ve FROM embeddings),
+d AS (
+  SELECT v.vec_id, is_eval, c.cid, ve,
+         list_inner_product(ve, ve) + list_inner_product(ce, ce)
+           - 2 * list_inner_product(ve, ce) AS d2
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, is_eval, cid, ve,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(d2, 9), cid) AS rk
+  FROM d
+)
+SELECT e.vec_id AS eval_id, t.vec_id AS train_id, e.cid AS cluster_id,
+       round(list_cosine_similarity(e.ve, t.ve), 6) AS cosine_sim
+FROM (SELECT * FROM assigned
+      WHERE rk <= {SEMDECON_PROBES} AND is_eval) e
+JOIN (SELECT * FROM assigned WHERE rk = 1 AND NOT is_eval) t
+  ON e.cid = t.cid
+WHERE list_cosine_similarity(e.ve, t.ve) >= {SEMDECON_THRESHOLD}
+"""
+
+
+@_register("decontamination_semantic_multiprobe", _SEMDECON_MP_ORACLE)
+def q_decontamination_semantic_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic decon probe with the IVF multi-probe recall upgrade
+    its sibling documents: the EVAL side is additionally assigned to
+    its {SEMDECON_PROBES} nearest centroids, so a paraphrase pair split
+    by a cluster boundary (the documented SemDeDup miss) is caught
+    whenever the eval member's second-choice cluster is the train
+    member's home. Superset of decontamination_semantic_pairs by
+    construction.
+
+    Scale shape: the corpus-sized train scan is assigned ONCE
+    (probes=1, exactly the exact probe's plan); only the
+    benchmark-sized eval set is re-assigned with probes={SEMDECON_PROBES}
+    — its fan-out multiplies the broadcast side, never the train scan,
+    so recall costs eval-set-size work, not corpus work."""
+    return semantic_decon_multiprobe(
+        catalog.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def semantic_decon_multiprobe(
+    e: DataFrame,
+    k: int = SEMDEDUP_K,
+    eval_mod: int = DECON_EVAL_MOD,
+    threshold: float = SEMDECON_THRESHOLD,
+    probes: int = SEMDECON_PROBES,
+) -> DataFrame:
+    """Parameterized kernel behind ``decontamination_semantic_multiprobe``."""
+    from .similarity import _emb_double, kmeans_assign
+
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), _emb_double().alias("ce")
+    )
+    is_eval = F.col("vec_id") % eval_mod == 0
+    # train: the corpus scan, exact assignment — one pass, as in the
+    # exact probe
+    tr = kmeans_assign(
+        e.where(~is_eval).select("vec_id", _emb_double().alias("ve")),
+        cents,
+    ).select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("train_id"),
+        F.col("ve").alias("emb_t"),
+    )
+    # eval: benchmark-sized, multi-probe fan-out (probes x rows, still
+    # broadcast territory)
+    ev = kmeans_assign(
+        e.where(is_eval).select("vec_id", _emb_double().alias("ve")),
+        cents,
+        probes=probes,
+    ).select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("eval_id"),
+        F.col("ve").alias("emb_e"),
+    )
+    sim = cosine(F.col("emb_e"), F.col("emb_t"))
+    return (
+        tr.join(F.broadcast(ev), "cluster_id")
+        .where(sim >= threshold)
+        .select(
+            "eval_id",
+            "train_id",
+            "cluster_id",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_exact_substring_chunks — chunk-granular exact duplication census
 # ---------------------------------------------------------------------------
 

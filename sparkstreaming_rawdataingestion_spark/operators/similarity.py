@@ -951,7 +951,10 @@ KMEANS_K = 8  # deterministic init: centroids = embeddings with vec_id < K
 
 
 def kmeans_assign(
-    vecs: DataFrame, cents: DataFrame, keep_embedding: bool = True
+    vecs: DataFrame,
+    cents: DataFrame,
+    keep_embedding: bool = True,
+    probes: int = 1,
 ) -> DataFrame:
     """Deterministic nearest-centroid assignment — the shared Lloyd-step
     kernel behind ``kmeans_one_step`` and ``dedup_semantic_clusters``
@@ -991,11 +994,15 @@ def kmeans_assign(
     cols = ["vec_id", "cid", d2.alias("d2"), *payload] + (
         ["ve"] if keep_embedding else []
     )
+    # probes > 1 is the IVF multi-probe form: one row per (vec, cid)
+    # for the `probes` nearest centroids — recall against boundary
+    # splits at `probes`x the downstream fan-out (the decon probe's
+    # documented recall knob). probes=1 is exact Lloyd assignment.
     return (
         vecs.crossJoin(F.broadcast(cents))
         .select(*cols)
         .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+        .where(F.col("rk") <= probes)
         .drop("rk")
     )
 

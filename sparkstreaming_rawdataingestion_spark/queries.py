@@ -251,7 +251,6 @@ CORE_ORDER: tuple[str, ...] = (
     "window_functions_pack",
     "streaming_window_pack",
     "temporal_join_pack",
-    "lateral_topk_per_group",
     "salted_agg_equivalence",
     "text_analysis_pack",
     "multimodal_pack",
@@ -263,6 +262,7 @@ CORE_ORDER: tuple[str, ...] = (
     "tokenizer_greedy_subword",
     "multimodal_image_dhash_pairs",
     "tokens_budget_subword",
+    "decontamination_semantic_multiprobe",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

@@ -817,3 +817,20 @@ def test_subword_budget_is_scan_fused_plus_one_window(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
     assert plans.count_exchanges(df) == 1  # the per-source window
+
+
+def test_multiprobe_decon_train_scan_assigned_once_eval_broadcast(
+    spark, sf_dir
+):
+    """The recall upgrade must cost eval-set work, not corpus work: the
+    train side is assigned once (probes=1), the multi-probe fan-out
+    lives on the broadcast eval side, and the pair join stays a
+    BroadcastHashJoin on cluster_id — no shuffle of the train scan, no
+    cartesian outside the K-row centroid fanouts."""
+    from sparkstreaming_rawdataingestion_spark.operators import dedup
+
+    df = dedup.q_decontamination_semantic_multiprobe(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

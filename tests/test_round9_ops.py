@@ -302,3 +302,47 @@ def test_subword_budget_hand_computed_admission(spark):
         1: ("s1", 3, 7),
         4: ("s2", 4, 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# decontamination_semantic_multiprobe
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_catches_the_boundary_paraphrase(spark):
+    """The exact probe's fixture documents a MISS: eval 3 [1.2,1.1] and
+    train 5 [1.1,1.2] at cosine .9959 straddle the y=x cluster
+    boundary. With probes=2 the eval member also probes its
+    second-nearest centroid (cluster 1, train 5's home), so the pair
+    IS flagged — and everything the exact probe found stays found
+    (strict superset)."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        semantic_decon_multiprobe,
+        semantic_decon_pairs,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.97, 0.03]),
+        (3, [1.2, 1.1]),
+        (4, [0.95, 0.05]),
+        (5, [1.1, 1.2]),
+        (6, [-1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {
+        (r.eval_id, r.train_id)
+        for r in semantic_decon_pairs(
+            e, k=2, eval_mod=3, threshold=0.9
+        ).collect()
+    }
+    multi = {
+        (r.eval_id, r.train_id)
+        for r in semantic_decon_multiprobe(
+            e, k=2, eval_mod=3, threshold=0.9, probes=2
+        ).collect()
+    }
+    assert exact == {(0, 2), (0, 4)}
+    assert multi == {(0, 2), (0, 4), (3, 5)}  # the boundary pair, caught
+    assert exact < multi
