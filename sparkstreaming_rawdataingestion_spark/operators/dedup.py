@@ -1493,7 +1493,13 @@ def decontamination_pairs(
 # review; missed pairs leak into training).
 SEMDECON_THRESHOLD = 0.35
 
-_SEMDECON_ORACLE = f"""
+
+def _semdecon_oracle(probes: int) -> str:
+    """ONE oracle builder for both semantic decon probes (the
+    greedy_fold_ctes discipline): the exact form is ``probes=1``, the
+    multi-probe recall upgrade differs ONLY in the eval leg's rank
+    filter — a threshold/tie-break/split fix moves both oracles."""
+    return f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
   FROM embeddings WHERE vec_id < {SEMDEDUP_K}
@@ -1516,11 +1522,14 @@ assigned AS (
 )
 SELECT e.vec_id AS eval_id, t.vec_id AS train_id, e.cid AS cluster_id,
        round(list_cosine_similarity(e.ve, t.ve), 6) AS cosine_sim
-FROM (SELECT * FROM assigned WHERE rk = 1 AND is_eval) e
+FROM (SELECT * FROM assigned WHERE rk <= {probes} AND is_eval) e
 JOIN (SELECT * FROM assigned WHERE rk = 1 AND NOT is_eval) t
   ON e.cid = t.cid
 WHERE list_cosine_similarity(e.ve, t.ve) >= {SEMDECON_THRESHOLD}
 """
+
+
+_SEMDECON_ORACLE = _semdecon_oracle(1)
 
 
 @_register("decontamination_semantic_pairs", _SEMDECON_ORACLE)
@@ -1551,10 +1560,16 @@ def semantic_decon_pairs(
     k: int = SEMDEDUP_K,
     eval_mod: int = DECON_EVAL_MOD,
     threshold: float = SEMDECON_THRESHOLD,
+    probes: int = 1,
 ) -> DataFrame:
-    """Parameterized kernel behind ``decontamination_semantic_pairs`` —
+    """Parameterized kernel behind BOTH semantic decon probes —
     ``e`` is an embeddings table (vec_id, embedding); centroids are the
-    deterministic vec_id < k seeds (the SemDeDup convention here)."""
+    deterministic vec_id < k seeds (the SemDeDup convention here).
+    ``probes=1`` is the exact within-cluster form; ``probes>1`` lets
+    the EVAL side additionally probe its next-nearest clusters (the
+    IVF recall trick). The corpus is assigned in ONE staged pass with
+    the rank kept: the train leg filters back to the home cluster
+    (rk == 1), so recall never costs a second corpus scan."""
     from .similarity import _emb_double, kmeans_assign
 
     cents = e.where(F.col("vec_id") < k).select(
@@ -1565,16 +1580,18 @@ def semantic_decon_pairs(
         (F.col("vec_id") % eval_mod == 0).alias("is_eval"),
         _emb_double().alias("ve"),
     )
-    # staged: both the eval and train legs read the assignment
+    # staged: both the eval and train legs read the ONE assignment
     assigned = stage(
-        kmeans_assign(vecs, cents).select("vec_id", "cid", "is_eval", "ve")
+        kmeans_assign(
+            vecs, cents, probes=probes, keep_rank=True
+        ).select("vec_id", "cid", "is_eval", "rk", "ve")
     )
     ev = assigned.where(F.col("is_eval")).select(
         F.col("cid").alias("cluster_id"),
         F.col("vec_id").alias("eval_id"),
         F.col("ve").alias("emb_e"),
     )
-    tr = assigned.where(~F.col("is_eval")).select(
+    tr = assigned.where(~F.col("is_eval") & (F.col("rk") == 1)).select(
         F.col("cid").alias("cluster_id"),
         F.col("vec_id").alias("train_id"),
         F.col("ve").alias("emb_t"),
@@ -1598,33 +1615,7 @@ def semantic_decon_pairs(
 
 SEMDECON_PROBES = 2  # eval side probes its P nearest clusters (IVF trick)
 
-_SEMDECON_MP_ORACLE = f"""
-WITH c AS (
-  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
-),
-v AS (SELECT vec_id, vec_id % {DECON_EVAL_MOD} = 0 AS is_eval,
-             embedding::DOUBLE[] AS ve FROM embeddings),
-d AS (
-  SELECT v.vec_id, is_eval, c.cid, ve,
-         list_inner_product(ve, ve) + list_inner_product(ce, ce)
-           - 2 * list_inner_product(ve, ce) AS d2
-  FROM v, c
-),
-assigned AS (
-  SELECT vec_id, is_eval, cid, ve,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY round(d2, 9), cid) AS rk
-  FROM d
-)
-SELECT e.vec_id AS eval_id, t.vec_id AS train_id, e.cid AS cluster_id,
-       round(list_cosine_similarity(e.ve, t.ve), 6) AS cosine_sim
-FROM (SELECT * FROM assigned
-      WHERE rk <= {SEMDECON_PROBES} AND is_eval) e
-JOIN (SELECT * FROM assigned WHERE rk = 1 AND NOT is_eval) t
-  ON e.cid = t.cid
-WHERE list_cosine_similarity(e.ve, t.ve) >= {SEMDECON_THRESHOLD}
-"""
+_SEMDECON_MP_ORACLE = _semdecon_oracle(SEMDECON_PROBES)
 
 
 @_register("decontamination_semantic_multiprobe", _SEMDECON_MP_ORACLE)
@@ -1639,11 +1630,12 @@ def q_decontamination_semantic_multiprobe(
     member's home. Superset of decontamination_semantic_pairs by
     construction.
 
-    Scale shape: the corpus-sized train scan is assigned ONCE
-    (probes=1, exactly the exact probe's plan); only the
-    benchmark-sized eval set is re-assigned with probes={SEMDECON_PROBES}
-    — its fan-out multiplies the broadcast side, never the train scan,
-    so recall costs eval-set-size work, not corpus work."""
+    Scale shape: ONE staged corpus assignment shared by both legs (the
+    train leg filters back to rk == 1, its home cluster), so the recall
+    upgrade costs only the eval side's probes-times fan-out through the
+    broadcast — never a second corpus scan. Engine AND oracle are the
+    probes={SEMDECON_PROBES} instantiation of the exact probe's shared
+    kernel/oracle builder — the two forms cannot drift."""
     return semantic_decon_multiprobe(
         catalog.load_table(spark, sf_dir, "embeddings")
     )
@@ -1656,44 +1648,10 @@ def semantic_decon_multiprobe(
     threshold: float = SEMDECON_THRESHOLD,
     probes: int = SEMDECON_PROBES,
 ) -> DataFrame:
-    """Parameterized kernel behind ``decontamination_semantic_multiprobe``."""
-    from .similarity import _emb_double, kmeans_assign
-
-    cents = e.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), _emb_double().alias("ce")
-    )
-    is_eval = F.col("vec_id") % eval_mod == 0
-    # train: the corpus scan, exact assignment — one pass, as in the
-    # exact probe
-    tr = kmeans_assign(
-        e.where(~is_eval).select("vec_id", _emb_double().alias("ve")),
-        cents,
-    ).select(
-        F.col("cid").alias("cluster_id"),
-        F.col("vec_id").alias("train_id"),
-        F.col("ve").alias("emb_t"),
-    )
-    # eval: benchmark-sized, multi-probe fan-out (probes x rows, still
-    # broadcast territory)
-    ev = kmeans_assign(
-        e.where(is_eval).select("vec_id", _emb_double().alias("ve")),
-        cents,
-        probes=probes,
-    ).select(
-        F.col("cid").alias("cluster_id"),
-        F.col("vec_id").alias("eval_id"),
-        F.col("ve").alias("emb_e"),
-    )
-    sim = cosine(F.col("emb_e"), F.col("emb_t"))
-    return (
-        tr.join(F.broadcast(ev), "cluster_id")
-        .where(sim >= threshold)
-        .select(
-            "eval_id",
-            "train_id",
-            "cluster_id",
-            F.round(sim, 6).alias("cosine_sim"),
-        )
+    """The multi-probe instantiation of ``semantic_decon_pairs`` —
+    one shared kernel, one knob."""
+    return semantic_decon_pairs(
+        e, k=k, eval_mod=eval_mod, threshold=threshold, probes=probes
     )
 
 

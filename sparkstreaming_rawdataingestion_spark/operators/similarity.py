@@ -955,6 +955,7 @@ def kmeans_assign(
     cents: DataFrame,
     keep_embedding: bool = True,
     probes: int = 1,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Deterministic nearest-centroid assignment — the shared Lloyd-step
     kernel behind ``kmeans_one_step`` and ``dedup_semantic_clusters``
@@ -998,13 +999,16 @@ def kmeans_assign(
     # for the `probes` nearest centroids — recall against boundary
     # splits at `probes`x the downstream fan-out (the decon probe's
     # documented recall knob). probes=1 is exact Lloyd assignment.
-    return (
+    # keep_rank=True retains the probe rank column so a caller can
+    # post-filter one side of a shared assignment (rk == 1 = the home
+    # cluster) without a second corpus scan.
+    out = (
         vecs.crossJoin(F.broadcast(cents))
         .select(*cols)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= probes)
-        .drop("rk")
     )
+    return out if keep_rank else out.drop("rk")
 
 _KMEANS_ORACLE = f"""
 WITH c AS (

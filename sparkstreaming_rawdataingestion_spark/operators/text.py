@@ -701,21 +701,25 @@ def tokenizer_greedy_subword(
 
         for pdf in batches:
             recs = []
-            for row in pdf.itertuples(index=False):
-                words = (row.text or "").split(" ")
+            # positional zip over named columns, NOT itertuples: pandas
+            # renames keyword/invalid-identifier columns to _N in
+            # namedtuples, which would break a generic carry column
+            for doc_id, text, *extras in zip(
+                pdf["doc_id"], pdf["text"], *(pdf[c] for c in carry)
+            ):
+                words = (text or "").split(" ")
                 n_tok = n_unk = 0
                 for w in words:
                     t, u = enc(w)
                     n_tok += t
                     n_unk += u
                 rec = {
-                    "doc_id": row.doc_id,
+                    "doc_id": doc_id,
                     "n_words": len(words),
                     "n_tokens": n_tok,
                     "n_unk": n_unk,
                 }
-                for c in carry:
-                    rec[c] = getattr(row, c)
+                rec.update(zip(carry, extras))
                 recs.append(rec)
             yield pd.DataFrame.from_records(recs)
 

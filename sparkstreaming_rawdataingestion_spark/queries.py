@@ -183,11 +183,19 @@ _QUERY_MODULES = (
 #         the oldest certificates in the repo.
 #   36-50 round-2-latest entries, chosen for evolved-kernel exposure:
 #         heavy TPC-H joins (q8/q9), multidim/stats/window/streaming
-#         packs, salted-agg equivalence, temporal/lateral joins, the
+#         packs, salted-agg equivalence, temporal joins, the
 #         text_analysis_pack bench flag (fresh driver row while the 3x
 #         protocol adjudicates it), and multimodal_pack alongside the
-#         round's image-dedup work. Round-9 NEW ops displace the
-#         tail-most of these as they pass the 4-way gate.
+#         round's image-dedup work — plus the round-9 NEW ops (band
+#         3b), each displacing one r2-latest re-check as it passed the
+#         4-way gate. DISPLACEMENT LEDGER (all five displaced entries
+#         are r2-latest re-checks with a standing driver-green row;
+#         they rotate to the extended region, still locally verified):
+#           nulls_ordering          → decontamination_semantic_pairs
+#           in_exists_subqueries    → tokenizer_greedy_subword
+#           having_filter           → multimodal_image_dhash_pairs
+#           correlated_subquery_above_avg → tokens_budget_subword
+#           lateral_topk_per_group  → decontamination_semantic_multiprobe
 #
 # AUDIT CORRECTION (round-8 ADVICE, low): the round-8 comment above
 # this block undercounted its rotation — SIXTEEN entries left the

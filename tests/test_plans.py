@@ -822,15 +822,29 @@ def test_subword_budget_is_scan_fused_plus_one_window(spark, sf_dir):
 def test_multiprobe_decon_train_scan_assigned_once_eval_broadcast(
     spark, sf_dir
 ):
-    """The recall upgrade must cost eval-set work, not corpus work: the
-    train side is assigned once (probes=1), the multi-probe fan-out
-    lives on the broadcast eval side, and the pair join stays a
-    BroadcastHashJoin on cluster_id — no shuffle of the train scan, no
-    cartesian outside the K-row centroid fanouts."""
+    """The recall upgrade must cost eval-set work, not corpus work:
+    ONE staged corpus assignment feeds both legs (the only nested-loop
+    broadcast is the centroid fanout inside that cached subtree —
+    textual BNLJ count == InMemoryRelation count, exactly one distinct
+    staged frame), the TRAIN leg filters back to its home cluster
+    (rk = 1 visible in the logical plan — a regression that fans the
+    corpus side out probes-times would drop that filter and
+    double-count pairs), and the pair join stays a BroadcastHashJoin
+    on cluster_id with the eval side broadcast — the corpus never
+    shuffles."""
     from sparkstreaming_rawdataingestion_spark.operators import dedup
 
     df = dedup.q_decontamination_semantic_multiprobe(spark, sf_dir)
     p = plans.executed_plan(df)
     assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == p.count("InMemoryRelation")
+    assert p.count("InMemoryRelation") >= 1  # the ONE staged assignment
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    import re
+
+    logical = plans.analyzed_plan(df)
+    # train leg pinned to the home cluster; eval leg keeps the probe
+    # fan-out (rk <= SEMDECON_PROBES inside the shared staged kernel)
+    assert re.search(r"NOT is_eval#\d+ AND \(rk#\d+ = 1\)", logical)
+    assert re.search(r"rk#\d+ <= 2", logical)
