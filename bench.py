@@ -123,6 +123,14 @@ HEADLINE = [
     # dedup with reassembly (the two heaviest new plans)
     "dedup_semantic_clusters",
     "dedup_line_level",
+    # round-9 additions: perceptual image dedup over real PNG decode,
+    # the greedy subword encoder + its budget consumer, and both
+    # semantic decon probes (exact + multi-probe recall)
+    "multimodal_image_dhash_pairs",
+    "tokenizer_greedy_subword",
+    "tokens_budget_subword",
+    "decontamination_semantic_pairs",
+    "decontamination_semantic_multiprobe",
 ]
 
 
