@@ -977,8 +977,13 @@ def _dhash_px_sql(i: str, y: str) -> str:
     )
 
 
-_DHASH_ORACLE = f"""
-WITH p AS (
+def _dhash_pairs_ctes() -> str:
+    """The dHash pipeline as a composable CTE chain (p → cells → bits →
+    bands → cand) plus a ``dpairs`` CTE holding the verified pairs —
+    the greedy_fold_ctes discipline: the pairs oracle and every
+    downstream consumer (the canonical-selection oracle) share ONE
+    definition of pixels, hash, banding and verify."""
+    return f"""p AS (
   SELECT doc_id AS media_id,
          doc_id // {DHASH_FAMILY_VARIANTS} AS f,
          doc_id %  {DHASH_FAMILY_VARIANTS} AS v
@@ -1009,15 +1014,23 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.media_id < b.media_id
-)
-SELECT c.media_a, c.media_b,
-       CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
-         AS hamming
-FROM cand c
-JOIN bands x ON x.media_id = c.media_a
-JOIN bands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
-GROUP BY 1, 2
-HAVING sum(bit_count(xor(x.band_val, y.band_val))) <= {DHASH_MAX_HAMMING}
+),
+dpairs AS (
+  SELECT c.media_a, c.media_b,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+           AS hamming
+  FROM cand c
+  JOIN bands x ON x.media_id = c.media_a
+  JOIN bands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
+  GROUP BY 1, 2
+  HAVING sum(bit_count(xor(x.band_val, y.band_val)))
+           <= {DHASH_MAX_HAMMING}
+)"""
+
+
+_DHASH_ORACLE = f"""
+WITH {_dhash_pairs_ctes()}
+SELECT media_a, media_b, hamming FROM dpairs
 """
 
 
@@ -1088,4 +1101,59 @@ def image_dhash_pairs(
         .join(y, "media_b")
         .select("media_a", "media_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dedup_clusters — near-dup families → canonical image
+# ---------------------------------------------------------------------------
+
+_IMAGE_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_dhash_pairs_ctes()},
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM dpairs
+  UNION
+  SELECT media_b, media_a FROM dpairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS media_id,
+       min(dest) AS cluster_rep,
+       (min(dest) = node) AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+@_register("multimodal_image_dedup_clusters", _IMAGE_CLUSTERS_ORACLE)
+def q_multimodal_image_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The image-dedup ladder's last rung — dHash pairs → connected
+    components → one canonical image per near-dup family (min media_id,
+    the first-crawled-wins policy an image pipeline defaults to when no
+    quality signal exists): every clustered image labeled with its
+    family representative, ``is_canonical`` marking the keeper. The
+    text ladder's ``dedup_clusters`` shape, re-instantiated over the
+    perceptual-hash pair graph — pairs, components kernel
+    (dedup.connected_components: min-label propagation, one join + one
+    min-agg per iteration, diameter-bounded) and the recursive-CTE
+    oracle are all the proven pieces, composed.
+
+    Scale: pair discovery is the plan-pinned band join; the component
+    loop runs over the PAIR graph only (near-dup families are tiny
+    cliques — the fixture's are 4-cliques), never the full corpus."""
+    from .dedup import connected_components
+
+    pairs = image_dhash_pairs(synthesize_dhash_media(spark, sf_dir)).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("media_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
     )

@@ -196,6 +196,7 @@ _QUERY_MODULES = (
 #           having_filter           → multimodal_image_dhash_pairs
 #           correlated_subquery_above_avg → tokens_budget_subword
 #           lateral_topk_per_group  → decontamination_semantic_multiprobe
+#           salted_agg_equivalence  → multimodal_image_dedup_clusters
 #
 # AUDIT CORRECTION (round-8 ADVICE, low): the round-8 comment above
 # this block undercounted its rotation — SIXTEEN entries left the
@@ -259,7 +260,6 @@ CORE_ORDER: tuple[str, ...] = (
     "window_functions_pack",
     "streaming_window_pack",
     "temporal_join_pack",
-    "salted_agg_equivalence",
     "text_analysis_pack",
     "multimodal_pack",
     # -- band 3b: round-9 new ops (4-way validated: engine + --plain at
@@ -271,6 +271,7 @@ CORE_ORDER: tuple[str, ...] = (
     "multimodal_image_dhash_pairs",
     "tokens_budget_subword",
     "decontamination_semantic_multiprobe",
+    "multimodal_image_dedup_clusters",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

@@ -346,3 +346,27 @@ def test_multiprobe_catches_the_boundary_paraphrase(spark):
     assert exact == {(0, 2), (0, 4)}
     assert multi == {(0, 2), (0, 4), (3, 5)}  # the boundary pair, caught
     assert exact < multi
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dedup_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_image_dedup_clusters_fixture_families(spark):
+    """Closed form on the synthesized corpus: families are exactly
+    {4f..4f+3}, so every clustered image's representative is its
+    family's v=0 member and exactly one member per family is
+    canonical."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        q_multimodal_image_dedup_clusters,
+    )
+
+    rows = q_multimodal_image_dedup_clusters(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r.cluster_rep == (r.media_id // 4) * 4 for r in rows)
+    assert all(r.is_canonical == (r.media_id % 4 == 0) for r in rows)
+    canon = sum(1 for r in rows if r.is_canonical)
+    assert canon == len(rows) // 4
