@@ -1049,6 +1049,15 @@ def q_multimodal_image_dhash_pairs(
     return image_dhash_pairs(synthesize_dhash_media(spark, sf_dir))
 
 
+def _bands_long(bands: DataFrame) -> DataFrame:
+    return bands.select(
+        "media_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+
+
 def image_dhash_pairs(
     media: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
 ) -> DataFrame:
@@ -1064,19 +1073,37 @@ def image_dhash_pairs(
     from ..session import stage
 
     bands = stage(image_dhash_bands(media))
-    long = bands.select(
-        "media_id",
-        F.posexplode(
-            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
-        ).alias("band_idx", "band_val"),
+    return dhash_band_pairs(bands, max_hamming=max_hamming)
+
+
+def dhash_band_pairs(
+    bands: DataFrame,
+    other: DataFrame | None = None,
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Band-keyed near-dup pairs between two BAND frames (media_id,
+    band0..band{DHASH_BANDS - 1}).
+
+    ``other=None``: self-pairs within ``bands`` (media_a < media_b —
+    the batch form). ``other`` given: CROSS pairs — every row of
+    ``bands`` paired against every ``other`` row it band-matches (no
+    id ordering; the streaming archive check, where the archive always
+    wins regardless of ids). The shared shape lets the batch query and
+    the incremental media stream run ONE pair algebra."""
+    long_a = _bands_long(bands)
+    long_b = _bands_long(other) if other is not None else long_a
+    id_cond = (
+        F.col("a.media_id") < F.col("b.media_id")
+        if other is None
+        else F.lit(True)
     )
     cand = (
-        long.alias("a")
+        long_a.alias("a")
         .join(
-            long.alias("b"),
+            long_b.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & id_cond,
         )
         .select(
             F.col("a.media_id").alias("media_a"),
@@ -1088,7 +1115,7 @@ def image_dhash_pairs(
         F.col("media_id").alias("media_a"),
         *[F.col(f"band{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
     )
-    y = bands.select(
+    y = (other if other is not None else bands).select(
         F.col("media_id").alias("media_b"),
         *[F.col(f"band{k}").alias(f"yb{k}") for k in range(DHASH_BANDS)],
     )
