@@ -16,7 +16,12 @@ def test_headline_names_resolve_and_set_is_bounded():
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert missing == []
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
-    assert len(bench.HEADLINE) <= 46
+    # 51 = the round-9 panel (46 + the five round-9 operators). The
+    # REAL bound is the 1900-byte worst-case payload test below, and
+    # at 51 queries it has only ~18 bytes of headroom — the panel is
+    # byte-budget-FULL: any future addition must retire a query (or
+    # shorten names) and re-check that test, not just bump this count.
+    assert len(bench.HEADLINE) <= 51
 
 
 def test_final_line_fits_driver_tail_at_worst_case_timings():
