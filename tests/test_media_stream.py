@@ -83,3 +83,72 @@ def test_media_replay_appends_nothing(spark, chunked_media, tmp_path):
     _run_stream(spark, src, media.schema, sink, str(tmp_path / "c2"))
     n2 = spark.read.parquet(sink).count()
     assert n2 == n1
+
+
+def test_archive_is_pairwise_near_dup_free(spark, chunked_media, tmp_path):
+    """THE archive invariant: no two archived hashes are within the
+    hamming bar of each other — any two kept images would have made
+    the higher id a loser at its own admission."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        dhash_band_pairs,
+    )
+
+    media, src = chunked_media
+    sink = str(tmp_path / "bands")
+    _run_stream(spark, src, media.schema, sink, str(tmp_path / "ckpt"))
+    archive = spark.read.parquet(sink)
+    assert dhash_band_pairs(archive).count() == 0
+
+
+def test_chain_components_pin_the_greedy_policy(spark):
+    """Hamming balls are not transitive: with A~C and B~C but A!~B (a
+    chain), the batch components ladder keeps only the component min,
+    while the stream's greedy rule keeps BOTH A and B (they are
+    genuinely dissimilar) and drops C — the policy gap the module
+    docstring documents. Construction note: hamming distance obeys the
+    triangle inequality, so a strict A~C~B chain at bar 3 needs
+    d(A,B) <= 6 — hence 6/3/3."""
+    from sparkstreaming_rawdataingestion_spark.streaming.media_stream import (
+        media_dedup_increment,
+    )
+
+    A = (0b000000, 0, 0, 0)
+    B = (0b111111, 0, 0, 0)  # d(A,B) = 6 > 3: not near-dups
+    C = (0b000111, 0, 0, 0)  # d(A,C) = 3, d(B,C) = 3: C matches both
+    rows = [(1, *A), (2, *B), (3, *C)]
+    bands = spark.createDataFrame(
+        rows,
+        "media_id long, band0 long, band1 long, band2 long, band3 long",
+    )
+    # feed the increment the BANDS directly via a stub hash stage
+    import sparkstreaming_rawdataingestion_spark.streaming.media_stream as ms_mod
+
+    orig = ms_mod.image_dhash_bands
+    ms_mod.image_dhash_bands = lambda df: df
+    try:
+        kept = {
+            r.media_id
+            for r in media_dedup_increment(bands, None).collect()
+        }
+    finally:
+        ms_mod.image_dhash_bands = orig
+    # greedy: C (id 3) matches lower ids 1 and 2 → dropped; A and B are
+    # dissimilar → both kept. Components would keep only {1}.
+    assert kept == {1, 2}
+
+
+def test_same_batch_duplicate_delivery_absorbed(spark, tmp_path):
+    """A duplicate delivery of the SAME media_id landing inside one
+    micro-batch must collapse to one archive row (identical ids never
+    pair under a < b, so only the pre-pairing dedup can absorb it)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        synthesize_dhash_media,
+    )
+    from sparkstreaming_rawdataingestion_spark.streaming.media_stream import (
+        media_dedup_increment,
+    )
+
+    one = synthesize_dhash_media(spark, SF).where("media_id = 0")
+    doubled = one.union(one)
+    out = media_dedup_increment(doubled, None).collect()
+    assert len(out) == 1 and out[0].media_id == 0
