@@ -580,19 +580,35 @@ def _vocab_values_sql(pieces: tuple[str, ...]) -> str:
 # fallback every production tokenizer ends in).
 
 
-def greedy_fold_ctes() -> str:
+def greedy_fold_ctes(with_pieces: bool = False) -> str:
     """THE greedy-fold CTE chain (words → dw → vocab → step → fin) —
     shared by the tokenizer oracle and every downstream consumer oracle
     (the segment_lines discipline: one fold definition, all oracles
     move together). Callers prepend ``WITH RECURSIVE`` and aggregate
-    ``words JOIN fin USING (w)`` however they need."""
+    ``words JOIN fin USING (w)`` however they need.
+
+    ``with_pieces=True`` additionally accumulates the emitted piece
+    TEXTS as a list column (an UNK step appends its single unknown
+    char): the matched piece is by construction ``substr(w, pos+1,
+    len)``, so the accumulation reuses the existing longest-match
+    length — no second vocab probe."""
+    pieces_init = ", CAST([] AS VARCHAR[])" if with_pieces else ""
+    pieces_step = (
+        ",\n         list_append(pieces, substr(step.w, step.pos + 1,"
+        "\n             coalesce((SELECT max(length(piece)) FROM vocab"
+        "\n                       WHERE piece = substr(step.w, step.pos + 1,"
+        "\n                                            length(piece))), 1)))"
+        if with_pieces
+        else ""
+    )
+    pieces_col = ", pieces" if with_pieces else ""
     return f"""words AS (SELECT doc_id,
                  unnest(string_split(coalesce(text, ''), ' ')) AS w
           FROM documents),
 dw AS (SELECT DISTINCT w FROM words),
 vocab(piece) AS (VALUES {_vocab_values_sql(VOCAB_GREEDY_PIECES)}),
-step(w, pos, n_tok, n_unk) AS (
-  SELECT w, 0, 0, 0 FROM dw
+step(w, pos, n_tok, n_unk{pieces_col}) AS (
+  SELECT w, 0, 0, 0{pieces_init} FROM dw
   UNION ALL
   SELECT w,
          pos + coalesce((SELECT max(length(piece)) FROM vocab
@@ -602,10 +618,11 @@ step(w, pos, n_tok, n_unk) AS (
          n_unk + CASE WHEN (SELECT max(length(piece)) FROM vocab
                             WHERE piece = substr(step.w, step.pos + 1,
                                                  length(piece))) IS NULL
-                      THEN 1 ELSE 0 END
+                      THEN 1 ELSE 0 END{pieces_step}
   FROM step WHERE pos < length(w)
 ),
-fin AS (SELECT w, n_tok, n_unk FROM step WHERE pos >= length(w))"""
+fin AS (SELECT w, n_tok, n_unk{pieces_col} FROM step
+        WHERE pos >= length(w))"""
 
 
 _GREEDY_ORACLE = f"""
@@ -725,6 +742,119 @@ def tokenizer_greedy_subword(
 
     return d.select("doc_id", "text", *carry).mapInPandas(
         tokenize_batches, schema=out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_piece_frequencies — corpus vocab-usage census
+# ---------------------------------------------------------------------------
+
+_PIECE_FREQ_ORACLE = f"""
+WITH RECURSIVE
+{greedy_fold_ctes(with_pieces=True)},
+tok AS (SELECT doc_id, unnest(f.pieces) AS piece
+        FROM words JOIN fin f USING (w))
+SELECT piece,
+       CAST(count(*) AS BIGINT)             AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY piece
+"""
+
+
+@_register("tokenizer_piece_frequencies", _PIECE_FREQ_ORACLE)
+def q_tokenizer_piece_frequencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocab-USAGE census under the frozen greedy encoder: for every
+    emitted piece (UNK steps emit their single unknown char), its
+    corpus occurrence count and document frequency — the audit a
+    tokenizer team runs before retiring dead vocab entries or merging
+    hot piece sequences, and the per-piece denominator behind
+    compression-ratio dashboards.
+
+    Plan: the encoder is the same Arrow-batched pure map as
+    tokenizer_greedy_subword but emits per-(doc, piece) counts
+    (pre-aggregated inside the batch via a Counter, so the shuffle
+    carries at most |vocab| rows per doc, not per-token rows); the
+    ONLY exchange is the final piece-keyed aggregation over a key
+    space bounded by |vocab| + |unknown chars|. The oracle extends the
+    SHARED greedy-fold CTE chain with a pieces list accumulated from
+    the existing longest-match length — one fold definition, now
+    certified at the piece-sequence level, not just the counts."""
+    return tokenizer_piece_frequencies(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def tokenizer_piece_frequencies(
+    d: DataFrame, pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES
+) -> DataFrame:
+    """Parameterized kernel behind ``tokenizer_piece_frequencies``."""
+    from collections.abc import Iterator
+
+    import pyspark.sql.types as T
+
+    vocab = frozenset(pieces)
+    max_len = max(len(p) for p in pieces)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("piece", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def encode_word(word: str) -> tuple[str, ...]:
+        out, pos, n = [], 0, len(word)
+        while pos < n:
+            for plen in range(min(max_len, n - pos), 0, -1):
+                if word[pos : pos + plen] in vocab:
+                    out.append(word[pos : pos + plen])
+                    pos += plen
+                    break
+            else:
+                out.append(word[pos])  # UNK: the unknown char itself
+                pos += 1
+        return tuple(out)
+
+    def count_batches(batches: Iterator) -> Iterator:
+        from collections import Counter
+
+        import pandas as pd
+
+        memo: dict = {}
+
+        def enc(w: str) -> tuple[str, ...]:
+            hit = memo.get(w)
+            if hit is None:
+                hit = memo[w] = encode_word(w)
+            return hit
+
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                c: Counter = Counter()
+                for w in (text or "").split(" "):
+                    c.update(enc(w))
+                recs.extend(
+                    {"doc_id": doc_id, "piece": p, "cnt": n}
+                    for p, n in c.items()
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=["doc_id", "piece", "cnt"]
+            )
+
+    per_doc = d.select("doc_id", "text").mapInPandas(
+        count_batches, schema=out_schema
+    )
+    # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION: the
+    # per-doc Counter emits each piece at most once per document (and
+    # doc_id is the documents table's key), so the distinct machinery —
+    # and its second (piece, doc_id) exchange — would be pure overhead
+    return per_doc.groupBy("piece").agg(
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
 
 

@@ -272,6 +272,9 @@ CORE_ORDER: tuple[str, ...] = (
     "tokens_budget_subword",
     "decontamination_semantic_multiprobe",
     "multimodal_image_dedup_clusters",
+    # -- position 51: the overflow queue (outside the driver's [:50]
+    #    gate this round; first driver row next rotation) -------------
+    "tokenizer_piece_frequencies",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot
@@ -279,15 +282,14 @@ CORE_ORDER: tuple[str, ...] = (
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row — EMPTY: the round-8 late additions were promoted
-# into window slots 10-17 once 4-way validated, so every oracle-backed
-# query either has a cumulative driver-green row or sits in this
-# round's checked window. Round 9 starts with a clean queue; new
-# operators enter the window's band-3 slots (or queue here, cap 9)
-# after the usual gate: engine + --plain at sf0.01 AND sf0.1 plus a
-# closed-form fixture test.
+# first driver row. Round 9 queued ONE late addition here instead of
+# displacing a seventh stale re-check — the round's window purpose was
+# re-verification freshness, and six displacements already went to the
+# ops above; tokenizer_piece_frequencies is 4-way validated (engine +
+# --plain at sf0.01 AND sf0.1, hand-counted fixture, single-exchange
+# plan pin) and takes its first driver row at the round-10 rotation.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = ()
+OVERFLOW_QUEUE: tuple[str, ...] = ("tokenizer_piece_frequencies",)
 
 
 def _operator_registries(attr: str) -> dict:

@@ -848,3 +848,16 @@ def test_multiprobe_decon_train_scan_assigned_once_eval_broadcast(
     # fan-out (rk <= SEMDECON_PROBES inside the shared staged kernel)
     assert re.search(r"NOT is_eval#\d+ AND \(rk#\d+ = 1\)", logical)
     assert re.search(r"rk#\d+ <= 2", logical)
+
+
+def test_piece_frequencies_single_piece_keyed_exchange(spark, sf_dir):
+    """The census's only shuffle is the final piece-keyed aggregation
+    (key space bounded by |vocab| + unknown chars): encoder pure-map,
+    per-batch Counter pre-aggregation, one scan, no join."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.q_tokenizer_piece_frequencies(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert plans.count_exchanges(df) == 1

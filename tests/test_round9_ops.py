@@ -370,3 +370,36 @@ def test_image_dedup_clusters_fixture_families(spark):
     assert all(r.is_canonical == (r.media_id % 4 == 0) for r in rows)
     canon = sum(1 for r in rows if r.is_canonical)
     assert canon == len(rows) // 4
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_piece_frequencies
+# ---------------------------------------------------------------------------
+
+
+def test_piece_frequencies_hand_counted(spark):
+    """Hand-applied census over the tiny vocab (letters + tab/le):
+    doc 1 'table table a' → tab:2, le:2, a:1; doc 2 'table x9y' →
+    tab:1, le:1, x:1, 9:1(UNK char), y:1. Census: tab (3 occ, 2 docs),
+    le (3, 2), a (1, 1), x/9/y (1, 1)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        tokenizer_piece_frequencies,
+    )
+
+    pieces = tuple("abcdefghijklmnopqrstuvwxyz") + ("tab", "le")
+    docs = spark.createDataFrame(
+        [(1, "table table a"), (2, "table x9y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.piece: (r.n_occurrences, r.n_docs)
+        for r in tokenizer_piece_frequencies(docs, pieces=pieces).collect()
+    }
+    assert got == {
+        "tab": (3, 2),
+        "le": (3, 2),
+        "a": (1, 1),
+        "x": (1, 1),
+        "9": (1, 1),
+        "y": (1, 1),
+    }
