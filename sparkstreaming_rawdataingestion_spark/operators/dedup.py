@@ -961,6 +961,57 @@ def semantic_cluster_pairs(
 
 
 # ---------------------------------------------------------------------------
+# dedup_semantic_canonical — SemDeDup's prune list
+# ---------------------------------------------------------------------------
+
+_SEM_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_SEMDEDUP_ORACLE}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS vec_id,
+       min(dest) AS cluster_rep,
+       (min(dest) = node) AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+@_register("dedup_semantic_canonical", _SEM_CANONICAL_ORACLE)
+def q_dedup_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's actual OUTPUT — the prune list: within-cluster cosine
+    pairs (dedup_semantic_clusters) collapsed by connected components
+    into one canonical embedding per semantic near-dup family (min
+    vec_id, the policy the SemDeDup paper's keep-one rule defaults to);
+    ``is_canonical`` marks the row a pruning pass keeps. Completes the
+    semantic ladder exactly as dedup_clusters completes the LSH ladder
+    and multimodal_image_dedup_clusters the perceptual one — the same
+    components kernel and recursive-CTE oracle, third instantiation.
+
+    Scale: pair discovery is the plan-pinned cluster-keyed join; the
+    component loop runs over the pair graph only (semantic families
+    are tiny cliques), never the full embedding set."""
+    pairs = semantic_cluster_pairs(
+        catalog.load_table(spark, sf_dir, "embeddings")
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components → canonical representative
 # ---------------------------------------------------------------------------
 

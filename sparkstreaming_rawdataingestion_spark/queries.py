@@ -272,9 +272,10 @@ CORE_ORDER: tuple[str, ...] = (
     "tokens_budget_subword",
     "decontamination_semantic_multiprobe",
     "multimodal_image_dedup_clusters",
-    # -- position 51: the overflow queue (outside the driver's [:50]
-    #    gate this round; first driver row next rotation) -------------
+    # -- positions 51+: the overflow queue (outside the driver's [:50]
+    #    gate this round; first driver rows next rotation) ------------
     "tokenizer_piece_frequencies",
+    "dedup_semantic_canonical",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot
@@ -288,8 +289,13 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # ops above; tokenizer_piece_frequencies is 4-way validated (engine +
 # --plain at sf0.01 AND sf0.1, hand-counted fixture, single-exchange
 # plan pin) and takes its first driver row at the round-10 rotation.
+# dedup_semantic_canonical (the SemDeDup prune list) joined it under
+# the same gate (plus the structural-invariant fixture).
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = ("tokenizer_piece_frequencies",)
+OVERFLOW_QUEUE: tuple[str, ...] = (
+    "tokenizer_piece_frequencies",
+    "dedup_semantic_canonical",
+)
 
 
 def _operator_registries(attr: str) -> dict:

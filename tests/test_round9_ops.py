@@ -403,3 +403,40 @@ def test_piece_frequencies_hand_counted(spark):
         "9": (1, 1),
         "y": (1, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_canonical
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_canonical_is_consistent_with_pairs(spark, sf_dir):
+    """Structural invariants against the pair generator it consumes:
+    every clustered vec appears in >=1 pair, every cluster_rep is the
+    min vec_id reachable in its component, exactly one canonical row
+    per rep, and canonical rows are their own rep."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        q_dedup_semantic_canonical,
+        q_dedup_semantic_clusters,
+    )
+
+    labels = {
+        r.vec_id: (r.cluster_rep, r.is_canonical)
+        for r in q_dedup_semantic_canonical(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in q_dedup_semantic_clusters(spark, sf_dir).collect()
+    ]
+    in_pairs = {v for p in pairs for v in p}
+    assert set(labels) == in_pairs
+    # both endpoints of every pair share a representative
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0]
+    # rep is the component min and is canonical exactly once
+    reps = {rep for rep, _ in labels.values()}
+    for rep in reps:
+        members = [v for v, (r, _) in labels.items() if r == rep]
+        assert rep == min(members)
+    canon = [v for v, (r, c) in labels.items() if c]
+    assert sorted(canon) == sorted(reps)
