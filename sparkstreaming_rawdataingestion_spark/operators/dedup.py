@@ -960,22 +960,32 @@ def semantic_cluster_pairs(
     )
 
 
+def components_ctes(a: str = "doc_a", b: str = "doc_b") -> str:
+    """Oracle-side twin of ``connected_components`` — the edges + reach
+    CTE pair over a preceding ``pairs`` CTE with endpoint columns
+    (``a``, ``b``). ONE closure-algebra definition for every canonical/
+    cluster oracle (this module ×3, profiling ×2, multimodal ×1 — the
+    greedy_fold_ctes consolidation discipline): a future fix to the
+    reachability algebra moves all six oracles together."""
+    return f"""edges AS (
+  SELECT {a} AS src, {b} AS dst FROM pairs
+  UNION
+  SELECT {b}, {a} FROM pairs
+),
+reach(node, dest) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
+)"""
+
+
 # ---------------------------------------------------------------------------
 # dedup_semantic_canonical — SemDeDup's prune list
 # ---------------------------------------------------------------------------
 
 _SEM_CANONICAL_ORACLE = f"""
 WITH RECURSIVE pairs AS ({_SEMDEDUP_ORACLE}),
-edges AS (
-  SELECT vec_a AS src, vec_b AS dst FROM pairs
-  UNION
-  SELECT vec_b, vec_a FROM pairs
-),
-reach(node, dest) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
-)
+{components_ctes("vec_a", "vec_b")}
 SELECT node AS vec_id,
        min(dest) AS cluster_rep,
        (min(dest) = node) AS is_canonical
@@ -1083,16 +1093,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     "dedup_clusters",
     f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, dest) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
-)
+{components_ctes()}
 SELECT node AS doc_id,
        min(dest) AS cluster_rep,
        (min(dest) = node) AS is_canonical
@@ -1120,16 +1121,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANONICAL_ORACLE = f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, dest) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
-),
+{components_ctes()},
 clusters AS (
   SELECT node AS doc_id, min(dest) AS cluster_rep
   FROM reach GROUP BY node

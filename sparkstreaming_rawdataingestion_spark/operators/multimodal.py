@@ -1135,18 +1135,13 @@ def dhash_band_pairs(
 # multimodal_image_dedup_clusters — near-dup families → canonical image
 # ---------------------------------------------------------------------------
 
-_IMAGE_CLUSTERS_ORACLE = f"""
+def _image_clusters_oracle() -> str:
+    from .dedup import components_ctes
+
+    return f"""
 WITH RECURSIVE {_dhash_pairs_ctes()},
-edges AS (
-  SELECT media_a AS src, media_b AS dst FROM dpairs
-  UNION
-  SELECT media_b, media_a FROM dpairs
-),
-reach(node, dest) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
-)
+pairs AS (SELECT media_a, media_b FROM dpairs),
+{components_ctes("media_a", "media_b")}
 SELECT node AS media_id,
        min(dest) AS cluster_rep,
        (min(dest) = node) AS is_canonical
@@ -1155,7 +1150,7 @@ GROUP BY node
 """
 
 
-@_register("multimodal_image_dedup_clusters", _IMAGE_CLUSTERS_ORACLE)
+@_register("multimodal_image_dedup_clusters", _image_clusters_oracle())
 def q_multimodal_image_dedup_clusters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -334,20 +334,11 @@ _SPLIT_CASE = (
 
 
 def _leakage_split_oracle() -> str:
-    from .dedup import _NGRAM_PAIRS_ORACLE
+    from .dedup import _NGRAM_PAIRS_ORACLE, components_ctes
 
     return f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, dest) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
-),
+{components_ctes()},
 clusters AS (SELECT node AS doc_id, min(dest) AS cluster_rep FROM reach GROUP BY node)
 SELECT doc_id, group_id, {_SPLIT_CASE} AS split
 FROM (
@@ -391,22 +382,13 @@ ORACLES["leakage_safe_split"] = _leakage_split_oracle()
 
 
 def _keep_best_oracle() -> str:
-    from .dedup import _NGRAM_PAIRS_ORACLE
+    from .dedup import _NGRAM_PAIRS_ORACLE, components_ctes
     from .text import ORACLES as _TEXT_ORACLES
 
     quality_sql = _TEXT_ORACLES["text_quality_score"]
     return f"""
 WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_ORACLE}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, dest) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.dest FROM edges e JOIN reach r ON e.dst = r.node
-),
+{components_ctes()},
 clusters AS (SELECT node AS doc_id, min(dest) AS cluster_rep FROM reach GROUP BY node),
 q AS ({quality_sql}),
 member AS (

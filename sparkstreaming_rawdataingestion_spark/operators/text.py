@@ -590,8 +590,12 @@ def greedy_fold_ctes(with_pieces: bool = False) -> str:
     ``with_pieces=True`` additionally accumulates the emitted piece
     TEXTS as a list column (an UNK step appends its single unknown
     char): the matched piece is by construction ``substr(w, pos+1,
-    len)``, so the accumulation reuses the existing longest-match
-    length — no second vocab probe."""
+    len)``, so the accumulation needs no NEW matching logic — it
+    repeats the same correlated longest-match probe expression a third
+    time (whether DuckDB CSEs the copies is its business; the cost is
+    oracle-side only, and a LATERAL that would name the length once
+    silently drops rows inside a recursive member in this DuckDB, so
+    the repeated-scalar form is the one that is actually correct)."""
     pieces_init = ", CAST([] AS VARCHAR[])" if with_pieces else ""
     pieces_step = (
         ",\n         list_append(pieces, substr(step.w, step.pos + 1,"
@@ -663,6 +667,38 @@ def q_tokenizer_greedy_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_greedy_encoder(pieces: tuple[str, ...]):
+    """THE single Python implementation of the greedy longest-match
+    rule — returns ``(enc, vocab)`` where ``enc(word)`` yields the
+    memoized tuple of emitted piece texts (an UNK step emits its
+    single unknown char). Both tokenizer kernels (counts and census)
+    derive their outputs from this one fold, mirroring the oracle
+    side's single ``greedy_fold_ctes`` definition: a future matching
+    fix (tie-break, UNK rule) moves every consumer at once. Call
+    INSIDE the mapInPandas closure so the memo is per-task."""
+    vocab = frozenset(pieces)
+    max_len = max(len(p) for p in pieces)
+    memo: dict = {}
+
+    def enc(word: str) -> tuple[str, ...]:
+        hit = memo.get(word)
+        if hit is None:
+            out, pos, n = [], 0, len(word)
+            while pos < n:
+                for plen in range(min(max_len, n - pos), 0, -1):
+                    if word[pos : pos + plen] in vocab:
+                        out.append(word[pos : pos + plen])
+                        pos += plen
+                        break
+                else:
+                    out.append(word[pos])  # UNK: the unknown char
+                    pos += 1
+            hit = memo[word] = tuple(out)
+        return hit
+
+    return enc, vocab
+
+
 def tokenizer_greedy_subword(
     d: DataFrame,
     pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
@@ -678,9 +714,6 @@ def tokenizer_greedy_subword(
 
     import pyspark.sql.types as T
 
-    vocab = frozenset(pieces)
-    max_len = max(len(p) for p in pieces)
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -691,30 +724,10 @@ def tokenizer_greedy_subword(
         + [d.schema[c] for c in carry]
     )
 
-    def encode_word(word: str) -> tuple[int, int]:
-        pos, n_tok, n_unk, n = 0, 0, 0, len(word)
-        while pos < n:
-            for plen in range(min(max_len, n - pos), 0, -1):
-                if word[pos : pos + plen] in vocab:
-                    pos += plen
-                    n_tok += 1
-                    break
-            else:
-                pos += 1
-                n_tok += 1
-                n_unk += 1
-        return n_tok, n_unk
-
     def tokenize_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        memo: dict = {}
-
-        def enc(w: str) -> tuple[int, int]:
-            hit = memo.get(w)
-            if hit is None:
-                hit = memo[w] = encode_word(w)
-            return hit
+        enc, vocab = make_greedy_encoder(pieces)
 
         for pdf in batches:
             recs = []
@@ -727,9 +740,9 @@ def tokenizer_greedy_subword(
                 words = (text or "").split(" ")
                 n_tok = n_unk = 0
                 for w in words:
-                    t, u = enc(w)
-                    n_tok += t
-                    n_unk += u
+                    ps = enc(w)
+                    n_tok += len(ps)
+                    n_unk += sum(1 for p in ps if p not in vocab)
                 rec = {
                     "doc_id": doc_id,
                     "n_words": len(words),
@@ -789,13 +802,13 @@ def q_tokenizer_piece_frequencies(
 def tokenizer_piece_frequencies(
     d: DataFrame, pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES
 ) -> DataFrame:
-    """Parameterized kernel behind ``tokenizer_piece_frequencies``."""
+    """Parameterized kernel behind ``tokenizer_piece_frequencies`` —
+    derives its piece stream from the SAME ``make_greedy_encoder``
+    fold as the counts kernel (one matching implementation, every
+    consumer moves together)."""
     from collections.abc import Iterator
 
     import pyspark.sql.types as T
-
-    vocab = frozenset(pieces)
-    max_len = max(len(p) for p in pieces)
 
     out_schema = T.StructType(
         [
@@ -805,31 +818,12 @@ def tokenizer_piece_frequencies(
         ]
     )
 
-    def encode_word(word: str) -> tuple[str, ...]:
-        out, pos, n = [], 0, len(word)
-        while pos < n:
-            for plen in range(min(max_len, n - pos), 0, -1):
-                if word[pos : pos + plen] in vocab:
-                    out.append(word[pos : pos + plen])
-                    pos += plen
-                    break
-            else:
-                out.append(word[pos])  # UNK: the unknown char itself
-                pos += 1
-        return tuple(out)
-
     def count_batches(batches: Iterator) -> Iterator:
         from collections import Counter
 
         import pandas as pd
 
-        memo: dict = {}
-
-        def enc(w: str) -> tuple[str, ...]:
-            hit = memo.get(w)
-            if hit is None:
-                hit = memo[w] = encode_word(w)
-            return hit
+        enc, _ = make_greedy_encoder(pieces)
 
         for pdf in batches:
             recs = []

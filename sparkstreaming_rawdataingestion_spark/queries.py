@@ -282,15 +282,15 @@ CORE_ORDER: tuple[str, ...] = (
 # carries a full hash check). Pinned by test_core_registry_window.
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
-# Oracle-backed queries past the driver's 50-slot window awaiting their
-# first driver row. Round 9 queued ONE late addition here instead of
-# displacing a seventh stale re-check — the round's window purpose was
-# re-verification freshness, and six displacements already went to the
-# ops above; tokenizer_piece_frequencies is 4-way validated (engine +
-# --plain at sf0.01 AND sf0.1, hand-counted fixture, single-exchange
-# plan pin) and takes its first driver row at the round-10 rotation.
-# dedup_semantic_canonical (the SemDeDup prune list) joined it under
-# the same gate (plus the structural-invariant fixture).
+# Oracle-backed queries past the driver's 50-slot window awaiting
+# their first driver row. Round 9 queued its TWO late additions here
+# instead of displacing a seventh and eighth stale re-check — the
+# round's window purpose was re-verification freshness, and six
+# displacements already went to the ops above. Both are 4-way
+# validated (engine + --plain at sf0.01 AND sf0.1, closed-form
+# fixtures, plan pins: single-exchange census / components-vs-pairs
+# invariants + known-families geometry) and take their first driver
+# rows at the round-10 rotation.
 # test_core_registry_window pins membership, placement and the ≤9 cap.
 OVERFLOW_QUEUE: tuple[str, ...] = (
     "tokenizer_piece_frequencies",

@@ -440,3 +440,41 @@ def test_semantic_canonical_is_consistent_with_pairs(spark, sf_dir):
         assert rep == min(members)
     canon = [v for v, (r, c) in labels.items() if c]
     assert sorted(canon) == sorted(reps)
+
+
+def test_semantic_canonical_known_families(spark):
+    """Closed-form families (the decon geometry, k=2 seeds [1,0]/[0,1],
+    threshold 0.9): cluster-0 clique {0, 2, 4} → rep 0; cluster-1 pair
+    {1, 5} → rep 1; vec 6 [-1,0] pairs with nothing and is absent.
+    An over-merging components regression (e.g. global-min labeling)
+    would collapse the two reps and fail here — the structural test
+    above cannot see that."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        connected_components,
+        semantic_cluster_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.97, 0.03]),
+        (4, [0.95, 0.05]),
+        (5, [0.02, 1.0]),
+        (6, [-1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = semantic_cluster_pairs(e, k=2, threshold=0.9).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    got = {
+        r.node: (r.label, r.label == r.node)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        0: (0, True),
+        2: (0, False),
+        4: (0, False),
+        1: (1, True),
+        5: (1, False),
+    }
