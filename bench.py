@@ -72,6 +72,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # heaviest round-4-family additions. Do not grow past ~44 entries: the
 # driver's 2000-byte tail capture bounds the final JSON line (module
 # docstring).
+#
+# RETIRED (round 10, byte budget): six sub-0.3 s re-checks whose nine
+# rounds of history are flat (r7→r9 all within noise, every round well
+# under 0.75 s) were retired from the panel to make room for the
+# round-10 operators inside the ~1900-byte final-line budget. Each
+# keeps its full r1-r9 longitudinal record in BENCH_r0*.json and stays
+# verified by the correctness gate; tests/test_bench_contract.py pins
+# this list so the retirements stay documented and the r3 panel
+# remains comparable minus exactly these names.
+RETIRED_FROM_HEADLINE = [
+    "stratified_sample",       # 0.14/0.13/0.12 s r7/r8/r9
+    "dedup_exact_hash",        # 0.36/0.27/0.21 s
+    "cdc_latest_per_key",      # 0.56/0.30/0.25 s
+    "scd2_dimension_history",  # 0.35/0.39/0.29 s
+    "sessionize_events",       # 0.38/0.40/0.30 s
+    "multimodal_decode_meta",  # 0.73/0.39/0.24 s
+]
 HEADLINE = [
     "ingest_normalize",
     "ingest_idempotency",
@@ -82,19 +99,16 @@ HEADLINE = [
     "window_topk_per_group",
     "asof_join_purchase_click",
     "set_operations",
-    "dedup_exact_hash",
     "dedup_minhash_lsh_pairs",
     "similarity_topk_bruteforce",
     "text_quality_score",
     "pipeline_curation",
-    "multimodal_decode_meta",
     "q5_regional_revenue",
     "q10_returned_items",
     "q3_shipping_priority",
     "q8_market_share",
     "q18_large_orders",
     "q21_waiting_supplier",
-    "cdc_latest_per_key",
     "window_frames_pack",
     "downsample_gapfill",
     "window_functions_pack",
@@ -105,12 +119,9 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "multimodal_png_roundtrip",
     "graph_pagerank_authority",
-    "sessionize_events",
     "q11_part_value_concentration",
-    "scd2_dimension_history",
     "table_profile",
     "recursive_event_chains",
-    "stratified_sample",
     "dedup_containment_pairs",
     "distribution_drift_ks",
     # round-4 family representatives (heaviest each): full dataset build,

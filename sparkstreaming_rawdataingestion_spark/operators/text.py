@@ -805,7 +805,15 @@ def tokenizer_piece_frequencies(
     """Parameterized kernel behind ``tokenizer_piece_frequencies`` —
     derives its piece stream from the SAME ``make_greedy_encoder``
     fold as the counts kernel (one matching implementation, every
-    consumer moves together)."""
+    consumer moves together).
+
+    Precondition: ``doc_id`` must be unique in ``d`` (true for the
+    documents table, whose key it is). The final aggregation counts
+    ``n_docs`` as ``count(*)`` because the per-doc Counter emits each
+    piece at most once per document — duplicate ``doc_id`` rows would
+    silently inflate ``n_docs`` relative to ``count(DISTINCT doc_id)``.
+    Callers with possibly-duplicated inputs must
+    ``dropDuplicates(["doc_id"])`` first."""
     from collections.abc import Iterator
 
     import pyspark.sql.types as T

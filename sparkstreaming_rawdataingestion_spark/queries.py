@@ -172,110 +172,92 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-9 rotation: with 279/279 oracle-backed queries cumulatively
-# driver-green and an empty queue (round 8), the scarce resource is
-# re-verification FRESHNESS — 115 standing greens date from rounds 1-3,
-# certified under shared kernels (stage(), digest helpers, DECIMAL
-# discipline, seq1) that have all evolved since. This window is the
-# stalest-first sweep the round-8 verdict asked for:
+# Round-10 rotation (stalest-first, continuing the round-9 sweep):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-35  ALL 34 queries whose latest driver-green row is ROUND 1 —
-#         the oldest certificates in the repo.
-#   36-50 round-2-latest entries, chosen for evolved-kernel exposure:
-#         heavy TPC-H joins (q8/q9), multidim/stats/window/streaming
-#         packs, salted-agg equivalence, temporal joins, the
-#         text_analysis_pack bench flag (fresh driver row while the 3x
-#         protocol adjudicates it), and multimodal_pack alongside the
-#         round's image-dedup work — plus the round-9 NEW ops (band
-#         3b), each displacing one r2-latest re-check as it passed the
-#         4-way gate. DISPLACEMENT LEDGER (all five displaced entries
-#         are r2-latest re-checks with a standing driver-green row;
-#         they rotate to the extended region, still locally verified):
-#           nulls_ordering          → decontamination_semantic_pairs
-#           in_exists_subqueries    → tokenizer_greedy_subword
-#           having_filter           → multimodal_image_dhash_pairs
-#           correlated_subquery_above_avg → tokens_budget_subword
-#           lateral_topk_per_group  → decontamination_semantic_multiprobe
-#           salted_agg_equivalence  → multimodal_image_dedup_clusters
+#   2-3   QUEUE DRAIN — the two round-9 OVERFLOW entries take their
+#         first driver rows (the verdict's item 1; restores cumulative
+#         driver-green to N/N).
+#   4-33  ALL 30 queries whose latest driver-green row is ROUND 2 —
+#         after round 9 re-certified every r1-latest green, these are
+#         now the oldest certificates in the repo (includes the six
+#         r2-latest entries the round-9 ledger displaced:
+#         nulls_ordering, in_exists_subqueries, having_filter,
+#         correlated_subquery_above_avg, lateral_topk_per_group,
+#         salted_agg_equivalence).
+#   34-50 r3-latest picks chosen for evolved-kernel exposure (digest
+#         dedup, recursive-CTE folds, multimodal WAV alongside this
+#         round's audio work, ratio/validation packs) — round-10 NEW
+#         ops displace entries from THIS band one-by-one as each
+#         passes the 4-way gate (engine + --plain at sf0.01 AND sf0.1,
+#         closed-form fixture, plan pin). DISPLACEMENT LEDGER (each
+#         displaced entry is an r3-latest re-check with a standing
+#         driver-green row; it rotates to the extended region, still
+#         locally verified every round) — appended to as ops land:
+#           (none yet this round)
 #
-# AUDIT CORRECTION (round-8 ADVICE, low): the round-8 comment above
-# this block undercounted its rotation — SIXTEEN entries left the
-# 50-slot window for the extended region that round, not eight. The
-# full list with actual driver-green row counts at rotation time:
-#   3 rows (r1/r6/r7): text_quality_score, text_langid,
-#     text_tfidf_topterms, asof_join_purchase_click
-#   3 rows (r2/r6/r7): q3_shipping_priority, q5_regional_revenue
-#   3 rows (r3/r6/r7): sessionize_events
-#   3 rows (r4/r6/r7): graph_triangle_count
-#   3 rows (r5/r6/r7): quantile_normalize_sources
-#   1 row  (r7 only): pca_power_iteration_step, theil_sen_sampled,
-#     bootstrap_mean_ci, ndcg_ranking_quality, ctr_wilson_bounds,
-#     label_agreement_kappa, user_burstiness_profile
-# The seven single-row r7 entries got their FIRST driver row in round
-# 7 and rotated out after one certification; all sixteen remain
-# locally verified every round by tools/check_oracles.py.
+# Round-9 history (kept for the audit trail; the full six-entry
+# displacement ledger lives in git history at tag fa5eb9c and in
+# the 4-33 band note above): round 9 re-certified the flagship, all
+# 34 r1-latest greens and 15 r2-latest/new slots — CORRECTNESS_r09
+# was 50/50 hash-green.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: every round-1-latest green (34 oldest certificates) --
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "dedup_embedding_cosine_pairs",
-    "dedup_exact",
-    "filter_project_pushdown",
-    "generator_explode_outer",
-    "generator_posexplode",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_fact_fact_revenue",
-    "join_left_outer_counts",
-    "join_semi",
-    "join_theta_range",
-    "multimodal_binary_stats",
-    "multimodal_decode_meta",
-    "range_join_recent_clicks",
-    "scalar_date_pack",
-    "scalar_json_pack",
-    "scalar_math_pack",
-    "scalar_string_pack",
-    "set_operations",
-    "text_fingerprint",
-    "text_token_stats",
-    "topk_global",
-    "udf_exact_percentiles",
-    "udf_grouped_map_trend",
-    "udf_vectorized_scalar",
-    "vector_algebra_pack",
-    "window_lag_lead",
-    "window_running_total",
-    "window_topk_per_group",
-    # -- band 3: round-2-latest greens, evolved-kernel exposure -------
-    "q8_market_share",
-    "q9_product_profit",
-    "agg_multidim_pack",
-    "stats_agg_pack",
-    "window_functions_pack",
-    "streaming_window_pack",
-    "temporal_join_pack",
-    "text_analysis_pack",
-    "multimodal_pack",
-    # -- band 3b: round-9 new ops (4-way validated: engine + --plain at
-    #    sf0.01 AND sf0.1, closed-form fixture, plan pin) — each entry
-    #    displaced one of the r2-latest placeholders listed in git
-    #    history (nulls_ordering, in_exists_subqueries, having_filter)
-    "decontamination_semantic_pairs",
-    "tokenizer_greedy_subword",
-    "multimodal_image_dhash_pairs",
-    "tokens_budget_subword",
-    "decontamination_semantic_multiprobe",
-    "multimodal_image_dedup_clusters",
-    # -- positions 51+: the overflow queue (outside the driver's [:50]
-    #    gate this round; first driver rows next rotation) ------------
+    # -- band 2: queue drain (first driver rows; verdict item 1) ------
     "tokenizer_piece_frequencies",
     "dedup_semantic_canonical",
+    # -- band 3: every round-2-latest green (30 oldest certificates) --
+    "correlated_subquery_above_avg",
+    "curation_filters_pack",
+    "deterministic_sample",
+    "downsample_gapfill",
+    "having_filter",
+    "in_exists_subqueries",
+    "join_strategies_pack",
+    "lateral_topk_per_group",
+    "limit_offset_pagination",
+    "nulls_ordering",
+    "q10_returned_items",
+    "q11_part_value_concentration",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_part",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "salted_agg_equivalence",
+    "scalar_numeric_temporal_pack",
+    "scalar_semistructured_pack",
+    "scalar_strings_pack",
+    # -- band 4: r3-latest picks, evolved-kernel exposure. The LAST
+    #    entries of this band are the displacement candidates: each
+    #    round-10 new op that passes the 4-way gate replaces one, from
+    #    the bottom up, recording the swap in the ledger above --------
+    "chunk_documents",
+    "contamination_check",
+    "dedup_hot_shingle_report",
+    "dedup_keep_best",
+    "embedding_quantization",
+    "map_algebra_pack",
+    "modern_sql_pack",
+    "multimodal_wav_roundtrip",
+    "pii_redaction",
+    "recursive_event_chains",
+    "session_window_agg",
+    "skew_equivalence_pack",
+    "table_profile",
+    "timeseries_anomaly_zscore",
+    "validation_pack",
+    "text_repetition_filters",
+    "stratified_sample",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot
@@ -283,19 +265,11 @@ CORE_ORDER: tuple[str, ...] = (
 ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting
-# their first driver row. Round 9 queued its TWO late additions here
-# instead of displacing a seventh and eighth stale re-check — the
-# round's window purpose was re-verification freshness, and six
-# displacements already went to the ops above. Both are 4-way
-# validated (engine + --plain at sf0.01 AND sf0.1, closed-form
-# fixtures, plan pins: single-exchange census / components-vs-pairs
-# invariants + known-families geometry) and take their first driver
-# rows at the round-10 rotation.
+# their first driver row. The round-9 queue drained into window
+# slots 2-3 at the round-10 rotation; late round-10 additions that
+# cannot safely displace another band-4 re-check go here (cap 9).
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = (
-    "tokenizer_piece_frequencies",
-    "dedup_semantic_canonical",
-)
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:

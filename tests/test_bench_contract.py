@@ -16,12 +16,12 @@ def test_headline_names_resolve_and_set_is_bounded():
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert missing == []
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
-    # 51 = the round-9 panel (46 + the five round-9 operators). The
-    # REAL bound is the 1900-byte worst-case payload test below, and
-    # at 51 queries it has only ~18 bytes of headroom — the panel is
-    # byte-budget-FULL: any future addition must retire a query (or
-    # shorten names) and re-check that test, not just bump this count.
+    # Round 10 retired six flat sub-0.3 s re-checks (documented in
+    # bench.RETIRED_FROM_HEADLINE) to open byte headroom for the
+    # round-10 operators. The REAL bound stays the 1900-byte
+    # worst-case payload test below; this count is a growth tripwire.
     assert len(bench.HEADLINE) <= 51
+    assert set(bench.RETIRED_FROM_HEADLINE).isdisjoint(bench.HEADLINE)
 
 
 def test_final_line_fits_driver_tail_at_worst_case_timings():
@@ -67,7 +67,10 @@ def test_skew_verdict_flags_drift_and_preload():
 
 def test_headline_keeps_round3_comparable_panel():
     """The 40-query BENCH_r03 panel is the longitudinal baseline; it must
-    stay a subset so per-query times remain comparable across rounds."""
+    stay a subset — minus EXACTLY the documented retirements
+    (bench.RETIRED_FROM_HEADLINE, round 10's byte-budget pruning of
+    flat sub-0.3 s entries) — so per-query times remain comparable
+    across rounds and retirements can never happen silently."""
     sys.path.insert(0, ".")
     import os
 
@@ -75,4 +78,17 @@ def test_headline_keeps_round3_comparable_panel():
 
     path = os.path.join(os.path.dirname(__file__), "..", "BENCH_r03.json")
     r3 = json.load(open(path))["parsed"]["queries"]
-    assert set(r3) <= set(bench.HEADLINE)
+    assert set(r3) - set(bench.RETIRED_FROM_HEADLINE) <= set(bench.HEADLINE)
+    # every retiree must actually come from a recorded panel (no
+    # retiring a name that was never benched)
+    benched_ever = set(r3) | set(bench.HEADLINE)
+    for f in sorted(
+        os.listdir(os.path.join(os.path.dirname(__file__), ".."))
+    ):
+        if f.startswith("BENCH_r") and f.endswith(".json"):
+            parsed = json.load(
+                open(os.path.join(os.path.dirname(__file__), "..", f))
+            ).get("parsed")
+            if parsed:
+                benched_ever |= set(parsed.get("queries", {}))
+    assert set(bench.RETIRED_FROM_HEADLINE) <= benched_ever

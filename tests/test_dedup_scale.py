@@ -103,24 +103,21 @@ def test_core_registry_window():
     import json
     import os
 
+    import glob
+
     green: set = set()
-    for rec in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-        "CORRECTNESS_r07.json",
-        "CORRECTNESS_r08.json",
+    for path in sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"
+            )
+        )
     ):
-        path = os.path.join(os.path.dirname(__file__), "..", rec)
-        if os.path.exists(path):
-            green |= {
-                k
-                for k, v in json.load(open(path)).items()
-                if v.get("hash_match")
-            }
+        green |= {
+            k
+            for k, v in json.load(open(path)).items()
+            if v.get("hash_match")
+        }
     never_green_oracle_backed = set(o) - green
     untracked = (
         never_green_oracle_backed - set(CORE_ORDER[:50]) - set(OVERFLOW_QUEUE)
