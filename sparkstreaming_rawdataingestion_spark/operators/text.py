@@ -580,7 +580,11 @@ def _vocab_values_sql(pieces: tuple[str, ...]) -> str:
 # fallback every production tokenizer ends in).
 
 
-def greedy_fold_ctes(with_pieces: bool = False) -> str:
+def greedy_fold_ctes(
+    with_pieces: bool = False,
+    vocab_sql: str | None = None,
+    include_words: bool = True,
+) -> str:
     """THE greedy-fold CTE chain (words → dw → vocab → step → fin) —
     shared by the tokenizer oracle and every downstream consumer oracle
     (the segment_lines discipline: one fold definition, all oracles
@@ -595,7 +599,14 @@ def greedy_fold_ctes(with_pieces: bool = False) -> str:
     time (whether DuckDB CSEs the copies is its business; the cost is
     oracle-side only, and a LATERAL that would name the length once
     silently drops rows inside a recursive member in this DuckDB, so
-    the repeated-scalar form is the one that is actually correct)."""
+    the repeated-scalar form is the one that is actually correct).
+
+    ``vocab_sql``: SELECT body overriding the frozen
+    VOCAB_GREEDY_PIECES VALUES list — the BPE roundtrip oracle feeds
+    the LEARNED vocab in (it must exclude '' pieces: a zero-length
+    match would stall the fold's position advance). ``include_words=
+    False`` omits the words/dw prelude for callers whose CTE chain
+    already defines them (same column shape: (doc_id, w))."""
     pieces_init = ", CAST([] AS VARCHAR[])" if with_pieces else ""
     pieces_step = (
         ",\n         list_append(pieces, substr(step.w, step.pos + 1,"
@@ -606,11 +617,21 @@ def greedy_fold_ctes(with_pieces: bool = False) -> str:
         else ""
     )
     pieces_col = ", pieces" if with_pieces else ""
-    return f"""words AS (SELECT doc_id,
+    words_prelude = (
+        """words AS (SELECT doc_id,
                  unnest(string_split(coalesce(text, ''), ' ')) AS w
           FROM documents),
-dw AS (SELECT DISTINCT w FROM words),
-vocab(piece) AS (VALUES {_vocab_values_sql(VOCAB_GREEDY_PIECES)}),
+"""
+        if include_words
+        else ""
+    )
+    vocab_body = (
+        vocab_sql
+        if vocab_sql is not None
+        else f"VALUES {_vocab_values_sql(VOCAB_GREEDY_PIECES)}"
+    )
+    return f"""{words_prelude}dw AS (SELECT DISTINCT w FROM words),
+vocab(piece) AS ({vocab_body}),
 step(w, pos, n_tok, n_unk{pieces_col}) AS (
   SELECT w, 0, 0, 0{pieces_init} FROM dw
   UNION ALL
