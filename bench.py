@@ -142,6 +142,10 @@ HEADLINE = [
     "tokens_budget_subword",
     "decontamination_semantic_pairs",
     "decontamination_semantic_multiprobe",
+    # round-10 additions: the BPE vocabulary trainer (N=12 distributed
+    # merge iterations) and its train→encode composition
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_roundtrip",
 ]
 
 

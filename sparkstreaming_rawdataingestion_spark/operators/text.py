@@ -605,14 +605,40 @@ def greedy_fold_ctes(
     VOCAB_GREEDY_PIECES VALUES list — the BPE roundtrip oracle feeds
     the LEARNED vocab in (it must exclude '' pieces: a zero-length
     match would stall the fold's position advance). ``include_words=
-    False`` omits the words/dw prelude for callers whose CTE chain
-    already defines them (same column shape: (doc_id, w))."""
+    False`` omits the words prelude for callers whose CTE chain
+    already defines it (same column shape: (doc_id, w)).
+
+    Two probe forms for the longest-match length, same semantics:
+    the frozen-VALUES vocab keeps the driver-certified correlated
+    scalar subquery; a ``vocab_sql`` vocab is first collapsed into a
+    one-row LIST scalar (``vl``, materialized) cross-joined into the
+    recursive member and probed with a list comprehension — this
+    DuckDB evaluates correlated subqueries over CTE-derived vocabs
+    INCORRECTLY inside recursive members (plain: wrong lengths;
+    MATERIALIZED: empty), so the list form is the one that is
+    actually correct there (measured on the BPE fixture: the
+    subquery form misses 'newest' at pos 0 yet finds 'ewest' at
+    pos 1)."""
+    if vocab_sql is None:
+        probe = (
+            "(SELECT max(length(piece)) FROM vocab WHERE piece ="
+            " substr(step.w, step.pos + 1, length(piece)))"
+        )
+        vl_cte = ""
+        step_from = "FROM step WHERE pos < length(w)"
+    else:
+        probe = (
+            "list_max([length(p) FOR p IN vl.ps IF p ="
+            " substr(step.w, step.pos + 1, length(p))])"
+        )
+        vl_cte = (
+            "vl AS MATERIALIZED (SELECT list(piece) AS ps FROM vocab),\n"
+        )
+        step_from = "FROM step, vl WHERE pos < length(w)"
     pieces_init = ", CAST([] AS VARCHAR[])" if with_pieces else ""
     pieces_step = (
-        ",\n         list_append(pieces, substr(step.w, step.pos + 1,"
-        "\n             coalesce((SELECT max(length(piece)) FROM vocab"
-        "\n                       WHERE piece = substr(step.w, step.pos + 1,"
-        "\n                                            length(piece))), 1)))"
+        f",\n         list_append(pieces, substr(step.w, step.pos + 1,"
+        f"\n             coalesce({probe}, 1)))"
         if with_pieces
         else ""
     )
@@ -632,19 +658,15 @@ def greedy_fold_ctes(
     )
     return f"""{words_prelude}dw AS (SELECT DISTINCT w FROM words),
 vocab(piece) AS ({vocab_body}),
-step(w, pos, n_tok, n_unk{pieces_col}) AS (
+{vl_cte}step(w, pos, n_tok, n_unk{pieces_col}) AS (
   SELECT w, 0, 0, 0{pieces_init} FROM dw
   UNION ALL
   SELECT w,
-         pos + coalesce((SELECT max(length(piece)) FROM vocab
-                         WHERE piece = substr(step.w, step.pos + 1,
-                                              length(piece))), 1),
+         pos + coalesce({probe}, 1),
          n_tok + 1,
-         n_unk + CASE WHEN (SELECT max(length(piece)) FROM vocab
-                            WHERE piece = substr(step.w, step.pos + 1,
-                                                 length(piece))) IS NULL
+         n_unk + CASE WHEN {probe} IS NULL
                       THEN 1 ELSE 0 END{pieces_step}
-  FROM step WHERE pos < length(w)
+  {step_from}
 ),
 fin AS (SELECT w, n_tok, n_unk{pieces_col} FROM step
         WHERE pos >= length(w))"""
@@ -879,6 +901,285 @@ def tokenizer_piece_frequencies(
         F.sum("cnt").cast("long").alias("n_occurrences"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_train — learn a merge-pair vocabulary from the corpus
+# ---------------------------------------------------------------------------
+
+# Number of merge steps the registry query learns. Bounded and FIXED so
+# the oracle (one chained CTE block per step) and the engine always run
+# the same number of iterations; the hand fixture corpus (the classic
+# low/lower/newest/widest example from Sennrich et al. 2016, "Neural
+# Machine Translation of Rare Words with Subword Units") exhausts to
+# whole words in exactly this many merges.
+BPE_MERGE_STEPS = 12
+
+
+def _bpe_step_ctes(k: int) -> str:
+    """One BPE merge step as a CTE block: count adjacent piece pairs
+    over the previous step's sequences (weighted by word frequency),
+    pick the argmax pair (lexicographic (lhs, rhs) tie-break), apply it
+    everywhere. Sequences are encoded as ``@tok@@tok@...@tok@`` strings
+    — every token wrapped in ``@`` sentinels — so a single ``replace``
+    of ``@l@@r@`` with ``@lr@`` IS the left-to-right non-overlapping
+    merge (the consumed trailing sentinel makes adjacent occurrences
+    like ``a a a`` merge as ``(aa) a``, exactly the Spark fold's rule).
+    Safe because '@' cannot appear inside a token: the corpus alphabet
+    is the documents table's a-z + space (the engine side never uses a
+    separator at all, so any future corpus that violated this would
+    fail the hash gate loudly, not silently)."""
+    prev = f"seq{k - 1}"
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # seq{k}/best{k} are each referenced twice per step — inlined, the
+    # N-step chain expands 2^N-fold and never finishes
+    return f"""toks{k} AS (SELECT cnt, string_split(trim(seq, '@'), '@@') AS t
+           FROM {prev}),
+pairs{k} AS (SELECT l, r, sum(cnt) AS c FROM (
+    SELECT cnt,
+           unnest([t[i] FOR i IN range(1, len(t))]) AS l,
+           unnest([t[i + 1] FOR i IN range(1, len(t))]) AS r
+    FROM toks{k}) GROUP BY l, r),
+best{k} AS MATERIALIZED (SELECT l, r, c FROM pairs{k}
+                         ORDER BY c DESC, l, r LIMIT 1),
+seq{k} AS MATERIALIZED (SELECT w.cnt,
+                  replace(w.seq, '@' || b.l || '@@' || b.r || '@',
+                          '@' || b.l || b.r || '@') AS seq
+           FROM {prev} w, best{k} b)"""
+
+
+def _bpe_train_ctes(n_merges: int = BPE_MERGE_STEPS) -> str:
+    """The full trainer chain (wc → seq0 → toks/pairs/best/seq 1..N) —
+    shared by the trainer oracle and the roundtrip oracle (the
+    greedy_fold_ctes discipline: one definition, all consumers move
+    together). Expects a ``words(doc_id, w)`` CTE upstream."""
+    steps = ",\n".join(_bpe_step_ctes(k) for k in range(1, n_merges + 1))
+    return f"""wc AS (SELECT w, count(*) AS cnt FROM words
+          WHERE w <> '' GROUP BY w),
+seq0 AS (SELECT cnt,
+                '@' || array_to_string(regexp_extract_all(w, '.'), '@@')
+                    || '@' AS seq
+         FROM wc),
+{steps}"""
+
+
+def _bpe_merges_select(n_merges: int = BPE_MERGE_STEPS) -> str:
+    """SELECT over the trainer chain producing the merge table."""
+    return " UNION ALL ".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+
+
+_BPE_TRAIN_ORACLE = f"""
+WITH words AS (SELECT doc_id,
+                      unnest(string_split(coalesce(text, ''), ' ')) AS w
+               FROM documents),
+{_bpe_train_ctes()}
+{_bpe_merges_select()}
+"""
+
+
+@_register("tokenizer_bpe_train", _BPE_TRAIN_ORACLE)
+def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair vocabulary TRAINER (Sennrich et al. 2016) — the
+    frozen-vocab encoder's missing half: learn BPE_MERGE_STEPS merges
+    from the corpus by iterating (count adjacent piece pairs corpus-
+    wide weighted by word frequency → pick the argmax pair, ties broken
+    lexicographically on (lhs, rhs) → merge it everywhere, left-to-
+    right non-overlapping). Output: the ordered merge table — the
+    artifact a tokenizer team ships.
+
+    Plan shape per step: ONE map-side pair explode over the DISTINCT-
+    word working set + one pair-keyed partial/final aggregation; the
+    merge application is a pure-JVM F.aggregate fold (no UDF anywhere).
+    The corpus itself is scanned exactly once (the word-frequency
+    groupBy); all N iterations run on the vocab-scale word table —
+    the standard trainer decomposition, which is why BPE training is
+    tractable at 100 TB: the loop state is |distinct words|, not
+    corpus rows. Each step collects exactly ONE row (the argmax pair)
+    to drive the next broadcast merge — the pagerank-style bounded
+    per-iteration driver scalar, not a data collect. The oracle replays
+    the identical N steps as chained CTEs, merging via sentinel-
+    delimited string replace (see _bpe_step_ctes)."""
+    return bpe_train_merges(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+def _bpe_word_pieces(d: DataFrame) -> DataFrame:
+    """Trainer working set: the DISTINCT-word frequency table with each
+    word split to its character list (no empty words, no empty pieces).
+    This is the ONLY corpus-scale scan the trainer ever runs — all N
+    iterations operate on this vocab-scale table."""
+    return (
+        d.select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # split on the empty pattern = the character list
+        .select("cnt", F.split("w", "").alias("pieces"))
+    )
+
+
+def _bpe_pair_counts(pieces: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts, map-side: zip the piece
+    array with its own tail via a struct-typed transform over the
+    0-based lambda index (no posexplode self-join — the explode feeds
+    the pair-keyed partial/final aggregation directly)."""
+    return (
+        pieces.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(slice(pieces, 1, size(pieces) - 1),"
+                    " (x, i) -> struct(x AS lhs, pieces[i + 1] AS rhs))"
+                )
+            ).alias("pr"),
+        )
+        .groupBy("pr.lhs", "pr.rhs")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _bpe_apply_merge(pieces: DataFrame, l: str, r: str) -> DataFrame:
+    """Apply merge (l, r) everywhere: left-to-right non-overlapping
+    fold, pure JVM (F.aggregate — no UDF). acc.prev holds the last
+    uncommitted token; (prev=l, x=r) fuses into l||r which STAYS
+    pending (strictly longer than l, so it can never left-match again
+    this step) — exactly the oracle's sentinel-replace semantics."""
+    merged = l + r
+    zero = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def flush(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    fold = F.aggregate(
+        "pieces",
+        zero,
+        lambda acc, x: F.when(
+            (acc["prev"] == F.lit(l)) & (x == F.lit(r)),
+            F.struct(acc["out"].alias("out"), F.lit(merged).alias("prev")),
+        ).otherwise(F.struct(flush(acc).alias("out"), x.alias("prev"))),
+        flush,
+    )
+    return pieces.select("cnt", fold.alias("pieces"))
+
+
+def bpe_train_merges(
+    d: DataFrame, n_merges: int = BPE_MERGE_STEPS
+) -> DataFrame:
+    """Parameterized trainer kernel — ``d`` needs (doc_id, text).
+    Returns the merge table (step, lhs, rhs, merged, pair_count).
+    Stops early (fewer rows) only if the corpus exhausts to whole
+    words before ``n_merges`` — the registry corpora never do."""
+    from .. import session
+
+    spark = d.sparkSession
+    pieces = session.stage(_bpe_word_pieces(d))
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts(pieces)
+            .orderBy(F.desc("c"), "lhs", "rhs")
+            .first()
+        )
+        if top is None:
+            break
+        l, r, c = top["lhs"], top["rhs"], int(top["c"])
+        merges.append((step, l, r, l + r, c))
+        # re-stage per step: the .first() above just materialized the
+        # previous stage, so each fold runs ONCE from cache (linear
+        # total work), not k times from lineage (quadratic)
+        pieces = session.stage(_bpe_apply_merge(pieces, l, r))
+
+    return spark.createDataFrame(
+        merges,
+        schema="step INT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_roundtrip — encode the corpus under the LEARNED vocab
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDTRIP_VOCAB_SQL = (
+    "SELECT DISTINCT unnest(regexp_extract_all(w, '.')) FROM dw "
+    + " ".join(
+        f"UNION SELECT l || r FROM best{k}"
+        for k in range(1, BPE_MERGE_STEPS + 1)
+    )
+)
+
+_BPE_ROUNDTRIP_ORACLE = f"""
+WITH RECURSIVE
+words AS (SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS w
+          FROM documents),
+{_bpe_train_ctes()},
+{greedy_fold_ctes(vocab_sql=_BPE_ROUNDTRIP_VOCAB_SQL, include_words=False)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)   AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_unk) AS BIGINT) AS n_unk
+FROM words JOIN fin USING (w)
+GROUP BY doc_id
+"""
+
+
+@_register("tokenizer_bpe_roundtrip", _BPE_ROUNDTRIP_ORACLE)
+def q_tokenizer_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN → ENCODE composition: learn BPE_MERGE_STEPS merges from
+    the corpus (bpe_train_merges), then encode the SAME corpus under
+    the learned vocabulary — corpus alphabet (char fallback) plus the
+    merged pieces — via the house greedy longest-match encoder
+    (make_greedy_encoder, WordPiece inference rule), reporting per-doc
+    token counts. This is the number a data-mix planner actually wants
+    from a trainer: how many tokens the corpus costs under the vocab
+    it just learned. n_unk is structurally 0 (the alphabet comes from
+    the corpus itself) — the hash gate certifies that too.
+
+    Plan: the trainer loop (vocab-scale, see q_tokenizer_bpe_train)
+    collects the N-row merge table + the bounded corpus alphabet; the
+    encode pass is the SAME zero-shuffle Arrow map as
+    tokenizer_greedy_subword with the learned pieces broadcast by
+    closure. The oracle chains the trainer CTEs into greedy_fold_ctes
+    via vocab_sql — one fold definition, one trainer definition, the
+    composition certified end to end."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    merge_rows = bpe_train_merges(d).collect()  # N rows, bounded
+    # corpus alphabet = the char-fallback tier of the learned vocab
+    # (bounded by the charset, ~tens of rows — not a data collect)
+    alphabet = [
+        r["ch"]
+        for r in (
+            d.select(
+                F.explode(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), "")
+                ).alias("ch")
+            )
+            .where(F.col("ch") != "")
+            .where(F.col("ch") != " ")
+            .distinct()
+            .collect()
+        )
+    ]
+    learned = tuple(sorted(alphabet)) + tuple(
+        r["merged"] for r in merge_rows
+    )
+    return tokenizer_greedy_subword(d, pieces=learned)
 
 
 # ---------------------------------------------------------------------------

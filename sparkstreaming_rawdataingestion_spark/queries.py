@@ -193,7 +193,8 @@ _QUERY_MODULES = (
 #         displaced entry is an r3-latest re-check with a standing
 #         driver-green row; it rotates to the extended region, still
 #         locally verified every round) — appended to as ops land:
-#           (none yet this round)
+#           tokenizer_bpe_train      displaced stratified_sample
+#           tokenizer_bpe_roundtrip  displaced text_repetition_filters
 #
 # Round-9 history (kept for the audit trail; the full six-entry
 # displacement ledger lives in git history at tag fa5eb9c and in
@@ -256,8 +257,8 @@ CORE_ORDER: tuple[str, ...] = (
     "table_profile",
     "timeseries_anomaly_zscore",
     "validation_pack",
-    "text_repetition_filters",
-    "stratified_sample",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_roundtrip",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

@@ -861,3 +861,41 @@ def test_piece_frequencies_single_piece_keyed_exchange(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
     assert plans.count_exchanges(df) == 1
+
+
+def test_bpe_trainer_stages_are_pure_jvm(spark, sf_dir):
+    """The trainer's 100 TB contract: the corpus is scanned exactly
+    once (the word-frequency groupBy); every per-iteration stage —
+    pair explode, pair-keyed aggregation, merge fold — is built-in
+    column algebra with NO Python evaluation anywhere (the fold is
+    F.aggregate, not a UDF), so the vocab-scale loop rides whole-stage
+    codegen end to end."""
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    pieces = text._bpe_word_pieces(d)
+    step = text._bpe_apply_merge(text._bpe_word_pieces(d), "e", "r")
+    for df in (text._bpe_pair_counts(pieces), step):
+        p = plans.executed_plan(df)
+        assert "Scan parquet" in p and p.count("Scan parquet") == 1
+        assert "Join" not in p
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in p
+    # word-count agg + pair agg: exactly two key exchanges, both over
+    # vocab-scale keys, never corpus rows
+    assert plans.count_exchanges(text._bpe_pair_counts(pieces)) == 2
+
+
+def test_bpe_roundtrip_encode_is_a_pure_map(spark, sf_dir):
+    """The roundtrip's encode pass inherits the greedy tokenizer's
+    plan shape: one scan, Arrow-batched map, zero exchanges — the
+    learned vocab rides in by closure, never by join."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.q_tokenizer_bpe_roundtrip(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert "MapInPandas" in p

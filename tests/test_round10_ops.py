@@ -1,0 +1,181 @@
+"""Round-10 operator fixtures — closed-form, hand-computed answers.
+
+Oracle parity cannot catch a formula bug shared by engine and oracle
+(the round-6 Wilson lesson), so every new operator here gets a fixture
+whose expected output is derived by hand before either engine runs.
+"""
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_train
+# ---------------------------------------------------------------------------
+
+# The classic BPE example (Sennrich et al. 2016): corpus word counts
+# low×5, lower×2, newest×6, widest×3. All 12 merges hand-computed from
+# the pair-count tables (argmax count, lexicographic (lhs, rhs)
+# tie-break); at N=12 the corpus exhausts to whole words:
+#   step 1: (e,s)=9 ties (s,t)=9 → 'es' (lexicographic)
+#   step 2: (es,t)=9 → 'est'
+#   step 3: (l,o)=7 ties (o,w)=7 → 'lo'
+#   step 4: (lo,w)=7 → 'low'
+#   step 5: (e,w)=6 ties (n,e),(w,est) → 'ew'
+#   step 6: (ew,est)=6 ties (n,ew) → 'ewest'
+#   step 7: (n,ewest)=6 → 'newest'
+#   step 8: (d,est)=3 ties (i,d),(w,i) → 'dest'
+#   step 9: (i,dest)=3 ties (w,i) → 'idest'
+#   step 10: (w,idest)=3 → 'widest'
+#   step 11: (e,r)=2 ties (low,e) → 'er'
+#   step 12: (low,er)=2 → 'lower'
+SENNRICH_MERGES = [
+    (1, "e", "s", "es", 9),
+    (2, "es", "t", "est", 9),
+    (3, "l", "o", "lo", 7),
+    (4, "lo", "w", "low", 7),
+    (5, "e", "w", "ew", 6),
+    (6, "ew", "est", "ewest", 6),
+    (7, "n", "ewest", "newest", 6),
+    (8, "d", "est", "dest", 3),
+    (9, "i", "dest", "idest", 3),
+    (10, "w", "idest", "widest", 3),
+    (11, "e", "r", "er", 2),
+    (12, "low", "er", "lower", 2),
+]
+
+
+def _sennrich_docs(spark):
+    rows, i = [], 0
+    for w, n in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_trainer_matches_hand_computed_sennrich_merges(spark):
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in sorted(
+            bpe_train_merges(_sennrich_docs(spark)).collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    assert got == SENNRICH_MERGES
+
+
+def test_bpe_trainer_oracle_replays_the_same_merges():
+    """The chained-CTE oracle (sentinel-delimited string replace) must
+    reproduce the hand table too — certifying the replay, not just the
+    engine."""
+    import duckdb
+
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _BPE_TRAIN_ORACLE,
+    )
+
+    con = duckdb.connect()
+    vals, i = [], 0
+    for w, n in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
+        for _ in range(n):
+            vals.append(f"({i}, '{w}')")
+            i += 1
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") t(doc_id, text)"
+    )
+    got = con.execute(_BPE_TRAIN_ORACLE + " ORDER BY step").fetchall()
+    assert [tuple(r) for r in got] == SENNRICH_MERGES
+
+
+def test_bpe_merge_application_is_left_to_right_non_overlapping(spark):
+    """'aaaa' under merge (a,a) must become (aa)(aa) — and 'aaa' must
+    become (aa)(a), never a(aa): the left-to-right non-overlap rule
+    both the Spark fold and the oracle's sentinel replace implement.
+    Corpus: 'aaaa'×3 + 'aaa'×2 → step-1 pair counts (a,a) = 3·3+2·2
+    = 13, merge 'aa'; step-2 counts: aaaa→[aa,aa] gives (aa,aa)=3,
+    aaa→[aa,a] gives (aa,a)=2 → argmax (aa,aa) → 'aaaa' with count 3
+    (a(aa) folding would instead leave no (aa,aa) pair at all)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "aaaa"), (2, "aaaa"), (3, "aaa"), (4, "aaa")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in sorted(
+            bpe_train_merges(docs, n_merges=2).collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    assert got == [(1, "a", "a", "aa", 13), (2, "aa", "aa", "aaaa", 3)]
+
+
+def test_bpe_trainer_stops_when_the_corpus_exhausts(spark):
+    """A corpus of repeated single-char words has no adjacent pairs
+    after 0 merges — the trainer returns an empty merge table instead
+    of erroring (the registry corpora never hit this)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a")], "doc_id long, text string"
+    )
+    assert bpe_train_merges(docs, n_merges=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_roundtrip — the train → encode composition
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_roundtrip_collapses_fixture_words_to_single_tokens(spark):
+    """After the 12 Sennrich merges every corpus word IS a vocab piece,
+    so the greedy encoder (make_greedy_encoder under alphabet+merges)
+    emits exactly 1 token per word and 0 UNKs — the composition test
+    from the round-9 brief, run through the registry query itself."""
+    import os
+
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        q_tokenizer_bpe_roundtrip,
+    )
+
+    # the registry callable reads documents from a dir: write the
+    # fixture corpus as a one-table sf dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        _sennrich_docs(spark).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        got = {
+            r.doc_id: (r.n_words, r.n_tokens, r.n_unk)
+            for r in q_tokenizer_bpe_roundtrip(spark, td).collect()
+        }
+    assert got == {i: (1, 1, 0) for i in range(16)}
+
+
+def test_bpe_learned_vocab_composes_with_the_greedy_encoder():
+    """Direct make_greedy_encoder composition on the learned pieces:
+    'lowest' (NOT a corpus word) must encode as low+est under the
+    Sennrich vocab — the learned merges generalize through the greedy
+    longest-match rule."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        make_greedy_encoder,
+    )
+
+    learned = tuple("deilnorstw") + tuple(m[3] for m in SENNRICH_MERGES)
+    enc, _ = make_greedy_encoder(learned)
+    assert enc("lowest") == ("low", "est")
+    assert enc("newest") == ("newest",)
+    # 'ow' is NOT a Sennrich merge, so 'widow' falls back to chars
+    assert enc("widow") == ("w", "i", "d", "o", "w")
