@@ -73,9 +73,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # driver's 2000-byte tail capture bounds the final JSON line (module
 # docstring).
 #
-# RETIRED (round 10, byte budget): six sub-0.3 s re-checks whose nine
-# rounds of history are flat (r7→r9 all within noise, every round well
-# under 0.75 s) were retired from the panel to make room for the
+# RETIRED (round 10, byte budget): seven flat sub-second re-checks whose
+# nine rounds of history are flat (r7→r9 all within noise, every round
+# well under 0.75 s) were retired from the panel to make room for the
 # round-10 operators inside the ~1900-byte final-line budget. Each
 # keeps its full r1-r9 longitudinal record in BENCH_r0*.json and stays
 # verified by the correctness gate; tests/test_bench_contract.py pins
@@ -88,6 +88,8 @@ RETIRED_FROM_HEADLINE = [
     "scd2_dimension_history",  # 0.35/0.39/0.29 s
     "sessionize_events",       # 0.38/0.40/0.30 s
     "multimodal_decode_meta",  # 0.73/0.39/0.24 s
+    "window_topk_per_group",   # 0.70/0.42/0.36 s (r10; window coverage
+                               # stays via window_functions/frames packs)
 ]
 HEADLINE = [
     "ingest_normalize",
@@ -96,7 +98,6 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_fact_fact_revenue",
     "join_broadcast_dims",
-    "window_topk_per_group",
     "asof_join_purchase_click",
     "set_operations",
     "dedup_minhash_lsh_pairs",
@@ -143,9 +144,11 @@ HEADLINE = [
     "decontamination_semantic_pairs",
     "decontamination_semantic_multiprobe",
     # round-10 additions: the BPE vocabulary trainer (N=12 distributed
-    # merge iterations) and its train→encode composition
+    # merge iterations), its train→encode composition, and audio
+    # fingerprint near-dup over real WAV decode
     "tokenizer_bpe_train",
     "tokenizer_bpe_roundtrip",
+    "multimodal_audio_fingerprint_pairs",
 ]
 
 

@@ -977,6 +977,30 @@ def _dhash_px_sql(i: str, y: str) -> str:
     )
 
 
+def band_pairs_sql(pairs_name: str, max_hamming: int = DHASH_MAX_HAMMING) -> str:
+    """Candidate + verified-pair CTEs over an upstream ``bands(media_id,
+    band_idx, band_val)`` CTE — the SQL twin of ``dhash_band_pairs``,
+    shared by the image dHash and audio fingerprint oracles (one pair
+    algebra on the engine side, one on the oracle side)."""
+    return f"""cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+),
+{pairs_name} AS (
+  SELECT c.media_a, c.media_b,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+           AS hamming
+  FROM cand c
+  JOIN bands x ON x.media_id = c.media_a
+  JOIN bands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
+  GROUP BY 1, 2
+  HAVING sum(bit_count(xor(x.band_val, y.band_val)))
+           <= {max_hamming}
+)"""
+
+
 def _dhash_pairs_ctes() -> str:
     """The dHash pipeline as a composable CTE chain (p → cells → bits →
     bands → cand) plus a ``dpairs`` CTE holding the verified pairs —
@@ -1009,23 +1033,7 @@ bands AS (
   FROM bits WHERE c < 8
   GROUP BY media_id, r // 2
 ),
-cand AS (
-  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-   AND a.media_id < b.media_id
-),
-dpairs AS (
-  SELECT c.media_a, c.media_b,
-         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
-           AS hamming
-  FROM cand c
-  JOIN bands x ON x.media_id = c.media_a
-  JOIN bands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
-  GROUP BY 1, 2
-  HAVING sum(bit_count(xor(x.band_val, y.band_val)))
-           <= {DHASH_MAX_HAMMING}
-)"""
+{band_pairs_sql("dpairs")}"""
 
 
 _DHASH_ORACLE = f"""
@@ -1179,3 +1187,211 @@ def q_multimodal_image_dedup_clusters(
         F.col("label").alias("cluster_rep"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_fingerprint_pairs — perceptual audio near-dup
+# ---------------------------------------------------------------------------
+
+# Audio near-duplicate detection by a frame-energy delta fingerprint —
+# the audio member of the perceptual-hash family (the shape of
+# Haitsma-Kalker 2002's robust audio hash, reduced to the time-domain
+# energy envelope so the signature stays INTEGER-exact end to end):
+# decode PCM → frame the samples → per-frame energy (sum of |sample|,
+# an integer) → 64 sign-of-delta bits (energy rises frame-to-frame or
+# it doesn't) → the SAME 4×16-bit banding, pigeonhole candidate join
+# and hamming verify as the image dHash (dhash_band_pairs, reused
+# verbatim). The delta-sign envelope is invariant to uniform amplitude
+# scaling by construction — every energy scales by the same positive
+# factor, so every strict comparison is unchanged — which is exactly
+# the "re-mastered / volume-normalized copy" class an audio dedup pass
+# must catch and byte-level dedup cannot.
+AFP_FRAMES = 65  # 64 delta bits
+AFP_FRAME_SIZE = 8  # samples per frame → 520-sample clips
+AFP_ENV_MOD = 1000
+AFP_BUMP = 1500  # variant-3 frame-0 perturbation (see synth docstring)
+AFP_FAMILY_VARIANTS = 4
+
+
+def _afp_env(f: int, k: int) -> int:
+    """The fixture envelope formula — Python twin of ``_afp_env_sql``."""
+    q = f * 131 + k * 9176 + 77
+    return ((q * q) % 65521) % AFP_ENV_MOD
+
+
+def _afp_env_sql(k: str) -> str:
+    """The envelope formula as a SQL fragment — SQL twin of ``_afp_env``."""
+    q = f"(f * 131 + ({k}) * 9176 + 77)"
+    return f"((({q} * {q}) % 65521) % {AFP_ENV_MOD})"
+
+
+def synthesize_afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode stage: one real 16-bit PCM WAV per document.
+
+    Clip formula (all integer arithmetic, replayed verbatim by the
+    oracle): family f = media_id // 4, variant v = media_id % 4,
+    per-frame envelope
+
+        env(f, k) = (((f*131 + k*9176 + 77)^2) % 65521) % 1000
+
+    (the dHash lesson applies unchanged: a QUADRATIC mix keeps families
+    from being phase shifts of one shared sawtooth, so cross-family
+    delta signs decorrelate). Frame k holds AFP_FRAME_SIZE alternating
+    ±amp samples with
+
+        amp = (env + (1500 if v == 3 and k == 0 else 0))
+              * (1 if v == 3 else v + 1)
+
+    Variants 0-2 are amplitude-scaled copies (×1/×2/×3 — fingerprint-
+    identical by delta-sign invariance); variant 3 is unscaled but its
+    FIRST frame is bumped far above the envelope range, flipping
+    exactly bit 0 (frame 0 participates in no other delta) whenever the
+    family's bit 0 was a rise — the near-but-not-identical copy that
+    exercises nonzero hamming through the verify join. Bounded at
+    (999 + 1500)·1 and 999·3 < 32767: no int16 wrap, so decoded
+    samples are exactly the formula values."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") / AFP_FAMILY_VARIANTS).cast("long").alias("f"),
+        (F.col("doc_id") % AFP_FAMILY_VARIANTS).cast("long").alias("v"),
+    )
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples():
+                scale = 1 if r.v == 3 else r.v + 1
+                samples = []
+                for k in range(AFP_FRAMES):
+                    amp = (
+                        _afp_env(r.f, k)
+                        + (AFP_BUMP if r.v == 3 and k == 0 else 0)
+                    ) * scale
+                    samples.extend(
+                        amp if t % 2 == 0 else -amp
+                        for t in range(AFP_FRAME_SIZE)
+                    )
+                payloads.append(media_codecs.wav_encode(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint_bands(media: DataFrame) -> DataFrame:
+    """Decode + fingerprint stage: real RIFF/WAVE parse → frame the
+    samples (AFP_FRAMES × AFP_FRAME_SIZE) → integer frame energies
+    (sum of |sample|) → 64 delta-sign bits packed as 4 × 16-bit band
+    values (bit k at band k // 16, weight 1 << (k % 16)). Integer
+    arithmetic end to end — strict > comparisons — so the oracle can
+    replay the exact fingerprint from the clip formula. Pure map over
+    splits: zero shuffle; at 100 TB the fingerprint costs one scan.
+
+    Mono 16-bit clips of exactly AFP_FRAMES × AFP_FRAME_SIZE samples
+    are required (the fixture's); a production pipeline resamples /
+    windows to the frame grid first — resampling is codec territory,
+    not fingerprint territory."""
+
+    def hash_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.wav_decode(bytes(payload))
+                n = AFP_FRAMES * AFP_FRAME_SIZE
+                if d["n_channels"] != 1 or len(d["samples"]) != n:
+                    raise ValueError(
+                        "audio fingerprint expects mono clips of "
+                        f"{n} samples, got {d['n_channels']}ch × "
+                        f"{len(d['samples'])}"
+                    )
+                a = np.abs(
+                    np.asarray(d["samples"], dtype=np.int64)
+                ).reshape(AFP_FRAMES, AFP_FRAME_SIZE)
+                e = a.sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)  # 64 deltas
+                rec = {"media_id": mid}
+                for band in range(DHASH_BANDS):
+                    seg = bits[16 * band : 16 * (band + 1)]
+                    rec[f"band{band}"] = int(
+                        (seg << np.arange(16, dtype=np.int64)).sum()
+                    )
+                recs.append(rec)
+            yield pd.DataFrame.from_records(recs)
+
+    return media.mapInPandas(hash_batches, schema=DHASH_BANDS_SCHEMA)
+
+
+def _afp_pairs_ctes() -> str:
+    """The audio-fingerprint pipeline as a composable CTE chain (ap →
+    fr → abits → bands) ending in the SHARED band_pairs_sql block —
+    one pair algebra for image and audio, oracle side too."""
+    energy = (
+        f"8 * ({_afp_env_sql('k.k')}"
+        f" + CASE WHEN v = 3 AND k.k = 0 THEN {AFP_BUMP} ELSE 0 END)"
+        f" * (CASE WHEN v = 3 THEN 1 ELSE v + 1 END)"
+    )
+    return f"""ap AS (
+  SELECT doc_id AS media_id,
+         doc_id // {AFP_FAMILY_VARIANTS} AS f,
+         doc_id %  {AFP_FAMILY_VARIANTS} AS v
+  FROM documents
+),
+fr AS (
+  SELECT media_id, k.k AS k, {energy} AS e
+  FROM ap, range({AFP_FRAMES}) k(k)
+),
+abits AS (
+  SELECT media_id, k,
+         CASE WHEN lead(e) OVER (PARTITION BY media_id ORDER BY k) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM fr
+),
+bands AS (
+  SELECT media_id, k // 16 AS band_idx,
+         CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS band_val
+  FROM abits WHERE k < {AFP_FRAMES - 1}
+  GROUP BY media_id, k // 16
+),
+{band_pairs_sql("apairs")}"""
+
+
+_AFP_ORACLE = f"""
+WITH {_afp_pairs_ctes()}
+SELECT media_a, media_b, hamming FROM apairs
+"""
+
+
+@_register("multimodal_audio_fingerprint_pairs", _AFP_ORACLE)
+def q_multimodal_audio_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup pairs by frame-energy delta fingerprint over REAL
+    WAV decode: synthesize one 520-sample PCM clip per document
+    (amplitude-scaled families of {AFP_FAMILY_VARIANTS}), parse it back
+    through the stdlib RIFF/WAVE reader, fingerprint to 64 delta-sign
+    bits, and emit every pair at hamming <= {DHASH_MAX_HAMMING} via the
+    pigeonhole band join — dhash_band_pairs REUSED VERBATIM, the
+    round-9 image-dedup pattern extended to the third modality. The
+    oracle replays clip formula -> energies -> bits -> bands -> pairs,
+    so the hash certifies codec roundtrip AND fingerprint kernel AND
+    pair algebra together."""
+    from ..session import stage
+
+    bands = stage(
+        audio_fingerprint_bands(synthesize_afp_media(spark, sf_dir))
+    )
+    return dhash_band_pairs(bands)

@@ -195,6 +195,7 @@ _QUERY_MODULES = (
 #         locally verified every round) — appended to as ops land:
 #           tokenizer_bpe_train      displaced stratified_sample
 #           tokenizer_bpe_roundtrip  displaced text_repetition_filters
+#           multimodal_audio_fingerprint_pairs displaced validation_pack
 #
 # Round-9 history (kept for the audit trail; the full six-entry
 # displacement ledger lives in git history at tag fa5eb9c and in
@@ -256,9 +257,9 @@ CORE_ORDER: tuple[str, ...] = (
     "skew_equivalence_pack",
     "table_profile",
     "timeseries_anomaly_zscore",
-    "validation_pack",
     "tokenizer_bpe_train",
     "tokenizer_bpe_roundtrip",
+    "multimodal_audio_fingerprint_pairs",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

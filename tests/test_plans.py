@@ -899,3 +899,20 @@ def test_bpe_roundtrip_encode_is_a_pure_map(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
     assert "MapInPandas" in p
+
+
+def test_audio_fingerprint_pair_join_is_band_keyed(spark, sf_dir):
+    """The audio near-dup contract mirrors the image one (the pair
+    stage IS dhash_band_pairs): fingerprint pure-map and staged once,
+    candidates from the (band_idx, band_val) equi-join, no cartesian
+    or nested-loop broadcast anywhere."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_fingerprint_pairs(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged band frame
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )

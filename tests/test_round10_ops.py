@@ -179,3 +179,100 @@ def test_bpe_learned_vocab_composes_with_the_greedy_encoder():
     assert enc("newest") == ("newest",)
     # 'ow' is NOT a Sennrich merge, so 'widow' falls back to chars
     assert enc("widow") == ("w", "i", "d", "o", "w")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_fingerprint_pairs
+# ---------------------------------------------------------------------------
+
+
+def _wav_media(spark, clips):
+    """Encode {media_id: [frame amps]} as real WAV rows (8 alternating
+    ±amp samples per frame)."""
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+
+    rows = []
+    for mid, amps in clips.items():
+        samples = []
+        for amp in amps:
+            samples.extend(amp if t % 2 == 0 else -amp for t in range(8))
+        rows.append((mid, "audio/wav", media_codecs.wav_encode(samples)))
+    return spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    )
+
+
+def test_audio_fingerprint_hand_computed_bands_and_pairs(spark):
+    """Hand-built 65-frame clips:
+
+    - media 0: amplitude envelope alternating 10/20 → delta bits
+      alternate 1,0 from bit 0 → every 16-bit band = 0x5555 = 21845.
+    - media 1: the ×3 amplitude-scaled copy → identical bands
+      (delta-sign invariance) → pair (0,1) hamming 0.
+    - media 2: copy of 0 with frame 0 bumped to 100 (energy 800 > the
+      160 of frame 1) → ONLY bit 0 flips → band0 = 21844, bands 1-3
+      unchanged → pairs (0,2) and (1,2) at hamming 1.
+    - media 3: monotone rising envelope → all bits 1 → every band =
+      0xFFFF: no band agrees with 0/1/2, so the pigeonhole join never
+      even pairs it (distinct tone stays distinct).
+    """
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+        dhash_band_pairs,
+    )
+
+    alt = [10 if k % 2 == 0 else 20 for k in range(65)]
+    clips = {
+        0: alt,
+        1: [3 * a for a in alt],
+        2: [100] + alt[1:],
+        3: [10 + k for k in range(65)],
+    }
+    bands = audio_fingerprint_bands(_wav_media(spark, clips))
+    got_bands = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in bands.collect()
+    }
+    assert got_bands[0] == (21845, 21845, 21845, 21845)
+    assert got_bands[1] == got_bands[0]
+    assert got_bands[2] == (21844, 21845, 21845, 21845)
+    assert got_bands[3] == (65535, 65535, 65535, 65535)
+
+    got_pairs = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in dhash_band_pairs(bands).collect()
+    }
+    assert got_pairs == {(0, 1, 0), (0, 2, 1), (1, 2, 1)}
+
+
+def test_audio_fingerprint_is_amplitude_scale_invariant(spark):
+    """Any uniform positive scaling of an arbitrary envelope leaves the
+    fingerprint bit-identical (every strict energy comparison scales on
+    both sides)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+    )
+
+    env = [((k * k * 37) % 991) + 1 for k in range(65)]
+    clips = {0: env, 1: [7 * a for a in env]}
+    got = {
+        r.media_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in audio_fingerprint_bands(_wav_media(spark, clips)).collect()
+    }
+    assert got[0] == got[1]
+
+
+def test_audio_fingerprint_rejects_wrong_shape_clips(spark):
+    """The documented contract: clips that are not mono 520-sample PCM
+    raise (quarantine-routable), never silently mis-fingerprint."""
+    import pytest as _pytest
+
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+    )
+
+    short = _wav_media(spark, {0: [10, 20, 30]})  # 24 samples, not 520
+    with _pytest.raises(Exception, match="520 samples"):
+        audio_fingerprint_bands(short).collect()
