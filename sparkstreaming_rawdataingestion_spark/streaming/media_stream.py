@@ -1,9 +1,9 @@
 """Incremental (streaming) image dedup — the micro-batch form of the
 ``multimodal_image_dhash_pairs`` / ``multimodal_image_dedup_clusters``
 ladder: each arriving batch of media is perceptually hashed, deduped
-against BOTH itself (drop anything matching a lower media_id — the
-greedy rule) and the accumulated archive's band index (the archive
-always wins), then its surviving BAND ROWS are appended.
+against the accumulated archive's band index FIRST (the archive always
+wins), then within itself by the SEQUENTIAL greedy rule, and its
+surviving BAND ROWS are appended.
 
 The archive stores hashes, not payloads: 4 small ints per image (the
 dHash bands) are the only cross-batch state — at 100 TB of media the
@@ -13,21 +13,36 @@ them. This is the curation_stream design (the dedup state IS the
 archive table, not a state store) applied to the perceptual-hash
 domain.
 
+POLICY (the round-9 chain-gap fix, stated exactly): the stream
+implements sequential greedy admission — processing images in
+media_id order, an image is KEPT iff it matches no already-KEPT
+image. Within a batch this is computed by wave-parallel greedy MIS
+(``greedy_batch_losers``): a loser must match a lower image that
+itself KEPT, so an image whose only lower matches all lost survives.
+Because the archive check runs BEFORE the within-batch pass (an image
+that loses to the archive cannot drop a batch-mate), the survivor set
+under id-ordered arrival is INVARIANT to micro-batch boundaries — the
+same images are kept whether a match chain arrives in one batch or
+split across many (test-pinned both ways).
+
 Invariant (the curation_stream contract, transplanted): the archive is
-PAIRWISE near-dup-free — any two kept images would make the higher id
-a loser at its own admission, so no two archived hashes are within the
+PAIRWISE near-dup-free — greedy admission only ever keeps an image
+matching nothing kept, so no two archived hashes are within the
 hamming bar of each other. For CLIQUE-shaped near-dup families (every
 member similar to every member — the synthesized fixture, and the
 overwhelming real shape for brightness/re-encode copies) this equals
 the batch ladder's canonical set exactly under id-ordered arrival. For
 CHAIN-shaped components (A~C, B~C, A!~B — hamming balls are not
-transitive) the two POLICIES legitimately differ: connected components
-keeps one representative per chain (merging genuinely-dissimilar A and
-B), while this stream keeps every image that matches nothing kept
-before it — more survivors, each pairwise distinct. The divergence is
-the same greedy-vs-components gap curation_stream documents for its
-contested text clusters; tests pin both the clique equality and the
-chain behavior.
+transitive) the two POLICIES legitimately differ, and must: connected
+components keeps one representative per chain (merging genuinely-
+dissimilar A and B), while sequential greedy keeps every image that
+matches nothing kept before it — more survivors, each pairwise
+distinct. No online rule can match the components answer for chains:
+the component min can become reachable only through a HIGHER-id image
+that arrives later (2-3-1 paths), after the stream already had to
+decide on 2. The divergence is the same greedy-vs-components gap
+curation_stream documents for its contested text clusters; tests pin
+the clique equality, the chain behavior, and the boundary invariance.
 
 Guarantee: at-least-once delivery absorbed idempotently — a replayed
 image band-matches its own archived hash at hamming 0 and is dropped
@@ -55,43 +70,110 @@ ARCHIVE_COLUMNS = ("media_id",) + tuple(
 )
 
 
+def greedy_batch_losers(pairs: DataFrame, max_waves: int = 64) -> DataFrame:
+    """Loser set of the SEQUENTIAL greedy rule over one batch's pair
+    edges (media_a < media_b): processing ids in ascending order, an
+    image loses iff it matches some lower image that itself KEPT — an
+    image whose every lower match already lost SURVIVES (the round-9
+    chain gap: the old drop-any-media_b rule killed it).
+
+    Wave-parallel greedy MIS over the id-ordered edge DAG, the
+    connected_components loop discipline (driver-side control flow
+    over lazily built plans): each wave keeps every a-side node with
+    no remaining incoming edge (the DAG's minimum always qualifies, so
+    progress is guaranteed while edges remain), marks its b-side
+    neighbors losers, and removes every decided node's edges. Waves
+    are bounded by the longest match chain — near-dup graphs are tiny
+    cliques and short chains; a clique resolves in ONE wave. All joins
+    run on the PAIR graph only, never the batch."""
+    from ..session import stage
+
+    edges = stage(pairs.select("media_a", "media_b").distinct())
+    losers: DataFrame | None = None
+    for _ in range(max_waves):
+        if edges.isEmpty():
+            break
+        targets = edges.select(
+            F.col("media_b").alias("media_id")
+        ).distinct()
+        winners = (
+            edges.select(F.col("media_a").alias("media_id"))
+            .distinct()
+            .join(targets, "media_id", "left_anti")
+        )
+        new_losers = (
+            edges.join(
+                winners.withColumnRenamed("media_id", "media_a"),
+                "media_a",
+            )
+            .select(F.col("media_b").alias("media_id"))
+            .distinct()
+        )
+        losers = stage(
+            new_losers
+            if losers is None
+            else losers.union(new_losers).distinct()
+        )
+        # an edge survives only while BOTH ends are undecided: a-side
+        # winners already dropped their neighbors, and a-side/b-side
+        # losers must not drop anyone (exactly the sequential rule)
+        edges = stage(
+            edges.join(
+                winners.union(losers)
+                .distinct()
+                .withColumnRenamed("media_id", "media_a"),
+                "media_a",
+                "left_anti",
+            ).join(
+                losers.withColumnRenamed("media_id", "media_b"),
+                "media_b",
+                "left_anti",
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"greedy MIS did not converge in {max_waves} waves — a "
+            "match chain deeper than the bound (raise max_waves)"
+        )
+    if losers is None:
+        return pairs.select(
+            F.col("media_b").alias("media_id")
+        ).where(F.lit(False))
+    return losers
+
+
 def media_dedup_increment(
     batch_media: DataFrame, archive: DataFrame | None
 ) -> DataFrame:
     """Dedup one micro-batch of media against the archive; returns the
-    band rows to append (ARCHIVE_COLUMNS)."""
+    band rows to append (ARCHIVE_COLUMNS). Order is load-bearing:
+    archive losers leave BEFORE the within-batch greedy pass, so a
+    batch-mate of an archive loser is judged only against images that
+    actually kept — the condition for micro-batch-boundary invariance
+    (module docstring)."""
     from ..session import stage
 
-    # staged: feeds the within-batch pair check (two legs) and the
-    # kept anti-join; released by the caller. The media_id dedup
-    # collapses same-batch duplicate deliveries BEFORE pairing —
+    # staged: feeds the archive check, the pair check (two legs each)
+    # and the kept anti-join; released by the caller. The media_id
+    # dedup collapses same-batch duplicate deliveries BEFORE pairing —
     # identical ids never pair (a < b), so without it both copies
     # would be archived and the unique-id invariant broken forever.
     bands = stage(
         image_dhash_bands(batch_media).dropDuplicates(["media_id"])
     )
-    # within-batch near-dup: drop anything matching a lower media_id
-    # (the greedy rule; kept rows are pairwise non-similar — see the
-    # module invariant)
-    batch_losers = (
-        dhash_band_pairs(bands)
-        .select(F.col("media_b").alias("media_id"))
-        .distinct()
-    )
-    # staged too: the archive cross-check reads kept for its candidate
-    # AND verify legs plus the final anti-join — unstaged, each
-    # reference would re-execute the within-batch pair shuffle
-    kept = stage(bands.join(batch_losers, "media_id", "left_anti"))
     if archive is not None:
-        # cross-batch: batch hashes vs the archived band index — the
-        # archive always wins (a replayed image matches itself at
+        # cross-batch FIRST: batch hashes vs the archived band index —
+        # the archive always wins (a replayed image matches itself at
         # hamming 0 and is absorbed here)
         arch_losers = (
-            dhash_band_pairs(kept, archive.select(*ARCHIVE_COLUMNS))
+            dhash_band_pairs(bands, archive.select(*ARCHIVE_COLUMNS))
             .select(F.col("media_a").alias("media_id"))
             .distinct()
         )
-        kept = kept.join(arch_losers, "media_id", "left_anti")
+        bands = stage(bands.join(arch_losers, "media_id", "left_anti"))
+    # within-batch: sequential greedy over the survivors' pair graph
+    batch_losers = greedy_batch_losers(dhash_band_pairs(bands))
+    kept = bands.join(batch_losers, "media_id", "left_anti")
     return kept.select(*ARCHIVE_COLUMNS)
 
 

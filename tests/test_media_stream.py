@@ -152,3 +152,78 @@ def test_same_batch_duplicate_delivery_absorbed(spark, tmp_path):
     doubled = one.union(one)
     out = media_dedup_increment(doubled, None).collect()
     assert len(out) == 1 and out[0].media_id == 0
+
+
+def _increment_on_bands(spark, rows, archive_rows=None):
+    """Feed media_dedup_increment raw BAND rows via a stub hash stage."""
+    import sparkstreaming_rawdataingestion_spark.streaming.media_stream as m
+
+    schema = (
+        "media_id long, band0 long, band1 long, band2 long, band3 long"
+    )
+    bands = spark.createDataFrame(rows, schema)
+    archive = (
+        spark.createDataFrame(archive_rows, schema)
+        if archive_rows is not None
+        else None
+    )
+    orig = m.image_dhash_bands
+    m.image_dhash_bands = lambda df: df
+    try:
+        return {
+            r.media_id
+            for r in m.media_dedup_increment(bands, archive).collect()
+        }
+    finally:
+        m.image_dhash_bands = orig
+
+
+def test_sequential_greedy_chain_is_batch_boundary_invariant(spark):
+    """The round-9 ADVICE chain: A~B, B~C, A!~C (ids 1,2,3). Sequential
+    greedy keeps {A, C} — B loses to kept A, C's only match B already
+    lost — and the stream must produce EXACTLY that set whether the
+    chain arrives in one micro-batch or split across three."""
+    A = (1, 0b000000, 0, 0, 0)
+    B = (2, 0b000111, 0, 0, 0)  # d(A,B) = 3: match
+    C = (3, 0b111111, 0, 0, 0)  # d(B,C) = 3: match; d(A,C) = 6: no
+    # one batch
+    assert _increment_on_bands(spark, [A, B, C]) == {1, 3}
+    # split: batch {A} → archive; batch {B} vs {A} → dropped;
+    # batch {C} vs {A} → kept (B never archived)
+    assert _increment_on_bands(spark, [B], [A]) == set()
+    assert _increment_on_bands(spark, [C], [A]) == {3}
+
+
+def test_archive_loser_cannot_drop_its_batch_mates(spark):
+    """Order-of-checks pin: archive holds A; one batch delivers B (~A)
+    and C (~B, !~A). B loses to the archive FIRST, so it must not drop
+    C in the within-batch pass — global sequential greedy keeps C."""
+    A = (1, 0b000000, 0, 0, 0)
+    B = (2, 0b000111, 0, 0, 0)
+    C = (3, 0b111111, 0, 0, 0)
+    assert _increment_on_bands(spark, [B, C], [A]) == {3}
+
+
+def test_greedy_mis_resolves_a_clique_in_one_wave_and_deep_chains(spark):
+    """greedy_batch_losers directly: a 4-clique loses everyone but the
+    min; a 5-deep alternating chain (1~2~3~4~5, nothing else) loses
+    exactly the even ids — the wave loop must iterate past one round."""
+    from sparkstreaming_rawdataingestion_spark.streaming.media_stream import (
+        greedy_batch_losers,
+    )
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "media_a long, media_b long",
+    )
+    assert {
+        r.media_id for r in greedy_batch_losers(clique).collect()
+    } == {2, 3, 4}
+
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(1, 5)], "media_a long, media_b long"
+    )
+    # sequential: 1 kept, 2 loses, 3 kept (2 lost), 4 loses, 5 kept
+    assert {
+        r.media_id for r in greedy_batch_losers(chain).collect()
+    } == {2, 4}
