@@ -923,16 +923,23 @@ def semantic_cluster_pairs(
     e: DataFrame,
     k: int = SEMDEDUP_K,
     threshold: float = SEMDEDUP_THRESHOLD,
+    restrict_to: DataFrame | None = None,
 ) -> DataFrame:
     """The parameterized kernel behind ``dedup_semantic_clusters`` —
     ``e`` is an embeddings table (vec_id, embedding); centroids are the
-    deterministic vec_id < k seeds."""
+    deterministic vec_id < k seeds. ``restrict_to`` (a one-column
+    ``vec_id`` frame) limits the ASSIGNED vector set — the pipeline's
+    survivor-restricted semantic stage — while the centroid seeds stay
+    the full-table model parameters, so restricting never moves the
+    cluster geometry."""
     from .similarity import _emb_double, kmeans_assign
 
     cents = e.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), _emb_double().alias("ce")
     )
     vecs = e.select("vec_id", _emb_double().alias("ve"))
+    if restrict_to is not None:
+        vecs = vecs.join(restrict_to, "vec_id", "left_semi")
     # staged: consumed by both sides of the pair self-join — without it
     # the crossJoin+window assignment subtree would execute twice
     assigned = stage(kmeans_assign(vecs, cents).select("vec_id", "cid", "ve"))

@@ -389,9 +389,18 @@ def q_pipeline_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept set pays the shuffle-rank sort — each stage's output is the
     next stage's (smaller) input. Every stage is built-in column algebra
     riding the plans already pinned for its standalone operator."""
+    final = _stages(spark, sf_dir)["near_dedup"].select("doc_id")
+    return _build_manifest(spark, sf_dir, final)
+
+
+def _build_manifest(
+    spark: SparkSession, sf_dir: str, final: DataFrame
+) -> DataFrame:
+    """Mix + shuffle tail shared by both training builds: temperature-
+    scaled source rebalancing over the survivor set, then the
+    deterministic epoch-shuffle (bucket, pos) manifest."""
     from .mining import _MMH2
 
-    final = _stages(spark, sf_dir)["near_dedup"].select("doc_id")
     src = catalog.load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
@@ -441,6 +450,122 @@ def q_pipeline_training_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % _BUILD_BUCKETS).alias("bucket"),
         F.row_number().over(wpos).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_build_semantic — + the SemDeDup prune as a stage
+# ---------------------------------------------------------------------------
+
+
+def _semantic_build_oracle() -> str:
+    """The training-build oracle with the SemDeDup prune spliced in as
+    a stage between near-dedup and the mix tail — the
+    _classified_stages_sql anchor discipline (explicit raise on drift,
+    never a silent no-op replace). Three splices:
+
+    1. the survivor restriction: _SEMDEDUP_ORACLE's ``v`` CTE gains
+       ``WHERE vec_id IN (SELECT doc_id FROM final)`` (centroid seeds
+       stay the full-table model parameters — restricting must not
+       move the cluster geometry);
+    2. the spliced pair SQL + the SHARED components_ctes reachability
+       kernel + the prune (drop every non-component-min survivor)
+       appended after ``final``;
+    3. the build tail re-anchored from ``final`` to ``sem_final``, and
+       the chain promoted to WITH RECURSIVE for ``reach``."""
+    from .dedup import _SEMDEDUP_ORACLE, components_ctes
+
+    v_cte = "v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)"
+    head_anchor = "WITH tokd AS ("
+    tail_anchor = "FROM final f JOIN documents d USING (doc_id))"
+    if (
+        v_cte not in _SEMDEDUP_ORACLE
+        or head_anchor not in _ORACLE_STAGES
+        or tail_anchor not in _BUILD_ORACLE_TAIL
+    ):
+        raise RuntimeError(
+            "semantic-build splice anchors missing: an upstream oracle "
+            "template drifted"
+        )
+    pairs_sql = _SEMDEDUP_ORACLE.replace(
+        v_cte,
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings"
+        "\n     WHERE vec_id IN (SELECT doc_id FROM final))",
+    )
+    sem_stage = f"""
+, pairs AS ({pairs_sql}),
+{components_ctes("vec_a", "vec_b")},
+sem_dropped AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(dest) <> node),
+sem_final AS (
+  SELECT * FROM final
+  WHERE doc_id NOT IN (SELECT doc_id FROM sem_dropped))
+"""
+    return (
+        _ORACLE_STAGES.replace(head_anchor, "WITH RECURSIVE tokd AS (", 1)
+        + sem_stage
+        + _BUILD_ORACLE_TAIL.replace(
+            tail_anchor,
+            "FROM sem_final f JOIN documents d USING (doc_id))",
+        )
+    )
+
+
+@_register("pipeline_training_build_semantic", _semantic_build_oracle())
+def q_pipeline_training_build_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The training build with SemDeDup as a fifth curation stage
+    (Abbas et al. 2023 report semantic dedup ON TOP of exact/near-dup
+    removal improves downstream efficiency): heuristics → exact dedup
+    → near-dup removal → SEMANTIC prune → mix → shuffle. The semantic
+    stage embeds the SURVIVORS (vec_id = doc_id, the retrieval.py
+    convention), keeps the centroid seeds as full-table model
+    parameters, finds within-cluster cosine pairs among survivors only
+    (dedup.semantic_cluster_pairs with restrict_to — the standalone
+    kernel, parameterized, not a copy), collapses them by the shared
+    connected-components kernel, and drops every non-component-min
+    survivor — so every semantic family present in the survivor set
+    keeps exactly one member, even when the corpus-global canonical
+    died in an earlier stage.
+
+    Stage-order economics at 100 TB, extended: the embedding
+    assignment (broadcast K centroids, map-side) runs only on curation
+    survivors; the cosine pair join is cluster-bounded over that
+    reduced set; the component loop touches the pair graph only. The
+    mix tail then counts the semantically-pruned set — rates move when
+    semantic families collapse, which is the point of ordering mixing
+    last."""
+    from .dedup import connected_components, semantic_cluster_pairs
+
+    # staged: the survivor set feeds the embedding semi-join, the prune
+    # anti-join AND the manifest join
+    final = stage(_stages(spark, sf_dir)["near_dedup"].select("doc_id"))
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_cluster_pairs(
+        emb,
+        restrict_to=final.select(F.col("doc_id").alias("vec_id")),
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    sem_dropped = (
+        connected_components(pairs)
+        .where(F.col("label") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
+        # LOGICAL-PLAN TRUNCATION, deliberate (and measured): the CC
+        # loop's label lineage references its own prior iterations and
+        # the pair subtree multiple times per level, so composing the
+        # raw frame into the multi-reference mix tail compounds the
+        # logical TREE (not the runtime — every subtree is staged)
+        # into thousands of cache-scan references: ~37 s of physical
+        # planning + ~109 s of per-reference scheduling per action at
+        # sf0.01. localCheckpoint collapses the drop list (bare ids, a
+        # fraction of the survivor set) to a plan leaf — the same
+        # trade GraphX/MLlib make for iterative lineage, accepted HERE
+        # ONLY because persist cannot shrink the logical tree; the
+        # session-wide staging rule (session.py) still prefers persist
+        # everywhere composition stays linear.
+        .localCheckpoint()
+    )
+    sem_final = final.join(sem_dropped, "doc_id", "left_anti")
+    return _build_manifest(spark, sf_dir, sem_final)
 
 
 # ---------------------------------------------------------------------------

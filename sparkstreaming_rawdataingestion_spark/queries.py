@@ -196,6 +196,7 @@ _QUERY_MODULES = (
 #           tokenizer_bpe_train      displaced stratified_sample
 #           tokenizer_bpe_roundtrip  displaced text_repetition_filters
 #           multimodal_audio_fingerprint_pairs displaced validation_pack
+#           pipeline_training_build_semantic displaced timeseries_anomaly_zscore
 #
 # Round-9 history (kept for the audit trail; the full six-entry
 # displacement ledger lives in git history at tag fa5eb9c and in
@@ -256,7 +257,7 @@ CORE_ORDER: tuple[str, ...] = (
     "session_window_agg",
     "skew_equivalence_pack",
     "table_profile",
-    "timeseries_anomaly_zscore",
+    "pipeline_training_build_semantic",
     "tokenizer_bpe_train",
     "tokenizer_bpe_roundtrip",
     "multimodal_audio_fingerprint_pairs",

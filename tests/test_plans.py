@@ -916,3 +916,23 @@ def test_audio_fingerprint_pair_join_is_band_keyed(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_semantic_build_plan_is_truncated_and_jvm_side(spark, sf_dir):
+    """The semantic training build's scale contract: no cartesian, no
+    Python eval anywhere (kmeans assignment, cosine pairs, components
+    and the mix tail are all column algebra), the only nested-loop
+    broadcast is the K-row centroid fanout, and the CC drop list
+    enters the mix tail as a TRUNCATED plan leaf (Scan ExistingRDD —
+    the measured fix for the iterative-lineage logical-tree blowup:
+    thousands of cache-scan references → a handful)."""
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+
+    df = pipeline.q_pipeline_training_build_semantic(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # centroid fanout
+    assert p.count("Scan ExistingRDD") >= 1  # truncated drop list
+    assert p.count("InMemoryRelation") < 200  # the blowup stays fixed

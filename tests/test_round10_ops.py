@@ -276,3 +276,143 @@ def test_audio_fingerprint_rejects_wrong_shape_clips(spark):
     short = _wav_media(spark, {0: [10, 20, 30]})  # 24 samples, not 520
     with _pytest.raises(Exception, match="520 samples"):
         audio_fingerprint_bands(short).collect()
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_build_semantic — stage conservation
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_build_drops_exactly_the_non_canonical_survivors(spark):
+    """Stage conservation against an INDEPENDENT Python replay: collect
+    the within-cluster cosine pairs among curation survivors (the live
+    kernel), union-find them in pure Python, and assert the semantic
+    manifest's keep decisions equal the plain mix algebra applied to
+    (survivors − non-component-min members) — i.e. the semantic stage
+    removes exactly the union-find losers and nothing else."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        semantic_cluster_pairs,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.mining import _MMH2
+
+    # sf0.01: the smallest corpus whose survivor set contains a real
+    # semantic family (sf0.001's survivors have no qualifying pair)
+    sf_dir = "/root/testdata/sf0.01"
+    survivors = {
+        r.doc_id
+        for r in pipeline._stages(spark, sf_dir)["near_dedup"]
+        .select("doc_id")
+        .collect()
+    }
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    surv_df = spark.createDataFrame(
+        [(d,) for d in survivors], "vec_id long"
+    )
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in semantic_cluster_pairs(emb, restrict_to=surv_df).collect()
+    ]
+    # pure-Python union-find replay
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), set()).add(n)
+    dropped = {n for members in comp.values() for n in members} - {
+        min(members) for members in comp.values()
+    }
+    sem_survivors = survivors - dropped
+    assert dropped, "fixture corpus produced no semantic families"
+
+    # replay the mix decision over the PRUNED set (rates move with it)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    src_of = {r.doc_id: r.source for r in docs}
+    n_s: dict = {}
+    for d in sem_survivors:
+        n_s[src_of[d]] = n_s.get(src_of[d], 0) + 1
+    w = {s: round(math.sqrt(n), 9) for s, n in n_s.items()}
+    sum_w = sum(w.values())
+    rate = {
+        s: min(1.0, (pipeline._BUILD_TARGET * w[s] / sum_w) / n_s[s])
+        for s in n_s
+    }
+    expect = {
+        d
+        for d in sem_survivors
+        if ((d % 4294967296) * _MMH2 % 4294967296 + 0.5) / 4294967296.0
+        < rate[src_of[d]]
+    }
+    got = {
+        r.doc_id
+        for r in pipeline.q_pipeline_training_build_semantic(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_semantic_stage_keeps_one_member_even_when_global_canonical_lost(
+    spark, tmp_path
+):
+    """THE survivor-restriction property (why restrict_to exists): a
+    semantic family {8, 9, 10} whose corpus-global canonical (8) dies
+    at the quality stage must still keep its surviving min (9) — a
+    corpus-global prune list would kill 9 and 10 both, leaving the
+    family unrepresented. Docs 0-7 are centroid-seed embeddings whose
+    texts fail quality (seeds must not enter the survivor pair join);
+    11 sits near another centroid and pairs with nothing."""
+    import os
+
+    from sparkstreaming_rawdataingestion_spark.operators import pipeline
+
+    def good_text(i):
+        toks = ["the"] + [f"w{i}x{j}" for j in range(24)]
+        return " ".join(toks)
+
+    docs = [(i, "junk", "s0") for i in range(9)]  # 0-8 fail quality
+    docs += [(i, good_text(i), "s0") for i in (9, 10, 11)]
+    emb = []
+    for i in range(8):  # orthogonal-ish centroid seeds
+        v = [0.0] * 8
+        v[i] = 1.0
+        emb.append((i, v))
+    emb += [
+        (8, [0.99, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (9, [0.98, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (10, [0.97, 0.03, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (11, [0.01, 0.99, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    got = {
+        r.doc_id
+        for r in pipeline.q_pipeline_training_build_semantic(
+            spark, sf
+        ).collect()
+    }
+    # tiny corpus → every rate saturates at 1.0: the manifest IS the
+    # semantically pruned survivor set
+    assert got == {9, 11}
