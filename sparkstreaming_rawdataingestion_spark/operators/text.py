@@ -957,7 +957,11 @@ def _bpe_train_ctes(n_merges: int = BPE_MERGE_STEPS) -> str:
     return f"""wc AS (SELECT w, count(*) AS cnt FROM words
           WHERE w <> '' GROUP BY w),
 seq0 AS (SELECT cnt,
-                '@' || array_to_string(regexp_extract_all(w, '.'), '@@')
+                -- (?s): '.' must match newline chars too — the engine's
+                -- F.split(w, '') keeps them, and a silent drop here
+                -- would diverge the merge tables on any corpus with a
+                -- newline inside a space-delimited word
+                '@' || array_to_string(regexp_extract_all(w, '(?s).'), '@@')
                     || '@' AS seq
          FROM wc),
 {steps}"""
@@ -1085,8 +1089,18 @@ def bpe_train_merges(
     words before ``n_merges`` — the registry corpora never do."""
     from .. import session
 
-    spark = d.sparkSession
-    pieces = session.stage(_bpe_word_pieces(d))
+    return _bpe_train_from_pieces(
+        d.sparkSession, session.stage(_bpe_word_pieces(d)), n_merges
+    )
+
+
+def _bpe_train_from_pieces(
+    spark: SparkSession, pieces: DataFrame, n_merges: int
+) -> DataFrame:
+    """The merge loop over an already-STAGED (cnt, pieces) word table —
+    split out so the roundtrip can share one corpus scan between the
+    trainer and its alphabet derivation."""
+    from .. import session
 
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -1116,7 +1130,7 @@ def bpe_train_merges(
 # ---------------------------------------------------------------------------
 
 _BPE_ROUNDTRIP_VOCAB_SQL = (
-    "SELECT DISTINCT unnest(regexp_extract_all(w, '.')) FROM dw "
+    "SELECT DISTINCT unnest(regexp_extract_all(w, '(?s).')) FROM dw "
     + " ".join(
         f"UNION SELECT l || r FROM best{k}"
         for k in range(1, BPE_MERGE_STEPS + 1)
@@ -1152,26 +1166,27 @@ def q_tokenizer_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus itself) — the hash gate certifies that too.
 
     Plan: the trainer loop (vocab-scale, see q_tokenizer_bpe_train)
-    collects the N-row merge table + the bounded corpus alphabet; the
-    encode pass is the SAME zero-shuffle Arrow map as
-    tokenizer_greedy_subword with the learned pieces broadcast by
-    closure. The oracle chains the trainer CTEs into greedy_fold_ctes
-    via vocab_sql — one fold definition, one trainer definition, the
-    composition certified end to end."""
+    collects the N-row merge table + the bounded corpus alphabet —
+    BOTH derived from the one staged distinct-word table, so the
+    corpus is scanned exactly once end to end; the encode pass is the
+    SAME zero-shuffle Arrow map as tokenizer_greedy_subword with the
+    learned pieces broadcast by closure. The oracle chains the trainer
+    CTEs into greedy_fold_ctes via vocab_sql — one fold definition,
+    one trainer definition, the composition certified end to end."""
+    from .. import session
+
     d = catalog.load_table(spark, sf_dir, "documents")
-    merge_rows = bpe_train_merges(d).collect()  # N rows, bounded
-    # corpus alphabet = the char-fallback tier of the learned vocab
-    # (bounded by the charset, ~tens of rows — not a data collect)
+    pieces0 = session.stage(_bpe_word_pieces(d))
+    merge_rows = _bpe_train_from_pieces(
+        spark, pieces0, BPE_MERGE_STEPS
+    ).collect()  # N rows, bounded
+    # corpus alphabet = the char-fallback tier of the learned vocab,
+    # from the staged VOCAB-SCALE word table (distinct chars of
+    # distinct words — bounded by the charset, not a data collect)
     alphabet = [
         r["ch"]
         for r in (
-            d.select(
-                F.explode(
-                    F.split(F.coalesce(F.col("text"), F.lit("")), "")
-                ).alias("ch")
-            )
-            .where(F.col("ch") != "")
-            .where(F.col("ch") != " ")
+            pieces0.select(F.explode("pieces").alias("ch"))
             .distinct()
             .collect()
         )

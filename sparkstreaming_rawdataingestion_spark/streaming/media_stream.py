@@ -131,10 +131,15 @@ def greedy_batch_losers(pairs: DataFrame, max_waves: int = 64) -> DataFrame:
             )
         )
     else:
-        raise RuntimeError(
-            f"greedy MIS did not converge in {max_waves} waves — a "
-            "match chain deeper than the bound (raise max_waves)"
-        )
+        # the loop body never observed an empty graph — but the LAST
+        # wave may have finished the job (the emptiness probe sits at
+        # the top of the next iteration), so only a genuinely
+        # non-empty residue is a convergence failure
+        if not edges.isEmpty():
+            raise RuntimeError(
+                f"greedy MIS did not converge in {max_waves} waves — a "
+                "match chain deeper than the bound (raise max_waves)"
+            )
     if losers is None:
         return pairs.select(
             F.col("media_b").alias("media_id")

@@ -227,3 +227,22 @@ def test_greedy_mis_resolves_a_clique_in_one_wave_and_deep_chains(spark):
     assert {
         r.media_id for r in greedy_batch_losers(chain).collect()
     } == {2, 4}
+
+
+def test_greedy_mis_converging_on_the_last_wave_does_not_raise(spark):
+    """Off-by-one guard (round-10 review): a graph that resolves fully
+    DURING wave max_waves must succeed — the emptiness probe sits at
+    the top of the next iteration, so the else-clause must re-check
+    instead of raising on exhaustion alone."""
+    from sparkstreaming_rawdataingestion_spark.streaming.media_stream import (
+        greedy_batch_losers,
+    )
+
+    one_edge = spark.createDataFrame(
+        [(1, 2)], "media_a long, media_b long"
+    )
+    got = {
+        r.media_id
+        for r in greedy_batch_losers(one_edge, max_waves=1).collect()
+    }
+    assert got == {2}
