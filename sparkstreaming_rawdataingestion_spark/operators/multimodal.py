@@ -1395,3 +1395,56 @@ def q_multimodal_audio_fingerprint_pairs(
         audio_fingerprint_bands(synthesize_afp_media(spark, sf_dir))
     )
     return dhash_band_pairs(bands)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_dedup_clusters — audio near-dup families → canonical
+# ---------------------------------------------------------------------------
+
+def _audio_clusters_oracle() -> str:
+    from .dedup import components_ctes
+
+    return f"""
+WITH RECURSIVE {_afp_pairs_ctes()},
+pairs AS (SELECT media_a, media_b FROM apairs),
+{components_ctes("media_a", "media_b")}
+SELECT node AS media_id,
+       min(dest) AS cluster_rep,
+       (min(dest) = node) AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+@_register("multimodal_audio_dedup_clusters", _audio_clusters_oracle())
+def q_multimodal_audio_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audio-dedup ladder's last rung — fingerprint pairs →
+    connected components → one canonical clip per near-dup family
+    (min media_id, first-crawled-wins): every clustered clip labeled
+    with its family representative, ``is_canonical`` marking the
+    keeper. The image ladder's multimodal_image_dedup_clusters shape,
+    re-instantiated over the audio fingerprint pair graph — fourth
+    consumer of the shared components kernel and its recursive-CTE
+    oracle (text LSH, semantic, image, audio: one closure algebra).
+
+    Scale: pair discovery is the plan-pinned band join; the component
+    loop runs over the PAIR graph only (near-dup families are tiny
+    cliques — the fixture's are 4-cliques), never the full corpus."""
+    from ..session import stage
+
+    from .dedup import connected_components
+
+    bands = stage(
+        audio_fingerprint_bands(synthesize_afp_media(spark, sf_dir))
+    )
+    pairs = dhash_band_pairs(bands).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("media_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

@@ -416,3 +416,37 @@ def test_semantic_stage_keeps_one_member_even_when_global_canonical_lost(
     # tiny corpus → every rate saturates at 1.0: the manifest IS the
     # semantically pruned survivor set
     assert got == {9, 11}
+
+
+def test_audio_canonical_selection_hand_fixture(spark):
+    """The audio ladder's last rung on the hand-built clips: {0, its
+    ×3 copy 1, its one-frame perturbation 2} form one family with rep
+    0 (the only canonical); the distinct tone 3 is its own singleton
+    family — connected components over the fingerprint pairs, exactly
+    the image ladder's shape."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        connected_components,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+        dhash_band_pairs,
+    )
+
+    alt = [10 if k % 2 == 0 else 20 for k in range(65)]
+    clips = {
+        0: alt,
+        1: [3 * a for a in alt],
+        2: [100] + alt[1:],
+        3: [10 + k for k in range(65)],
+    }
+    bands = audio_fingerprint_bands(_wav_media(spark, clips))
+    pairs = dhash_band_pairs(bands).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels = {
+        r.node: r.label for r in connected_components(pairs).collect()
+    }
+    # clip 3 pairs with nothing → absent from the pair graph entirely
+    assert labels == {0: 0, 1: 0, 2: 0}
