@@ -463,6 +463,25 @@ PICKS = {
         "reused by the per-user reduce, so the whole metric is one "
         "shuffle."
     ),
+    "tokenizer_bpe_roundtrip": (
+        "BPE train→encode (round 10): the encode pass is ONE scan into "
+        "an Arrow-batched pure map with the learned vocab closed over — "
+        "zero exchanges; the trainer's N iterations ran on the "
+        "vocab-scale word table before this plan was built (their "
+        "pure-JVM stages are pinned in test_plans.py)."
+    ),
+    "multimodal_audio_fingerprint_pairs": (
+        "Audio fingerprint near-dup (round 10): real WAV decode + "
+        "integer fingerprint as a staged pure map; candidates from the "
+        "(band_idx, band_val) equi-join — dhash_band_pairs verbatim — "
+        "with exact hamming verify; never n²."
+    ),
+    "pipeline_training_build_semantic": (
+        "Training build + SemDeDup stage (round 10): centroid fanout is "
+        "the single broadcast nested loop; the CC drop list enters the "
+        "mix tail as a TRUNCATED plan leaf (Scan ExistingRDD) — the "
+        "measured fix for composed-iteration logical-tree blowup."
+    ),
 }
 
 SKIP_PREFIXES = (
