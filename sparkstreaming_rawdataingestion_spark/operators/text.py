@@ -1137,20 +1137,25 @@ _BPE_ROUNDTRIP_VOCAB_SQL = (
     )
 )
 
-_BPE_ROUNDTRIP_ORACLE = f"""
+_BPE_RT_CHAIN = f"""
 WITH RECURSIVE
 words AS (SELECT doc_id,
                  unnest(string_split(coalesce(text, ''), ' ')) AS w
           FROM documents),
 {_bpe_train_ctes()},
-{greedy_fold_ctes(vocab_sql=_BPE_ROUNDTRIP_VOCAB_SQL, include_words=False)}
-SELECT doc_id,
-       CAST(count(*) AS BIGINT)   AS n_words,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       CAST(sum(n_unk) AS BIGINT) AS n_unk
-FROM words JOIN fin USING (w)
-GROUP BY doc_id
+{greedy_fold_ctes(vocab_sql=_BPE_ROUNDTRIP_VOCAB_SQL, include_words=False)},
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT)   AS n_words,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_unk) AS BIGINT) AS n_unk
+  FROM words JOIN fin USING (w)
+  GROUP BY doc_id)
 """
+
+_BPE_ROUNDTRIP_ORACLE = (
+    _BPE_RT_CHAIN + "SELECT doc_id, n_words, n_tokens, n_unk FROM perdoc"
+)
 
 
 @_register("tokenizer_bpe_roundtrip", _BPE_ROUNDTRIP_ORACLE)
@@ -1173,9 +1178,16 @@ def q_tokenizer_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned pieces broadcast by closure. The oracle chains the trainer
     CTEs into greedy_fold_ctes via vocab_sql — one fold definition,
     one trainer definition, the composition certified end to end."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return tokenizer_greedy_subword(d, pieces=_bpe_learned_pieces(spark, d))
+
+
+def _bpe_learned_pieces(spark: SparkSession, d: DataFrame) -> tuple[str, ...]:
+    """Train the merges and derive the learned vocab (corpus alphabet +
+    merged pieces) from ONE staged distinct-word scan — shared by the
+    roundtrip and compression-report queries."""
     from .. import session
 
-    d = catalog.load_table(spark, sf_dir, "documents")
     pieces0 = session.stage(_bpe_word_pieces(d))
     merge_rows = _bpe_train_from_pieces(
         spark, pieces0, BPE_MERGE_STEPS
@@ -1191,10 +1203,60 @@ def q_tokenizer_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     ]
-    learned = tuple(sorted(alphabet)) + tuple(
-        r["merged"] for r in merge_rows
+    return tuple(sorted(alphabet)) + tuple(r["merged"] for r in merge_rows)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_compression_report — per-source cost under the learned vocab
+# ---------------------------------------------------------------------------
+
+_BPE_COMPRESSION_ORACLE = (
+    _BPE_RT_CHAIN
+    + """
+SELECT d.source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(d.n_chars) AS BIGINT)  AS n_chars,
+       round(sum(d.n_chars) * 1.0 / sum(p.n_tokens), 6)
+         AS chars_per_token
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+)
+
+
+@_register("tokenizer_compression_report", _BPE_COMPRESSION_ORACLE)
+def q_tokenizer_compression_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source compression under the LEARNED BPE vocab — chars per
+    token by source, the number a data-mix planner actually budgets
+    with (a token-expensive source costs more training compute per
+    byte; Gopher/Chinchilla mixes are tuned on exactly this ratio).
+    Composes the trainer (one vocab-scale loop), the greedy encoder
+    (carry pattern: source and n_chars ride the encode batch, so there
+    is NO re-join against documents) and a source-keyed aggregation —
+    one corpus scan for training, one for encoding, ONE exchange
+    total (the per-source agg; sums are exact BIGINTs, the ratio a
+    deterministic double rounded at 6).
+
+    The oracle extends the roundtrip chain's per-doc CTE with the
+    source join + aggregation — one trainer definition, one fold
+    definition, third certified composition."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    enc = tokenizer_greedy_subword(
+        d,
+        pieces=_bpe_learned_pieces(spark, d),
+        carry=("source", "n_chars"),
     )
-    return tokenizer_greedy_subword(d, pieces=learned)
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -198,6 +198,7 @@ _QUERY_MODULES = (
 #           multimodal_audio_fingerprint_pairs displaced validation_pack
 #           pipeline_training_build_semantic displaced timeseries_anomaly_zscore
 #           multimodal_audio_dedup_clusters displaced table_profile
+#           tokenizer_compression_report displaced skew_equivalence_pack
 #
 # Round-9 history (kept for the audit trail; the full six-entry
 # displacement ledger lives in git history at tag fa5eb9c and in
@@ -256,7 +257,7 @@ CORE_ORDER: tuple[str, ...] = (
     "pii_redaction",
     "recursive_event_chains",
     "session_window_agg",
-    "skew_equivalence_pack",
+    "tokenizer_compression_report",
     "multimodal_audio_dedup_clusters",
     "pipeline_training_build_semantic",
     "tokenizer_bpe_train",

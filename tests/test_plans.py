@@ -936,3 +936,17 @@ def test_semantic_build_plan_is_truncated_and_jvm_side(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") == 1  # centroid fanout
     assert p.count("Scan ExistingRDD") >= 1  # truncated drop list
     assert p.count("InMemoryRelation") < 200  # the blowup stays fixed
+
+
+def test_compression_report_one_exchange_no_rejoin(spark, sf_dir):
+    """The carry pattern's payoff, third instance: source and n_chars
+    ride the encode batch, so the whole report is the encode pure-map
+    plus ONE source-keyed exchange — no join back to documents."""
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    df = text.q_tokenizer_compression_report(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert plans.count_exchanges(df) == 1
+    assert "MapInPandas" in p

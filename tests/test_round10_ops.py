@@ -450,3 +450,48 @@ def test_audio_canonical_selection_hand_fixture(spark):
     }
     # clip 3 pairs with nothing → absent from the pair graph entirely
     assert labels == {0: 0, 1: 0, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_compression_report
+# ---------------------------------------------------------------------------
+
+
+def test_compression_report_hand_computed_on_the_sennrich_corpus(
+    spark, tmp_path
+):
+    """Hand arithmetic over the Sennrich fixture with sources: after
+    the 12 merges every word is 1 token, so per source chars_per_token
+    = total chars / docs. srcA = the 5 low (3 chars) + 2 lower (5) →
+    25 chars / 7 tokens; srcB = 6 newest + 3 widest (6 chars each) →
+    54 chars / 9 tokens = exactly 6.0."""
+    import os
+
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        q_tokenizer_compression_report,
+    )
+
+    rows, i = [], 0
+    for w, n, src in [
+        ("low", 5, "srcA"),
+        ("lower", 2, "srcA"),
+        ("newest", 6, "srcB"),
+        ("widest", 3, "srcB"),
+    ]:
+        for _ in range(n):
+            rows.append((i, w, src, len(w)))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.n_chars, r.chars_per_token)
+        for r in q_tokenizer_compression_report(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "srcA": (7, 7, 25, round(25 / 7, 6)),
+        "srcB": (9, 9, 54, 6.0),
+    }
