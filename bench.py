@@ -44,6 +44,16 @@ while 64 independent transforms stay in codegen; fewer/wider bands
 0.77 and the query must match its exact oracle. The 16×4 + 64-transform
 formulation therefore stands as the measured floor.
 
+Round-10 panel note: the two BPE entries are N-iteration TRAINERS —
+12 sequential argmax actions each (the roundtrip retrains before
+encoding), so their ~7-9 s at sf0.1 is per-job scheduling latency on a
+vocab-scale table, not data cost; at production scale the same 12
+actions amortize over arbitrarily large corpora (the word table grows
+with vocab, the corpus is scanned once). The round-10 local panel's
+agg_pricing_summary 1.76 s reading re-ran solo at 0.70-0.93 s (4 runs,
+warm) — in-panel jitter, same band as its r7 1.80 s reading; the
+query is untouched since round 2.
+
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
 6.13 s → 3.78 s → ~5.0 s across the r4/r5/r6 driver+local runs, with
