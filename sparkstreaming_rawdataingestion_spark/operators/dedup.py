@@ -971,9 +971,10 @@ def components_ctes(a: str = "doc_a", b: str = "doc_b") -> str:
     """Oracle-side twin of ``connected_components`` — the edges + reach
     CTE pair over a preceding ``pairs`` CTE with endpoint columns
     (``a``, ``b``). ONE closure-algebra definition for every canonical/
-    cluster oracle (this module ×3, profiling ×2, multimodal ×1 — the
-    greedy_fold_ctes consolidation discipline): a future fix to the
-    reachability algebra moves all six oracles together."""
+    cluster oracle (this module ×3, profiling ×2, multimodal ×2 —
+    image + audio clusters — and pipeline ×1, the semantic build
+    splice: the greedy_fold_ctes consolidation discipline): a future
+    fix to the reachability algebra moves all eight oracles together."""
     return f"""edges AS (
   SELECT {a} AS src, {b} AS dst FROM pairs
   UNION

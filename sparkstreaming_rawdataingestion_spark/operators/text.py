@@ -1217,7 +1217,7 @@ SELECT d.source,
        CAST(count(*) AS BIGINT)        AS n_docs,
        CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
        CAST(sum(d.n_chars) AS BIGINT)  AS n_chars,
-       round(sum(d.n_chars) * 1.0 / sum(p.n_tokens), 6)
+       round(sum(d.n_chars) * 1.0 / nullif(sum(p.n_tokens), 0), 6)
          AS chars_per_token
 FROM perdoc p JOIN documents d USING (doc_id)
 GROUP BY d.source
@@ -1253,8 +1253,11 @@ def q_tokenizer_compression_report(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.sum("n_chars").cast("long").alias("n_chars"),
+        # try_divide (NULL on zero, mirrored by nullif in the oracle):
+        # a source whose delivered docs are all empty has 0 tokens
         F.round(
-            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            F.try_divide(F.sum("n_chars").cast("double"), F.sum("n_tokens")),
+            6,
         ).alias("chars_per_token"),
     )
 

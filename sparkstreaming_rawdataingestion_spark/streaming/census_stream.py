@@ -9,42 +9,46 @@ greedy kernel the batch query uses (``tokenizer_piece_frequencies`` —
 one matching implementation, every consumer moves together), and its
 per-piece deltas are summed into a materialized census table.
 
-State layout (the archive-as-state design, curation_stream.py):
+State layout (the archive-as-state design, curation_stream.py, with
+the additive-state hardening the round-10 review demanded — additive
+counts, unlike the rollup stream's absolute totals, cannot be
+recomputed after a lost write, so nothing here ever deletes the only
+copy):
 
-- ``<dir>/census`` — (piece, n_occurrences, n_docs, merged_through),
-  REWRITTEN each batch; bounded by |vocab| + unknown chars, so the
-  rewrite is a constant-size job no matter how much corpus has flowed
-  through. ``merged_through`` (the highest merged batch id, constant
-  across rows) makes the merge a no-op when foreachBatch RETRIES a
-  batch whose census write already landed.
-- ``<dir>/seen`` — (doc_id) partitioned by ``ingest_batch``; the
-  replay absorber. The census is additive, so at-least-once delivery
-  needs an explicit dedup: a redelivered document anti-joins its own
-  archived doc_id and contributes nothing. Written with DYNAMIC
-  partition overwrite to the batch's own partition — a retried batch
-  replaces its own ids instead of appending duplicates — and the
-  anti-join reads every partition EXCEPT the current batch's, so a
-  retry whose seen write landed but whose census write did not still
-  computes the full delta.
-
-Retry analysis (the two state writes cannot be one atomic commit):
-census is written FIRST, then seen. Fail before census → retry
-recomputes the same delta (anti-join excludes own partition). Fail
-between the writes → retry sees ``merged_through == batch_id``, skips
-the merge, and (re)writes only the seen partition. Cross-restart
-replays (fresh checkpoint over the same source) re-form the same
-deterministic batches, so partition overwrite replaces like with like
-— the same same-chunking contract the curation and media stream
-replay guarantees rest on.
+- ``<dir>/census`` — (piece, n_occurrences, n_docs, merged_seq,
+  merged_key), partitioned by ``merged_key`` and written ONLY with
+  dynamic partition overwrite: each merge lands a NEW full-census
+  version in its own partition and never touches prior versions — a
+  crash mid-write can tear at most the version being written, never
+  the accumulated state. Reads take the max-``merged_seq`` version
+  EXCLUDING the current merge key, so a retry ignores its own
+  possibly-torn previous attempt and deterministically recomputes the
+  same version over it (idempotence by recompute — no high-water-mark
+  skip, hence no dependence on batch-id ORDER). Superseded versions
+  are pruned best-effort (the two newest are kept); correctness never
+  depends on pruning.
+- ``<dir>/seen`` — (doc_id) partitioned by ``ingest_key``; the replay
+  absorber. The census is additive, so at-least-once delivery needs
+  an explicit dedup: a redelivered document anti-joins its archived
+  doc_id and contributes nothing. Keys are RUN-SCOPED
+  (sha(checkpoint_dir) + batch_id), so a fresh-checkpoint replay
+  writes fresh partitions and every prior run's ids stay intact —
+  absorption is content-addressed and does not care how a replay
+  re-chunks or re-orders the source (the review's order-dependence
+  finding). The anti-join excludes only the CURRENT key's partition,
+  so a retry whose seen write landed but whose census write did not
+  still computes the full delta.
 
 Guarantee: final census equals the batch query over everything
 delivered, regardless of batch boundaries (pure addition commutes) —
-test-pinned via chunked arrival + full-replay runs. foreachBatch is
-sequential across triggers, so the read-merge-rewrite cycle is
-race-free.
+test-pinned via chunked arrival, full-replay, order-shuffled replay,
+same-key retry and empty-first-batch runs. foreachBatch is sequential
+across triggers, so the read-merge-write cycle is race-free.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -66,11 +70,10 @@ def census_increment(
     pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge one micro-batch into the census; returns (new full census
-    without the merged_through stamp, newly-seen doc ids).
-    ``seen_other`` must hold every previously-absorbed doc_id EXCEPT
-    ids a failed attempt of THIS batch may have written (module
-    docstring). Pure function over DataFrames — the streaming wrapper
-    adds IO and the retry guard."""
+    without version columns, newly-seen doc ids). ``seen_other`` must
+    hold every previously-absorbed doc_id EXCEPT ids a failed attempt
+    of THIS merge key may have written (module docstring). Pure
+    function over DataFrames — the IO wrapper adds versioning."""
     new_docs = batch_docs.select("doc_id", "text").dropDuplicates(
         ["doc_id"]
     )
@@ -91,6 +94,121 @@ def census_increment(
     return out, new_docs.select("doc_id")
 
 
+def read_census(spark: SparkSession, sink_dir: str) -> DataFrame | None:
+    """The CURRENT census: the max-merged_seq version, or None before
+    the first merge (or when every version is empty). This is the
+    consumer-facing read — dashboards and tests go through it."""
+    latest, _ = _latest_version(spark, sink_dir, exclude_key=None)
+    return latest
+
+
+def _latest_version(
+    spark: SparkSession, sink_dir: str, exclude_key: str | None
+) -> tuple[DataFrame | None, int]:
+    """(latest census version not written under ``exclude_key``, its
+    merged_seq) — (None, 0) when no usable version exists. Excluding
+    the current merge key is what makes a retry recompute over its own
+    possibly-torn previous attempt instead of trusting it."""
+    all_versions = read_archive(spark, f"{sink_dir}/census")
+    if all_versions is None:
+        return None, 0
+    if exclude_key is not None:
+        all_versions = all_versions.where(
+            F.col("merged_key") != exclude_key
+        )
+    row = all_versions.agg(F.max("merged_seq")).first()
+    if row is None or row[0] is None:
+        # zero usable rows — behaves exactly like a missing table (the
+        # review's empty-census crash: max() is NULL, never compare it)
+        return None, 0
+    seq = int(row[0])
+    return all_versions.where(F.col("merged_seq") == seq), seq
+
+
+def merge_batch(
+    batch_docs: DataFrame,
+    sink_dir: str,
+    merge_key: str,
+    pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
+) -> None:
+    """One census merge under ``merge_key`` — idempotent: re-invoking
+    with the same key (a foreachBatch retry, whatever the prior
+    attempt managed to write) recomputes and overwrites the same
+    version and re-lands the same seen partition."""
+    spark = batch_docs.sparkSession
+    prev, prev_seq = _latest_version(spark, sink_dir, exclude_key=merge_key)
+    seen = read_archive(spark, f"{sink_dir}/seen")
+    seen_other = (
+        seen.where(F.col("ingest_key") != merge_key)
+        if seen is not None
+        else None
+    )
+    out, new_ids = census_increment(
+        batch_docs, prev, seen_other, pieces=pieces
+    )
+    # localCheckpoint before writing: the merge reads files under the
+    # same root it writes (the rollup_stream cut; census is
+    # vocab-bounded, so this is a constant-size checkpoint)
+    out = (
+        out.withColumn("merged_seq", F.lit(prev_seq + 1).cast("long"))
+        .withColumn("merged_key", F.lit(merge_key))
+        .localCheckpoint(eager=True)
+    )
+    # a zero-row census (nothing counted yet — e.g. an opening batch of
+    # empty texts) is NOT written: a row-less parquet version has no
+    # readable schema and would wedge every later read; skipping keeps
+    # the table absent-or-readable, and the seen write below still
+    # absorbs the batch's doc ids
+    if not out.isEmpty():
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("merged_key")
+            .parquet(f"{sink_dir}/census")
+        )
+    (
+        new_ids.withColumn("ingest_key", F.lit(merge_key))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_key")
+        .parquet(f"{sink_dir}/seen")
+    )
+    _prune_superseded(spark, f"{sink_dir}/census", prev_seq)
+
+
+def _prune_superseded(
+    spark: SparkSession, census_dir: str, prev_seq: int
+) -> None:
+    """Best-effort retention: drop version partitions older than the
+    previous one (keep current + previous). Correctness never depends
+    on this — a failed prune just leaves extra tiny versions."""
+    try:
+        versions = spark.read.parquet(census_dir)
+        stale = {
+            r["merged_key"]
+            for r in versions.select("merged_key", "merged_seq")
+            .distinct()
+            .collect()
+            if r["merged_seq"] < prev_seq
+        }
+        if not stale:
+            return
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(census_dir)
+        fs = path.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if (
+                name.startswith("merged_key=")
+                and name.split("=", 1)[1] in stale
+            ):
+                fs.delete(st.getPath(), True)
+    except Exception:
+        pass  # retention only; never fail the batch over cleanup
+
+
 def start_incremental_census(
     doc_stream: DataFrame,
     sink_dir: str,
@@ -98,42 +216,16 @@ def start_incremental_census(
     trigger_seconds: int | None = None,
     pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
 ) -> StreamingQuery:
-    """Streaming census query: document stream → live piece census."""
+    """Streaming census query: document stream → live piece census.
+    Merge keys are run-scoped (checkpoint identity + batch id), so
+    batch ids from a fresh-checkpoint replay can never collide with —
+    or overwrite — another run's state."""
+    run = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        spark = batch.sparkSession
-        census = read_archive(spark, f"{sink_dir}/census")
-        seen = read_archive(spark, f"{sink_dir}/seen")
-        seen_other = (
-            seen.where(F.col("ingest_batch") != batch_id)
-            if seen is not None
-            else None
-        )
-        already_merged = census is not None and (
-            census.agg(F.max("merged_through")).first()[0] >= batch_id
-        )
-        out, new_ids = census_increment(
-            batch, census, seen_other, pieces=pieces
-        )
-        if not already_merged:
-            # materialize before overwriting — the merge reads the
-            # files the write replaces (the rollup_stream cut; census
-            # is vocab-bounded, so this is a constant-size checkpoint)
-            out = out.withColumn(
-                "merged_through", F.lit(batch_id).cast("long")
-            ).localCheckpoint(eager=True)
-            out.write.mode("overwrite").parquet(f"{sink_dir}/census")
-        (
-            new_ids.withColumn(
-                "ingest_batch", F.lit(batch_id).cast("long")
-            )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(f"{sink_dir}/seen")
-        )
+        merge_batch(batch, sink_dir, f"{run}-{batch_id}", pieces=pieces)
 
     return (
         doc_stream.writeStream.foreachBatch(process)

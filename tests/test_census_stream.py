@@ -1,6 +1,8 @@
 """Incremental streaming vocab census — archive semantics the batch
 oracle can't cover: cross-batch additivity, replay absorption via the
-seen index, and the retry guard.
+run-scoped seen index, retry idempotence by recompute, and the
+empty-state / order-shuffled-replay regressions from the round-10
+review.
 """
 
 from __future__ import annotations
@@ -46,9 +48,10 @@ def _run_stream(spark, src, schema, sink, ckpt):
 
 
 def _census(spark, sink):
+    latest = cs.read_census(spark, sink)
+    assert latest is not None
     return {
-        r.piece: (r.n_occurrences, r.n_docs)
-        for r in spark.read.parquet(f"{sink}/census").collect()
+        r.piece: (r.n_occurrences, r.n_docs) for r in latest.collect()
     }
 
 
@@ -99,9 +102,8 @@ def test_same_batch_duplicate_delivery_counts_once(spark):
 def test_retry_with_own_seen_partition_still_counts_the_batch(spark):
     """The failed-attempt shape: a retry reads a seen index that
     already holds ITS OWN ids (written by the failed attempt) — the
-    caller excludes the current batch partition, so census_increment
-    must be fed only the OTHER partitions and count the docs fully.
-    With the own partition wrongly included, the count would be 0."""
+    caller excludes the current key's partition, so census_increment
+    must be fed only the OTHER partitions and count the docs fully."""
     docs = spark.createDataFrame(
         [(7, "row row key")], "doc_id long, text string"
     )
@@ -109,3 +111,62 @@ def test_retry_with_own_seen_partition_still_counts_the_batch(spark):
     out, _ = cs.census_increment(docs, None, other)
     got = {r.piece: (r.n_occurrences, r.n_docs) for r in out.collect()}
     assert got == {"row": (2, 1), "key": (1, 1)}
+
+
+def test_empty_first_batch_does_not_wedge_the_stream(spark, tmp_path):
+    """Round-10 review regression: a first batch of only empty /
+    whitespace-only texts writes a zero-row census version; the next
+    merge must treat it like a missing table (max(merged_seq) over
+    zero rows is NULL) instead of raising, and count the real batch."""
+    sink = str(tmp_path / "state")
+    empty = spark.createDataFrame(
+        [(1, " "), (2, "")], "doc_id long, text string"
+    )
+    vocab = ("spark", "rocks")
+    cs.merge_batch(empty, sink, "r-0", pieces=vocab)
+    real = spark.createDataFrame(
+        [(3, "spark rocks")], "doc_id long, text string"
+    )
+    cs.merge_batch(real, sink, "r-1", pieces=vocab)
+    assert _census(spark, sink) == {
+        "spark": (1, 1),
+        "rocks": (1, 1),
+    }
+
+
+def test_same_key_retry_is_idempotent_by_recompute(spark, tmp_path):
+    """A foreachBatch retry re-invokes the merge with the SAME key
+    after ANY partial outcome — including full success. Recompute must
+    land the identical version, never double-merge."""
+    sink = str(tmp_path / "state")
+    a = spark.createDataFrame([(1, "low low")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "low")], "doc_id long, text string")
+    cs.merge_batch(a, sink, "r-0", pieces=("low",))
+    cs.merge_batch(b, sink, "r-1", pieces=("low",))
+    first = _census(spark, sink)
+    # retry after full success
+    cs.merge_batch(b, sink, "r-1", pieces=("low",))
+    assert _census(spark, sink) == first
+    assert first == {"low": (3, 2)}
+
+
+def test_order_shuffled_fresh_replay_is_absorbed(spark, tmp_path):
+    """Round-10 review regression: a fresh-checkpoint replay that
+    re-chunks AND re-orders the corpus must still be fully absorbed —
+    run-scoped keys mean no replay partition can overwrite another
+    run's seen ids, so absorption is content-addressed, not
+    order-dependent."""
+    sink = str(tmp_path / "state")
+    d1 = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(2, "beta")], "doc_id long, text string")
+    vocab = ("alpha", "beta")
+    # run 1: [d1, d2]
+    cs.merge_batch(d1, sink, "runA-0", pieces=vocab)
+    cs.merge_batch(d2, sink, "runA-1", pieces=vocab)
+    first = _census(spark, sink)
+    # run 2 (fresh checkpoint): same corpus, REVERSED chunk order —
+    # batch ids restart, so d2 lands on batch 0 and d1 on batch 1
+    cs.merge_batch(d2, sink, "runB-0", pieces=vocab)
+    cs.merge_batch(d1, sink, "runB-1", pieces=vocab)
+    assert _census(spark, sink) == first
+    assert first == {"alpha": (1, 1), "beta": (1, 1)}
