@@ -1087,33 +1087,11 @@ def bpe_train_merges(
     Returns the merge table (step, lhs, rhs, merged, pair_count).
     Stops early (fewer rows) only if the corpus exhausts to whole
     words before ``n_merges`` — the registry corpora never do."""
-    return _bpe_train_from_pieces(
-        d.sparkSession, _staged_word_pieces(d), n_merges
-    )
-
-
-def _staged_word_pieces(d: DataFrame) -> DataFrame:
-    """Stage the trainer's working set with VOCAB-SIZED partitioning:
-    the distinct-word table inherits the corpus scan's shuffle
-    partitioning (sized for corpus-scale data), but the N-iteration
-    loop re-reads it 2N times — on a small vocab that is 2N rounds of
-    mostly-empty tasks. Coalesce to ~1M words per partition (clamped
-    to the session's shuffle parallelism), so loop task counts follow
-    the working set, not the corpus default. The sizing count doubles
-    as the cache materialization the loop's first action paid anyway;
-    measured at sf0.1: 9.6 s → 8.0 s for the 12-merge trainer."""
     from .. import session
 
-    pieces = session.stage(_bpe_word_pieces(d))
-    n_words = pieces.count()
-    upper = int(
-        pieces.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        or 32
+    return _bpe_train_from_pieces(
+        d.sparkSession, session.stage(_bpe_word_pieces(d)), n_merges
     )
-    target = max(1, min(upper, n_words // 1_000_000 + 1))
-    if target < pieces.rdd.getNumPartitions():
-        pieces = session.stage(pieces.coalesce(target))
-    return pieces
 
 
 def _bpe_train_from_pieces(
@@ -1208,7 +1186,9 @@ def _bpe_learned_pieces(spark: SparkSession, d: DataFrame) -> tuple[str, ...]:
     """Train the merges and derive the learned vocab (corpus alphabet +
     merged pieces) from ONE staged distinct-word scan — shared by the
     roundtrip and compression-report queries."""
-    pieces0 = _staged_word_pieces(d)
+    from .. import session
+
+    pieces0 = session.stage(_bpe_word_pieces(d))
     merge_rows = _bpe_train_from_pieces(
         spark, pieces0, BPE_MERGE_STEPS
     ).collect()  # N rows, bounded
