@@ -46,10 +46,15 @@ formulation therefore stands as the measured floor.
 
 Round-10 panel note: the two BPE entries are N-iteration TRAINERS —
 12 sequential argmax actions each (the roundtrip retrains before
-encoding), so their ~7-9 s at sf0.1 is per-job scheduling latency on a
-vocab-scale table, not data cost; at production scale the same 12
-actions amortize over arbitrarily large corpora (the word table grows
-with vocab, the corpus is scanned once). The round-10 local panel's
+encoding), so their wall at sf0.1 is per-job scheduling latency on a
+vocab-scale table, not data cost — and it swings with scheduler state:
+5.5-12 s across same-session interleaved reps and panels (the
+graph_common_neighbors variance class). A vocab-sized coalesce of the
+working set was A/B-measured interleaved (plain 5.5-6.6 s vs sized
+5.8-7.3 s — no benefit; the sizing count offsets the saved tasks) and
+rejected; at production scale the same 12 actions amortize over
+arbitrarily large corpora (the word table grows with vocab, the corpus
+is scanned once). The round-10 local panel's
 agg_pricing_summary 1.76 s reading re-ran solo at 0.70-0.93 s (4 runs,
 warm) — in-panel jitter, same band as its r7 1.80 s reading; the
 query is untouched since round 2.
