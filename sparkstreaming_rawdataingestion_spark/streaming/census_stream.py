@@ -10,45 +10,66 @@ one matching implementation, every consumer moves together), and its
 per-piece deltas are summed into a materialized census table.
 
 State layout (the archive-as-state design, curation_stream.py, with
-the additive-state hardening the round-10 review demanded — additive
+the additive-state hardening two review rounds demanded — additive
 counts, unlike the rollup stream's absolute totals, cannot be
 recomputed after a lost write, so nothing here ever deletes the only
-copy):
+copy and nothing trusts an uncommitted one):
 
 - ``<dir>/census`` — (piece, n_occurrences, n_docs, merged_seq,
   merged_key), partitioned by ``merged_key`` and written ONLY with
   dynamic partition overwrite: each merge lands a NEW full-census
   version in its own partition and never touches prior versions — a
   crash mid-write can tear at most the version being written, never
-  the accumulated state. Reads take the max-``merged_seq`` version
-  EXCLUDING the current merge key, so a retry ignores its own
-  possibly-torn previous attempt and deterministically recomputes the
-  same version over it (idempotence by recompute — no high-water-mark
-  skip, hence no dependence on batch-id ORDER). Superseded versions
-  are pruned best-effort (the two newest are kept); correctness never
-  depends on pruning.
+  the accumulated state.
+- ``<dir>/census_marks/<seq>-<key>`` — zero-byte COMMIT MARKERS,
+  created only after a version's parquet write returns. Readers trust
+  exclusively marked versions, so a torn partition (job killed mid
+  file-commit) is invisible to dashboards and to later merges alike;
+  pruning removes a stale version's mark BEFORE its partition, so a
+  crash between the two deletes leaves an unmarked (invisible)
+  partition, never a marked ghost.
+- reads take the max-seq MARKED version EXCLUDING the current merge
+  key, so a retry — same-run or after a restart from the same
+  checkpoint — recomputes over its own previous attempt instead of
+  trusting it (idempotence by recompute; no high-water mark, hence no
+  dependence on batch-id order).
 - ``<dir>/seen`` — (doc_id) partitioned by ``ingest_key``; the replay
   absorber. The census is additive, so at-least-once delivery needs
   an explicit dedup: a redelivered document anti-joins its archived
-  doc_id and contributes nothing. Keys are RUN-SCOPED
-  (sha(checkpoint_dir) + batch_id), so a fresh-checkpoint replay
-  writes fresh partitions and every prior run's ids stay intact —
-  absorption is content-addressed and does not care how a replay
-  re-chunks or re-orders the source (the review's order-dependence
-  finding). The anti-join excludes only the CURRENT key's partition,
-  so a retry whose seen write landed but whose census write did not
-  still computes the full delta.
+  doc_id and contributes nothing. Keys are scoped by the STREAMING
+  QUERY IDENTITY — the UUID Spark persists in
+  ``<checkpoint>/metadata`` — which is stable across restarts from
+  the same checkpoint (a cross-restart retry of batch N still
+  excludes its own partial writes) and REGENERATED when the
+  checkpoint is wiped (the second review's empirical repro: a path
+  hash collides on the standard rm-rf-and-reuse replay, double
+  counting and destroying absorption records; the query id cannot).
+  The anti-join excludes only the CURRENT key's partition.
+
+Residual window, stated honestly: the census write and the seen write
+cannot be one atomic commit without a transactional table format
+(Delta/Iceberg in production — not in this environment). If a merge
+commits its census version but dies before its seen write, the
+SUPPORTED recovery — restarting from the same checkpoint — repairs it
+exactly (same key: the retry recomputes the version and re-lands the
+seen partition). Only abandoning that checkpoint mid-tear and
+replaying fresh can double-count that single batch (its docs are in a
+committed version but in no seen partition). Every other replay shape
+— re-chunked, re-ordered, wiped-and-reused path, full redelivery — is
+absorbed content-addressed.
 
 Guarantee: final census equals the batch query over everything
 delivered, regardless of batch boundaries (pure addition commutes) —
-test-pinned via chunked arrival, full-replay, order-shuffled replay,
-same-key retry and empty-first-batch runs. foreachBatch is sequential
-across triggers, so the read-merge-write cycle is race-free.
+test-pinned via chunked arrival, full-replay, wiped-checkpoint
+re-chunked replay, same-key retry, torn-version invisibility and
+empty-first-batch runs. foreachBatch is sequential across triggers,
+so the read-merge-write cycle is race-free.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -94,10 +115,48 @@ def census_increment(
     return out, new_docs.select("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# filesystem helpers (Hadoop FS — works for local paths and lake URIs)
+# ---------------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, any_path: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(any_path)
+    return path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ), jvm
+
+
+def _list_marks(spark: SparkSession, sink_dir: str) -> list[tuple[int, str]]:
+    """[(seq, key)] of committed census versions (empty if none)."""
+    fs, jvm = _fs(spark, sink_dir)
+    marks_path = jvm.org.apache.hadoop.fs.Path(f"{sink_dir}/census_marks")
+    if not fs.exists(marks_path):
+        return []
+    out = []
+    for st in fs.listStatus(marks_path):
+        name = st.getPath().getName()
+        seq, _, key = name.partition("-")
+        if seq.isdigit() and key:
+            out.append((int(seq), key))
+    return out
+
+
+def _mark_committed(
+    spark: SparkSession, sink_dir: str, seq: int, key: str
+) -> None:
+    fs, jvm = _fs(spark, sink_dir)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{sink_dir}/census_marks/{seq}-{key}"
+    )
+    fs.create(p, True).close()
+
+
 def read_census(spark: SparkSession, sink_dir: str) -> DataFrame | None:
-    """The CURRENT census: the max-merged_seq version, or None before
-    the first merge (or when every version is empty). This is the
-    consumer-facing read — dashboards and tests go through it."""
+    """The CURRENT census: the max-seq COMMITTED version, or None
+    before the first committed merge. This is the consumer-facing
+    read — dashboards and tests go through it."""
     latest, _ = _latest_version(spark, sink_dir, exclude_key=None)
     return latest
 
@@ -105,24 +164,35 @@ def read_census(spark: SparkSession, sink_dir: str) -> DataFrame | None:
 def _latest_version(
     spark: SparkSession, sink_dir: str, exclude_key: str | None
 ) -> tuple[DataFrame | None, int]:
-    """(latest census version not written under ``exclude_key``, its
-    merged_seq) — (None, 0) when no usable version exists. Excluding
-    the current merge key is what makes a retry recompute over its own
-    possibly-torn previous attempt instead of trusting it."""
-    all_versions = read_archive(spark, f"{sink_dir}/census")
-    if all_versions is None:
+    """(latest MARKED census version not written under ``exclude_key``,
+    its merged_seq) — (None, 0) when no committed version exists.
+    Excluding the current merge key is what makes a retry recompute
+    over its own possibly-torn previous attempt; trusting only marked
+    versions is what makes everyone else's torn writes invisible."""
+    marks = [
+        (seq, key)
+        for seq, key in _list_marks(spark, sink_dir)
+        if exclude_key is None or key != exclude_key
+    ]
+    if not marks:
         return None, 0
-    if exclude_key is not None:
-        all_versions = all_versions.where(
-            F.col("merged_key") != exclude_key
+    seq, key = max(marks)
+    table = read_archive(spark, f"{sink_dir}/census")
+    if table is None:
+        return None, 0
+    if "merged_key" not in table.columns or "merged_seq" not in table.columns:
+        raise ValueError(
+            "census table layout mismatch: expected versioned columns "
+            "(merged_seq, merged_key) — this directory was written by "
+            "an incompatible census layout; point the stream at a "
+            "fresh state dir or migrate the old table"
         )
-    row = all_versions.agg(F.max("merged_seq")).first()
-    if row is None or row[0] is None:
-        # zero usable rows — behaves exactly like a missing table (the
-        # review's empty-census crash: max() is NULL, never compare it)
-        return None, 0
-    seq = int(row[0])
-    return all_versions.where(F.col("merged_seq") == seq), seq
+    return (
+        table.where(
+            (F.col("merged_seq") == seq) & (F.col("merged_key") == key)
+        ),
+        seq,
+    )
 
 
 def merge_batch(
@@ -132,12 +202,20 @@ def merge_batch(
     pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
 ) -> None:
     """One census merge under ``merge_key`` — idempotent: re-invoking
-    with the same key (a foreachBatch retry, whatever the prior
-    attempt managed to write) recomputes and overwrites the same
-    version and re-lands the same seen partition."""
+    with the same key (a foreachBatch retry, same run or after a
+    same-checkpoint restart, whatever the prior attempt managed to
+    write) recomputes and overwrites the same version, re-marks it and
+    re-lands the same seen partition."""
     spark = batch_docs.sparkSession
     prev, prev_seq = _latest_version(spark, sink_dir, exclude_key=merge_key)
     seen = read_archive(spark, f"{sink_dir}/seen")
+    if seen is not None and "ingest_key" not in seen.columns:
+        raise ValueError(
+            "seen table layout mismatch: expected an ingest_key "
+            "partition column — this directory was written by an "
+            "incompatible census layout; point the stream at a fresh "
+            "state dir or migrate the old table"
+        )
     seen_other = (
         seen.where(F.col("ingest_key") != merge_key)
         if seen is not None
@@ -166,6 +244,7 @@ def merge_batch(
             .partitionBy("merged_key")
             .parquet(f"{sink_dir}/census")
         )
+        _mark_committed(spark, sink_dir, prev_seq + 1, merge_key)
     (
         new_ids.withColumn("ingest_key", F.lit(merge_key))
         .write.mode("overwrite")
@@ -173,40 +252,64 @@ def merge_batch(
         .partitionBy("ingest_key")
         .parquet(f"{sink_dir}/seen")
     )
-    _prune_superseded(spark, f"{sink_dir}/census", prev_seq)
+    _prune_superseded(spark, sink_dir, prev_seq)
 
 
 def _prune_superseded(
-    spark: SparkSession, census_dir: str, prev_seq: int
+    spark: SparkSession, sink_dir: str, prev_seq: int
 ) -> None:
     """Best-effort retention: drop version partitions older than the
-    previous one (keep current + previous). Correctness never depends
-    on this — a failed prune just leaves extra tiny versions."""
+    previous one (keep current + previous). Marks go BEFORE partitions
+    so a crash mid-prune leaves an unmarked (invisible) partition,
+    never a marked ghost. Correctness never depends on pruning — a
+    failed prune just leaves extra tiny versions."""
     try:
-        versions = spark.read.parquet(census_dir)
-        stale = {
-            r["merged_key"]
-            for r in versions.select("merged_key", "merged_seq")
-            .distinct()
-            .collect()
-            if r["merged_seq"] < prev_seq
-        }
+        stale = [
+            (seq, key)
+            for seq, key in _list_marks(spark, sink_dir)
+            if seq < prev_seq
+        ]
         if not stale:
             return
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(census_dir)
-        fs = path.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        for st in fs.listStatus(path):
-            name = st.getPath().getName()
-            if (
-                name.startswith("merged_key=")
-                and name.split("=", 1)[1] in stale
-            ):
-                fs.delete(st.getPath(), True)
+        fs, jvm = _fs(spark, sink_dir)
+        for seq, key in stale:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{sink_dir}/census_marks/{seq}-{key}"
+                ),
+                False,
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{sink_dir}/census/merged_key={key}"
+                ),
+                True,
+            )
     except Exception:
         pass  # retention only; never fail the batch over cleanup
+
+
+def _query_identity(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The streaming query's persisted UUID (``<checkpoint>/metadata``)
+    — stable across restarts from the same checkpoint, regenerated
+    when the checkpoint is wiped: exactly the run-identity the seen
+    index needs (a checkpoint-PATH hash collides on wipe-and-reuse).
+    Falls back to the path hash only if the metadata file is somehow
+    unreadable at batch time (it is written before the first batch)."""
+    try:
+        fs, jvm = _fs(spark, checkpoint_dir)
+        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/metadata")
+        stream = fs.open(p)
+        try:
+            raw = bytes(
+                stream.readAllBytes()
+            )  # java InputStream.readAllBytes
+        finally:
+            stream.close()
+        ident = json.loads(raw.decode("utf-8"))["id"]
+        return ident.replace("-", "")[:16]
+    except Exception:
+        return hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
 
 def start_incremental_census(
@@ -217,15 +320,21 @@ def start_incremental_census(
     pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
 ) -> StreamingQuery:
     """Streaming census query: document stream → live piece census.
-    Merge keys are run-scoped (checkpoint identity + batch id), so
-    batch ids from a fresh-checkpoint replay can never collide with —
-    or overwrite — another run's state."""
-    run = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    Merge keys are (query identity, batch id) — see _query_identity —
+    so batch ids from any replay can never collide with another run's
+    state, while same-checkpoint restarts keep their keys."""
+    ident: dict[str, str] = {}
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        merge_batch(batch, sink_dir, f"{run}-{batch_id}", pieces=pieces)
+        if "run" not in ident:
+            ident["run"] = _query_identity(
+                batch.sparkSession, checkpoint_dir
+            )
+        merge_batch(
+            batch, sink_dir, f"{ident['run']}.{batch_id}", pieces=pieces
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(process)

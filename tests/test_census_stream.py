@@ -170,3 +170,56 @@ def test_order_shuffled_fresh_replay_is_absorbed(spark, tmp_path):
     cs.merge_batch(d1, sink, "runB-1", pieces=vocab)
     assert _census(spark, sink) == first
     assert first == {"alpha": (1, 1), "beta": (1, 1)}
+
+
+def test_wiped_checkpoint_rechunked_replay_is_absorbed(
+    spark, chunked_docs, tmp_path
+):
+    """The third review's empirical repro, fixed: rm -rf the checkpoint
+    and replay the same corpus from a DIFFERENTLY-CHUNKED source over
+    the same checkpoint path. The query identity (persisted UUID, not
+    a path hash) regenerates, so no replay key can collide with run
+    1's seen partitions — every count unchanged."""
+    import shutil
+
+    docs, src = chunked_docs
+    sink, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    _run_stream(spark, src, docs.schema, sink, ckpt)
+    first = _census(spark, sink)
+
+    shutil.rmtree(ckpt)
+    src2 = str(tmp_path / "incoming2")  # same rows, 2 files not 3
+    rows = docs.orderBy("doc_id").collect()
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src2)
+    _run_stream(spark, src2, docs.schema, sink, ckpt)
+    assert _census(spark, sink) == first
+
+
+def test_torn_version_is_invisible_until_its_retry_repairs_it(
+    spark, tmp_path
+):
+    """Commit-marker semantics: a version whose mark is missing (the
+    torn-write shape) must be invisible — reads fall back to the last
+    committed version — and the same-key retry must recompute, re-mark
+    and repair it."""
+    import os
+
+    sink = str(tmp_path / "state")
+    vocab = ("alpha", "beta")
+    d1 = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(2, "beta")], "doc_id long, text string")
+    cs.merge_batch(d1, sink, "k-1", pieces=vocab)
+    cs.merge_batch(d2, sink, "k-2", pieces=vocab)
+    assert _census(spark, sink) == {"alpha": (1, 1), "beta": (1, 1)}
+
+    # simulate the torn commit: version 2 exists but is unmarked
+    os.remove(f"{sink}/census_marks/2-k-2")
+    assert _census(spark, sink) == {"alpha": (1, 1)}
+
+    # the supported recovery: retry under the same key repairs exactly
+    cs.merge_batch(d2, sink, "k-2", pieces=vocab)
+    assert _census(spark, sink) == {"alpha": (1, 1), "beta": (1, 1)}
