@@ -1448,3 +1448,319 @@ def q_multimodal_audio_dedup_clusters(
         F.col("label").alias("cluster_rep"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_window_matches — variable-length clips, windowed prints
+# ---------------------------------------------------------------------------
+# Round-10's fingerprint required exact 65-frame clips; production audio
+# is arbitrary-length. The Haitsma-Kalker production shape (2002): slide
+# the 65-frame window over the frame grid at a fixed hop, emit one
+# 64-bit print per hop, and match clips on shared window prints — the
+# audio twin of winnowing's positional fingerprints. A short excerpt
+# aligned to the hop grid is FOUND INSIDE the long original because its
+# single window print equals one of the original's window prints
+# (containment, not just whole-clip equality).
+
+AFPW_HOP_FRAMES = 16  # frames between window starts (128 samples)
+AFPW_MAX_FRAMES = AFP_FRAMES + 3 * AFPW_HOP_FRAMES  # fixture bound: 113
+AFPW_MAX_WINDOWS = 4  # fixture bound — the kernel itself is unbounded
+
+AFPW_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win", T.IntegerType()),
+    ]
+    + [T.StructField(f"band{k}", T.LongType()) for k in range(DHASH_BANDS)]
+)
+
+
+def _afpw_amp(f: int, v: int, j: int) -> int:
+    """Fixture amplitude for frame j of clip (f, v) — Python twin of
+    the oracle's CASE (see _afpw_ctes): v0 full-length envelope, v1
+    the first 65 frames at x2, v2 frames 16..80 at x3 (v0's window 1,
+    rescaled), v3 the first 65 frames with frame 0 bumped (near-dup
+    of v0's window 0 at hamming <= 1)."""
+    if v == 0:
+        return _afp_env(f, j)
+    if v == 1:
+        return _afp_env(f, j) * 2
+    if v == 2:
+        return _afp_env(f, j + AFPW_HOP_FRAMES) * 3
+    return _afp_env(f, j) + (AFP_BUMP if j == 0 else 0)
+
+
+def _afpw_n_frames(f: int, v: int) -> int:
+    return (
+        AFP_FRAMES + AFPW_HOP_FRAMES * ((f % 3) + 1) if v == 0 else AFP_FRAMES
+    )
+
+
+def synthesize_afpw_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH clip fixture: one real PCM WAV per document,
+    lengths 81/97/113 frames for variant 0 (by family), 65 frames for
+    the excerpt/near-dup variants — every length a multiple of the
+    frame size, every excerpt offset a multiple of the hop, so the
+    oracle replays prints per hop from the closed-form envelope.
+    Amplitudes bounded ((999 + 1500) and 999*3 < 32767): no int16
+    wrap."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") / AFP_FAMILY_VARIANTS).cast("long").alias("f"),
+        (F.col("doc_id") % AFP_FAMILY_VARIANTS).cast("long").alias("v"),
+    )
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples():
+                samples = []
+                for j in range(_afpw_n_frames(r.f, r.v)):
+                    amp = _afpw_amp(r.f, r.v, j)
+                    samples.extend(
+                        amp if t % 2 == 0 else -amp
+                        for t in range(AFP_FRAME_SIZE)
+                    )
+                payloads.append(media_codecs.wav_encode(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
+def audio_windowed_fingerprint_bands(
+    media: DataFrame, hop_frames: int = AFPW_HOP_FRAMES
+) -> DataFrame:
+    """Windowed fingerprint stage for ARBITRARY-length mono clips:
+    decode → frame energies (integer |sample| sums per 8-sample
+    frame) → slide the {AFP_FRAMES}-frame window at ``hop_frames`` →
+    one 64-delta-sign-bit print per hop, packed as the usual 4x16-bit
+    bands, one output ROW per (clip, window). Amplitude-scale
+    invariance carries over per window (every energy in a window
+    scales by the same positive factor).
+
+    Scale shape: still a pure zero-shuffle Arrow map — rows out grow
+    linearly with audio DURATION (one per hop), never quadratically;
+    the numpy stride trick computes all windows of a clip from one
+    energy vector. Clips shorter than one window or not on the frame
+    grid are a caller bug (production resamples first) and raise."""
+
+    def hash_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.wav_decode(bytes(payload))
+                ns = len(d["samples"])
+                if (
+                    d["n_channels"] != 1
+                    or ns % AFP_FRAME_SIZE != 0
+                    or ns < AFP_FRAMES * AFP_FRAME_SIZE
+                ):
+                    raise ValueError(
+                        "windowed audio fingerprint expects mono clips "
+                        f"of >= {AFP_FRAMES} whole {AFP_FRAME_SIZE}-sample "
+                        f"frames, got {d['n_channels']}ch x {ns}"
+                    )
+                e = (
+                    np.abs(np.asarray(d["samples"], dtype=np.int64))
+                    .reshape(-1, AFP_FRAME_SIZE)
+                    .sum(axis=1)
+                )
+                n_frames = e.shape[0]
+                for w in range(0, n_frames - AFP_FRAMES + 1, hop_frames):
+                    seg = e[w : w + AFP_FRAMES]
+                    bits = (seg[1:] > seg[:-1]).astype(np.int64)
+                    rec = {"media_id": mid, "win": w // hop_frames}
+                    for band in range(DHASH_BANDS):
+                        bseg = bits[16 * band : 16 * (band + 1)]
+                        rec[f"band{band}"] = int(
+                            (bseg << np.arange(16, dtype=np.int64)).sum()
+                        )
+                    recs.append(rec)
+            yield pd.DataFrame.from_records(recs)
+
+    return media.mapInPandas(hash_batches, schema=AFPW_BANDS_SCHEMA)
+
+
+def audio_window_match_pairs(
+    wbands: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Clip-level matches from window prints: band-keyed candidate join
+    over (clip, window) print rows — same pigeonhole guarantee as
+    dhash_band_pairs, the key just carries the window index — exact
+    hamming verify per window pair, then per-clip-pair aggregation:
+    how many window pairs matched and the best (min) hamming. Output
+    (media_a, media_b, n_window_matches, min_hamming), media_a <
+    media_b.
+
+    Scale: candidates are bounded by band-bucket occupancy over the
+    window-print population (linear in total audio duration); the
+    verify join carries 4 small ints per side; the final exchange is
+    keyed by clip pair. The within-clip self-match (a == b) is
+    excluded by the id ordering, so a clip with internally repeating
+    audio never floods the output."""
+    long_form = wbands.select(
+        "media_id",
+        "win",
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    cand = (
+        long_form.alias("a")
+        .join(
+            long_form.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.win").alias("win_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("b.win").alias("win_b"),
+        )
+        .distinct()
+    )
+    x = wbands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("win").alias("win_a"),
+        *[F.col(f"band{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
+    )
+    y = wbands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("win").alias("win_b"),
+        *[F.col(f"band{k}").alias(f"yb{k}") for k in range(DHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"xb{k}").bitwiseXOR(F.col(f"yb{k}")))
+        for k in range(DHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.join(x, ["media_a", "win_a"])
+        .join(y, ["media_b", "win_b"])
+        .select("media_a", "media_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_window_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+
+
+def _afpw_ctes() -> str:
+    """The windowed pipeline as CTEs: clips → per-frame energies (from
+    the closed-form envelope) → per-(clip, window) delta bits → band
+    values → window-level band join + hamming verify → clip-pair
+    aggregation. One definition of envelope, framing and banding,
+    shared with the Python fixture twins above."""
+    env_j = _afp_env_sql("j.j")
+    env_j_off = _afp_env_sql(f"j.j + {AFPW_HOP_FRAMES}")
+    amp = f"""CASE WHEN v = 0 THEN {env_j}
+         WHEN v = 1 THEN {env_j} * 2
+         WHEN v = 2 THEN {env_j_off} * 3
+         ELSE {env_j} + CASE WHEN j.j = 0 THEN {AFP_BUMP} ELSE 0 END END"""
+    return f"""awc AS (
+  SELECT doc_id AS media_id,
+         doc_id // {AFP_FAMILY_VARIANTS} AS f,
+         doc_id %  {AFP_FAMILY_VARIANTS} AS v
+  FROM documents
+),
+clips AS (
+  SELECT media_id, f, v,
+         CASE WHEN v = 0
+              THEN {AFP_FRAMES} + {AFPW_HOP_FRAMES} * ((f % 3) + 1)
+              ELSE {AFP_FRAMES} END AS nf
+  FROM awc
+),
+en AS (
+  SELECT c.media_id, j.j AS j, {AFP_FRAME_SIZE} * ({amp}) AS e
+  FROM clips c, range({AFPW_MAX_FRAMES}) j(j)
+  WHERE j.j < c.nf
+),
+wins AS (
+  SELECT c.media_id, w.w AS w
+  FROM clips c, range({AFPW_MAX_WINDOWS}) w(w)
+  WHERE w.w <= (c.nf - {AFP_FRAMES}) // {AFPW_HOP_FRAMES}
+),
+wbits AS (
+  SELECT win.media_id, win.w, k.k AS k,
+         CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+  FROM wins win, range({AFP_FRAMES - 1}) k(k), en e1, en e2
+  WHERE e1.media_id = win.media_id
+    AND e1.j = win.w * {AFPW_HOP_FRAMES} + k.k
+    AND e2.media_id = win.media_id
+    AND e2.j = win.w * {AFPW_HOP_FRAMES} + k.k + 1
+),
+wbands AS (
+  SELECT media_id, w, k // 16 AS band_idx,
+         CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS band_val
+  FROM wbits GROUP BY media_id, w, k // 16
+),
+wcand AS (
+  SELECT DISTINCT a.media_id AS ma, a.w AS wa, b.media_id AS mb, b.w AS wb
+  FROM wbands a JOIN wbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+),
+wpairs AS (
+  SELECT c.ma, c.wa, c.mb, c.wb,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+           AS hamming
+  FROM wcand c
+  JOIN wbands x ON x.media_id = c.ma AND x.w = c.wa
+  JOIN wbands y ON y.media_id = c.mb AND y.w = c.wb
+                AND y.band_idx = x.band_idx
+  GROUP BY 1, 2, 3, 4
+  HAVING sum(bit_count(xor(x.band_val, y.band_val)))
+           <= {DHASH_MAX_HAMMING}
+)"""
+
+
+_AFPW_ORACLE = f"""
+WITH {_afpw_ctes()}
+SELECT ma AS media_a, mb AS media_b,
+       CAST(count(*) AS BIGINT) AS n_window_matches,
+       min(hamming) AS min_hamming
+FROM wpairs GROUP BY 1, 2
+"""
+
+
+@_register("multimodal_audio_window_matches", _AFPW_ORACLE)
+def q_multimodal_audio_window_matches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variable-length audio near-dup/CONTAINMENT matching: synthesize
+    clips of 81-113 frames (variant 0) alongside 65-frame excerpts —
+    a rescaled head excerpt, a rescaled hop-aligned interior excerpt,
+    and a first-frame-perturbed near-dup — fingerprint every
+    65-frame window at a {AFPW_HOP_FRAMES}-frame hop through the REAL
+    WAV codec, and report clip pairs sharing hamming-verified window
+    prints. The excerpts are found INSIDE the long originals (the
+    short clip's lone window print matches the original's window 0 or
+    1) — the Haitsma-Kalker containment shape round-10's fixed-length
+    fingerprint could not express. The oracle replays envelope →
+    framing → windows → bands → pair algebra from the closed form, so
+    the hash certifies codec, windowing, banding and aggregation
+    together."""
+    from ..session import stage
+
+    wbands = stage(
+        audio_windowed_fingerprint_bands(synthesize_afpw_media(spark, sf_dir))
+    )
+    return audio_window_match_pairs(wbands)

@@ -801,6 +801,110 @@ def tokenizer_greedy_subword(
     )
 
 
+def tokenizer_greedy_subword_jvm(
+    d: DataFrame,
+    pieces: tuple[str, ...] = VOCAB_GREEDY_PIECES,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pure-JVM alternative to ``tokenizer_greedy_subword`` — the
+    round-10 verdict's measure-the-alternative task: the same greedy
+    longest-match fold expressed as Catalyst expressions so no Python
+    worker ever runs. Shape: distinct words (the Arrow path's memo,
+    made relational) → per-word fold via nested F.aggregate — outer
+    fold over char positions carrying (next_pos, n_tok, n_unk), inner
+    argmax-length probe over a descending length literal with
+    array_contains against the vocab literal — → broadcast join back
+    to word occurrences → per-doc aggregation.
+
+    Trade vs the Arrow fold (measured, tools/encoder_ab_r11.py; table
+    in ARCHITECTURE.md round 11): this path pays a word-distinct
+    shuffle + a join + a doc-keyed agg where the Arrow path is a pure
+    zero-shuffle map, and its per-char probe is O(max_len · |vocab|)
+    linear scans of the vocab literal (Catalyst array_contains) where
+    the Python fold's frozenset probe is O(1). It wins only if Python
+    worker startup/transfer dominates — the A/B decides; the loser
+    stays documented here."""
+    max_len = max(len(p) for p in pieces)
+    vocab_arr = F.array(*[F.lit(p) for p in pieces])
+    lens_desc = F.array(
+        *[F.lit(k) for k in range(max_len, 0, -1)]
+    )
+
+    n = F.length("w")
+    # 0-based char positions; sequence() descends for negative spans,
+    # so the empty word guards to an empty array explicitly
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    zero = F.struct(
+        F.lit(0).alias("nxt"),
+        F.lit(0).cast("long").alias("ntok"),
+        F.lit(0).cast("long").alias("nunk"),
+    )
+
+    def probe(i):
+        # longest vocab piece prefixing w[i:] (1-based substr)
+        return F.aggregate(
+            lens_desc,
+            F.lit(0),
+            lambda a, ln: F.when(
+                (a == 0)
+                & (ln <= n - i)
+                & F.array_contains(
+                    vocab_arr, F.col("w").substr(i + 1, ln)
+                ),
+                ln,
+            ).otherwise(a),
+        )
+
+    def step(acc, i):
+        mlen = probe(i)
+        return F.when(i < acc["nxt"], acc).otherwise(
+            F.when(
+                mlen == 0,
+                F.struct(
+                    (i + 1).alias("nxt"),
+                    (acc["ntok"] + 1).alias("ntok"),
+                    (acc["nunk"] + 1).alias("nunk"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (i + mlen).alias("nxt"),
+                    (acc["ntok"] + 1).alias("ntok"),
+                    acc["nunk"].alias("nunk"),
+                )
+            )
+        )
+
+    fold = F.aggregate(
+        idx,
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["ntok"].alias("ntok"), acc["nunk"].alias("nunk")
+        ),
+    )
+
+    words = d.select(
+        "doc_id",
+        *carry,
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("w"),
+    )
+    w_stats = words.select("w").distinct().select("w", fold.alias("s"))
+    return (
+        words.join(F.broadcast(w_stats), "w")
+        .groupBy("doc_id", *carry)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("s.ntok").cast("long").alias("n_tokens"),
+            F.sum("s.nunk").cast("long").alias("n_unk"),
+        )
+        .select("doc_id", "n_words", "n_tokens", "n_unk", *carry)
+    )
+
+
 # ---------------------------------------------------------------------------
 # tokenizer_piece_frequencies — corpus vocab-usage census
 # ---------------------------------------------------------------------------
@@ -1051,12 +1155,14 @@ def _bpe_pair_counts(pieces: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_apply_merge(pieces: DataFrame, l: str, r: str) -> DataFrame:
-    """Apply merge (l, r) everywhere: left-to-right non-overlapping
-    fold, pure JVM (F.aggregate — no UDF). acc.prev holds the last
-    uncommitted token; (prev=l, x=r) fuses into l||r which STAYS
-    pending (strictly longer than l, so it can never left-match again
-    this step) — exactly the oracle's sentinel-replace semantics."""
+def _bpe_merge_fold(l: str, r: str):
+    """The merge-(l, r) fold as a COLUMN over ``pieces``: left-to-right
+    non-overlapping, pure JVM (F.aggregate — no UDF). acc.prev holds
+    the last uncommitted token; (prev=l, x=r) fuses into l||r which
+    STAYS pending (strictly longer than l, so it can never left-match
+    again this step) — exactly the oracle's sentinel-replace
+    semantics. Shared by the recount path's full application and the
+    delta path's affected-only application."""
     merged = l + r
     zero = F.struct(
         F.expr("CAST(array() AS array<string>)").alias("out"),
@@ -1068,7 +1174,7 @@ def _bpe_apply_merge(pieces: DataFrame, l: str, r: str) -> DataFrame:
             F.concat(acc["out"], F.array(acc["prev"]))
         )
 
-    fold = F.aggregate(
+    return F.aggregate(
         "pieces",
         zero,
         lambda acc, x: F.when(
@@ -1077,33 +1183,186 @@ def _bpe_apply_merge(pieces: DataFrame, l: str, r: str) -> DataFrame:
         ).otherwise(F.struct(flush(acc).alias("out"), x.alias("prev"))),
         flush,
     )
-    return pieces.select("cnt", fold.alias("pieces"))
+
+
+def _bpe_apply_merge(pieces: DataFrame, l: str, r: str) -> DataFrame:
+    """Apply merge (l, r) everywhere — the recount path's full pass."""
+    return pieces.select("cnt", _bpe_merge_fold(l, r).alias("pieces"))
 
 
 def bpe_train_merges(
-    d: DataFrame, n_merges: int = BPE_MERGE_STEPS
+    d: DataFrame,
+    n_merges: int = BPE_MERGE_STEPS,
+    _step_seconds: list | None = None,
 ) -> DataFrame:
     """Parameterized trainer kernel — ``d`` needs (doc_id, text).
     Returns the merge table (step, lhs, rhs, merged, pair_count).
     Stops early (fewer rows) only if the corpus exhausts to whole
-    words before ``n_merges`` — the registry corpora never do."""
+    words before ``n_merges`` — the registry corpora never do.
+    ``_step_seconds``: measurement hook (tools/bpe_ab_r11.py) — a list
+    that receives per-step wall seconds."""
     from .. import session
 
     return _bpe_train_from_pieces(
-        d.sparkSession, session.stage(_bpe_word_pieces(d)), n_merges
+        d.sparkSession,
+        session.stage(_bpe_word_pieces(d)),
+        n_merges,
+        _step_seconds=_step_seconds,
+    )
+
+
+def _adjacent_pair_pred(l: str, r: str):
+    """True iff the word's piece list contains (l, r) ADJACENT — the
+    affected-word predicate of the delta trainer. Built with the lambda
+    API (not an expr string) so arbitrary corpus pieces — quotes,
+    backslashes — never need SQL escaping."""
+    pairs = F.expr(
+        "transform(slice(pieces, 1, size(pieces) - 1),"
+        " (x, i) -> struct(x AS lhs, pieces[i + 1] AS rhs))"
+    )
+    return F.exists(
+        pairs, lambda p: (p["lhs"] == F.lit(l)) & (p["rhs"] == F.lit(r))
+    )
+
+
+def _bpe_pair_deltas(col, sign: int):
+    """Adjacent-pair delta structs for one word: array<struct<lhs, rhs,
+    c>> where c = sign * cnt — the raw (unaggregated) pair-count
+    contributions the delta trainer feeds straight into its single
+    pair-keyed aggregation. ``col`` is the piece-array column (the
+    stored array for the negative leg, the merge fold's output for the
+    positive leg)."""
+    head = F.slice(col, F.lit(1), F.size(col) - 1)
+    return F.transform(
+        head,
+        lambda x, i: F.struct(
+            x.alias("lhs"),
+            F.get(col, i + 1).alias("rhs"),
+            (F.lit(sign) * F.col("cnt")).cast("long").alias("c"),
+        ),
     )
 
 
 def _bpe_train_from_pieces(
-    spark: SparkSession, pieces: DataFrame, n_merges: int
+    spark: SparkSession,
+    pieces: DataFrame,
+    n_merges: int,
+    _step_seconds: list | None = None,
 ) -> DataFrame:
     """The merge loop over an already-STAGED (cnt, pieces) word table —
     split out so the roundtrip can share one corpus scan between the
-    trainer and its alphabet derivation."""
+    trainer and its alphabet derivation.
+
+    INCREMENTAL PAIR-DELTA maintenance (the standard trainer scale
+    fix): a staged pair-count table rides along with the word table,
+    so each step's argmax is a read of that table, NOT a fresh
+    corpus-wide pair recount. After choosing merge (l, r), only words
+    whose piece list contains (l, r) adjacent can change any pair
+    count — so each step does exactly two narrow things plus ONE
+    shuffle: (1) affected words emit ±pair delta rows in a single pass
+    (old pairs at -cnt, post-merge pairs at +cnt — _bpe_pair_deltas);
+    (2) the carried pair table unions those rows through one pair-
+    keyed aggregation; (3) the word table is rewritten by a
+    conditional in-place fold (unaffected rows short-circuit).
+    Unaffected words' counts carry forward untouched. Identity with
+    the full-recount path (kept below as
+    ``_bpe_train_from_pieces_recount``) is exact — counts(after) =
+    counts(before) - counts(affected_before) + counts(affected_after)
+    because unaffected words are unchanged — and is pinned by tests on
+    the Sennrich fixture and both registry scales. Per-step shuffled
+    bytes drop from O(all pairs of all words) to O(pairs of affected
+    words): at production merge counts (N≈30k-50k) the affected
+    fraction collapses as the vocab converges, which is what makes
+    the loop tractable (measured table in ARCHITECTURE.md, round 11).
+
+    Both loop frames are truncated to plan LEAVES per step with lazy
+    ``localCheckpoint`` (the pipeline.py:553 precedent): a persist
+    chain keeps the full logical tree, so N-step lineage makes every
+    later persist re-stringify O(N) nested plans — a treeString OOM
+    well before any data cost. The GraphX/MLlib iterative-lineage
+    trade, accepted here for the same reason."""
+    import time
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    pc = _bpe_pair_counts(pieces).localCheckpoint(eager=False)
+    for step in range(1, n_merges + 1):
+        t0 = time.monotonic()
+        # argmax over the MAINTAINED pair table — the only action per
+        # step (the pagerank-style bounded driver scalar)
+        top = (
+            pc.where(F.col("c") > 0)
+            .orderBy(F.desc("c"), "lhs", "rhs")
+            .first()
+        )
+        if top is None:
+            break
+        l, r, c = top["lhs"], top["rhs"], int(top["c"])
+        merges.append((step, l, r, l + r, c))
+        pred = _adjacent_pair_pred(l, r)
+        fold = _bpe_merge_fold(l, r)
+        # ±pair delta rows from the AFFECTED words only, in one narrow
+        # pass: each affected word emits its old adjacent pairs at
+        # -cnt and its post-merge pairs at +cnt; the single pair-keyed
+        # aggregation below folds them into the carried counts. Counts
+        # stay ≥ 0 (the negations are a subset of what pc already
+        # holds); the != 0 filter drops fully-consumed pairs so the
+        # argmax table tracks the LIVE pair vocabulary.
+        delta = (
+            pieces.where(pred)
+            .select(
+                F.explode(
+                    F.concat(
+                        _bpe_pair_deltas(F.col("pieces"), -1),
+                        _bpe_pair_deltas(fold, +1),
+                    )
+                ).alias("pr")
+            )
+            .select("pr.lhs", "pr.rhs", F.col("pr.c").alias("c"))
+        )
+        pc = (
+            pc.unionAll(delta)
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") != 0)
+            .localCheckpoint(eager=False)
+        )
+        # in-place conditional merge: unaffected rows short-circuit the
+        # CaseWhen, so the fold only runs on affected words; a SINGLE
+        # reference to the prior frame keeps both the logical tree and
+        # the partitioning flat across all N steps (no union — a
+        # two-reference split here measurably doubled partitions per
+        # step: 32768 tasks in one stage by merge 12 at sf0.01)
+        pieces = pieces.select(
+            "cnt", F.when(pred, fold).otherwise(F.col("pieces")).alias("pieces")
+        ).localCheckpoint(eager=False)
+        if _step_seconds is not None:
+            _step_seconds.append(time.monotonic() - t0)
+
+    return spark.createDataFrame(
+        merges,
+        schema="step INT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count BIGINT",
+    )
+
+
+def _bpe_train_from_pieces_recount(
+    spark: SparkSession,
+    pieces: DataFrame,
+    n_merges: int,
+    _step_seconds: list | None = None,
+) -> DataFrame:
+    """Round-10's full-recount loop, kept as the REFERENCE path: every
+    step recounts all pairs over the whole word table. Semantically
+    identical to the delta loop above (equality pinned in
+    tests/test_round11_ops.py); used by the equality tests and the
+    recount-vs-delta step-time measurement (ARCHITECTURE.md)."""
+    import time
+
     from .. import session
 
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
+        t0 = time.monotonic()
         top = (
             _bpe_pair_counts(pieces)
             .orderBy(F.desc("c"), "lhs", "rhs")
@@ -1117,6 +1376,8 @@ def _bpe_train_from_pieces(
         # previous stage, so each fold runs ONCE from cache (linear
         # total work), not k times from lineage (quadratic)
         pieces = session.stage(_bpe_apply_merge(pieces, l, r))
+        if _step_seconds is not None:
+            _step_seconds.append(time.monotonic() - t0)
 
     return spark.createDataFrame(
         merges,

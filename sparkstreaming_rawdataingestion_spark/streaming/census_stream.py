@@ -33,18 +33,24 @@ copy and nothing trusts an uncommitted one):
   checkpoint — recomputes over its own previous attempt instead of
   trusting it (idempotence by recompute; no high-water mark, hence no
   dependence on batch-id order).
-- ``<dir>/seen`` — (doc_id) partitioned by ``ingest_key``; the replay
-  absorber. The census is additive, so at-least-once delivery needs
-  an explicit dedup: a redelivered document anti-joins its archived
-  doc_id and contributes nothing. Keys are scoped by the STREAMING
-  QUERY IDENTITY — the UUID Spark persists in
-  ``<checkpoint>/metadata`` — which is stable across restarts from
-  the same checkpoint (a cross-restart retry of batch N still
-  excludes its own partial writes) and REGENERATED when the
-  checkpoint is wiped (the second review's empirical repro: a path
-  hash collides on the standard rm-rf-and-reuse replay, double
+- ``<dir>/seen`` — (doc_id) partitioned by ``ingest_key`` and
+  ``id_bucket`` (``pmod(xxhash64(doc_id), SEEN_BUCKETS)`` — the
+  cdc_stream bucket-layout pattern); the replay absorber. The census
+  is additive, so at-least-once delivery needs an explicit dedup: a
+  redelivered document anti-joins its archived doc_id and contributes
+  nothing. Keys are scoped by the STREAMING QUERY IDENTITY — the UUID
+  Spark persists in ``<checkpoint>/metadata`` — which is stable
+  across restarts from the same checkpoint (a cross-restart retry of
+  batch N still excludes its own partial writes) and REGENERATED when
+  the checkpoint is wiped (the second review's empirical repro: a
+  path hash collides on the standard rm-rf-and-reuse replay, double
   counting and destroying absorption records; the query id cannot).
-  The anti-join excludes only the CURRENT key's partition.
+  The anti-join excludes the CURRENT key's partitions and PRUNES to
+  the id buckets the batch actually touches (a bounded ≤ SEEN_BUCKETS
+  driver list, layout metadata not data): the index still grows with
+  corpus rows, but a micro-batch's anti-join scan is bounded by the
+  touched buckets' share of it — at 100 TB the per-batch read is
+  |seen| x |touched buckets| / SEEN_BUCKETS, not |seen|.
 
 Residual window, stated honestly: the census write and the seen write
 cannot be one atomic commit without a transactional table format
@@ -82,6 +88,15 @@ from .curation_stream import read_archive
 from .ingest_stream import _trigger_kwargs
 
 CENSUS_COLUMNS = ("piece", "n_occurrences", "n_docs")
+
+#: hash-bucket partition count for the seen index's directory layout
+#: (cdc_stream.N_BUCKETS discipline: a layout constant — raise it so a
+#: bucket's id set fits an executor at the target corpus size)
+SEEN_BUCKETS = 64
+
+
+def _seen_bucket(col):
+    return F.pmod(F.xxhash64(col), F.lit(SEEN_BUCKETS)).cast("int")
 
 
 def census_increment(
@@ -209,18 +224,34 @@ def merge_batch(
     spark = batch_docs.sparkSession
     prev, prev_seq = _latest_version(spark, sink_dir, exclude_key=merge_key)
     seen = read_archive(spark, f"{sink_dir}/seen")
-    if seen is not None and "ingest_key" not in seen.columns:
+    if seen is not None and not {"ingest_key", "id_bucket"} <= set(
+        seen.columns
+    ):
         raise ValueError(
-            "seen table layout mismatch: expected an ingest_key "
-            "partition column — this directory was written by an "
-            "incompatible census layout; point the stream at a fresh "
-            "state dir or migrate the old table"
+            "seen table layout mismatch: expected (ingest_key, "
+            "id_bucket) partition columns — this directory was written "
+            "by an incompatible census layout; point the stream at a "
+            "fresh state dir or migrate the old table"
         )
-    seen_other = (
-        seen.where(F.col("ingest_key") != merge_key)
-        if seen is not None
-        else None
-    )
+    seen_other = None
+    if seen is not None:
+        # touched-bucket list: bounded by SEEN_BUCKETS (layout
+        # metadata, not data — the cdc_stream discipline). Ids outside
+        # the batch's buckets cannot match the anti-join, so pruning
+        # the seen scan to touched buckets is exact; the isin filter
+        # lands on the partition column and prunes the file listing.
+        buckets = [
+            r.b
+            for r in batch_docs.select(
+                _seen_bucket(F.col("doc_id")).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        seen_other = seen.where(
+            (F.col("ingest_key") != merge_key)
+            & F.col("id_bucket").isin(buckets)
+        )
     out, new_ids = census_increment(
         batch_docs, prev, seen_other, pieces=pieces
     )
@@ -247,9 +278,10 @@ def merge_batch(
         _mark_committed(spark, sink_dir, prev_seq + 1, merge_key)
     (
         new_ids.withColumn("ingest_key", F.lit(merge_key))
+        .withColumn("id_bucket", _seen_bucket(F.col("doc_id")))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_key")
+        .partitionBy("ingest_key", "id_bucket")
         .parquet(f"{sink_dir}/seen")
     )
     _prune_superseded(spark, sink_dir, prev_seq)

@@ -22,6 +22,18 @@ Guarantee: at-least-once delivery absorbed idempotently — replaying a
 processed batch appends nothing, because every replayed text is caught
 by the exact-sha anti-join (the content-addressed analog of the
 reference's Cassandra PK upsert, RawDataIngestion.java:152).
+
+Layout adjudication (round 11): the census stream's seen index gained
+hash-bucket partitioning so its per-batch anti-join prunes to touched
+buckets (census_stream.SEEN_BUCKETS). The curated archive deliberately
+stays FLAT: bucketing it by sha prefix would prune only the exact-sha
+leg, while the dominant per-batch read — the shingle index feeding the
+near-dup join — needs EVERY archived row regardless of layout (shingle
+buckets are keyed by shingle, not by document sha, so no document-
+keyed partition scheme prunes them). The archive's per-batch cost is
+already bounded by column pruning to the two index columns; a sha
+bucket column would add layout complexity for a leg that is not the
+bottleneck.
 """
 
 from __future__ import annotations

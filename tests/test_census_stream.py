@@ -223,3 +223,75 @@ def test_torn_version_is_invisible_until_its_retry_repairs_it(
     # the supported recovery: retry under the same key repairs exactly
     cs.merge_batch(d2, sink, "k-2", pieces=vocab)
     assert _census(spark, sink) == {"alpha": (1, 1), "beta": (1, 1)}
+
+
+def test_seen_index_is_bucket_partitioned_and_pruning_is_exact(
+    spark, tmp_path
+):
+    """Round-11 layout: the seen index is partitioned by (ingest_key,
+    id_bucket) with bucket = pmod(xxhash64(doc_id), SEEN_BUCKETS), and
+    the touched-bucket pruned anti-join absorbs a cross-key redelivery
+    exactly like the unpruned scan would — redelivered ids contribute
+    nothing, fresh ids count once. Also pins that a later merge under
+    a different key leaves every earlier key's bucket files untouched
+    (dynamic overwrite lands only under the writing key)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "census_state")
+    b1 = spark.createDataFrame(
+        [(i, "alpha") for i in range(10)], "doc_id long, text string"
+    )
+    cs.merge_batch(b1, sink, "key-one")
+
+    # layout: ingest_key / id_bucket directory nesting, correct buckets
+    key_dir = f"{sink}/seen/ingest_key=key-one"
+    buckets_on_disk = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(key_dir)
+        if d.startswith("id_bucket=")
+    )
+    expected = sorted(
+        r.b
+        for r in b1.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(cs.SEEN_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert buckets_on_disk == expected
+
+    snapshot = {}
+    for root, _dirs, files in os.walk(key_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            snapshot[p] = (os.path.getmtime(p), os.path.getsize(p))
+
+    # second merge under a NEW key: 5 redelivered ids + 5 fresh ones
+    b2 = spark.createDataFrame(
+        [(i, "alpha") for i in range(5, 15)], "doc_id long, text string"
+    )
+    cs.merge_batch(b2, sink, "key-two")
+
+    got = {
+        r.piece: (r.n_occurrences, r.n_docs)
+        for r in cs.read_census(spark, sink).collect()
+    }
+    # docs 0..14 counted once each, replays absorbed; the frozen vocab
+    # has no 'alpha' piece, so the encoder emits its chars (a l p h a)
+    assert got == {
+        "a": (30, 15),
+        "l": (15, 15),
+        "p": (15, 15),
+        "h": (15, 15),
+    }
+
+    after = {}
+    for root, _dirs, files in os.walk(key_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            after[p] = (os.path.getmtime(p), os.path.getsize(p))
+    assert after == snapshot  # key-one's bucket files byte-untouched
