@@ -105,6 +105,9 @@ RETIRED_FROM_HEADLINE = [
     "multimodal_decode_meta",  # 0.73/0.39/0.24 s
     "window_topk_per_group",   # 0.70/0.42/0.36 s (r10; window coverage
                                # stays via window_functions/frames packs)
+    "text_quality_score",      # 0.48/0.34/0.34 s r8/r9/r10 (r11; text
+                               # coverage stays via text_analysis_pack
+                               # and the tokenizer entries)
 ]
 HEADLINE = [
     "ingest_normalize",
@@ -117,7 +120,6 @@ HEADLINE = [
     "set_operations",
     "dedup_minhash_lsh_pairs",
     "similarity_topk_bruteforce",
-    "text_quality_score",
     "pipeline_curation",
     "q5_regional_revenue",
     "q10_returned_items",
@@ -164,6 +166,11 @@ HEADLINE = [
     "tokenizer_bpe_train",
     "tokenizer_bpe_roundtrip",
     "multimodal_audio_fingerprint_pairs",
+    # round-11 additions: windowed variable-length audio fingerprint
+    # matching (containment) and the fully-oracle-backed integer-ADC
+    # product-quantization twin
+    "multimodal_audio_window_matches",
+    "similarity_pq_portable_topk",
 ]
 
 

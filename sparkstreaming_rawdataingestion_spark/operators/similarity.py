@@ -1284,3 +1284,223 @@ def embedding_int8_quantize(e: DataFrame) -> DataFrame:
     return e.select("vec_id", amax.alias("amax"), "embedding").select(
         "vec_id", codes.alias("codes"), "amax"
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_portable_topk — ORACLE-BACKED product quantization
+#
+# The production PQ path above trains codebooks with Lloyd iterations
+# over JVM-scheduled float sums (rows-only at the driver gate; recall
+# and reconstruction fidelity pinned in pytest). This twin is the
+# similarity_lsh_portable_pairs recipe applied to PQ: deterministic
+# INTEGER codebooks (a closed-form mix formula, no training) and
+# integer-quantized vectors, so every distance, every code assignment
+# and every ADC partial is an exact BIGINT — order-independent sums
+# that DuckDB replays bit-identically. The whole ADC mechanism —
+# subspace decomposition, nearest-code assignment with tie-breaks,
+# lookup-table search, ranking — becomes hash-checkable; the
+# production path keeps Lloyd-trained codebooks for real quality.
+# ---------------------------------------------------------------------------
+
+PQP_SCALE = 4096          # embedding quantization: floor(x * 4096 + 0.5)
+PQP_CRANGE = 4096         # centroid values in [-4096, 4096]
+_PQP_MIX = 2654435761
+_PQP_M32 = 4294967296
+
+
+def _pqp_centroid(m, code, i):
+    """Integer centroid value for (subspace m, code, 1-based subdim i):
+    a quadratic-free linear mix is enough here because no two (m, code,
+    i) triples may collide IN AGGREGATE over 8 dims, not per-value —
+    and the integer arithmetic is the point (exact on both engines)."""
+    lin = (m * PQ_K + code) * PQ_SUBDIM + i - 1
+    return (lin * _PQP_MIX) % _PQP_M32 % (2 * PQP_CRANGE + 1) - PQP_CRANGE
+
+
+def _pqp_centroid_sql(m: str, code: str, i: str) -> str:
+    return (
+        f"((({m}) * {PQ_K} + ({code})) * {PQ_SUBDIM} + ({i}) - 1)"
+        f" * {_PQP_MIX} % {_PQP_M32} % {2 * PQP_CRANGE + 1} - {PQP_CRANGE}"
+    )
+
+
+_PQP_ORACLE = f"""
+WITH subdims AS (
+  SELECT vec_id, m.m AS m, i.i AS i,
+         CAST(floor(CAST(embedding[m.m * {PQ_SUBDIM} + i.i] AS DOUBLE)
+                    * {PQP_SCALE} + 0.5) AS BIGINT) AS ei
+  FROM embeddings, range({PQ_M}) m(m), range(1, {PQ_SUBDIM + 1}) i(i)
+),
+cents AS (
+  SELECT m.m AS m, k.k AS code, i.i AS i,
+         {_pqp_centroid_sql("m.m", "k.k", "i.i")} AS c
+  FROM range({PQ_M}) m(m), range({PQ_K}) k(k),
+       range(1, {PQ_SUBDIM + 1}) i(i)
+),
+dists AS (
+  SELECT s.vec_id, s.m, c.code,
+         sum((s.ei - c.c) * (s.ei - c.c)) AS d
+  FROM subdims s JOIN cents c ON c.m = s.m AND c.i = s.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code
+  FROM (SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.code,
+         sum(s.ei * c.c) AS pdot, sum(c.c * c.c) AS c2
+  FROM subdims s JOIN cents c ON c.m = s.m AND c.i = s.i
+  WHERE s.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+qn AS (
+  SELECT vec_id AS query_id, sum(ei * ei) AS qn2
+  FROM subdims WHERE vec_id < {N_QUERIES} GROUP BY 1
+),
+scores AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         sum(l.pdot) AS sdot, sum(l.c2) AS r2
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(s.sdot AS DOUBLE)
+           / nullif(sqrt(CAST(q.qn2 AS DOUBLE))
+                    * sqrt(CAST(s.r2 AS DOUBLE)), 0) AS adc
+  FROM scores s JOIN qn q USING (query_id)
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC NULLS LAST,
+                                        neighbor_id) AS BIGINT) AS rk,
+       round(adc, 6) AS adc_cos
+FROM ranked
+QUALIFY rk <= {TOP_K}
+"""
+
+
+@_register("similarity_pq_portable_topk", _PQP_ORACLE)
+def q_similarity_pq_portable_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Product-quantization ADC top-k, fully oracle-backed: quantize
+    every vector to integers (floor(x*{PQP_SCALE} + 0.5) per dim),
+    assign each 8-dim subvector its nearest deterministic integer
+    centroid (exact BIGINT L2, ties to the lowest code), then search
+    with the standard ADC decomposition — per-query (m, code) lookup
+    table of partial dots and centroid norms, one aggregation per
+    (query, neighbor), cosine against the reconstruction — and rank.
+    Because every pre-division quantity is an exact integer, the sums
+    are order-independent and the final doubles are bit-identical on
+    both engines: the hash gate certifies the MECHANISM (subspace
+    algebra, argmin tie-breaks, LUT search, ranking) that the
+    Lloyd-trained production path (similarity_topk_pq) can only
+    recall-test.
+
+    Scale shape: identical to the production path — the corpus-sized
+    search side carries (id, m, code) triples only; the LUT
+    (queries × {PQ_M} × {PQ_K} rows) and query norms are broadcast;
+    one (query, neighbor)-keyed aggregation; no float arrays move
+    after the encode scan."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    emb = _emb_double()
+    qi = lambda m, i: F.floor(  # noqa: E731 — tight closure, not an op
+        F.element_at(emb, (m * PQ_SUBDIM + i).cast("int")) * PQP_SCALE + 0.5
+    ).cast("long")
+
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    ks = F.explode(F.array(*[F.lit(k) for k in range(PQ_K)])).alias("code")
+
+    def centroid(m, code, i):
+        lin = (m * PQ_K + code) * PQ_SUBDIM + i - 1
+        return (
+            lin.cast("long") * _PQP_MIX % _PQP_M32 % (2 * PQP_CRANGE + 1)
+            - PQP_CRANGE
+        )
+
+    def subfold(val_fn):
+        # exact BIGINT sum over the subspace's {PQ_SUBDIM} dims
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PQ_SUBDIM)), val_fn
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    m, code = F.col("m"), F.col("code")
+    d = subfold(
+        lambda i: (qi(m, i) - centroid(m, code, i))
+        * (qi(m, i) - centroid(m, code, i))
+    )
+    codes = (
+        e.select("vec_id", "embedding").select("vec_id", "embedding", ms)
+        .select("vec_id", "embedding", "m", ks)
+        .select("vec_id", "m", F.struct(d.alias("d"), code).alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").getField("code").alias("code"))
+    )
+
+    queries = e.where(F.col("vec_id") < N_QUERIES)
+    lut = (
+        queries.select(F.col("vec_id").alias("query_id"), "embedding", ms)
+        .select("query_id", "embedding", "m", ks)
+        .select(
+            "query_id",
+            "m",
+            "code",
+            subfold(lambda i: qi(m, i) * centroid(m, code, i)).alias("pdot"),
+            subfold(
+                lambda i: centroid(m, code, i) * centroid(m, code, i)
+            ).alias("c2"),
+        )
+    )
+    def qdim(i):
+        return F.floor(
+            F.element_at(emb, i.cast("int")) * PQP_SCALE + 0.5
+        ).cast("long")
+
+    qn = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                lambda i: qdim(i) * qdim(i),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("qn2"),
+    )
+    scores = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("sdot"), F.sum("c2").alias("r2"))
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.try_divide(
+                F.col("sdot").cast("double"),
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("r2").cast("double")),
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc_nulls_last(), "neighbor_id"
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rk", F.round("adc", 6).alias("adc_cos")
+        )
+    )

@@ -172,97 +172,88 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-10 rotation (stalest-first, continuing the round-9 sweep):
+# Round-11 rotation (stalest-first; the round-10 verdict's item 6):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-3   QUEUE DRAIN — the two round-9 OVERFLOW entries take their
-#         first driver rows (the verdict's item 1; restores cumulative
-#         driver-green to N/N).
-#   4-33  ALL 30 queries whose latest driver-green row is ROUND 2 —
-#         after round 9 re-certified every r1-latest green, these are
-#         now the oldest certificates in the repo (includes the six
-#         r2-latest entries the round-9 ledger displaced:
-#         nulls_ordering, in_exists_subqueries, having_filter,
-#         correlated_subquery_above_avg, lateral_topk_per_group,
-#         salted_agg_equivalence).
-#   34-50 r3-latest picks chosen for evolved-kernel exposure (digest
-#         dedup, recursive-CTE folds, multimodal WAV alongside this
-#         round's audio work, ratio/validation packs) — round-10 NEW
-#         ops displace entries from THIS band one-by-one as each
-#         passes the 4-way gate (engine + --plain at sf0.01 AND sf0.1,
-#         closed-form fixture, plan pin). DISPLACEMENT LEDGER (each
-#         displaced entry is an r3-latest re-check with a standing
-#         driver-green row; it rotates to the extended region, still
-#         locally verified every round) — appended to as ops land:
-#           tokenizer_bpe_train      displaced stratified_sample
-#           tokenizer_bpe_roundtrip  displaced text_repetition_filters
-#           multimodal_audio_fingerprint_pairs displaced validation_pack
-#           pipeline_training_build_semantic displaced timeseries_anomaly_zscore
-#           multimodal_audio_dedup_clusters displaced table_profile
-#           tokenizer_compression_report displaced skew_equivalence_pack
+#   2-7   the six entries the round-10 ledger displaced (each an
+#         r3-latest green at displacement time) — re-certified first,
+#         closing that ledger's debt.
+#   8-32  every REMAINING query whose latest driver-green row is
+#         ROUND 3 — after round 10 re-certified all r2-latest greens,
+#         these are now the oldest certificates in the repo.
+#   33-48 the 16 alphabetically-first round-4-latest greens (41 exist;
+#         the rest queue for round 12).
+#   49-50 the two round-11 NEW ops, each through the 4-way gate
+#         (engine + --plain at sf0.01 AND sf0.1, closed-form fixture,
+#         plan pin). DISPLACEMENT LEDGER: they displace the two
+#         next-stalest r4 re-checks that would otherwise fill these
+#         slots —
+#           multimodal_audio_window_matches displaced markov_transitions
+#           similarity_pq_portable_topk     displaced ml_lag_features
+#         (both displaced entries keep standing driver-green r4 rows
+#         and rotate to the extended region, still locally verified
+#         every round; they lead the round-12 window).
 #
-# Round-9 history (kept for the audit trail; the full six-entry
-# displacement ledger lives in git history at tag fa5eb9c and in
-# the 4-33 band note above): round 9 re-certified the flagship, all
-# 34 r1-latest greens and 15 r2-latest/new slots — CORRECTNESS_r09
-# was 50/50 hash-green.
+# Round-10 history (audit trail): flagship + the two r9 OVERFLOW
+# drains + all 30 r2-latest greens + 17 r3-latest picks, with six new
+# round-10 ops displacing band-4 re-checks per the ledger preserved at
+# tag 209bef8 (queries.py there) — CORRECTNESS_r10 was 50/50
+# hash-green.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: queue drain (first driver rows; verdict item 1) ------
-    "tokenizer_piece_frequencies",
-    "dedup_semantic_canonical",
-    # -- band 3: every round-2-latest green (30 oldest certificates) --
-    "correlated_subquery_above_avg",
-    "curation_filters_pack",
-    "deterministic_sample",
-    "downsample_gapfill",
-    "having_filter",
-    "in_exists_subqueries",
-    "join_strategies_pack",
-    "lateral_topk_per_group",
-    "limit_offset_pagination",
-    "nulls_ordering",
-    "q10_returned_items",
-    "q11_part_value_concentration",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_part",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "salted_agg_equivalence",
-    "scalar_numeric_temporal_pack",
-    "scalar_semistructured_pack",
-    "scalar_strings_pack",
-    # -- band 4: r3-latest picks, evolved-kernel exposure. The LAST
-    #    entries of this band are the displacement candidates: each
-    #    round-10 new op that passes the 4-way gate replaces one, from
-    #    the bottom up, recording the swap in the ledger above --------
-    "chunk_documents",
-    "contamination_check",
-    "dedup_hot_shingle_report",
-    "dedup_keep_best",
-    "embedding_quantization",
-    "map_algebra_pack",
-    "modern_sql_pack",
-    "multimodal_wav_roundtrip",
-    "pii_redaction",
-    "recursive_event_chains",
-    "session_window_agg",
-    "tokenizer_compression_report",
-    "multimodal_audio_dedup_clusters",
-    "pipeline_training_build_semantic",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_roundtrip",
-    "multimodal_audio_fingerprint_pairs",
+    # -- band 2: the six round-10-displaced entries (ledger debt) -----
+    "skew_equivalence_pack",
+    "stratified_sample",
+    "table_profile",
+    "text_repetition_filters",
+    "timeseries_anomaly_zscore",
+    "validation_pack",
+    # -- band 3: every remaining round-3-latest green -----------------
+    "bitwise_pack",
+    "cast_conditional_pack",
+    "data_quality_checks",
+    "join_full_outer_balance",
+    "join_nullsafe_keys",
+    "join_variants_pack",
+    "json_construction",
+    "key_skew_report",
+    "layout_zorder_key",
+    "leakage_safe_split",
+    "month_arithmetic",
+    "pattern_match_filters",
+    "pivot_status_counts",
+    "quality_quantile_buckets",
+    "rollup_time_hierarchy",
+    "salted_join_equivalence",
+    "sliding_window_counts",
+    "stats_moments_pack",
+    "string_advanced_pack",
+    "timeseries_pack",
+    "try_safe_arith_pack",
+    "udtf_sentence_split",
+    "unpivot_measures",
+    "variant_pack",
+    "window_frames_pack",
+    # -- band 4: the 16 alphabetically-first round-4-latest greens ----
+    "agg_argminmax_collect",
+    "array_advanced_pack",
+    "array_algebra_pack",
+    "array_set_ops_pack",
+    "attribution_last_touch",
+    "benford_digit_audit",
+    "bigram_logprob_quality",
+    "distribution_drift_ks",
+    "event_lateness_audit",
+    "event_path_trigrams",
+    "ewma_smoothing",
+    "feature_hash_embedding",
+    "funnel_pattern_match",
+    "growth_accounting",
+    "hybrid_rank_fusion",
+    "market_basket_pairs",
+    # -- band 5: round-11 new ops (see the ledger above) --------------
+    "multimodal_audio_window_matches",
+    "similarity_pq_portable_topk",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

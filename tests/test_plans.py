@@ -950,3 +950,94 @@ def test_compression_report_one_exchange_no_rejoin(spark, sf_dir):
     assert p.count("Scan parquet") == 1
     assert plans.count_exchanges(df) == 1
     assert "MapInPandas" in p
+
+
+# ---------------------------------------------------------------------------
+# round-11 pins
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_delta_step_stays_jvm_and_narrow(spark, sf_dir):
+    """The incremental trainer's per-step scale contract: the in-place
+    conditional merge rewrite adds NO exchange beyond the word-count
+    aggregation (narrow map over the cached word table), the ±pair
+    delta leg likewise explodes map-side, and neither evaluates any
+    Python — the whole loop body is column algebra."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import catalog, session
+    from sparkstreaming_rawdataingestion_spark.operators import text
+
+    # a staged word table left by an earlier registry test would be
+    # cache-substituted into this plan, and InMemoryRelation's repr
+    # re-prints its cached child's Exchange — drop staging first so
+    # the exchange count reads the bare plan
+    session.release_staged()
+    d = catalog.load_table(spark, sf_dir, "documents")
+    pieces = text._bpe_word_pieces(d)
+    pred = text._adjacent_pair_pred("e", "r")
+    fold = text._bpe_merge_fold("e", "r")
+    rewrite = pieces.select(
+        "cnt", F.when(pred, fold).otherwise(F.col("pieces")).alias("pieces")
+    )
+    delta = (
+        pieces.where(pred)
+        .select(
+            F.explode(
+                F.concat(
+                    text._bpe_pair_deltas(F.col("pieces"), -1),
+                    text._bpe_pair_deltas(fold, +1),
+                )
+            ).alias("pr")
+        )
+        .select("pr.lhs", "pr.rhs", F.col("pr.c").alias("c"))
+    )
+    for df in (rewrite, delta):
+        p = plans.executed_plan(df)
+        assert plans.count_exchanges(df) == 1  # the word-count agg only
+        assert "Join" not in p
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in p
+
+
+def test_audio_window_prints_pure_map_and_band_keyed_match(spark, sf_dir):
+    """Windowed audio fingerprints: synth + decode + per-hop prints are
+    one zero-exchange Arrow map chain (rows grow with DURATION, never
+    pairwise); the clip matcher's candidates come from the band
+    equi-join — no cartesian, no nested-loop broadcast."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    prints = multimodal.audio_windowed_fingerprint_bands(
+        multimodal.synthesize_afpw_media(spark, sf_dir)
+    )
+    p = plans.executed_plan(prints)
+    assert plans.count_exchanges(prints) == 0
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+
+    df = multimodal.q_multimodal_audio_window_matches(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged print frame
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
+def test_portable_pq_is_jvm_with_broadcast_lut(spark, sf_dir):
+    """The portable PQ twin keeps the production ADC shape: zero
+    Python evaluation (integer folds are F.aggregate), the per-query
+    LUT and query norms reach the search side by BROADCAST (the
+    corpus-sized leg never shuffles float arrays), and nothing goes
+    cartesian."""
+    from sparkstreaming_rawdataingestion_spark.operators import similarity
+
+    df = similarity.q_similarity_pq_portable_topk(spark, sf_dir)
+    p = plans.executed_plan(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
