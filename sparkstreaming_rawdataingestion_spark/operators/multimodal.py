@@ -1057,9 +1057,12 @@ def q_multimodal_image_dhash_pairs(
     return image_dhash_pairs(synthesize_dhash_media(spark, sf_dir))
 
 
-def _bands_long(bands: DataFrame) -> DataFrame:
+def _bands_long(
+    bands: DataFrame, extra_key: tuple[str, ...] = ()
+) -> DataFrame:
     return bands.select(
         "media_id",
+        *extra_key,
         F.posexplode(
             F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
         ).alias("band_idx", "band_val"),
@@ -1088,18 +1091,29 @@ def dhash_band_pairs(
     bands: DataFrame,
     other: DataFrame | None = None,
     max_hamming: int = DHASH_MAX_HAMMING,
+    extra_key: tuple[str, ...] = (),
 ) -> DataFrame:
     """Band-keyed near-dup pairs between two BAND frames (media_id,
-    band0..band{DHASH_BANDS - 1}).
+    [extra_key...,] band0..band{DHASH_BANDS - 1}).
 
     ``other=None``: self-pairs within ``bands`` (media_a < media_b —
     the batch form). ``other`` given: CROSS pairs — every row of
     ``bands`` paired against every ``other`` row it band-matches (no
     id ordering; the streaming archive check, where the archive always
-    wins regardless of ids). The shared shape lets the batch query and
-    the incremental media stream run ONE pair algebra."""
-    long_a = _bands_long(bands)
-    long_b = _bands_long(other) if other is not None else long_a
+    wins regardless of ids). ``extra_key``: additional print-identity
+    columns (the windowed audio stage's ``win``) — candidates stay
+    distinct and the verify joins key on the FULL composite, while the
+    a<b ordering (and hence the no-self-pair guarantee) remains on
+    media_id alone, so two prints of ONE clip never pair. Output rows
+    carry ``<k>_a``/``<k>_b`` for each extra key. One pair algebra for
+    the image batch query, the media stream and the windowed audio
+    matcher."""
+    key_a = ["media_a", *[f"{k}_a" for k in extra_key]]
+    key_b = ["media_b", *[f"{k}_b" for k in extra_key]]
+    long_a = _bands_long(bands, extra_key)
+    long_b = (
+        _bands_long(other, extra_key) if other is not None else long_a
+    )
     id_cond = (
         F.col("a.media_id") < F.col("b.media_id")
         if other is None
@@ -1115,16 +1129,20 @@ def dhash_band_pairs(
         )
         .select(
             F.col("a.media_id").alias("media_a"),
+            *[F.col(f"a.{k}").alias(f"{k}_a") for k in extra_key],
             F.col("b.media_id").alias("media_b"),
+            *[F.col(f"b.{k}").alias(f"{k}_b") for k in extra_key],
         )
         .distinct()
     )
     x = bands.select(
         F.col("media_id").alias("media_a"),
+        *[F.col(k).alias(f"{k}_a") for k in extra_key],
         *[F.col(f"band{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
     )
     y = (other if other is not None else bands).select(
         F.col("media_id").alias("media_b"),
+        *[F.col(k).alias(f"{k}_b") for k in extra_key],
         *[F.col(f"band{k}").alias(f"yb{k}") for k in range(DHASH_BANDS)],
     )
     hamming = sum(
@@ -1132,9 +1150,9 @@ def dhash_band_pairs(
         for k in range(DHASH_BANDS)
     ).cast("long")
     return (
-        cand.join(x, "media_a")
-        .join(y, "media_b")
-        .select("media_a", "media_b", hamming.alias("hamming"))
+        cand.join(x, key_a)
+        .join(y, key_b)
+        .select(*key_a, *key_b, hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -1318,21 +1336,34 @@ def audio_fingerprint_bands(media: DataFrame) -> DataFrame:
                         f"{n} samples, got {d['n_channels']}ch × "
                         f"{len(d['samples'])}"
                     )
-                a = np.abs(
-                    np.asarray(d["samples"], dtype=np.int64)
-                ).reshape(AFP_FRAMES, AFP_FRAME_SIZE)
-                e = a.sum(axis=1)
-                bits = (e[1:] > e[:-1]).astype(np.int64)  # 64 deltas
-                rec = {"media_id": mid}
-                for band in range(DHASH_BANDS):
-                    seg = bits[16 * band : 16 * (band + 1)]
-                    rec[f"band{band}"] = int(
-                        (seg << np.arange(16, dtype=np.int64)).sum()
-                    )
-                recs.append(rec)
+                e = (
+                    np.abs(np.asarray(d["samples"], dtype=np.int64))
+                    .reshape(AFP_FRAMES, AFP_FRAME_SIZE)
+                    .sum(axis=1)
+                )
+                recs.append({"media_id": mid, **_energy_print_bands(e)})
             yield pd.DataFrame.from_records(recs)
 
     return media.mapInPandas(hash_batches, schema=DHASH_BANDS_SCHEMA)
+
+
+def _energy_print_bands(e) -> dict:
+    """THE fingerprint kernel, one definition for the fixed-length and
+    windowed stages: a {AFP_FRAMES}-long frame-energy vector → 64
+    delta-sign bits → {DHASH_BANDS} 16-bit band values (bit k at band
+    k // 16, weight 1 << (k % 16)). Integer arithmetic, strict >."""
+    import numpy as np
+
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    return {
+        f"band{band}": int(
+            (
+                bits[16 * band : 16 * (band + 1)]
+                << np.arange(16, dtype=np.int64)
+            ).sum()
+        )
+        for band in range(DHASH_BANDS)
+    }
 
 
 def _afp_pairs_ctes() -> str:
@@ -1550,9 +1581,10 @@ def audio_windowed_fingerprint_bands(
 
     Scale shape: still a pure zero-shuffle Arrow map — rows out grow
     linearly with audio DURATION (one per hop), never quadratically;
-    the numpy stride trick computes all windows of a clip from one
-    energy vector. Clips shorter than one window or not on the frame
-    grid are a caller bug (production resamples first) and raise."""
+    every window of a clip slices ONE decoded energy vector (decode
+    and framing run once per clip, never per window). Clips shorter
+    than one window or not on the frame grid are a caller bug
+    (production resamples first) and raise."""
 
     def hash_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1582,15 +1614,13 @@ def audio_windowed_fingerprint_bands(
                 )
                 n_frames = e.shape[0]
                 for w in range(0, n_frames - AFP_FRAMES + 1, hop_frames):
-                    seg = e[w : w + AFP_FRAMES]
-                    bits = (seg[1:] > seg[:-1]).astype(np.int64)
-                    rec = {"media_id": mid, "win": w // hop_frames}
-                    for band in range(DHASH_BANDS):
-                        bseg = bits[16 * band : 16 * (band + 1)]
-                        rec[f"band{band}"] = int(
-                            (bseg << np.arange(16, dtype=np.int64)).sum()
-                        )
-                    recs.append(rec)
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "win": w // hop_frames,
+                            **_energy_print_bands(e[w : w + AFP_FRAMES]),
+                        }
+                    )
             yield pd.DataFrame.from_records(recs)
 
     return media.mapInPandas(hash_batches, schema=AFPW_BANDS_SCHEMA)
@@ -1612,49 +1642,15 @@ def audio_window_match_pairs(
     verify join carries 4 small ints per side; the final exchange is
     keyed by clip pair. The within-clip self-match (a == b) is
     excluded by the id ordering, so a clip with internally repeating
-    audio never floods the output."""
-    long_form = wbands.select(
-        "media_id",
-        "win",
-        F.posexplode(
-            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
-        ).alias("band_idx", "band_val"),
-    )
-    cand = (
-        long_form.alias("a")
-        .join(
-            long_form.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("a.win").alias("win_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("b.win").alias("win_b"),
-        )
-        .distinct()
-    )
-    x = wbands.select(
-        F.col("media_id").alias("media_a"),
-        F.col("win").alias("win_a"),
-        *[F.col(f"band{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
-    )
-    y = wbands.select(
-        F.col("media_id").alias("media_b"),
-        F.col("win").alias("win_b"),
-        *[F.col(f"band{k}").alias(f"yb{k}") for k in range(DHASH_BANDS)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"xb{k}").bitwiseXOR(F.col(f"yb{k}")))
-        for k in range(DHASH_BANDS)
-    ).cast("long")
+    audio never floods the output.
+
+    The window-pair leg IS dhash_band_pairs with ``win`` as an extra
+    print-identity key — one pigeonhole pair algebra for image, audio
+    and windowed audio; only the clip-level aggregation is new."""
     return (
-        cand.join(x, ["media_a", "win_a"])
-        .join(y, ["media_b", "win_b"])
-        .select("media_a", "media_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+        dhash_band_pairs(
+            wbands, max_hamming=max_hamming, extra_key=("win",)
+        )
         .groupBy("media_a", "media_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_window_matches"),

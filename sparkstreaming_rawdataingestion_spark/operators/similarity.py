@@ -1411,9 +1411,15 @@ def q_similarity_pq_portable_topk(
     after the encode scan."""
     e = catalog.load_table(spark, sf_dir, "embeddings")
     emb = _emb_double()
-    qi = lambda m, i: F.floor(  # noqa: E731 — tight closure, not an op
-        F.element_at(emb, (m * PQ_SUBDIM + i).cast("int")) * PQP_SCALE + 0.5
-    ).cast("long")
+
+    def quant(idx):
+        # THE quantizer — one definition so the code-assignment leg and
+        # the query-norm leg can never diverge on scale or rounding
+        return F.floor(
+            F.element_at(emb, idx.cast("int")) * PQP_SCALE + 0.5
+        ).cast("long")
+
+    qi = lambda m, i: quant(m * PQ_SUBDIM + i)  # noqa: E731 — tight closure
 
     ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
     ks = F.explode(F.array(*[F.lit(k) for k in range(PQ_K)])).alias("code")
@@ -1462,17 +1468,12 @@ def q_similarity_pq_portable_topk(
             ).alias("c2"),
         )
     )
-    def qdim(i):
-        return F.floor(
-            F.element_at(emb, i.cast("int")) * PQP_SCALE + 0.5
-        ).cast("long")
-
     qn = queries.select(
         F.col("vec_id").alias("query_id"),
         F.aggregate(
             F.transform(
                 F.sequence(F.lit(1), F.lit(EMB_DIM)),
-                lambda i: qdim(i) * qdim(i),
+                lambda i: quant(i) * quant(i),
             ),
             F.lit(0).cast("long"),
             lambda a, x: a + x,

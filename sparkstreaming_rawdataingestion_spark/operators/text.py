@@ -816,14 +816,22 @@ def tokenizer_greedy_subword_jvm(
     array_contains against the vocab literal — → broadcast join back
     to word occurrences → per-doc aggregation.
 
-    Trade vs the Arrow fold (measured, tools/encoder_ab_r11.py; table
-    in ARCHITECTURE.md round 11): this path pays a word-distinct
-    shuffle + a join + a doc-keyed agg where the Arrow path is a pure
-    zero-shuffle map, and its per-char probe is O(max_len · |vocab|)
-    linear scans of the vocab literal (Catalyst array_contains) where
-    the Python fold's frozenset probe is O(1). It wins only if Python
-    worker startup/transfer dominates — the A/B decides; the loser
-    stays documented here."""
+    ADJUDICATION (measured, tools/encoder_ab_r11.py — interleaved
+    3-rep A/B on the 50k-doc 10x corpus, identical checksums): this
+    JVM path WINS the small-scale wall clock — 1.39-1.58 s warm vs the
+    Arrow fold's 2.04-2.11 s (~1.4x) — because Python worker startup +
+    Arrow transfer dominate a 2-second query. The Arrow fold STAYS the
+    production path for all five consumers anyway, on the scale
+    argument: this path's word-distinct stats table must reach every
+    occurrence by BROADCAST join, and web-scale corpora have hundreds
+    of millions of distinct words (broadcast infeasible; demoting to a
+    shuffle join forfeits exactly the shuffle-freedom that makes the
+    Arrow map scale), while its per-char probe is O(max_len · |vocab|)
+    linear scans of the vocab literal — fine at |vocab| ~= 50, wrong at
+    a production 30-50k vocab where the Python frozenset probe is O(1).
+    Kept exported for the regime where it wins: bounded vocab AND a
+    corpus whose distinct-word table broadcasts (ARCHITECTURE.md
+    round 11 has the table)."""
     max_len = max(len(p) for p in pieces)
     vocab_arr = F.array(*[F.lit(p) for p in pieces])
     lens_desc = F.array(

@@ -233,3 +233,93 @@ def test_audio_windowed_rejects_bad_shapes(spark):
     )
     with _pytest.raises(Exception, match="windowed audio fingerprint"):
         audio_windowed_fingerprint_bands(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_portable_topk — independent pure-Python replay
+# ---------------------------------------------------------------------------
+
+
+def test_portable_pq_matches_pure_python_replay(spark, sf_dir):
+    """Closed-form fixture for the PQ twin: the ENTIRE pipeline —
+    quantization, integer codebooks (via _pqp_centroid, the Python
+    twin of the oracle formula), nearest-code assignment with
+    tie-breaks, ADC lookup sums, ranking — is replayed in plain Python
+    over the sf0.001 embeddings with arbitrary-precision ints, no
+    Spark and no DuckDB in the expected path. A formula bug shared by
+    engine and oracle (the round-6 Wilson lesson) cannot hide from
+    this third implementation."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_rawdataingestion_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        PQP_SCALE,
+        TOP_K,
+        _pqp_centroid,
+        q_similarity_pq_portable_topk,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vecs = {
+        vid: [math.floor(float(x) * PQP_SCALE + 0.5) for x in emb]
+        for vid, emb in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    assert all(len(v) == EMB_DIM for v in vecs.values())
+
+    def assign(v):
+        out = []
+        for m in range(PQ_M):
+            best = None
+            for code in range(PQ_K):
+                d = sum(
+                    (v[m * PQ_SUBDIM + i - 1] - _pqp_centroid(m, code, i))
+                    ** 2
+                    for i in range(1, PQ_SUBDIM + 1)
+                )
+                if best is None or (d, code) < best:
+                    best = (d, code)
+            out.append(best[1])
+        return out
+
+    codes = {vid: assign(v) for vid, v in vecs.items()}
+    expected = {}
+    for q in range(N_QUERIES):
+        qv = vecs[q]
+        qn2 = sum(x * x for x in qv)
+        scored = []
+        for vid, vcodes in codes.items():
+            if vid == q:
+                continue
+            sdot = r2 = 0
+            for m, code in enumerate(vcodes):
+                cs = [
+                    _pqp_centroid(m, code, i)
+                    for i in range(1, PQ_SUBDIM + 1)
+                ]
+                sdot += sum(
+                    qv[m * PQ_SUBDIM + i] * cs[i]
+                    for i in range(PQ_SUBDIM)
+                )
+                r2 += sum(c * c for c in cs)
+            denom = math.sqrt(float(qn2)) * math.sqrt(float(r2))
+            adc = float(sdot) / denom if denom != 0 else None
+            scored.append((adc, vid))
+        scored.sort(key=lambda t: (-(t[0] if t[0] is not None else -2), t[1]))
+        for rk, (adc, vid) in enumerate(scored[:TOP_K], 1):
+            expected[(q, vid)] = (rk, adc)
+
+    got = {
+        (r.query_id, r.neighbor_id): (r.rk, r.adc_cos)
+        for r in q_similarity_pq_portable_topk(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (rk, adc) in expected.items():
+        grk, gadc = got[key]
+        assert grk == rk, (key, grk, rk)
+        assert abs(gadc - adc) < 1e-6, (key, gadc, adc)
