@@ -1,0 +1,126 @@
+"""Incremental streaming audio dedup — what the batch oracle can't
+cover: cross-batch archive-wins admission over WINDOW prints, and the
+containment absorption (an excerpt arriving after its original is
+dropped because one of its window prints matches an archived one) that
+whole-clip fingerprints structurally miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_rawdataingestion_spark.streaming.audio_stream import (
+    AUDIO_ARCHIVE_COLUMNS,
+    audio_dedup_increment,
+)
+from tests.test_round11_ops import _hand_afpw_media
+
+MEDIA_SCHEMA_DDL = "media_id long, mime string, payload binary"
+
+
+def _kept(df):
+    return sorted({r.media_id for r in df.collect()})
+
+
+def _clips(spark):
+    """The hand ramp corpus (test_round11_ops): 0 = 81-frame original
+    (2 windows), 1 = head excerpt, 2 = excerpt x3, 3 = near-dup,
+    4 = decreasing ramp (matches nobody)."""
+    rows = {r.media_id: r for r in _hand_afpw_media(spark).collect()}
+    return rows
+
+
+def _batch(spark, rows, ids):
+    return spark.createDataFrame(
+        [(i, rows[i].mime, rows[i].payload) for i in ids],
+        MEDIA_SCHEMA_DDL,
+    )
+
+
+def test_one_batch_greedy_keeps_first_of_each_family(spark):
+    """All five clips in one batch: 0 is kept (lowest id), 1/2/3 all
+    window-match 0 and lose; 4 matches nobody and is kept."""
+    rows = _clips(spark)
+    out = audio_dedup_increment(_batch(spark, rows, [0, 1, 2, 3, 4]), None)
+    assert _kept(out) == [0, 4]
+    assert list(out.columns) == list(AUDIO_ARCHIVE_COLUMNS)
+
+
+def test_containment_excerpt_absorbed_across_batches(spark):
+    """THE windowed-index payoff: the original (0) archives in batch 1;
+    the hop-aligned excerpt (1), the rescaled excerpt (2) and the
+    near-dup (3) arrive in batch 2 and are ALL absorbed by archived
+    window prints — a whole-clip hash could never match the shorter
+    excerpts against the longer original."""
+    rows = _clips(spark)
+    archive = audio_dedup_increment(_batch(spark, rows, [0]), None)
+    out = audio_dedup_increment(_batch(spark, rows, [1, 2, 3, 4]), archive)
+    assert _kept(out) == [4]
+
+
+def test_replay_appends_nothing(spark):
+    """At-least-once absorption: redelivering archived clips yields an
+    empty increment (each matches its own prints at hamming 0)."""
+    rows = _clips(spark)
+    archive = audio_dedup_increment(
+        _batch(spark, rows, [0, 1, 2, 3, 4]), None
+    )
+    out = audio_dedup_increment(
+        _batch(spark, rows, [0, 4]), archive
+    )
+    assert _kept(out) == []
+
+
+def test_batch_boundary_invariance(spark):
+    """One batch vs id-ordered split batches keep the same clips —
+    the media_stream invariance transplanted to the windowed index."""
+    rows = _clips(spark)
+    one = audio_dedup_increment(_batch(spark, rows, [0, 1, 2, 3, 4]), None)
+    a = audio_dedup_increment(_batch(spark, rows, [0, 1]), None)
+    b = audio_dedup_increment(_batch(spark, rows, [2, 3, 4]), a)
+    assert _kept(one) == sorted(_kept(a) + _kept(b)) == [0, 4]
+
+
+def test_same_batch_duplicate_delivery_absorbed(spark):
+    """A duplicate delivery of one clip inside a single micro-batch
+    collapses via the (media_id, win) dedup — the archive gets ONE
+    print row per window."""
+    rows = _clips(spark)
+    doubled = spark.createDataFrame(
+        [(4, rows[4].mime, rows[4].payload)] * 2, MEDIA_SCHEMA_DDL
+    )
+    out = audio_dedup_increment(doubled, None)
+    assert out.count() == 1  # one 65-frame clip → one window print
+
+
+def test_streamed_archive_has_no_cross_clip_window_matches(spark, tmp_path):
+    """The archive invariant through the real streaming query: after
+    file-stream chunks drain, no two ARCHIVED clips window-match (any
+    match would have made the higher id a loser at admission)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_window_match_pairs,
+    )
+    from sparkstreaming_rawdataingestion_spark.streaming.audio_stream import (
+        start_incremental_audio_dedup,
+    )
+
+    rows = _clips(spark)
+    src = tmp_path / "incoming"
+    for ids in ([0, 1], [2, 3], [4]):
+        _batch(spark, rows, ids).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "prints")
+    q = start_incremental_audio_dedup(
+        stream, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    q.stop()
+    archive = spark.read.parquet(sink)
+    assert sorted({r.media_id for r in archive.collect()}) == [0, 4]
+    assert audio_window_match_pairs(archive).count() == 0
