@@ -1441,20 +1441,118 @@ def q_similarity_pq_portable_topk(
             lambda a, x: a + x,
         )
 
-    m, code = F.col("m"), F.col("code")
-    d = subfold(
-        lambda i: (qi(m, i) - centroid(m, code, i))
-        * (qi(m, i) - centroid(m, code, i))
+    # Encode stage, UNROLLED under the codegen budget: the codebook is
+    # pure Python ints (_pqp_centroid — the same twin the replay test
+    # uses), constant-folded into ONE nested literal; per (vector,
+    # subspace) row the 16 candidate distances are flat sums of
+    # (element_at - element_at)² terms with no higher-order lambda
+    # anywhere, split across narrow projections so each generated
+    # method stays under janino's 64 KB limit. Measured at sf0.1
+    # against three slower forms: the 16x (vec, m, code) explode +
+    # min-struct shuffle (17.8 s), the nested F.aggregate argmin fold
+    # (~15 s — lambdas evaluate interpreted, outside codegen), and a
+    # single fully-unrolled projection (~29 s — blows the 64 KB method
+    # limit and falls back to interpreted wholesale). Ties go to the
+    # LOWEST code: array_position returns the FIRST index of the min.
+    qarr = F.array(
+        *[
+            F.floor(F.element_at(emb, i) * PQP_SCALE + 0.5).cast("long")
+            for i in range(1, EMB_DIM + 1)
+        ]
     )
-    codes = (
-        e.select("vec_id", "embedding").select("vec_id", "embedding", ms)
-        .select("vec_id", "embedding", "m", ks)
-        .select("vec_id", "m", F.struct(d.alias("d"), code).alias("dc"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dc").getField("code").alias("code"))
+    # all 1024 codebook values as one constant-folded literal,
+    # indexed [m+1][k+1][i] (element_at is 1-based)
+    cent_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(_pqp_centroid(mm, kk, i)).cast("long")
+                            for i in range(1, PQ_SUBDIM + 1)
+                        ]
+                    )
+                    for kk in range(PQ_K)
+                ]
+            )
+            for mm in range(PQ_M)
+        ]
     )
 
+    def dist_expr(k: int):
+        def t(i: int):
+            return F.element_at(F.col("sub"), i) - F.element_at(
+                F.element_at(F.col("cb"), k + 1), i
+            )
+
+        return sum(
+            (t(i) * t(i) for i in range(1, PQ_SUBDIM + 1)),
+            F.lit(0).cast("long"),
+        )
+
+    codes = (
+        e.select("vec_id", qarr.alias("q"))
+        .select(
+            "vec_id",
+            "q",
+            F.explode(
+                F.array(*[F.lit(mm) for mm in range(PQ_M)])
+            ).alias("m"),
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.slice(
+                F.col("q"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM
+            ).alias("sub"),
+            F.element_at(cent_lit, F.col("m") + 1).alias("cb"),
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.array(*[dist_expr(k) for k in range(PQ_K)]).alias("darr"),
+        )
+        .select(
+            "vec_id",
+            "m",
+            (
+                F.array_position(F.col("darr"), F.array_min(F.col("darr")))
+                - 1
+            )
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    # STAGED on purpose: without a materialization boundary the encode
+    # projections FUSE into the broadcast-join stage, and the fused
+    # method re-blows janino's 64 KB limit — the whole search stage
+    # then falls back to interpreted eval (measured: 15-30 s for a
+    # 2000-vector corpus; with the boundary the query runs ~1 s). The
+    # staged frame is (id, m, code) triples — the 4-byte/vector
+    # compressed index itself, exactly what a production ADC search
+    # materializes anyway.
+    codes = stage(codes)
+
     queries = e.where(F.col("vec_id") < N_QUERIES)
+    m, code = F.col("m"), F.col("code")
+    # ‖c‖² per (m, code) is data-independent — a Python-computed
+    # literal lookup, not a runtime fold
+    c2_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(
+                        sum(
+                            _pqp_centroid(mm, kk, i) ** 2
+                            for i in range(1, PQ_SUBDIM + 1)
+                        )
+                    ).cast("long")
+                    for kk in range(PQ_K)
+                ]
+            )
+            for mm in range(PQ_M)
+        ]
+    )
     lut = (
         queries.select(F.col("vec_id").alias("query_id"), "embedding", ms)
         .select("query_id", "embedding", "m", ks)
@@ -1463,9 +1561,7 @@ def q_similarity_pq_portable_topk(
             "m",
             "code",
             subfold(lambda i: qi(m, i) * centroid(m, code, i)).alias("pdot"),
-            subfold(
-                lambda i: centroid(m, code, i) * centroid(m, code, i)
-            ).alias("c2"),
+            F.element_at(F.element_at(c2_lit, m + 1), code + 1).alias("c2"),
         )
     )
     qn = queries.select(
