@@ -59,6 +59,22 @@ agg_pricing_summary 1.76 s reading re-ran solo at 0.70-0.93 s (4 runs,
 warm) — in-panel jitter, same band as its r7 1.80 s reading; the
 query is untouched since round 2.
 
+Round-11 panel note: the 46 shared queries sum to 1.12x of r10 on a
+verified-solo panel (calibration probes 0.169 -> 0.127 s — clean).
+The largest shared drift, dedup_minhash_lsh_pairs (5.94 s r10 ->
+8.9-9.6 s), was solo-adjudicated over 4 warm reps on code
+byte-identical to round 10's (git: operators/dedup.py untouched since
+r8) — the same query read 4.1/10.2/5.9 s across r2/r4/r10 sessions;
+staging-heavy queries inherit page-cache/persist-layer state, the
+documented variance class. The two BPE entries now ride the DELTA
+trainer (5.9 / 5.6 s — inside the 5.5-12 s scheduler band recorded in
+round 10; the delta-vs-recount adjudication and its step-time tables
+live in ARCHITECTURE.md round 11). similarity_pq_portable_topk lands
+at 6.3 s after three measured rewrites of its encode stage (the
+rejected forms — 16x explode 17.8 s, interpreted lambda argmin ~15 s,
+single fully-unrolled projection ~29 s via janino 64 KB fallback —
+are documented at the code site, similarity.py).
+
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
 6.13 s → 3.78 s → ~5.0 s across the r4/r5/r6 driver+local runs, with
