@@ -32,7 +32,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import (
+    DataFrame,
+    SparkSession,
+    Window,
+    functions as F,
+    types as T,
+)
 
 from .. import catalog
 
@@ -1760,3 +1766,75 @@ def q_multimodal_audio_window_matches(
         audio_windowed_fingerprint_bands(synthesize_afpw_media(spark, sf_dir))
     )
     return audio_window_match_pairs(wbands)
+
+
+_AFPW_ALIGN_ORACLE = f"""
+WITH {_afpw_ctes()},
+offs AS (
+  SELECT ma AS media_a, mb AS media_b, wa - wb AS offset_windows,
+         CAST(count(*) AS BIGINT) AS n_aligned,
+         min(hamming) AS min_hamming
+  FROM wpairs GROUP BY 1, 2, 3
+)
+SELECT media_a, media_b,
+       CAST(offset_windows AS BIGINT) AS offset_windows,
+       n_aligned, min_hamming
+FROM offs
+QUALIFY row_number() OVER (PARTITION BY media_a, media_b
+                           ORDER BY n_aligned DESC, offset_windows) = 1
+"""
+
+
+@_register("multimodal_audio_window_alignment", _AFPW_ALIGN_ORACLE)
+def q_multimodal_audio_window_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHERE the match sits — the Haitsma-Kalker lookup's actual
+    output: for every matched clip pair, the best ALIGNMENT offset
+    (in windows of the lower-id clip: its window ``offset_windows``
+    lines up with the other clip's window 0, i.e. the hop position
+    where the excerpt/copy begins inside the original), how many
+    window pairs agree on that offset, and the best hamming at it.
+    The mode-offset vote is the standard fingerprint-lookup
+    disambiguator: a true excerpt produces a RUN of window matches at
+    ONE offset, while band-collision noise scatters across offsets —
+    ties break to the smallest offset deterministically.
+
+    Plan: the same staged window prints and the same generalized
+    band-join kernel as multimodal_audio_window_matches (one pair
+    algebra), then two bounded aggregations — per (pair, offset)
+    counts, and the per-pair top-1 window rank. The oracle extends the
+    shared wpairs CTE chain with the identical vote."""
+    from ..session import stage
+
+    wbands = stage(
+        audio_windowed_fingerprint_bands(synthesize_afpw_media(spark, sf_dir))
+    )
+    wpairs = dhash_band_pairs(wbands, extra_key=("win",))
+    offs = (
+        wpairs.groupBy(
+            "media_a",
+            "media_b",
+            (F.col("win_a") - F.col("win_b"))
+            .cast("long")
+            .alias("offset_windows"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_aligned"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+    w = Window.partitionBy("media_a", "media_b").orderBy(
+        F.desc("n_aligned"), "offset_windows"
+    )
+    return (
+        offs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "media_a",
+            "media_b",
+            "offset_windows",
+            "n_aligned",
+            "min_hamming",
+        )
+    )

@@ -189,6 +189,7 @@ _QUERY_MODULES = (
 #         slots —
 #           multimodal_audio_window_matches displaced markov_transitions
 #           similarity_pq_portable_topk     displaced ml_lag_features
+#           multimodal_audio_window_alignment displaced market_basket_pairs
 #         (both displaced entries keep standing driver-green r4 rows
 #         and rotate to the extended region, still locally verified
 #         every round; they lead the round-12 window).
@@ -250,10 +251,10 @@ CORE_ORDER: tuple[str, ...] = (
     "funnel_pattern_match",
     "growth_accounting",
     "hybrid_rank_fusion",
-    "market_basket_pairs",
     # -- band 5: round-11 new ops (see the ledger above) --------------
     "multimodal_audio_window_matches",
     "similarity_pq_portable_topk",
+    "multimodal_audio_window_alignment",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

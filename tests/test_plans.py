@@ -1041,3 +1041,21 @@ def test_portable_pq_is_jvm_with_broadcast_lut(spark, sf_dir):
         assert py not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_audio_window_alignment_shares_the_band_join_shape(spark, sf_dir):
+    """The alignment vote inherits the matcher's plan: staged print
+    frame, band equi-join candidates, no cartesian or nested-loop
+    broadcast; the added offset vote is two bounded aggregations."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_window_alignment(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged print frame
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
