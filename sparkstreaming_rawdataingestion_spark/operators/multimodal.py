@@ -1810,19 +1810,28 @@ def q_multimodal_audio_window_alignment(
     wbands = stage(
         audio_windowed_fingerprint_bands(synthesize_afpw_media(spark, sf_dir))
     )
-    wpairs = dhash_band_pairs(wbands, extra_key=("win",))
-    offs = (
-        wpairs.groupBy(
-            "media_a",
-            "media_b",
-            (F.col("win_a") - F.col("win_b"))
-            .cast("long")
-            .alias("offset_windows"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_aligned"),
-            F.min("hamming").alias("min_hamming"),
-        )
+    return audio_window_alignment(wbands)
+
+
+def audio_window_alignment(
+    wbands: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """The alignment vote over a window-print frame — THE single
+    implementation, shared by the registry query and the hand-fixture
+    test (so an edited tie-break or dropped cast cannot pass one while
+    failing the other)."""
+    wpairs = dhash_band_pairs(
+        wbands, max_hamming=max_hamming, extra_key=("win",)
+    )
+    offs = wpairs.groupBy(
+        "media_a",
+        "media_b",
+        (F.col("win_a") - F.col("win_b"))
+        .cast("long")
+        .alias("offset_windows"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_aligned"),
+        F.min("hamming").alias("min_hamming"),
     )
     w = Window.partitionBy("media_a", "media_b").orderBy(
         F.desc("n_aligned"), "offset_windows"

@@ -180,19 +180,19 @@ _QUERY_MODULES = (
 #   8-32  every REMAINING query whose latest driver-green row is
 #         ROUND 3 — after round 10 re-certified all r2-latest greens,
 #         these are now the oldest certificates in the repo.
-#   33-48 the 16 alphabetically-first round-4-latest greens (41 exist;
+#   33-47 the 15 alphabetically-first round-4-latest greens (41 exist;
 #         the rest queue for round 12).
-#   49-50 the two round-11 NEW ops, each through the 4-way gate
+#   48-50 the three round-11 NEW ops, each through the 4-way gate
 #         (engine + --plain at sf0.01 AND sf0.1, closed-form fixture,
-#         plan pin). DISPLACEMENT LEDGER: they displace the two
+#         plan pin). DISPLACEMENT LEDGER: they displace the three
 #         next-stalest r4 re-checks that would otherwise fill these
 #         slots —
 #           multimodal_audio_window_matches displaced markov_transitions
 #           similarity_pq_portable_topk     displaced ml_lag_features
 #           multimodal_audio_window_alignment displaced market_basket_pairs
-#         (both displaced entries keep standing driver-green r4 rows
-#         and rotate to the extended region, still locally verified
-#         every round; they lead the round-12 window).
+#         (all three displaced entries keep standing driver-green r4
+#         rows and rotate to the extended region, still locally
+#         verified every round; they lead the round-12 window).
 #
 # Round-10 history (audit trail): flagship + the two r9 OVERFLOW
 # drains + all 30 r2-latest greens + 17 r3-latest picks, with six new
@@ -235,7 +235,7 @@ CORE_ORDER: tuple[str, ...] = (
     "unpivot_measures",
     "variant_pack",
     "window_frames_pack",
-    # -- band 4: the 16 alphabetically-first round-4-latest greens ----
+    # -- band 4: the 15 alphabetically-first round-4-latest greens ----
     "agg_argminmax_collect",
     "array_advanced_pack",
     "array_algebra_pack",

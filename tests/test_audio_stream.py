@@ -122,5 +122,11 @@ def test_streamed_archive_has_no_cross_clip_window_matches(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     archive = spark.read.parquet(sink)
-    assert sorted({r.media_id for r in archive.collect()}) == [0, 4]
+    kept = sorted({r.media_id for r in archive.collect()})
+    # clips 0-3 are a pairwise-matching clique, so greedy admission
+    # keeps exactly ONE of them under ANY batch delivery order (the
+    # file stream orders batches by file mtime, which equal-timestamp
+    # appends make nondeterministic — don't pin WHICH one); clip 4
+    # matches nobody and always survives
+    assert len(kept) == 2 and kept[1] == 4 and kept[0] in (0, 1, 2, 3)
     assert audio_window_match_pairs(archive).count() == 0

@@ -332,34 +332,15 @@ def test_audio_window_alignment_hand_fixture(spark):
     and 1 tie at n=1 and the smaller wins. Same for clips 2 and 3
     (offset 0, near-dup hamming 1 for clip 3). Clip pairs among
     1/2/3 (all single-window) align at offset 0."""
-    from pyspark.sql import functions as F
-
     from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_window_alignment,
         audio_windowed_fingerprint_bands,
-        dhash_band_pairs,
     )
-    from pyspark.sql import Window
 
     wbands = audio_windowed_fingerprint_bands(_hand_afpw_media(spark))
-    wpairs = dhash_band_pairs(wbands, extra_key=("win",))
-    offs = wpairs.groupBy(
-        "media_a",
-        "media_b",
-        (F.col("win_a") - F.col("win_b")).cast("long").alias(
-            "offset_windows"
-        ),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_aligned"),
-        F.min("hamming").alias("min_hamming"),
-    )
-    w = Window.partitionBy("media_a", "media_b").orderBy(
-        F.desc("n_aligned"), "offset_windows"
-    )
     got = {
         (r.media_a, r.media_b): (r.offset_windows, r.n_aligned, r.min_hamming)
-        for r in offs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .collect()
+        for r in audio_window_alignment(wbands).collect()
     }
     assert got == {
         (0, 1): (0, 1, 0),

@@ -23,27 +23,14 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ADV_DIR = "/tmp/adv10x_r11"  # shared with encoder_ab_r11 (same recipe)
+# ONE corpus recipe governs the shared /tmp/adv10x_r11 directory: the
+# builder is imported from encoder_ab_r11, never copied — a second
+# recipe here could silently diverge and measure a different corpus
+# than the directory name implies. (Python puts the script's own
+# directory on sys.path, so the sibling tool imports directly.)
+from encoder_ab_r11 import ADV_DIR, build_corpus  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
-def build_corpus() -> None:
-    import duckdb
-
-    os.makedirs(ADV_DIR, exist_ok=True)
-    if os.path.exists(f"{ADV_DIR}/documents.parquet"):
-        return
-    con = duckdb.connect()
-    con.execute(f"""
-        COPY (
-          SELECT d.doc_id * 10 + c.i AS doc_id,
-                 CASE WHEN c.i = 0 THEN d.text
-                      ELSE 'v' || c.i || ' ' || d.text END AS text,
-                 d.lang, d.source, d.n_chars
-          FROM '{SF_DIR}/documents.parquet' d,
-               (SELECT unnest(range(10)) AS i) c
-        ) TO '{ADV_DIR}/documents.parquet' (FORMAT PARQUET)
-    """)
 
 
 def main() -> None:
