@@ -1847,3 +1847,56 @@ def audio_window_alignment(
             "min_hamming",
         )
     )
+
+
+def _audio_window_clusters_oracle() -> str:
+    from .dedup import components_ctes
+
+    return f"""
+WITH RECURSIVE {_afpw_ctes()},
+pairs AS (SELECT DISTINCT ma AS media_a, mb AS media_b FROM wpairs),
+{components_ctes("media_a", "media_b")}
+SELECT node AS media_id,
+       min(dest) AS cluster_rep,
+       (min(dest) = node) AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+@_register(
+    "multimodal_audio_window_dedup_clusters",
+    _audio_window_clusters_oracle(),
+)
+def q_multimodal_audio_window_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The windowed ladder's last rung — window-match pairs →
+    connected components → one canonical clip per family (min
+    media_id, first-crawled-wins): the fixed-length audio ladder's
+    canonical selection, re-based on the CONTAINMENT-aware pair graph,
+    so a family here unites the original with its excerpts and
+    near-dups (variants the whole-clip fingerprint graph cannot even
+    connect). FIFTH consumer of the shared components kernel and its
+    recursive-CTE oracle (text LSH, semantic, image, audio, windowed
+    audio: one closure algebra).
+
+    Scale: pair discovery is the plan-pinned window band join; the
+    component loop runs over the CLIP pair graph only (families are
+    tiny cliques), never the corpus."""
+    from ..session import stage
+
+    from .dedup import connected_components
+
+    wbands = stage(
+        audio_windowed_fingerprint_bands(synthesize_afpw_media(spark, sf_dir))
+    )
+    pairs = audio_window_match_pairs(wbands).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("media_id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

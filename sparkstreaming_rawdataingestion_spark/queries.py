@@ -180,17 +180,18 @@ _QUERY_MODULES = (
 #   8-32  every REMAINING query whose latest driver-green row is
 #         ROUND 3 — after round 10 re-certified all r2-latest greens,
 #         these are now the oldest certificates in the repo.
-#   33-47 the 15 alphabetically-first round-4-latest greens (41 exist;
+#   33-46 the 14 alphabetically-first round-4-latest greens (41 exist;
 #         the rest queue for round 12).
-#   48-50 the three round-11 NEW ops, each through the 4-way gate
+#   47-50 the four round-11 NEW ops, each through the 4-way gate
 #         (engine + --plain at sf0.01 AND sf0.1, closed-form fixture,
-#         plan pin). DISPLACEMENT LEDGER: they displace the three
+#         plan pin). DISPLACEMENT LEDGER: they displace the four
 #         next-stalest r4 re-checks that would otherwise fill these
 #         slots —
 #           multimodal_audio_window_matches displaced markov_transitions
 #           similarity_pq_portable_topk     displaced ml_lag_features
 #           multimodal_audio_window_alignment displaced market_basket_pairs
-#         (all three displaced entries keep standing driver-green r4
+#           multimodal_audio_window_dedup_clusters displaced hybrid_rank_fusion
+#         (all four displaced entries keep standing driver-green r4
 #         rows and rotate to the extended region, still locally
 #         verified every round; they lead the round-12 window).
 #
@@ -235,7 +236,7 @@ CORE_ORDER: tuple[str, ...] = (
     "unpivot_measures",
     "variant_pack",
     "window_frames_pack",
-    # -- band 4: the 15 alphabetically-first round-4-latest greens ----
+    # -- band 4: the 14 alphabetically-first round-4-latest greens ----
     "agg_argminmax_collect",
     "array_advanced_pack",
     "array_algebra_pack",
@@ -250,11 +251,11 @@ CORE_ORDER: tuple[str, ...] = (
     "feature_hash_embedding",
     "funnel_pattern_match",
     "growth_accounting",
-    "hybrid_rank_fusion",
     # -- band 5: round-11 new ops (see the ledger above) --------------
     "multimodal_audio_window_matches",
     "similarity_pq_portable_topk",
     "multimodal_audio_window_alignment",
+    "multimodal_audio_window_dedup_clusters",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

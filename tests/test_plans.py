@@ -1059,3 +1059,16 @@ def test_audio_window_alignment_shares_the_band_join_shape(spark, sf_dir):
         or "ShuffledHashJoin" in p
         or "BroadcastHashJoin" in p
     )
+
+
+def test_audio_window_clusters_loop_on_pair_graph_only(spark, sf_dir):
+    """The windowed canonical selection inherits the ladder contract:
+    band-join candidates (no cartesian / nested-loop broadcast), and
+    the component loop's output enters as a bounded structure over the
+    clip PAIR graph, never the corpus."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_window_dedup_clusters(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -350,3 +350,32 @@ def test_audio_window_alignment_hand_fixture(spark):
         (1, 3): (0, 1, 1),
         (2, 3): (0, 1, 1),
     }
+
+
+def test_audio_window_clusters_unite_original_excerpts_and_near_dups(spark):
+    """The ramp corpus by eye: clips 0-3 are one family through the
+    containment-aware pair graph (original, two excerpts, near-dup) —
+    canonical 0; clip 4 matches nobody and is its own canonical. The
+    fixed-length fingerprint graph could not even CONNECT 0 with 1-3
+    (different clip lengths never hash equal), which is the point of
+    re-basing canonical selection on window matches."""
+    from sparkstreaming_rawdataingestion_spark.operators.dedup import (
+        connected_components,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_window_match_pairs,
+        audio_windowed_fingerprint_bands,
+    )
+    from pyspark.sql import functions as F
+
+    wbands = audio_windowed_fingerprint_bands(_hand_afpw_media(spark))
+    pairs = audio_window_match_pairs(wbands).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    got = {
+        r.node: r.label for r in connected_components(pairs).collect()
+    }
+    # clip 4 pairs with nobody → no row (the round-10 ladder semantic:
+    # clusters label CLUSTERED clips; unpaired clips need no keeper
+    # decision)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
