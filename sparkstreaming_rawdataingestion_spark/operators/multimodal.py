@@ -1790,11 +1790,13 @@ def q_multimodal_audio_window_alignment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """WHERE the match sits — the Haitsma-Kalker lookup's actual
-    output: for every matched clip pair, the best ALIGNMENT offset
-    (in windows of the lower-id clip: its window ``offset_windows``
-    lines up with the other clip's window 0, i.e. the hop position
-    where the excerpt/copy begins inside the original), how many
-    window pairs agree on that offset, and the best hamming at it.
+    output: for every matched clip pair, the best ALIGNMENT offset.
+    ``offset_windows`` is the SIGNED window shift ``win_a - win_b`` of
+    the best-voted alignment (it can be negative when the higher-id
+    clip's matching window sits later); in the single-window-excerpt
+    case (win_b = 0) it reduces to the hop position where the excerpt
+    begins inside the lower-id original. Also reported: how many
+    window pairs agree on that shift, and the best hamming at it.
     The mode-offset vote is the standard fingerprint-lookup
     disambiguator: a true excerpt produces a RUN of window matches at
     ONE offset, while band-collision noise scatters across offsets —

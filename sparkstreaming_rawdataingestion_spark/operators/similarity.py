@@ -1308,13 +1308,22 @@ _PQP_MIX = 2654435761
 _PQP_M32 = 4294967296
 
 
+def _pqp_centroid_expr(lin):
+    """The centroid mix over a precomputed non-negative linear index —
+    ONE definition shared by the Python codebook twin and the Spark
+    Column LUT leg (both call it through operator overloading; % is
+    identical for non-negative operands on both sides), so the two
+    can no longer silently diverge (r11 advice)."""
+    return lin * _PQP_MIX % _PQP_M32 % (2 * PQP_CRANGE + 1) - PQP_CRANGE
+
+
 def _pqp_centroid(m, code, i):
     """Integer centroid value for (subspace m, code, 1-based subdim i):
     a quadratic-free linear mix is enough here because no two (m, code,
     i) triples may collide IN AGGREGATE over 8 dims, not per-value —
     and the integer arithmetic is the point (exact on both engines)."""
     lin = (m * PQ_K + code) * PQ_SUBDIM + i - 1
-    return (lin * _PQP_MIX) % _PQP_M32 % (2 * PQP_CRANGE + 1) - PQP_CRANGE
+    return _pqp_centroid_expr(lin)
 
 
 def _pqp_centroid_sql(m: str, code: str, i: str) -> str:
@@ -1425,11 +1434,9 @@ def q_similarity_pq_portable_topk(
     ks = F.explode(F.array(*[F.lit(k) for k in range(PQ_K)])).alias("code")
 
     def centroid(m, code, i):
+        # Column form: same _pqp_centroid_expr as the Python twin
         lin = (m * PQ_K + code) * PQ_SUBDIM + i - 1
-        return (
-            lin.cast("long") * _PQP_MIX % _PQP_M32 % (2 * PQP_CRANGE + 1)
-            - PQP_CRANGE
-        )
+        return _pqp_centroid_expr(lin.cast("long"))
 
     def subfold(val_fn):
         # exact BIGINT sum over the subspace's {PQ_SUBDIM} dims

@@ -1201,21 +1201,24 @@ def _bpe_apply_merge(pieces: DataFrame, l: str, r: str) -> DataFrame:
 def bpe_train_merges(
     d: DataFrame,
     n_merges: int = BPE_MERGE_STEPS,
-    _step_seconds: list | None = None,
+    _round_log: list | None = None,
 ) -> DataFrame:
     """Parameterized trainer kernel — ``d`` needs (doc_id, text).
     Returns the merge table (step, lhs, rhs, merged, pair_count).
     Stops early (fewer rows) only if the corpus exhausts to whole
     words before ``n_merges`` — the registry corpora never do.
-    ``_step_seconds``: measurement hook (tools/bpe_ab_r11.py) — a list
-    that receives per-step wall seconds."""
+    Rides the BATCHED non-interacting merge loop (round 12) — output
+    bit-identical to the sequential K=1 schedule, jobs sublinear in
+    ``n_merges``. ``_round_log``: measurement hook — one
+    (n_merges_applied, wall_seconds) tuple per cluster round
+    (tools/bpe_batch_ab_r12.py)."""
     from .. import session
 
-    return _bpe_train_from_pieces(
+    return _bpe_train_from_pieces_batched(
         d.sparkSession,
         session.stage(_bpe_word_pieces(d)),
         n_merges,
-        _step_seconds=_step_seconds,
+        _round_log=_round_log,
     )
 
 
@@ -1288,7 +1291,13 @@ def _bpe_train_from_pieces(
     chain keeps the full logical tree, so N-step lineage makes every
     later persist re-stringify O(N) nested plans — a treeString OOM
     well before any data cost. The GraphX/MLlib iterative-lineage
-    trade, accepted here for the same reason."""
+    trade, accepted here for the same reason — and with the same
+    FAULT-TOLERANCE cost: localCheckpoint blocks are executor-local,
+    so losing an executor mid-loop kills the job (lineage is gone; the
+    restarted job re-trains from the corpus). Checkpoint storage holds
+    O(vocab) blocks per step until ContextCleaner GC; a production run
+    that needs executor-loss survival swaps in reliable checkpoint()
+    to the cluster FS at the documented ~2x step-latency cost."""
     import time
 
     merges: list[tuple[int, str, str, str, int]] = []
@@ -1345,6 +1354,240 @@ def _bpe_train_from_pieces(
         ).localCheckpoint(eager=False)
         if _step_seconds is not None:
             _step_seconds.append(time.monotonic() - t0)
+
+    return spark.createDataFrame(
+        merges,
+        schema="step INT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count BIGINT",
+    )
+
+
+BPE_BATCH_TOP_M = 64  # pair-table rows collected per batched round
+
+
+def _bpe_merge_rule_map(pairs: list[tuple[str, str]]):
+    """lhs -> struct(rhs, merged) literal map for a NON-INTERACTING
+    merge batch (distinct lhs is guaranteed: two rules sharing a lhs
+    share a token and can never be batched together)."""
+    return F.create_map(
+        *[
+            x
+            for l, r in pairs
+            for x in (
+                F.lit(l),
+                F.struct(
+                    F.lit(r).alias("rhs"), F.lit(l + r).alias("merged")
+                ),
+            )
+        ]
+    )
+
+
+def _bpe_multi_merge_fold(pairs: list[tuple[str, str]]):
+    """ONE left-to-right non-overlapping pass applying a whole batch of
+    mutually NON-INTERACTING merges (no two rules share a lhs/rhs/
+    merged string): at most one rule can fire at any position, a fused
+    token can never left-match again (no rule's lhs equals any merged
+    string), so the single pass is exactly the composition of the K
+    per-rule folds in any order — the property the batched trainer's
+    equality proof leans on. K=1 degenerates to _bpe_merge_fold's
+    semantics (pinned by the equality tests)."""
+    m = _bpe_merge_rule_map(pairs)
+    zero = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def flush(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    def step(acc, x):
+        # "" is a safe null sentinel: pieces are never empty strings
+        ent = F.element_at(m, F.coalesce(acc["prev"], F.lit("")))
+        return F.when(
+            ent.isNotNull() & (x == ent["rhs"]),
+            F.struct(acc["out"].alias("out"), ent["merged"].alias("prev")),
+        ).otherwise(F.struct(flush(acc).alias("out"), x.alias("prev")))
+
+    return F.aggregate("pieces", zero, step, flush)
+
+
+def _bpe_multi_pair_pred(pairs: list[tuple[str, str]]):
+    """True iff the word's piece list contains ANY batch rule's (lhs,
+    rhs) adjacent — the batched affected-word predicate (lambda API,
+    no SQL escaping; one map lookup per adjacency)."""
+    m = _bpe_merge_rule_map(pairs)
+    prs = F.expr(
+        "transform(slice(pieces, 1, size(pieces) - 1),"
+        " (x, i) -> struct(x AS lhs, pieces[i + 1] AS rhs))"
+    )
+    return F.exists(
+        prs,
+        lambda p: F.coalesce(
+            F.element_at(m, p["lhs"])["rhs"] == p["rhs"], F.lit(False)
+        ),
+    )
+
+
+def _bpe_batch_schedule(
+    rows: list, token_set: set, remaining: int, top_m: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side batch selection over the collected top-``top_m``
+    pair rows (sorted by the argmax order: c DESC, lhs, rhs) — returns
+    the longest prefix PROVABLY equal to running the sequential K=1
+    argmax loop, by this argument:
+
+    - Walk the prefix; STOP at the first row that interacts with an
+      already-chosen rule (shares a lhs/rhs/merged string) or whose
+      merged string collides with an existing token (``token_set`` =
+      corpus alphabet + all merges so far — exact and driver-known, so
+      the check is free). Call the stop row's count c_q; if the list
+      was exhausted at full ``top_m`` length, c_q = the last row's
+      count (unseen rows below can't exceed it).
+    - TRIM the chosen prefix to rows with count STRICTLY > c_q.
+
+    Why the trimmed prefix replays the sequential loop exactly: within
+    the prefix no rule changes any other prefix rule's count (non-
+    interaction, and collisions — the one way a merge can INCREASE an
+    existing pair's count — are excluded), so each chosen count is the
+    true count at its sub-step, and the prefix order is the argmax
+    tie-break order. Every pair the sequential loop could prefer
+    instead is (a) a skipped/unseen pair — count <= c_q by sort order,
+    (b) a pair whose count only DECREASED (loses to its own stale
+    rank), or (c) a pair CREATED by an earlier prefix merge — every
+    created pair (x, l+r) / (l+r, y) / (l+r, l+r) contains an
+    adjacency ((x, l), (r, y), (r, l) respectively) that SHARES a
+    token with the chosen rule, so its count is bounded by the stale
+    count of an interacting pair — skipped or unseen, hence <= c_q —
+    UNLESS that interacting pair is the chosen rule itself, which
+    happens exactly when l == r (a run [t,t,t] folds to [tt,t],
+    creating (tt, t) at up to the rule's own count). SELF-PAIRS are
+    therefore treated like collisions: exact as a K=1 singleton, never
+    inside a batch. The strict > c_q trim makes (a)-(c) lose outright
+    (no tie-break exposure: created pairs carry fresh token strings
+    that could win a lexicographic tie). If trimming empties the
+    batch, the single argmax row is returned (K=1 is trivially exact,
+    collisions and self-pairs included — the delta maintenance is
+    string-keyed)."""
+    chosen: list[tuple[str, str, int]] = []
+    chosen_tokens: set = set()
+    c_q = None
+    for l, r, c in rows:
+        merged = l + r
+        if chosen and ({l, r, merged} & chosen_tokens):
+            c_q = c
+            break
+        if merged in token_set or l == r:
+            if not chosen:
+                return [(l, r, c)]
+            c_q = c
+            break
+        chosen.append((l, r, c))
+        chosen_tokens |= {l, r, merged}
+    else:
+        if len(rows) == top_m:
+            c_q = rows[-1][2]
+    if c_q is not None:
+        chosen = [t for t in chosen if t[2] > c_q]
+    if not chosen:
+        l, r, c = rows[0]
+        return [(l, r, c)]
+    return chosen[:remaining]
+
+
+def _bpe_train_from_pieces_batched(
+    spark: SparkSession,
+    pieces: DataFrame,
+    n_merges: int,
+    top_m: int = BPE_BATCH_TOP_M,
+    _round_log: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION trainer loop: the round-11 incremental pair-delta
+    maintenance (see _bpe_train_from_pieces — identical carried pair
+    table, ±delta pass over affected words, single-reference
+    conditional fold, lazy localCheckpoint leaves; the fault-tolerance
+    caveat there applies verbatim) with the round-12 fix for the LAST
+    scale wall: jobs-per-merge. The K=1 loop pays one driver round
+    trip per merge — flat ~0.45 s/step means a production N≈30-50k
+    vocabulary is hours of pure scheduler latency. Here each round
+    collects the top-``top_m`` rows of the maintained pair table in
+    ONE action, selects the longest batch of merges PROVABLY equal to
+    the sequential argmax schedule (_bpe_batch_schedule — the parallel
+    -BPE non-interaction condition hardened with a collision check and
+    a strict count cutoff so equality is exact, not approximate), and
+    applies the whole batch in one delta pass + one fold pass. Output
+    is bit-identical to the K=1 loop (equality pinned on the Sennrich
+    fixture, adversarial corner corpora and both registry scales);
+    jobs drop from N to the round count — measured sublinear wall
+    growth in N (jobs-vs-N table in ARCHITECTURE.md, round 12).
+
+    ``_round_log``: measurement hook — receives one (n_merges_applied,
+    wall_seconds) tuple per round."""
+    import time
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    # the exact token vocabulary is driver-known: corpus alphabet (one
+    # bounded collect — distinct chars of distinct words) + merges so
+    # far. The collision check needs nothing from the cluster.
+    token_set = {
+        r["ch"]
+        for r in pieces.select(F.explode("pieces").alias("ch"))
+        .distinct()
+        .collect()
+    }
+    pc = _bpe_pair_counts(pieces).localCheckpoint(eager=False)
+    while len(merges) < n_merges:
+        t0 = time.monotonic()
+        rows = [
+            (r["lhs"], r["rhs"], int(r["c"]))
+            for r in pc.where(F.col("c") > 0)
+            .orderBy(F.desc("c"), "lhs", "rhs")
+            .limit(top_m)
+            .collect()
+        ]
+        if not rows:
+            break
+        batch = _bpe_batch_schedule(
+            rows, token_set, n_merges - len(merges), top_m
+        )
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+            token_set.add(l + r)
+        rules = [(l, r) for l, r, _ in batch]
+        if len(rules) == 1:
+            # K=1 rounds (tie-heavy stretches) keep the scalar kernels:
+            # two literal comparisons per element beat a map lookup
+            pred = _adjacent_pair_pred(*rules[0])
+            fold = _bpe_merge_fold(*rules[0])
+        else:
+            pred = _bpe_multi_pair_pred(rules)
+            fold = _bpe_multi_merge_fold(rules)
+        delta = (
+            pieces.where(pred)
+            .select(
+                F.explode(
+                    F.concat(
+                        _bpe_pair_deltas(F.col("pieces"), -1),
+                        _bpe_pair_deltas(fold, +1),
+                    )
+                ).alias("pr")
+            )
+            .select("pr.lhs", "pr.rhs", F.col("pr.c").alias("c"))
+        )
+        pc = (
+            pc.unionAll(delta)
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") != 0)
+            .localCheckpoint(eager=False)
+        )
+        pieces = pieces.select(
+            "cnt", F.when(pred, fold).otherwise(F.col("pieces")).alias("pieces")
+        ).localCheckpoint(eager=False)
+        if _round_log is not None:
+            _round_log.append((len(batch), time.monotonic() - t0))
 
     return spark.createDataFrame(
         merges,
@@ -1458,7 +1701,7 @@ def _bpe_learned_pieces(spark: SparkSession, d: DataFrame) -> tuple[str, ...]:
     from .. import session
 
     pieces0 = session.stage(_bpe_word_pieces(d))
-    merge_rows = _bpe_train_from_pieces(
+    merge_rows = _bpe_train_from_pieces_batched(
         spark, pieces0, BPE_MERGE_STEPS
     ).collect()  # N rows, bounded
     # corpus alphabet = the char-fallback tier of the learned vocab,

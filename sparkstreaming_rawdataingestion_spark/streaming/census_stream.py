@@ -221,6 +221,23 @@ def merge_batch(
     same-checkpoint restart, whatever the prior attempt managed to
     write) recomputes and overwrites the same version, re-marks it and
     re-lands the same seen partition."""
+    # one batch scan for the whole merge: the touched-bucket collect
+    # below and census_increment's encode both read this frame — an
+    # unpersisted source would be re-evaluated per consumer (r11
+    # advice). Released in the finally below, after every write.
+    batch_docs = batch_docs.persist()
+    try:
+        _merge_batch_inner(batch_docs, sink_dir, merge_key, pieces)
+    finally:
+        batch_docs.unpersist()
+
+
+def _merge_batch_inner(
+    batch_docs: DataFrame,
+    sink_dir: str,
+    merge_key: str,
+    pieces: tuple[str, ...],
+) -> None:
     spark = batch_docs.sparkSession
     prev, prev_seq = _latest_version(spark, sink_dir, exclude_key=merge_key)
     seen = read_archive(spark, f"{sink_dir}/seen")
