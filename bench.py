@@ -124,6 +124,12 @@ RETIRED_FROM_HEADLINE = [
     "text_quality_score",      # 0.48/0.34/0.34 s r8/r9/r10 (r11; text
                                # coverage stays via text_analysis_pack
                                # and the tokenizer entries)
+    "join_broadcast_dims",     # 0.37/0.54/0.53 s r9/r10/r11 (r12; join
+                               # coverage stays via join_strategies_pack
+                               # and join_fact_fact_revenue)
+    "window_frames_pack",      # 0.38/0.51/0.46 s r9/r10/r11 (r12;
+                               # window coverage stays via
+                               # window_functions_pack + downsample)
 ]
 HEADLINE = [
     "ingest_normalize",
@@ -131,7 +137,6 @@ HEADLINE = [
     "datapoint_day_rollup",
     "agg_pricing_summary",
     "join_fact_fact_revenue",
-    "join_broadcast_dims",
     "asof_join_purchase_click",
     "set_operations",
     "dedup_minhash_lsh_pairs",
@@ -143,7 +148,6 @@ HEADLINE = [
     "q8_market_share",
     "q18_large_orders",
     "q21_waiting_supplier",
-    "window_frames_pack",
     "downsample_gapfill",
     "window_functions_pack",
     "scalar_semistructured_pack",
@@ -187,6 +191,11 @@ HEADLINE = [
     # product-quantization twin
     "multimodal_audio_window_matches",
     "similarity_pq_portable_topk",
+    # round-12 additions: asymmetric-hop audio containment (dense
+    # hop-1 probe vs sparse archive prints) and the portable-integer
+    # HyperLogLog twin (mergeability certified in the value hash)
+    "multimodal_audio_asym_containment",
+    "sketch_hll_portable",
 ]
 
 

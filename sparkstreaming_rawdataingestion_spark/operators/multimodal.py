@@ -1902,3 +1902,249 @@ def q_multimodal_audio_window_dedup_clusters(
         F.col("label").alias("cluster_rep"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_asym_containment — NON-hop-aligned excerpt discovery
+# ---------------------------------------------------------------------------
+
+# The round-11 windowed ladder finds excerpts that start ON the archive
+# hop grid. A real re-clipped segment starts at an arbitrary frame;
+# Haitsma-Kalker's production answer is ASYMMETRIC hop density: the
+# archive keeps one print per {AFPW_HOP_FRAMES}-frame hop (compact — it
+# is the 100 TB side), while the QUERY side fingerprints at hop 1, so
+# for any excerpt offset o there exists a probe window p ≡ -o (mod
+# {AFPW_HOP_FRAMES}) that lands EXACTLY on an archived window (offsets
+# are whole frames; sub-frame starts are resampling territory, not
+# fingerprint territory). Probe cost is bounded by the query batch
+# (x hop ratio), never by the archive.
+
+AFPA_ORIG_FRAMES = AFP_FRAMES + 2 * AFPW_HOP_FRAMES  # originals: 97
+AFPA_EXCERPT_FRAMES = AFP_FRAMES + AFPW_HOP_FRAMES - 1  # excerpts: 80
+AFPA_MAX_PROBE_WINDOWS = AFPA_EXCERPT_FRAMES - AFP_FRAMES + 1  # 16
+
+
+def _afpa_off(f: int) -> int:
+    """Excerpt start frame for family f — 1, 6 or 11: never a multiple
+    of the {AFPW_HOP_FRAMES}-frame hop, so the hop-aligned matcher is
+    structurally blind to every one of these excerpts."""
+    return 1 + (f % 3) * 5
+
+
+def _afpa_amp(f: int, v: int, j: int) -> int:
+    """Fixture amplitude for frame j of clip (f, v) — Python twin of
+    the oracle's CASE: v0 the 97-frame original, v1 an 80-frame
+    excerpt of it starting at the misaligned offset, rescaled x2
+    (delta-sign invariance must still hold through the real codec)."""
+    return _afp_env(f, j) if v == 0 else _afp_env(f, j + _afpa_off(f)) * 2
+
+
+def synthesize_afpa_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISALIGNED-excerpt fixture: one real PCM WAV per document,
+    family f = doc_id // 2, variant v = doc_id % 2 — v0 a 97-frame
+    original, v1 an 80-frame x2-rescaled excerpt starting _afpa_off(f)
+    frames in (NOT on the hop grid). 80 frames guarantee the aligned
+    probe window exists for any offset in [1, 15] (p = 16 - o <= 15 =
+    80 - 65). Amplitudes bounded (999 * 2 < 32767): no int16 wrap."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") / 2).cast("long").alias("f"),
+        (F.col("doc_id") % 2).cast("long").alias("v"),
+    )
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples():
+                nf = AFPA_ORIG_FRAMES if r.v == 0 else AFPA_EXCERPT_FRAMES
+                samples = []
+                for j in range(nf):
+                    amp = _afpa_amp(r.f, r.v, j)
+                    samples.extend(
+                        amp if t % 2 == 0 else -amp
+                        for t in range(AFP_FRAME_SIZE)
+                    )
+                payloads.append(media_codecs.wav_encode(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
+def audio_probe_alignment(
+    probe_wbands: DataFrame,
+    archive_wbands: DataFrame,
+    probe_hop: int = 1,
+    archive_hop: int = AFPW_HOP_FRAMES,
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Asymmetric containment vote: dense probe prints (hop
+    ``probe_hop``) band-joined against sparse archive prints (hop
+    ``archive_hop``) — the SAME generalized dhash_band_pairs kernel in
+    cross mode — then the alignment vote in FRAME units:
+    offset_frames = win_b * archive_hop - win_a * probe_hop is the
+    frame at which the probe clip's content begins inside the archived
+    clip (for a true containment; noise scatters). One row per matched
+    (probe, archived) pair: the best-voted offset, its vote count and
+    best hamming; ties break to the smallest offset.
+
+    Scale: the archive side stays one print per {AFPW_HOP_FRAMES}
+    frames — the dense side is the QUERY batch only; candidates remain
+    band-bucketed (pigeonhole), no cartesian anywhere."""
+    wpairs = dhash_band_pairs(
+        probe_wbands,
+        archive_wbands,
+        max_hamming=max_hamming,
+        extra_key=("win",),
+    )
+    offs = wpairs.groupBy(
+        F.col("media_a").alias("media_q"),
+        F.col("media_b").alias("media_r"),
+        (
+            F.col("win_b") * F.lit(archive_hop)
+            - F.col("win_a") * F.lit(probe_hop)
+        )
+        .cast("long")
+        .alias("offset_frames"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_aligned"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    w = Window.partitionBy("media_q", "media_r").orderBy(
+        F.desc("n_aligned"), "offset_frames"
+    )
+    return (
+        offs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "media_q", "media_r", "offset_frames", "n_aligned", "min_hamming"
+        )
+    )
+
+
+def _afpa_ctes() -> str:
+    """The asymmetric pipeline as CTEs: clips → closed-form energies →
+    per-side windows (archive hop {AFPW_HOP_FRAMES} over v0, probe hop
+    1 over v1) → band values → cross band join + hamming verify →
+    frame-offset vote. Envelope/framing/banding definitions shared
+    with every other audio oracle."""
+    env_j = _afp_env_sql("j.j")
+    env_j_off = _afp_env_sql("j.j + 1 + (f % 3) * 5")
+    amp = f"CASE WHEN v = 0 THEN {env_j} ELSE ({env_j_off}) * 2 END"
+    return f"""awc AS (
+  SELECT doc_id AS media_id,
+         doc_id // 2 AS f,
+         doc_id %  2 AS v
+  FROM documents
+),
+clips AS (
+  SELECT media_id, f, v,
+         CASE WHEN v = 0 THEN {AFPA_ORIG_FRAMES}
+              ELSE {AFPA_EXCERPT_FRAMES} END AS nf,
+         CASE WHEN v = 0 THEN {AFPW_HOP_FRAMES} ELSE 1 END AS hop
+  FROM awc
+),
+en AS (
+  SELECT c.media_id, j.j AS j, {AFP_FRAME_SIZE} * ({amp}) AS e
+  FROM clips c, range({AFPA_ORIG_FRAMES}) j(j)
+  WHERE j.j < c.nf
+),
+wins AS (
+  SELECT c.media_id, c.v, c.hop, w.w AS w
+  FROM clips c, range({AFPA_MAX_PROBE_WINDOWS}) w(w)
+  WHERE w.w <= (c.nf - {AFP_FRAMES}) // c.hop
+),
+bits AS (
+  -- delta-sign bit ONCE per frame position, then gathered per window:
+  -- the four-relation computed-key join this replaces blew up the
+  -- oracle engine's planner at sf0.1 (>30 min; this chain of single
+  -- equi-joins replays identically in seconds)
+  SELECT a.media_id, a.j,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON b.media_id = a.media_id AND b.j = a.j + 1
+),
+wk AS (
+  SELECT win.media_id, win.v, win.w, k.k AS k,
+         win.w * win.hop + k.k AS j
+  FROM wins win, range({AFP_FRAMES - 1}) k(k)
+),
+wbits AS (
+  SELECT wk.media_id, wk.v, wk.w, wk.k, b.bit
+  FROM wk JOIN bits b ON b.media_id = wk.media_id AND b.j = wk.j
+),
+wbands AS (
+  SELECT media_id, v, w, k // 16 AS band_idx,
+         CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS band_val
+  FROM wbits GROUP BY media_id, v, w, k // 16
+),
+wcand AS (
+  SELECT DISTINCT a.media_id AS mq, a.w AS wq, b.media_id AS mr, b.w AS wr
+  FROM wbands a JOIN wbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.v = 1 AND b.v = 0
+),
+wpairs AS (
+  SELECT c.mq, c.wq, c.mr, c.wr,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+           AS hamming
+  FROM wcand c
+  JOIN wbands x ON x.media_id = c.mq AND x.w = c.wq
+  JOIN wbands y ON y.media_id = c.mr AND y.w = c.wr
+                AND y.band_idx = x.band_idx
+  GROUP BY 1, 2, 3, 4
+  HAVING sum(bit_count(xor(x.band_val, y.band_val)))
+           <= {DHASH_MAX_HAMMING}
+),
+offs AS (
+  SELECT mq AS media_q, mr AS media_r,
+         CAST(wr * {AFPW_HOP_FRAMES} - wq AS BIGINT) AS offset_frames,
+         CAST(count(*) AS BIGINT) AS n_aligned,
+         min(hamming) AS min_hamming
+  FROM wpairs GROUP BY 1, 2, 3
+)"""
+
+
+_AFPA_ORACLE = f"""
+WITH {_afpa_ctes()}
+SELECT media_q, media_r, offset_frames, n_aligned, min_hamming
+FROM offs
+QUALIFY row_number() OVER (PARTITION BY media_q, media_r
+                           ORDER BY n_aligned DESC, offset_frames) = 1
+"""
+
+
+@_register("multimodal_audio_asym_containment", _AFPA_ORACLE)
+def q_multimodal_audio_asym_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NON-hop-aligned audio containment: synthesize 97-frame originals
+    alongside 80-frame x2-rescaled excerpts starting 1/6/11 frames in
+    (never on the {AFPW_HOP_FRAMES}-frame hop grid — the class the
+    round-11 hop-aligned matcher is structurally blind to),
+    fingerprint the ARCHIVE side at the standard hop and the PROBE
+    side at hop 1 through the real WAV codec, and report each
+    excerpt's best-voted containment offset in frames. The expected
+    signal — every excerpt finds its original at exactly
+    offset_frames = _afpa_off(f) — is pinned by the hand fixture test;
+    this registry entry hash-certifies the full algebra (codec,
+    asymmetric windowing, banding, cross band join, frame-offset
+    vote) against the closed-form oracle replay."""
+    from ..session import stage
+
+    media = stage(synthesize_afpa_media(spark, sf_dir))
+    arch = audio_windowed_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 0)
+    )
+    probe = audio_windowed_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 1), hop_frames=1
+    )
+    return audio_probe_alignment(probe, arch)

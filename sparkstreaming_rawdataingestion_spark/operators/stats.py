@@ -227,6 +227,227 @@ def q_sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch_hll_portable — the HLL MECHANISM, hash-checkable end to end
+# ---------------------------------------------------------------------------
+
+# Flajolet et al. 2007 HyperLogLog with every engine-specific piece
+# replaced by a deterministic, SQL-replayable twin (the portable-PQ
+# precedent): multiplicative integer hash (Knuth mix, the _pqp_centroid
+# pattern) -> top-HLLP_P-bit bucket / leading-one rank of the low bits
+# via length(bin(w)) (integer-exact on both engines; no float log2) ->
+# max-per-register -> harmonic estimate with the register sum kept an
+# exact BIGINT (sum of 1 << (27 - M)) until ONE final double division.
+# The production path (sketch_mergeable_hll, DataSketches) keeps real
+# estimator quality; THIS entry makes the mechanism — bucketing, rank,
+# register max, union=max mergeability, small-range linear counting —
+# certifiable by the driver's value hash.
+
+HLLP_P = 6                      # 2^6 = 64 registers
+HLLP_M = 1 << HLLP_P
+HLLP_ALPHA = 0.709              # the published alpha_64 constant
+HLLP_WBITS = 32 - HLLP_P        # 26 low bits feed the rank
+_HLLP_M32 = 4294967296
+# m^2 * 2^(WBITS+1) = 4096 * 2^27 = 2^39 — exact in a double
+_HLLP_NUM = float(HLLP_M * HLLP_M * (1 << (HLLP_WBITS + 1)))
+
+# xorshift-multiply finalizer: a single multiplicative mix leaves the
+# LOW bits — the rank bits — barely mixed (measured ~+90% estimate
+# bias). This is the published lowbias 32-bit integer hash
+# (xor-fold >> 16, * 0x45d9f3b, twice, final fold) — the multiplier
+# stays under 2^31 so every intermediate product fits a signed int64
+# on BOTH engines (no silent wrap on Spark, no overflow error on
+# DuckDB). The SAME schedule drives the Column twin and the SQL twin
+# below (kept adjacent — the _afp_env / _afp_env_sql convention).
+_HLLP_MUL = 0x45D9F3B
+_HLLP_FOLD = 16
+_HLLP_ROUNDS = 2
+
+
+def _hllp_hash_sql(x: str) -> str:
+    """DuckDB replay of the 32-bit mix (xor() — DuckDB's ^ is power)."""
+    h = f"({x} % {_HLLP_M32})"
+    for _ in range(_HLLP_ROUNDS):
+        h = f"(xor({h}, {h} // {1 << _HLLP_FOLD}) * {_HLLP_MUL} % {_HLLP_M32})"
+    return f"xor({h}, {h} // {1 << _HLLP_FOLD})"
+
+
+def _hllp_hash_col(x: Column) -> Column:
+    """Spark Column twin of the mix — same schedule, bitwiseXOR +
+    shiftright (values stay non-negative, so // 2^s == >> s)."""
+    h = F.pmod(x, F.lit(_HLLP_M32))
+    for _ in range(_HLLP_ROUNDS):
+        h = F.pmod(
+            h.bitwiseXOR(F.shiftright(h, _HLLP_FOLD)) * F.lit(_HLLP_MUL),
+            F.lit(_HLLP_M32),
+        )
+    return h.bitwiseXOR(F.shiftright(h, _HLLP_FOLD))
+
+_HLLP_ORACLE = f"""
+WITH hashed AS (
+  SELECT o_orderstatus,
+         CAST(o_orderdate AS DATE) AS d,
+         {_hllp_hash_sql("o_custkey")} AS h
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderstatus, d,
+         h // {1 << HLLP_WBITS} AS bucket,
+         {HLLP_WBITS} + 1 - CASE WHEN h % {1 << HLLP_WBITS} = 0 THEN 0
+              ELSE length(bin(h % {1 << HLLP_WBITS})) END AS rank
+  FROM hashed
+),
+daily AS (
+  SELECT o_orderstatus, d, bucket, max(rank) AS m
+  FROM ranked GROUP BY 1, 2, 3
+),
+spine AS (
+  SELECT DISTINCT r.o_orderstatus, b.b AS bucket
+  FROM ranked r, range({HLLP_M}) b(b)
+),
+regs AS (
+  SELECT s.o_orderstatus, s.bucket,
+         coalesce(max(d.m), 0) AS m_merged,
+         coalesce(max(r.rank), 0) AS m_direct
+  FROM spine s
+  LEFT JOIN daily d ON d.o_orderstatus = s.o_orderstatus
+                   AND d.bucket = s.bucket
+  LEFT JOIN ranked r ON r.o_orderstatus = s.o_orderstatus
+                    AND r.bucket = s.bucket
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT o_orderstatus,
+         CAST(sum(1::BIGINT << ({HLLP_WBITS} + 1 - m_merged)) AS BIGINT)
+           AS denom,
+         CAST(sum(CASE WHEN m_merged = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros,
+         CAST(sum(CASE WHEN m_merged = m_direct THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_regs_union_eq_direct
+  FROM regs GROUP BY 1
+),
+fin AS (
+  SELECT o_orderstatus, n_regs_union_eq_direct,
+         {HLLP_ALPHA} * ({_HLLP_NUM} / denom) AS raw,
+         zeros
+  FROM est
+)
+SELECT f.o_orderstatus,
+       round(CASE WHEN f.raw <= 2.5 * {HLLP_M} AND f.zeros > 0
+                  THEN {HLLP_M}.0 * ln({HLLP_M}.0 / f.zeros)
+                  ELSE f.raw END, 4) AS approx_customers,
+       f.n_regs_union_eq_direct,
+       x.exact_customers
+FROM fin f
+JOIN (SELECT o_orderstatus,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+      FROM orders GROUP BY 1) x USING (o_orderstatus)
+"""
+
+
+@_register("sketch_hll_portable", _HLLP_ORACLE)
+def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-integer HyperLogLog twin: per-status distinct-customer
+    estimates whose EVERY step — hash, bucket, rank, per-day register
+    tables, the max-merge union, the harmonic sum, the small-range
+    linear-counting branch — is replayed verbatim by the DuckDB
+    oracle, so the value hash certifies the whole HLL mechanism the
+    production DataSketches path (sketch_mergeable_hll) can only
+    rows-only-check. MERGEABILITY is certified inside the row:
+    ``n_regs_union_eq_direct`` counts registers where max-merging the
+    per-day tables equals the direct per-status register — always
+    {HLLP_M} (union = max, the property that lets a 100 TB pipeline
+    re-aggregate daily partials to any rollup level).
+
+    Plan: one scan -> two bounded register aggregations (vocab = 64
+    registers x statuses) -> broadcast-sized spine join; the exact
+    integer register sum (sum of 1 << (27 - M)) defers floating point
+    to ONE final division + one multiply, so the doubles are
+    bit-identical on both engines (the portable-PQ discipline)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    h = _hllp_hash_col(F.col("o_custkey"))
+    w = F.pmod(h, F.lit(1 << HLLP_WBITS))
+    ranked = o.select(
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.shiftright(h, HLLP_WBITS).alias("bucket"),
+        (
+            F.lit(HLLP_WBITS + 1)
+            - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+        ).alias("rank"),
+    )
+    from ..session import stage
+
+    ranked = stage(ranked)
+    daily = ranked.groupBy("o_orderstatus", "d", "bucket").agg(
+        F.max("rank").alias("m")
+    )
+    merged = daily.groupBy("o_orderstatus", "bucket").agg(
+        F.max("m").alias("m_merged")
+    )
+    direct = ranked.groupBy("o_orderstatus", "bucket").agg(
+        F.max("rank").alias("m_direct")
+    )
+    spine = (
+        ranked.select("o_orderstatus")
+        .distinct()
+        .select(
+            "o_orderstatus",
+            F.explode(F.sequence(F.lit(0), F.lit(HLLP_M - 1))).alias(
+                "bucket"
+            ),
+        )
+    )
+    regs = (
+        spine.join(merged, ["o_orderstatus", "bucket"], "left")
+        .join(direct, ["o_orderstatus", "bucket"], "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce("m_merged", F.lit(0)).alias("m_merged"),
+            F.coalesce("m_direct", F.lit(0)).alias("m_direct"),
+        )
+    )
+    est = regs.groupBy("o_orderstatus").agg(
+        F.sum(
+            # SQL form: the Python shiftleft wrapper wants literal bits
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLLP_WBITS + 1} - m_merged)")
+        )
+        .cast("long")
+        .alias("denom"),
+        F.sum(F.when(F.col("m_merged") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zeros"),
+        F.sum(
+            F.when(F.col("m_merged") == F.col("m_direct"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_regs_union_eq_direct"),
+    )
+    raw = F.lit(HLLP_ALPHA) * (F.lit(_HLLP_NUM) / F.col("denom"))
+    approx = F.when(
+        (raw <= 2.5 * HLLP_M) & (F.col("zeros") > 0),
+        F.lit(float(HLLP_M))
+        * F.log(F.lit(float(HLLP_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers")
+    )
+    return (
+        est.select(
+            "o_orderstatus",
+            F.round(approx, 4).alias("approx_customers"),
+            "n_regs_union_eq_direct",
+        )
+        .join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "approx_customers",
+            "n_regs_union_eq_direct",
+            "exact_customers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # winsorize_robust_scale — percentile clipping + robust standardization
 # ---------------------------------------------------------------------------
 

@@ -1352,6 +1352,12 @@ def _bpe_train_from_pieces(
         pieces = pieces.select(
             "cnt", F.when(pred, fold).otherwise(F.col("pieces")).alias("pieces")
         ).localCheckpoint(eager=False)
+        if step % BPE_EAGER_EVERY == 0:
+            # hard-truncate the physical graph (BPE_EAGER_EVERY note:
+            # lazy checkpoints alone accumulate task-closure depth —
+            # measured StackOverflowError at ~122 steps without this)
+            pieces = pieces.localCheckpoint(eager=True)
+            pc = pc.localCheckpoint(eager=True)
         if _step_seconds is not None:
             _step_seconds.append(time.monotonic() - t0)
 
@@ -1363,6 +1369,15 @@ def _bpe_train_from_pieces(
 
 
 BPE_BATCH_TOP_M = 64  # pair-table rows collected per batched round
+
+# Force an EAGER localCheckpoint on both loop frames every this many
+# rounds: lazy checkpoints truncate the logical plan, but the physical
+# RDD graph shipped inside task closures still accumulates depth across
+# rounds (measured: a tie-heavy corpus driving pure K=1 rounds dies
+# with a task-deserialization StackOverflowError at ~122 rounds without
+# this; with it, 400+ rounds run flat). One extra job per
+# BPE_EAGER_EVERY rounds — amortized noise.
+BPE_EAGER_EVERY = 24
 
 
 def _bpe_merge_rule_map(pairs: list[tuple[str, str]]):
@@ -1538,6 +1553,7 @@ def _bpe_train_from_pieces_batched(
         .collect()
     }
     pc = _bpe_pair_counts(pieces).localCheckpoint(eager=False)
+    rounds = 0
     while len(merges) < n_merges:
         t0 = time.monotonic()
         rows = [
@@ -1586,6 +1602,11 @@ def _bpe_train_from_pieces_batched(
         pieces = pieces.select(
             "cnt", F.when(pred, fold).otherwise(F.col("pieces")).alias("pieces")
         ).localCheckpoint(eager=False)
+        rounds += 1
+        if rounds % BPE_EAGER_EVERY == 0:
+            # hard-truncate the physical graph (BPE_EAGER_EVERY note)
+            pieces = pieces.localCheckpoint(eager=True)
+            pc = pc.localCheckpoint(eager=True)
         if _round_log is not None:
             _round_log.append((len(batch), time.monotonic() - t0))
 

@@ -172,90 +172,87 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-11 rotation (stalest-first; the round-10 verdict's item 6):
+# Round-12 rotation (stalest-first; the round-11 verdict's item 4):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-7   the six entries the round-10 ledger displaced (each an
-#         r3-latest green at displacement time) — re-certified first,
+#   2-5   the four entries the round-11 ledger displaced (each an
+#         r4-latest green at displacement time) — re-certified first,
 #         closing that ledger's debt.
-#   8-32  every REMAINING query whose latest driver-green row is
-#         ROUND 3 — after round 10 re-certified all r2-latest greens,
-#         these are now the oldest certificates in the repo.
-#   33-46 the 14 alphabetically-first round-4-latest greens (41 exist;
-#         the rest queue for round 12).
-#   47-50 the four round-11 NEW ops, each through the 4-way gate
+#   6-28  every REMAINING query whose latest driver-green row is
+#         ROUND 4 — now the oldest certificates in the repo.
+#   29-48 the 20 alphabetically-first round-5-latest greens (44 exist;
+#         the rest queue for round 13).
+#   49-50 the two round-12 NEW ops, each through the 4-way gate
 #         (engine + --plain at sf0.01 AND sf0.1, closed-form fixture,
-#         plan pin). DISPLACEMENT LEDGER: they displace the four
-#         next-stalest r4 re-checks that would otherwise fill these
+#         plan pin). DISPLACEMENT LEDGER: they displace the two
+#         next-stalest r5 re-checks that would otherwise fill these
 #         slots —
-#           multimodal_audio_window_matches displaced markov_transitions
-#           similarity_pq_portable_topk     displaced ml_lag_features
-#           multimodal_audio_window_alignment displaced market_basket_pairs
-#           multimodal_audio_window_dedup_clusters displaced hybrid_rank_fusion
-#         (all four displaced entries keep standing driver-green r4
-#         rows and rotate to the extended region, still locally
-#         verified every round; they lead the round-12 window).
+#           multimodal_audio_asym_containment displaced interpurchase_intervals
+#           sketch_hll_portable               displaced label_centroid_similarity
+#         (both displaced entries keep standing driver-green r5 rows
+#         and rotate to the extended region, still locally verified
+#         every round; they lead the round-13 window).
 #
-# Round-10 history (audit trail): flagship + the two r9 OVERFLOW
-# drains + all 30 r2-latest greens + 17 r3-latest picks, with six new
-# round-10 ops displacing band-4 re-checks per the ledger preserved at
-# tag 209bef8 (queries.py there) — CORRECTNESS_r10 was 50/50
-# hash-green.
+# Round-11 history (audit trail): flagship + the six round-10-displaced
+# entries + all remaining r3-latest greens + 14 r4-latest picks, with
+# the four round-11 ops (windowed audio ladder + portable PQ)
+# displacing band-4 re-checks per the ledger preserved at f39d1a7
+# (queries.py there) — CORRECTNESS_r11 was 50/50 hash-green.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: the six round-10-displaced entries (ledger debt) -----
-    "skew_equivalence_pack",
-    "stratified_sample",
-    "table_profile",
-    "text_repetition_filters",
-    "timeseries_anomaly_zscore",
-    "validation_pack",
-    # -- band 3: every remaining round-3-latest green -----------------
-    "bitwise_pack",
-    "cast_conditional_pack",
-    "data_quality_checks",
-    "join_full_outer_balance",
-    "join_nullsafe_keys",
-    "join_variants_pack",
-    "json_construction",
-    "key_skew_report",
-    "layout_zorder_key",
-    "leakage_safe_split",
-    "month_arithmetic",
-    "pattern_match_filters",
-    "pivot_status_counts",
-    "quality_quantile_buckets",
-    "rollup_time_hierarchy",
-    "salted_join_equivalence",
-    "sliding_window_counts",
-    "stats_moments_pack",
-    "string_advanced_pack",
-    "timeseries_pack",
-    "try_safe_arith_pack",
-    "udtf_sentence_split",
-    "unpivot_measures",
-    "variant_pack",
-    "window_frames_pack",
-    # -- band 4: the 14 alphabetically-first round-4-latest greens ----
-    "agg_argminmax_collect",
-    "array_advanced_pack",
-    "array_algebra_pack",
-    "array_set_ops_pack",
-    "attribution_last_touch",
-    "benford_digit_audit",
-    "bigram_logprob_quality",
-    "distribution_drift_ks",
-    "event_lateness_audit",
-    "event_path_trigrams",
-    "ewma_smoothing",
-    "feature_hash_embedding",
-    "funnel_pattern_match",
-    "growth_accounting",
-    # -- band 5: round-11 new ops (see the ledger above) --------------
-    "multimodal_audio_window_matches",
-    "similarity_pq_portable_topk",
-    "multimodal_audio_window_alignment",
-    "multimodal_audio_window_dedup_clusters",
+    # -- band 2: the four round-11-displaced entries (ledger debt) ----
+    "markov_transitions",
+    "ml_lag_features",
+    "market_basket_pairs",
+    "hybrid_rank_fusion",
+    # -- band 3: every remaining round-4-latest green -----------------
+    "numeric_histogram",
+    "ohlc_downsample",
+    "pipeline_curation_funnel",
+    "psi_drift",
+    "query_shapes_pack",
+    "rank_normalize",
+    "recsys_item_neighbors",
+    "sample_exact_k_per_group",
+    "seasonal_baseline_anomaly",
+    "skyline_pareto_brand",
+    "snapshot_diff",
+    "string_similarity_join_brand",
+    "subquery_pack",
+    "target_encode_loo",
+    "temperature_mix_sample",
+    "timeseries_twap",
+    "training_shuffle_order",
+    "tumbling_window_counts",
+    "unigram_logprob_quality",
+    "upsample_interpolate",
+    "upsample_mix",
+    "weighted_sample_poisson",
+    "winsorize_robust_scale",
+    # -- band 4: the 20 alphabetically-first round-5-latest greens ----
+    "ab_cuped_adjusted",
+    "allocation_proportional",
+    "asof_nearest_tolerance",
+    "attribution_linear",
+    "bot_rate_flags",
+    "chisq_independence_test",
+    "classifier_eval_metrics",
+    "cohort_ltv_curve",
+    "collocation_pmi_bigrams",
+    "concentration_metrics",
+    "concurrent_intervals_timeline",
+    "curriculum_interleave",
+    "cusum_changepoint",
+    "decile_lift_table",
+    "dedup_cluster_canonical",
+    "dedup_simhash_portable_pairs",
+    "gaps_islands_streaks",
+    "geo_revenue_shares",
+    "graph_common_neighbors",
+    "holt_linear_smoothing",
+    # -- band 5: round-12 new ops (see the ledger above) --------------
+    "multimodal_audio_asym_containment",
+    "sketch_hll_portable",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot

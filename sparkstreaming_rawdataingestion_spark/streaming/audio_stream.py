@@ -8,14 +8,16 @@ appended.
 
 What the windowed index buys over the image stream's whole-object
 hashes: CONTAINMENT absorption. The archive stores one 64-bit print
-per 16-frame hop, so an EXCERPT arriving after its original band-
-matches one of the original's archived window prints and is dropped —
-the "re-clipped highlight / re-posted segment" class that whole-clip
-fingerprints structurally miss (a shorter clip never hashes equal to
-its source). The archive check joins on the full (window, band)
-composite via ``dhash_band_pairs(..., extra_key=("win",))`` — the same
-generalized pair kernel the batch matcher uses; clip-level matching
-within a batch is ``audio_window_match_pairs`` itself.
+per 16-frame hop; arriving clips are additionally fingerprinted at
+hop 1 (the ASYMMETRIC probe, round 12), so an EXCERPT arriving after
+its original is dropped even when it starts OFF the hop grid — any
+whole-frame offset has a probe window landing exactly on an archived
+window — the "re-clipped highlight / re-posted segment" class that
+whole-clip fingerprints structurally miss and the hop-aligned check
+missed for misaligned starts. All matching joins through
+``dhash_band_pairs(..., extra_key=("win",))`` — the same generalized
+pair kernel the batch queries use; the dense side is always the
+bounded micro-batch, never the archive.
 
 POLICY: identical to media_stream.py (one greedy kernel,
 ``greedy_batch_losers``, imported not copied): sequential greedy
@@ -25,9 +27,15 @@ pass, making the survivor set invariant to micro-batch boundaries
 under id-ordered arrival. The greedy-vs-components divergence for
 chain-shaped families is the same documented policy gap.
 
-Archive scale shape: 4 small ints per WINDOW — size grows with total
-audio duration (one row per hop), not clip count alone; reads prune to
-the print columns, payloads never enter the state. Guarantee:
+Archive scale shape: the BUCKETED print index (print_index module):
+one row per (window print, band) carrying the full print, partitioned
+by (band_idx, band_val % PRINT_BUCKETS) — size grows with total audio
+duration (4 rows per hop), not clip count alone, and a micro-batch's
+archive read is bounded at |archive| x |touched buckets| / (bands x
+PRINT_BUCKETS) via the batch's bounded touched-bucket list (the census
+recipe; pruning is exact because a print can only band-match the batch
+through a band value the batch itself contains). Payloads never enter
+the state. Guarantee:
 at-least-once delivery absorbed (a replayed clip matches its own
 archived prints at hamming 0); same-batch duplicate deliveries
 collapse via the (media_id, win) dedup before pairing.
@@ -40,11 +48,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.multimodal import (
     DHASH_BANDS,
-    audio_window_match_pairs,
     audio_windowed_fingerprint_bands,
     dhash_band_pairs,
 )
-from .curation_stream import read_archive
 from .ingest_stream import _trigger_kwargs
 from .media_stream import greedy_batch_losers
 
@@ -53,28 +59,83 @@ AUDIO_ARCHIVE_COLUMNS = ("media_id", "win") + tuple(
 )
 
 
+def _asym_batch_pairs(probe: DataFrame, wbands: DataFrame) -> DataFrame:
+    """Within-batch clip pairs under the ASYMMETRIC probe: every
+    clip's dense hop-1 prints against every OTHER clip's hop-
+    {AFPW_HOP_FRAMES} prints (both directions arise because each clip
+    sits on both sides), canonicalized to media_a < media_b for the
+    greedy kernel. Catches misaligned excerpts arriving in the SAME
+    batch as their original — required for batch-boundary invariance
+    once the archive check absorbs them across batches."""
+    raw = dhash_band_pairs(probe, wbands, extra_key=("win",)).where(
+        F.col("media_a") != F.col("media_b")
+    )
+    return (
+        raw.select(
+            F.least("media_a", "media_b").alias("lo"),
+            F.greatest("media_a", "media_b").alias("hi"),
+        )
+        .distinct()
+        .select(
+            F.col("lo").alias("media_a"), F.col("hi").alias("media_b")
+        )
+    )
+
+
+def _audio_prints(batch_media: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stage one batch's two print frames: the archive-hop prints
+    (what survivors append) and the dense hop-1 probe prints."""
+    from ..session import stage
+
+    batch_media = stage(batch_media)
+    wbands = stage(
+        audio_windowed_fingerprint_bands(batch_media).dropDuplicates(
+            ["media_id", "win"]
+        )
+    )
+    probe = stage(
+        audio_windowed_fingerprint_bands(
+            batch_media, hop_frames=1
+        ).dropDuplicates(["media_id", "win"])
+    )
+    return wbands, probe
+
+
 def audio_dedup_increment(
     batch_media: DataFrame, archive: DataFrame | None
 ) -> DataFrame:
     """Dedup one micro-batch of clips against the archive; returns the
     window-print rows to append (AUDIO_ARCHIVE_COLUMNS). Order is
     load-bearing exactly as in media_dedup_increment: archive losers
-    leave BEFORE the within-batch greedy pass."""
+    leave BEFORE the within-batch greedy pass.
+
+    ASYMMETRIC PROBE (round 12): the batch is fingerprinted twice —
+    once at the archive hop ({AFPW_HOP_FRAMES} frames; these compact
+    prints are what survivors append) and once at hop 1 (the probe
+    side). Matching always joins dense probe prints against sparse
+    hop-grid prints, so an excerpt starting at ANY whole-frame offset
+    inside an archived (or batch-mate) clip lands exactly on one of
+    its hop-grid windows — the Haitsma-Kalker lookup asymmetry. The
+    densification cost rides the bounded micro-batch, never the
+    archive."""
+    wbands, probe = _audio_prints(batch_media)
+    return _audio_dedup_core(wbands, probe, archive)
+
+
+def _audio_dedup_core(
+    wbands: DataFrame, probe: DataFrame, archive: DataFrame | None
+) -> DataFrame:
     from ..session import stage
 
-    wbands = stage(
-        audio_windowed_fingerprint_bands(batch_media).dropDuplicates(
-            ["media_id", "win"]
-        )
-    )
     if archive is not None:
-        # cross-batch FIRST: any window of a batch clip matching any
-        # archived window print drops the WHOLE clip — this is where
-        # both replays (self-match at hamming 0) and excerpts of
-        # archived clips (containment) are absorbed
+        # cross-batch FIRST: any hop-1 probe window of a batch clip
+        # matching any archived window print drops the WHOLE clip —
+        # this is where replays (self-match at hamming 0, the probe's
+        # hop-grid windows equal the archived ones) and excerpts of
+        # archived clips at ANY whole-frame offset are absorbed
         arch_losers = (
             dhash_band_pairs(
-                wbands,
+                probe,
                 archive.select(*AUDIO_ARCHIVE_COLUMNS),
                 extra_key=("win",),
             )
@@ -82,10 +143,9 @@ def audio_dedup_increment(
             .distinct()
         )
         wbands = stage(wbands.join(arch_losers, "media_id", "left_anti"))
-    # within-batch: sequential greedy over clip-level window matches
-    batch_losers = greedy_batch_losers(
-        audio_window_match_pairs(wbands).select("media_a", "media_b")
-    )
+        probe = stage(probe.join(arch_losers, "media_id", "left_anti"))
+    # within-batch: sequential greedy over asymmetric clip matches
+    batch_losers = greedy_batch_losers(_asym_batch_pairs(probe, wbands))
     kept = wbands.join(batch_losers, "media_id", "left_anti")
     return kept.select(*AUDIO_ARCHIVE_COLUMNS)
 
@@ -97,15 +157,29 @@ def start_incremental_audio_dedup(
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
     """Streaming audio-dedup query: clip stream → canonical window-print
-    index. foreachBatch is sequential across triggers, so the
-    read-archive / append-survivors cycle is race-free."""
+    index under the BUCKETED print-index layout (print_index module):
+    the per-batch archive read prunes to the batch's touched
+    (band_idx, band_bucket) partitions — |archive| x |touched| /
+    ({DHASH_BANDS} x PRINT_BUCKETS) instead of a full scan of an index
+    that grows with total archived audio duration. foreachBatch is
+    sequential across triggers, so the read-prune-append cycle is
+    race-free."""
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         from ..session import release_staged
+        from .print_index import (
+            append_print_index,
+            read_pruned_prints,
+            touched_buckets,
+        )
 
         spark = batch.sparkSession
-        out = audio_dedup_increment(batch, read_archive(spark, sink_dir))
-        out.write.mode("append").parquet(sink_dir)
+        wbands, probe = _audio_prints(batch)
+        archive = read_pruned_prints(
+            spark, sink_dir, touched_buckets(probe), ("media_id", "win")
+        )
+        out = _audio_dedup_core(wbands, probe, archive)
+        append_print_index(out, sink_dir, ("media_id", "win"))
         release_staged()
 
     return (

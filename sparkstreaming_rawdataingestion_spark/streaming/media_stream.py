@@ -5,11 +5,16 @@ against the accumulated archive's band index FIRST (the archive always
 wins), then within itself by the SEQUENTIAL greedy rule, and its
 surviving BAND ROWS are appended.
 
-The archive stores hashes, not payloads: 4 small ints per image (the
-dHash bands) are the only cross-batch state — at 100 TB of media the
-index is ~32 bytes/image, parquet-pruned to exactly those columns on
-every read, while the images themselves stay wherever the lake keeps
-them. This is the curation_stream design (the dedup state IS the
+The archive stores hashes, not payloads: the BUCKETED print index
+(print_index module) — one row per (hash, band) carrying the full
+4-band print, partitioned by (band_idx, band_val % PRINT_BUCKETS) —
+is the only cross-batch state; at 100 TB of media it is ~130
+bytes/image while the images stay wherever the lake keeps them, and a
+micro-batch's archive read is bounded by the batch's touched-bucket
+list (the census recipe — exact pruning, because an archived hash can
+only band-match the batch through a band value the batch itself
+contains), never a full scan of state that grows with everything ever
+archived. This is the curation_stream design (the dedup state IS the
 archive table, not a state store) applied to the perceptual-hash
 domain.
 
@@ -54,7 +59,7 @@ media_id dedup before pairing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.multimodal import (
@@ -62,7 +67,6 @@ from ..operators.multimodal import (
     dhash_band_pairs,
     image_dhash_bands,
 )
-from .curation_stream import read_archive
 from .ingest_stream import _trigger_kwargs
 
 ARCHIVE_COLUMNS = ("media_id",) + tuple(
@@ -156,16 +160,28 @@ def media_dedup_increment(
     batch-mate of an archive loser is judged only against images that
     actually kept — the condition for micro-batch-boundary invariance
     (module docstring)."""
-    from ..session import stage
-
     # staged: feeds the archive check, the pair check (two legs each)
     # and the kept anti-join; released by the caller. The media_id
     # dedup collapses same-batch duplicate deliveries BEFORE pairing —
     # identical ids never pair (a < b), so without it both copies
     # would be archived and the unique-id invariant broken forever.
-    bands = stage(
+    bands = _media_prints(batch_media)
+    return _media_dedup_core(bands, archive)
+
+
+def _media_prints(batch_media: DataFrame) -> DataFrame:
+    from ..session import stage
+
+    return stage(
         image_dhash_bands(batch_media).dropDuplicates(["media_id"])
     )
+
+
+def _media_dedup_core(
+    bands: DataFrame, archive: DataFrame | None
+) -> DataFrame:
+    from ..session import stage
+
     if archive is not None:
         # cross-batch FIRST: batch hashes vs the archived band index —
         # the archive always wins (a replayed image matches itself at
@@ -188,17 +204,30 @@ def start_incremental_media_dedup(
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
-    """Streaming image-dedup query: media stream → canonical band index.
+    """Streaming image-dedup query: media stream → canonical band index
+    under the BUCKETED print-index layout (print_index module): the
+    per-batch archive read prunes to the batch's touched (band_idx,
+    band_bucket) partitions instead of full-scanning an index that
+    grows with everything ever archived.
 
-    foreachBatch is sequential across triggers, so the read-archive /
+    foreachBatch is sequential across triggers, so the read-prune /
     append-survivors cycle is race-free within one query."""
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         from ..session import release_staged
+        from .print_index import (
+            append_print_index,
+            read_pruned_prints,
+            touched_buckets,
+        )
 
         spark = batch.sparkSession
-        out = media_dedup_increment(batch, read_archive(spark, sink_dir))
-        out.write.mode("append").parquet(sink_dir)
+        bands = _media_prints(batch)
+        archive = read_pruned_prints(
+            spark, sink_dir, touched_buckets(bands), ("media_id",)
+        )
+        out = _media_dedup_core(bands, archive)
+        append_print_index(out, sink_dir, ("media_id",))
         release_staged()
 
     return (

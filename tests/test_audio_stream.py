@@ -121,7 +121,11 @@ def test_streamed_archive_has_no_cross_clip_window_matches(spark, tmp_path):
     )
     q.awaitTermination(120)
     q.stop()
-    archive = spark.read.parquet(sink)
+    from sparkstreaming_rawdataingestion_spark.streaming.print_index import (
+        read_print_index_wide,
+    )
+
+    archive = read_print_index_wide(spark, sink, ("media_id", "win"))
     kept = sorted({r.media_id for r in archive.collect()})
     # clips 0-3 are a pairwise-matching clique, so greedy admission
     # keeps exactly ONE of them under ANY batch delivery order (the
@@ -130,3 +134,40 @@ def test_streamed_archive_has_no_cross_clip_window_matches(spark, tmp_path):
     # matches nobody and always survives
     assert len(kept) == 2 and kept[1] == 4 and kept[0] in (0, 1, 2, 3)
     assert audio_window_match_pairs(archive).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-12 asymmetric probe: misaligned excerpts
+# ---------------------------------------------------------------------------
+
+
+def _asym_clips(spark):
+    """Zigzag corpus from test_round12_ops: 0 = 97-frame original,
+    1 = 80-frame x2 excerpt starting at frame 5 (OFF the hop grid),
+    2 = reversed control (matches nobody)."""
+    from tests.test_round12_ops import _asym_media
+
+    return {r.media_id: r for r in _asym_media(spark).collect()}
+
+
+def test_misaligned_excerpt_absorbed_across_batches(spark):
+    """THE round-12 payoff: the original archives in batch 1; its
+    OFF-grid excerpt arrives in batch 2 and is absorbed because the
+    excerpt's hop-1 probe window 11 lands exactly on the original's
+    archived window 1 — the hop-aligned check was structurally blind
+    to this clip (pinned in test_round12_ops)."""
+    rows = _asym_clips(spark)
+    archive = audio_dedup_increment(_batch(spark, rows, [0]), None)
+    out = audio_dedup_increment(_batch(spark, rows, [1, 2]), archive)
+    assert _kept(out) == [2]
+
+
+def test_misaligned_excerpt_batch_boundary_invariance(spark):
+    """Same survivors whether the misaligned family arrives in one
+    batch or split — requires the within-batch pass to run the SAME
+    asymmetric probe as the archive check."""
+    rows = _asym_clips(spark)
+    one = audio_dedup_increment(_batch(spark, rows, [0, 1, 2]), None)
+    a = audio_dedup_increment(_batch(spark, rows, [0]), None)
+    b = audio_dedup_increment(_batch(spark, rows, [1, 2]), a)
+    assert _kept(one) == sorted(_kept(a) + _kept(b)) == [0, 2]

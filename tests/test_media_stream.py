@@ -56,7 +56,11 @@ def test_incremental_media_dedup_matches_batch_canonicals(
     sink, ckpt = str(tmp_path / "bands"), str(tmp_path / "ckpt")
     _run_stream(spark, src, media.schema, sink, ckpt)
 
-    archive = spark.read.parquet(sink)
+    from sparkstreaming_rawdataingestion_spark.streaming.print_index import (
+        read_print_index_wide,
+    )
+
+    archive = read_print_index_wide(spark, sink, ("media_id",))
     ids = sorted(r.media_id for r in archive.select("media_id").collect())
     assert len(ids) == len(set(ids))
 
@@ -79,7 +83,7 @@ def test_media_replay_appends_nothing(spark, chunked_media, tmp_path):
     media, src = chunked_media
     sink = str(tmp_path / "bands")
     _run_stream(spark, src, media.schema, sink, str(tmp_path / "c1"))
-    n1 = spark.read.parquet(sink).count()
+    n1 = spark.read.parquet(sink).count()  # long rows — layout-stable
     _run_stream(spark, src, media.schema, sink, str(tmp_path / "c2"))
     n2 = spark.read.parquet(sink).count()
     assert n2 == n1
@@ -95,8 +99,12 @@ def test_archive_is_pairwise_near_dup_free(spark, chunked_media, tmp_path):
 
     media, src = chunked_media
     sink = str(tmp_path / "bands")
+    from sparkstreaming_rawdataingestion_spark.streaming.print_index import (
+        read_print_index_wide,
+    )
+
     _run_stream(spark, src, media.schema, sink, str(tmp_path / "ckpt"))
-    archive = spark.read.parquet(sink)
+    archive = read_print_index_wide(spark, sink, ("media_id",))
     assert dhash_band_pairs(archive).count() == 0
 
 

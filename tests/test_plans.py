@@ -1072,3 +1072,75 @@ def test_audio_window_clusters_loop_on_pair_graph_only(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asym_containment_band_keyed_no_cartesian(spark, sf_dir):
+    """The asymmetric probe inherits the windowed matcher's plan
+    contract: the dense hop-1 probe prints and hop-16 archive prints
+    are zero-exchange Arrow maps off ONE staged synth frame, candidates
+    come from the band equi-join (no cartesian / nested-loop
+    broadcast), and the frame-offset vote is two bounded aggregations."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_asym_containment(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged synth frame
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
+def test_bpe_batched_round_is_single_action_pure_jvm(spark):
+    """One batched round's maintained pair-table frame: pure JVM (no
+    Python eval anywhere in the delta/fold chain) and exactly one
+    exchange (the pair-keyed aggregation) — the K=1 plan pin carried
+    to the multi-rule kernels."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_multi_merge_fold,
+        _bpe_multi_pair_pred,
+        _bpe_pair_counts,
+        _bpe_pair_deltas,
+        _bpe_word_pieces,
+    )
+
+    session.release_staged()
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd cd ef")], "doc_id long, text string"
+    )
+    pieces = _bpe_word_pieces(docs).localCheckpoint()
+    rules = [("a", "b"), ("c", "d")]
+    pred = _bpe_multi_pair_pred(rules)
+    fold = _bpe_multi_merge_fold(rules)
+    delta = (
+        pieces.where(pred)
+        .select(
+            F.explode(
+                F.concat(
+                    _bpe_pair_deltas(F.col("pieces"), -1),
+                    _bpe_pair_deltas(fold, +1),
+                )
+            ).alias("pr")
+        )
+        .select("pr.lhs", "pr.rhs", F.col("pr.c").alias("c"))
+    )
+    # the loop keeps the carried pair table as a checkpoint LEAF, so a
+    # round adds exactly one exchange (the pair-keyed aggregation)
+    pc0 = _bpe_pair_counts(pieces).localCheckpoint()
+    pc = (
+        pc0.unionAll(delta)
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("c").alias("c"))
+        .where(F.col("c") != 0)
+    )
+    p = plans.executed_plan(pc)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "Join" not in p
+    assert plans.count_exchanges(pc) == 1

@@ -1,0 +1,144 @@
+"""Band-bucketed print-index layout (round 12) — the census recipe
+applied to the image/audio dedup archives: layout on disk, exact
+pruning, bounded per-batch reads, append-only untouched buckets.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+
+from sparkstreaming_rawdataingestion_spark.streaming.print_index import (
+    PRINT_BUCKETS,
+    append_print_index,
+    read_print_index_wide,
+    read_pruned_prints,
+    touched_buckets,
+)
+
+BANDS_DDL = "media_id long, band0 long, band1 long, band2 long, band3 long"
+
+
+def _bands(spark, rows):
+    return spark.createDataFrame(rows, BANDS_DDL)
+
+
+def _dir_state(sink):
+    """{relative file path: sha1} for every parquet part file."""
+    out = {}
+    for f in glob.glob(f"{sink}/**/*.parquet", recursive=True):
+        with open(f, "rb") as fh:
+            out[os.path.relpath(f, sink)] = hashlib.sha1(
+                fh.read()
+            ).hexdigest()
+    return out
+
+
+def test_layout_partitions_and_carried_prints(spark, tmp_path):
+    """One print lands as DHASH_BANDS long rows, each in the partition
+    named by its band value's bucket, each carrying the FULL print."""
+    sink = str(tmp_path / "prints")
+    append_print_index(
+        _bands(spark, [(7, 100, 101, 102, 103)]), sink, ("media_id",)
+    )
+    dirs = sorted(
+        os.path.relpath(d, sink)
+        for d in glob.glob(f"{sink}/band_idx=*/band_bucket=*")
+    )
+    assert dirs == [
+        f"band_idx={k}/band_bucket={(100 + k) % PRINT_BUCKETS}"
+        for k in range(4)
+    ]
+    wide = read_print_index_wide(spark, sink, ("media_id",))
+    assert [tuple(r) for r in wide.collect()] == [(7, 100, 101, 102, 103)]
+
+
+def test_untouched_buckets_byte_identical_across_appends(spark, tmp_path):
+    """Append-only invariant: a second batch only ADDS files; every
+    file present before it is byte-identical after (no rewrite of
+    untouched — or even touched — buckets)."""
+    sink = str(tmp_path / "prints")
+    append_print_index(
+        _bands(spark, [(1, 0, 1, 2, 3)]), sink, ("media_id",)
+    )
+    before = _dir_state(sink)
+    append_print_index(
+        _bands(spark, [(2, 16, 17, 18, 19)]), sink, ("media_id",)
+    )
+    after = _dir_state(sink)
+    assert set(before) <= set(after)
+    for f, sha in before.items():
+        assert after[f] == sha
+    # the second print's band values share buckets 0-3 with the first:
+    # same partitions, new files only
+    assert len(after) > len(before)
+
+
+def test_pruned_read_is_exact_vs_full_read(spark, tmp_path):
+    """Pruning exactness: for any probe batch, the pruned archive
+    yields the SAME band-join matches as the full wide archive — rows
+    outside the touched buckets cannot band-match the batch."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        dhash_band_pairs,
+    )
+
+    sink = str(tmp_path / "prints")
+    archived = [
+        (1, 0, 100, 200, 300),
+        (2, 16, 116, 216, 316),
+        (3, 5000, 5100, 5200, 5300),
+    ]
+    append_print_index(_bands(spark, archived), sink, ("media_id",))
+    # probe matches archived id 2 exactly; ids 1/3 share no band value
+    probe = _bands(spark, [(9, 16, 116, 216, 316)])
+    touched = touched_buckets(probe)
+    pruned = read_pruned_prints(spark, sink, touched, ("media_id",))
+    full = read_print_index_wide(spark, sink, ("media_id",))
+    got_pruned = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in dhash_band_pairs(probe, pruned).collect()
+    )
+    got_full = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in dhash_band_pairs(probe, full).collect()
+    )
+    assert got_pruned == got_full == [(9, 2, 0)]
+
+
+def test_pruned_read_prunes_partitions_in_the_scan(spark, tmp_path):
+    """THE bound: the pruning predicate lands as PartitionFilters on
+    the parquet scan (file-listing pruning, not a post-scan filter),
+    and only the touched bucket's prints come back — the archive read
+    is |touched|/|all| of the index."""
+    sink = str(tmp_path / "prints")
+    rows = [
+        (i, i, 16 + i, 32 + i, 48 + i)  # every band of id i -> bucket i
+        for i in range(1, 9)
+    ]
+    append_print_index(_bands(spark, rows), sink, ("media_id",))
+    probe = _bands(spark, [(99, 1, 17, 33, 49)])  # bucket 1: id 1 only
+    touched = touched_buckets(probe)
+    assert set(touched) == {(k, 1) for k in range(4)}
+    pruned = read_pruned_prints(spark, sink, touched, ("media_id",))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "band_bucket" in scan[0]
+    assert "PartitionFilters: []" not in scan[0]
+    assert sorted(r.media_id for r in pruned.collect()) == [1]
+
+
+def test_empty_touched_and_missing_dir(spark, tmp_path):
+    assert (
+        read_pruned_prints(
+            spark, str(tmp_path / "absent"), [(0, 0)], ("media_id",)
+        )
+        is None
+    )
+    sink = str(tmp_path / "prints")
+    append_print_index(
+        _bands(spark, [(1, 0, 1, 2, 3)]), sink, ("media_id",)
+    )
+    assert read_pruned_prints(spark, sink, [], ("media_id",)) is None

@@ -284,3 +284,276 @@ def test_bpe_batched_collision_corpus(spark):
         )
     )
     assert got_batched == got_k1
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_asym_containment — hand fixture + pure-Python replay
+# ---------------------------------------------------------------------------
+
+
+def _asym_amps():
+    """Hand corpus amplitudes: a zigzag with real variation (a monotone
+    ramp would print all-ones at EVERY offset and hide misalignment).
+    original = 97 frames; excerpt = frames 5..84 at x2 (offset 5 — NOT
+    a hop multiple); control = the original reversed."""
+    orig = [((j * 37 + 11) % 23) + 1 for j in range(97)]
+    excerpt = [2 * a for a in orig[5:85]]
+    control = list(reversed(orig))
+    return orig, excerpt, control
+
+
+def _asym_media(spark):
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+
+    def clip(amps):
+        samples = []
+        for a in amps:
+            samples.extend([a] * 8)
+        return media_codecs.wav_encode(samples)
+
+    orig, excerpt, control = _asym_amps()
+    rows = [
+        (0, "audio/wav", clip(orig)),
+        (1, "audio/wav", clip(excerpt)),
+        (2, "audio/wav", clip(control)),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    )
+
+
+def _print64(energies):
+    """Pure-Python print: 64 delta-sign bits over a 65-frame window,
+    packed into 4 x 16-bit bands — independent replay of the kernel,
+    no Spark/DuckDB involved."""
+    bits = [
+        1 if energies[k + 1] > energies[k] else 0 for k in range(64)
+    ]
+    return tuple(
+        sum(bits[16 * b + i] << i for i in range(16)) for b in range(4)
+    )
+
+
+def test_asym_probe_alignment_hand_fixture(spark):
+    """The misaligned excerpt must find its original at offset 5 with
+    hamming 0 — BY CONSTRUCTION: probe window 11 covers excerpt frames
+    11..75 = original frames 16..80 = archive window 1, and the x2
+    rescale preserves every delta sign. The full expected row set is
+    derived by a pure-Python replay of prints + band algebra."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_probe_alignment,
+        audio_windowed_fingerprint_bands,
+    )
+
+    orig, excerpt, control = _asym_amps()
+    e = {
+        0: [8 * a for a in orig],
+        1: [8 * a for a in excerpt],
+        2: [8 * a for a in control],
+    }
+    # archive prints (hop 16) for every clip; probe prints (hop 1)
+    arch = {
+        (m, w): _print64(e[m][16 * w : 16 * w + 65])
+        for m in e
+        for w in range((len(e[m]) - 65) // 16 + 1)
+    }
+    prob = {
+        (m, p): _print64(e[m][p : p + 65])
+        for m in e
+        for p in range(len(e[m]) - 65 + 1)
+    }
+    # the aligned pin, checkable by eye: excerpt probe 11 == orig arch 1
+    assert prob[(1, 11)] == arch[(0, 1)]
+    # expected vote table from the replayed pair algebra
+    from collections import defaultdict
+
+    votes = defaultdict(lambda: defaultdict(list))
+    for (mq, p), pp in prob.items():
+        for (mr, w), ap in arch.items():
+            if mq == mr:
+                continue
+            if not any(a == b for a, b in zip(pp, ap)):
+                continue  # no band match -> not a candidate
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(pp, ap))
+            if ham <= 3:
+                votes[(mq, mr)][16 * w - p].append(ham)
+    expected = {}
+    for pair, offs in votes.items():
+        best = sorted(
+            ((-len(h), o) for o, h in offs.items())
+        )[0]
+        o = best[1]
+        expected[pair] = (o, len(offs[o]), min(offs[o]))
+
+    media = _asym_media(spark)
+    got = {
+        (r.media_q, r.media_r): (
+            r.offset_frames,
+            r.n_aligned,
+            r.min_hamming,
+        )
+        for r in audio_probe_alignment(
+            audio_windowed_fingerprint_bands(media, hop_frames=1),
+            audio_windowed_fingerprint_bands(media),
+        ).collect()
+        if r.media_q != r.media_r
+    }
+    # engine runs every clip on both sides; the replay above too
+    assert got == expected
+    assert expected[(1, 0)] == (5, 1, 0)  # the construction offset
+
+
+def test_hop_aligned_matcher_blind_to_misaligned_excerpt(spark):
+    """The round-11 symmetric hop-16 matcher finds NO pair between the
+    original and its offset-5 excerpt — the exact gap the asymmetric
+    probe closes (deterministic fixture: the zigzag prints at shifted
+    offsets diverge far beyond the hamming bar)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_window_match_pairs,
+        audio_windowed_fingerprint_bands,
+    )
+
+    media = _asym_media(spark)
+    pairs = audio_window_match_pairs(
+        audio_windowed_fingerprint_bands(media)
+    ).collect()
+    assert pairs == []
+
+
+def test_asym_registry_fixture_offsets(spark, sf_dir):
+    """Registry-scale pin: every excerpt (odd media_id) reports its own
+    original (media_id - 1) at offset_frames = _afpa_off(f) with
+    hamming 0 — the closed-form construction, checked per family."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        _afpa_off,
+        q_multimodal_audio_asym_containment,
+    )
+
+    rows = q_multimodal_audio_asym_containment(spark, sf_dir).collect()
+    true_rows = {
+        r.media_q: r for r in rows if r.media_r == r.media_q - 1
+    }
+    n_docs = max(r.media_q for r in rows) + 1
+    assert len(true_rows) >= n_docs // 2 - 1  # every excerpt present
+    for mq, r in true_rows.items():
+        f = mq // 2
+        assert r.offset_frames == _afpa_off(f)
+        assert r.min_hamming == 0
+
+
+def test_bpe_deep_k1_round_count_survives(spark):
+    """Depth-wall regression (round 12): a tie-heavy corpus (every pair
+    count equal) forces pure K=1 rounds; without the periodic EAGER
+    checkpoint the accumulated task-closure graph dies with a
+    StackOverflowError at ~122 rounds. 160 rounds must complete."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_train_from_pieces_batched,
+        _bpe_word_pieces,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join([chr(0x4E00 + 2 * i) + chr(0x4E01 + 2 * i)] * 5))
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    log = []
+    out = _bpe_train_from_pieces_batched(
+        spark,
+        session.stage(_bpe_word_pieces(docs)),
+        160,
+        _round_log=log,
+    )
+    assert out.count() == 160
+    # full all-tie pages force K=1 (137 rounds) until only 63 pairs
+    # remain — an under-full page with no interactions legally batches
+    # the tail (exhausted-table rule), capped at the 23 merges left
+    assert len(log) == 138
+    assert sum(k for k, _ in log) == 160
+    assert len(log) > 122  # past the measured no-eager crash point
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_portable — pure-Python replay + mergeability + accuracy
+# ---------------------------------------------------------------------------
+
+
+def test_portable_hll_matches_pure_python_replay(spark, sf_dir):
+    """Independent arbitrary-precision replay of the WHOLE mechanism —
+    lowbias hash, bucket/rank split, register max, exact integer
+    harmonic sum, one final double division, linear-counting branch —
+    in plain Python over the collected keys; the engine must agree to
+    the rounded digit."""
+    import math
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        HLLP_ALPHA,
+        HLLP_M,
+        HLLP_WBITS,
+        _HLLP_FOLD,
+        _HLLP_MUL,
+        _HLLP_NUM,
+        _HLLP_ROUNDS,
+        q_sketch_hll_portable,
+    )
+
+    def mix(x):
+        h = x % (1 << 32)
+        for _ in range(_HLLP_ROUNDS):
+            h = (h ^ (h >> _HLLP_FOLD)) * _HLLP_MUL % (1 << 32)
+        return h ^ (h >> _HLLP_FOLD)
+
+    rows = (
+        catalog.load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_custkey")
+        .collect()
+    )
+    regs: dict = {}
+    exact: dict = {}
+    for r in rows:
+        h = mix(r.o_custkey)
+        bucket, w = h >> HLLP_WBITS, h % (1 << HLLP_WBITS)
+        rank = HLLP_WBITS + 1 - (w.bit_length() if w else 0)
+        key = (r.o_orderstatus, bucket)
+        regs[key] = max(regs.get(key, 0), rank)
+        exact.setdefault(r.o_orderstatus, set()).add(r.o_custkey)
+    expected = {}
+    for status, keys in exact.items():
+        ms = [regs.get((status, b), 0) for b in range(HLLP_M)]
+        denom = sum(1 << (HLLP_WBITS + 1 - m) for m in ms)
+        zeros = sum(1 for m in ms if m == 0)
+        raw = HLLP_ALPHA * (_HLLP_NUM / denom)
+        if raw <= 2.5 * HLLP_M and zeros > 0:
+            raw = float(HLLP_M) * math.log(float(HLLP_M) / zeros)
+        expected[status] = (round(raw, 4), len(keys))
+
+    got = {
+        r.o_orderstatus: (
+            r.approx_customers,
+            r.exact_customers,
+            r.n_regs_union_eq_direct,
+        )
+        for r in q_sketch_hll_portable(spark, sf_dir).collect()
+    }
+    assert {k: (v[0], v[1]) for k, v in got.items()} == expected
+    # union = max mergeability: every register agrees between the
+    # per-day max-merge path and the direct path
+    assert all(v[2] == HLLP_M for v in got.values())
+
+
+def test_portable_hll_estimate_accuracy(spark, sf_dir):
+    """m=64 gives ~13% typical error; the deterministic fixture lands
+    well inside 20% on every status group."""
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        q_sketch_hll_portable,
+    )
+
+    for r in q_sketch_hll_portable(spark, sf_dir).collect():
+        err = abs(r.approx_customers - r.exact_customers) / r.exact_customers
+        assert err < 0.2, (r.o_orderstatus, r.approx_customers,
+                           r.exact_customers)

@@ -476,6 +476,20 @@ PICKS = {
         "(band_idx, band_val) equi-join — dhash_band_pairs verbatim — "
         "with exact hamming verify; never n²."
     ),
+    "multimodal_audio_asym_containment": (
+        "Asymmetric-hop audio containment (round 12): ONE staged synth "
+        "frame feeds both the hop-16 archive prints and the hop-1 probe "
+        "prints (pure Arrow maps, zero exchanges each); candidates from "
+        "the (band_idx, band_val) equi-join — dhash_band_pairs in cross "
+        "mode — then the frame-offset vote as two bounded aggregations; "
+        "the dense side is the query batch, never the archive."
+    ),
+    "sketch_hll_portable": (
+        "Portable-integer HLL (round 12): one scan into two bounded "
+        "register aggregations (64 registers x statuses), a broadcast- "
+        "sized spine join, and the exact-BIGINT harmonic sum — floats "
+        "appear only in the final division of the estimate."
+    ),
     "pipeline_training_build_semantic": (
         "Training build + SemDeDup stage (round 10): centroid fanout is "
         "the single broadcast nested loop; the CC drop list enters the "
