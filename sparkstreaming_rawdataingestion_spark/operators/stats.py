@@ -361,8 +361,15 @@ def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one scan -> two bounded register aggregations (vocab = 64
     registers x statuses) -> broadcast-sized spine join; the exact
     integer register sum (sum of 1 << (27 - M)) defers floating point
-    to ONE final division + one multiply, so the doubles are
-    bit-identical on both engines (the portable-PQ discipline)."""
+    to ONE final division + one multiply on the harmonic branch, so
+    those doubles are bit-identical on both engines (the portable-PQ
+    discipline). The small-range LINEAR-COUNTING branch is the one
+    transcendental (m * ln(m/V)) — the same cross-engine ln the
+    logprob-quality oracles already rely on, with round(., 4) giving
+    ~1e12x headroom over libm ulp divergence; the branch never fires
+    on the registry fixtures (statuses are too distinct-heavy), so
+    tests/test_round12_ops.py exercises it cross-engine on a tiny
+    corpus directly."""
     o = catalog.load_table(spark, sf_dir, "orders")
     h = _hllp_hash_col(F.col("o_custkey"))
     w = F.pmod(h, F.lit(1 << HLLP_WBITS))

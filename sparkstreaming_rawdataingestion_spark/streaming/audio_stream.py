@@ -10,11 +10,17 @@ What the windowed index buys over the image stream's whole-object
 hashes: CONTAINMENT absorption. The archive stores one 64-bit print
 per 16-frame hop; arriving clips are additionally fingerprinted at
 hop 1 (the ASYMMETRIC probe, round 12), so an EXCERPT arriving after
-its original is dropped even when it starts OFF the hop grid — any
-whole-frame offset has a probe window landing exactly on an archived
-window — the "re-clipped highlight / re-posted segment" class that
-whole-clip fingerprints structurally miss and the hop-aligned check
-missed for misaligned starts. All matching joins through
+its original is dropped even when it starts OFF the hop grid — a
+whole-frame offset o is caught when the excerpt carries at least
+65 + ((-o) mod 16) frames, the length at which a probe window lands
+exactly on an archived window (the detection bound is UNIFORM between
+the archive check and the within-batch pass — both run the same
+newer-probes-older geometry — so survivor sets stay batch-boundary
+invariant; shorter excerpts are consistently below the bound in both,
+test-pinned). This is the "re-clipped highlight / re-posted segment"
+class that whole-clip fingerprints structurally miss and the
+hop-aligned check missed for misaligned starts. All matching joins
+through
 ``dhash_band_pairs(..., extra_key=("win",))`` — the same generalized
 pair kernel the batch queries use; the dense side is always the
 bounded micro-batch, never the archive.
@@ -60,43 +66,54 @@ AUDIO_ARCHIVE_COLUMNS = ("media_id", "win") + tuple(
 
 
 def _asym_batch_pairs(probe: DataFrame, wbands: DataFrame) -> DataFrame:
-    """Within-batch clip pairs under the ASYMMETRIC probe: every
-    clip's dense hop-1 prints against every OTHER clip's hop-
-    {AFPW_HOP_FRAMES} prints (both directions arise because each clip
-    sits on both sides), canonicalized to media_a < media_b for the
-    greedy kernel. Catches misaligned excerpts arriving in the SAME
-    batch as their original — required for batch-boundary invariance
-    once the archive check absorbs them across batches."""
-    raw = dhash_band_pairs(probe, wbands, extra_key=("win",)).where(
-        F.col("media_a") != F.col("media_b")
-    )
+    """Within-batch clip pairs under the ASYMMETRIC probe — ONE
+    direction only: the HIGHER id's dense hop-1 prints against the
+    LOWER id's hop-grid prints. This is exactly the archive check's
+    geometry (the newer clip probes the admitted clip's sparse
+    prints), which is what batch-boundary invariance requires: the
+    match relation must not depend on which side of a batch boundary
+    the pair lands. A bidirectional within-batch pass would
+    additionally catch short excerpts (65..79 frames) via the
+    original-probes-excerpt direction — matches the archive check can
+    NEVER see, making the survivor set boundary-dependent (r12
+    review). The detection bound is therefore uniform everywhere: a
+    misaligned excerpt needs >= 65 + ((-offset) mod {AFPW_HOP_FRAMES})
+    frames for its aligned probe window to exist."""
     return (
-        raw.select(
-            F.least("media_a", "media_b").alias("lo"),
-            F.greatest("media_a", "media_b").alias("hi"),
+        dhash_band_pairs(probe, wbands, extra_key=("win",))
+        .where(F.col("media_a") > F.col("media_b"))
+        .select(
+            F.col("media_b").alias("media_a"),
+            F.col("media_a").alias("media_b"),
         )
         .distinct()
-        .select(
-            F.col("lo").alias("media_a"), F.col("hi").alias("media_b")
-        )
     )
 
 
 def _audio_prints(batch_media: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Stage one batch's two print frames: the archive-hop prints
-    (what survivors append) and the dense hop-1 probe prints."""
+    (what survivors append) and the dense hop-1 probe prints. The
+    payloads are decoded and fingerprinted ONCE — a hop-grid window
+    starting at frame 16k IS the hop-1 window with win == 16k, so the
+    archive frame is a pure projection of the probe frame (win %
+    {AFPW_HOP_FRAMES} == 0, win renumbered to hop units), not a second
+    decode pass (r12 review: the duplicated decode was the dominant
+    per-batch CPU cost)."""
+    from ..operators.multimodal import AFPW_HOP_FRAMES
     from ..session import stage
 
-    batch_media = stage(batch_media)
-    wbands = stage(
-        audio_windowed_fingerprint_bands(batch_media).dropDuplicates(
-            ["media_id", "win"]
-        )
-    )
     probe = stage(
         audio_windowed_fingerprint_bands(
             batch_media, hop_frames=1
         ).dropDuplicates(["media_id", "win"])
+    )
+    wbands = stage(
+        probe.where(F.pmod(F.col("win"), F.lit(AFPW_HOP_FRAMES)) == 0)
+        .withColumn(
+            "win",
+            (F.col("win") / F.lit(AFPW_HOP_FRAMES)).cast("int"),
+        )
+        .select(*AUDIO_ARCHIVE_COLUMNS)
     )
     return wbands, probe
 
@@ -109,13 +126,13 @@ def audio_dedup_increment(
     load-bearing exactly as in media_dedup_increment: archive losers
     leave BEFORE the within-batch greedy pass.
 
-    ASYMMETRIC PROBE (round 12): the batch is fingerprinted twice —
-    once at the archive hop ({AFPW_HOP_FRAMES} frames; these compact
-    prints are what survivors append) and once at hop 1 (the probe
-    side). Matching always joins dense probe prints against sparse
-    hop-grid prints, so an excerpt starting at ANY whole-frame offset
-    inside an archived (or batch-mate) clip lands exactly on one of
-    its hop-grid windows — the Haitsma-Kalker lookup asymmetry. The
+    ASYMMETRIC PROBE (round 12): the batch is fingerprinted ONCE at
+    hop 1 (the probe side); the compact archive-hop prints survivors
+    append are a projection of that frame (_audio_prints). Matching
+    always joins dense probe prints against sparse hop-grid prints, so
+    an excerpt of an archived (or lower-id batch-mate) clip is caught
+    at any whole-frame offset once it clears the module docstring's
+    length bound — the Haitsma-Kalker lookup asymmetry. The
     densification cost rides the bounded micro-batch, never the
     archive."""
     wbands, probe = _audio_prints(batch_media)
@@ -132,7 +149,8 @@ def _audio_dedup_core(
         # matching any archived window print drops the WHOLE clip —
         # this is where replays (self-match at hamming 0, the probe's
         # hop-grid windows equal the archived ones) and excerpts of
-        # archived clips at ANY whole-frame offset are absorbed
+        # archived clips (at any offset, above the length bound) are
+        # absorbed
         arch_losers = (
             dhash_band_pairs(
                 probe,

@@ -62,7 +62,14 @@ def append_print_index(
     out_wide: DataFrame, sink_dir: str, key_cols: tuple[str, ...]
 ) -> None:
     """Append a batch's surviving wide print rows under the bucketed
-    layout."""
+    layout. A ZERO-ROW batch is NOT written (the census precedent): a
+    partitioned append of an empty frame creates a directory with no
+    parquet footers, which wedges every later read with
+    UNABLE_TO_INFER_SCHEMA — read_archive deliberately maps only
+    PATH_NOT_FOUND to None. Skipping keeps the sink absent-or-readable
+    (r12 review)."""
+    if out_wide.isEmpty():
+        return
     (
         _long_carry(out_wide, key_cols)
         .withColumn(

@@ -171,3 +171,43 @@ def test_misaligned_excerpt_batch_boundary_invariance(spark):
     a = audio_dedup_increment(_batch(spark, rows, [0]), None)
     b = audio_dedup_increment(_batch(spark, rows, [1, 2]), a)
     assert _kept(one) == sorted(_kept(a) + _kept(b)) == [0, 2]
+
+
+def test_short_misaligned_excerpt_uniform_detection_bound(spark):
+    """A 65-frame x2 excerpt at offset 5 has NO aligned hop-1 probe
+    window against its original's hop-grid prints (needs >= 65 + 11
+    frames) — below the asymmetric probe's detection bound. The bound
+    must be UNIFORM: the excerpt survives both across batches AND
+    within one batch (the one-directional within-batch pass — r12
+    review: a bidirectional pass caught it in-batch only, making the
+    survivor set depend on where the boundary fell)."""
+    from tests.test_round12_ops import _asym_amps
+
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+
+    orig, _, control = _asym_amps()
+    short_excerpt = [2 * a for a in orig[5:70]]  # 65 frames, offset 5
+
+    def clip(amps):
+        samples = []
+        for a in amps:
+            samples.extend([a] * 8)
+        return media_codecs.wav_encode(samples)
+
+    rows = {
+        0: (0, "audio/wav", clip(orig)),
+        1: (1, "audio/wav", clip(short_excerpt)),
+        2: (2, "audio/wav", clip(control)),
+    }
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [rows[i] for i in ids], MEDIA_SCHEMA_DDL
+        )
+
+    one = audio_dedup_increment(batch([0, 1, 2]), None)
+    a = audio_dedup_increment(batch([0]), None)
+    b = audio_dedup_increment(batch([1, 2]), a)
+    assert _kept(one) == sorted(_kept(a) + _kept(b)) == [0, 1, 2]

@@ -142,3 +142,23 @@ def test_empty_touched_and_missing_dir(spark, tmp_path):
         _bands(spark, [(1, 0, 1, 2, 3)]), sink, ("media_id",)
     )
     assert read_pruned_prints(spark, sink, [], ("media_id",)) is None
+
+
+def test_empty_first_batch_does_not_wedge_the_sink(spark, tmp_path):
+    """A zero-row first batch must NOT create a schema-less sink
+    directory (a partitioned append of an empty frame writes no
+    parquet footers and every later read dies with
+    UNABLE_TO_INFER_SCHEMA): the write is skipped, the sink stays
+    absent-or-readable, and a later real batch lands normally (r12
+    review)."""
+    sink = str(tmp_path / "prints")
+    empty = _bands(spark, []).where("media_id IS NOT NULL").limit(0)
+    append_print_index(empty, sink, ("media_id",))
+    assert (
+        read_pruned_prints(spark, sink, [(0, 0)], ("media_id",)) is None
+    )
+    append_print_index(
+        _bands(spark, [(1, 0, 1, 2, 3)]), sink, ("media_id",)
+    )
+    wide = read_print_index_wide(spark, sink, ("media_id",))
+    assert [tuple(r) for r in wide.collect()] == [(1, 0, 1, 2, 3)]

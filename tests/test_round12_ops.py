@@ -557,3 +557,51 @@ def test_portable_hll_estimate_accuracy(spark, sf_dir):
         err = abs(r.approx_customers - r.exact_customers) / r.exact_customers
         assert err < 0.2, (r.o_orderstatus, r.approx_customers,
                            r.exact_customers)
+
+
+def test_portable_hll_linear_counting_branch_cross_engine(spark, tmp_path):
+    """The small-range linear-counting branch (raw <= 2.5m, zero
+    registers present) never fires on the registry fixtures — exercise
+    it directly on a tiny corpus against a live DuckDB replay of the
+    oracle, so the one transcendental (ln) is certified cross-engine
+    too (r12 review)."""
+    import duckdb
+
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        _HLLP_ORACLE,
+        q_sketch_hll_portable,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, i % 5 + 1, "T", "2024-01-0%d" % (i % 3 + 1)) for i in range(40)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    got = {
+        r.o_orderstatus: (
+            r.approx_customers,
+            r.n_regs_union_eq_direct,
+            r.exact_customers,
+        )
+        for r in q_sketch_hll_portable(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_HLLP_ORACLE).fetchall()
+    }
+    assert got == want
+    # 5 distinct keys, 64 registers: the branch MUST have fired
+    # (raw <= 160 and zeros > 0), and linear counting at V=59 zeros is
+    # near-exact
+    approx = got["T"][0]
+    assert abs(approx - 5) < 1.0
