@@ -10,6 +10,7 @@ formulation and is numerically fine at these magnitudes).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from .. import catalog
 
@@ -450,6 +451,177 @@ def q_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_customers",
             "n_regs_union_eq_direct",
             "exact_customers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_countmin_portable — the count-min MECHANISM, integer-exact
+# ---------------------------------------------------------------------------
+
+# Cormode & Muthukrishnan 2005 count-min sketch with deterministic
+# integer hashes (the lowbias mix above, salted per row) — unlike HLL
+# there is NO float anywhere: counters, point estimates (min over d
+# counters), the overestimate gap and the mergeability census are all
+# BIGINTs, so the whole sketch mechanism is hash-certifiable without
+# even a rounding convention. The production heavy-hitters path
+# (sketch_heavy_hitters, approx_count estimates) keeps its engine
+# sketches; THIS entry certifies the mechanism.
+
+CMP_D = 4            # hash rows
+CMP_W = 512          # counters per row
+CMP_TOPK = 20        # report the exact top-K keys' estimates
+_CMP_SALT = 2654435761
+
+
+def _cmp_bucket_sql(key: str, r: str) -> str:
+    return f"({_hllp_hash_sql(f'({key}) + ({r}) * {_CMP_SALT}')}) % {CMP_W}"
+
+
+def _cmp_bucket_col(key: Column, r: Column) -> Column:
+    return F.pmod(
+        _hllp_hash_col(key + r * F.lit(_CMP_SALT)), F.lit(CMP_W)
+    )
+
+
+_CMP_ORACLE = f"""
+WITH rows_in AS (
+  SELECT l_partkey AS k, CAST(l_shipdate AS DATE) AS d FROM lineitem
+),
+hashed AS (
+  SELECT k, d, r.r AS r, {_cmp_bucket_sql("k", "r.r")} AS bucket
+  FROM rows_in, range({CMP_D}) r(r)
+),
+direct AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2
+),
+daily AS (
+  SELECT d, r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT r, bucket, CAST(sum(c) AS BIGINT) AS c
+  FROM daily GROUP BY 1, 2
+),
+mstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_counters,
+         CAST(sum(CASE WHEN di.c = me.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_counters_merge_eq_direct
+  FROM direct di JOIN merged me USING (r, bucket)
+),
+exact AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS exact_count
+  FROM rows_in GROUP BY 1
+),
+topk AS (
+  SELECT k, exact_count FROM exact
+  QUALIFY row_number() OVER (ORDER BY exact_count DESC, k) <= {CMP_TOPK}
+),
+est AS (
+  SELECT t.k, min(di.c) AS cm_estimate
+  FROM topk t, range({CMP_D}) r(r)
+  JOIN direct di
+    ON di.r = r.r AND di.bucket = {_cmp_bucket_sql("t.k", "r.r")}
+  GROUP BY 1
+)
+SELECT t.k AS l_partkey, t.exact_count,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(e.cm_estimate - t.exact_count AS BIGINT) AS overestimate,
+       m.n_counters, m.n_counters_merge_eq_direct
+FROM topk t JOIN est e ON e.k = t.k CROSS JOIN mstat m
+"""
+
+
+@_register("sketch_countmin_portable", _CMP_ORACLE)
+def q_sketch_countmin_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable count-min sketch twin: a {CMP_D} x {CMP_W} counter
+    array over lineitem part keys under salted lowbias integer hashes,
+    point estimates (min over the {CMP_D} counters) reported for the
+    exact top-{CMP_TOPK} keys next to their true counts and the
+    overestimate gap (cm >= exact ALWAYS — the count-min guarantee,
+    pinned in tests). MERGEABILITY is certified inside the row:
+    per-day counter partials summed up equal the directly-built
+    counters on every occupied cell (n_counters ==
+    n_counters_merge_eq_direct — counter ADDITIVITY, the property
+    that lets 1000 executors sketch shards independently and add).
+    Everything is BIGINT — no float enters the query at all, the
+    strongest portability tier in the sketch family.
+
+    Plan: one scan fans out x{CMP_D} map-side, two bounded counter
+    aggregations ({CMP_D * CMP_W} cells), the exact top-K (one
+    grouped count + TakeOrdered-sized window), and a broadcast-sized
+    probe join; the mergeability census is a {CMP_D * CMP_W}-row
+    join folded to one scalar row."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    )
+    from ..session import stage
+
+    rs = F.explode(
+        F.sequence(F.lit(0), F.lit(CMP_D - 1))
+    ).alias("r")
+    hashed = stage(
+        li.select(
+            "k", "d", rs
+        ).withColumn("bucket", _cmp_bucket_col(F.col("k"), F.col("r")))
+    )
+    direct = stage(
+        hashed.groupBy("r", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    merged = (
+        hashed.groupBy("d", "r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    mstat = (
+        direct.alias("di")
+        .join(merged.alias("me"), ["r", "bucket"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_counters"),
+            F.sum(
+                F.when(F.col("di.c") == F.col("me.c"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_counters_merge_eq_direct"),
+        )
+    )
+    exact = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    w = Window.orderBy(F.desc("exact_count"), "k")
+    topk = stage(
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CMP_TOPK)
+        .drop("rk")
+    )
+    probes = topk.select(
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(CMP_D - 1))).alias("r"),
+    ).withColumn("bucket", _cmp_bucket_col(F.col("k"), F.col("r")))
+    est = (
+        probes.join(direct, ["r", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").cast("long").alias("cm_estimate"))
+    )
+    return (
+        topk.join(est, "k")
+        .crossJoin(F.broadcast(mstat))
+        .select(
+            F.col("k").alias("l_partkey"),
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+            "n_counters",
+            "n_counters_merge_eq_direct",
         )
     )
 

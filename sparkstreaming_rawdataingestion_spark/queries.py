@@ -261,10 +261,13 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 
 # Oracle-backed queries past the driver's 50-slot window awaiting
 # their first driver row. The round-9 queue drained into window
-# slots 2-3 at the round-10 rotation; late round-10 additions that
-# cannot safely displace another band-4 re-check go here (cap 9).
+# slots 2-3 at the round-10 rotation; late additions that cannot
+# safely displace another re-check go here (cap 9).
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-OVERFLOW_QUEUE: tuple[str, ...] = ()
+# Round 12: sketch_countmin_portable landed after the 50-slot window
+# was sealed (two new ops already hold slots 49-50) — it queues for
+# the round-13 rotation with its 4-way local gate already green.
+OVERFLOW_QUEUE: tuple[str, ...] = ("sketch_countmin_portable",)
 
 
 def _operator_registries(attr: str) -> dict:
@@ -302,11 +305,22 @@ def _released(fn: QueryFn) -> QueryFn:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    """Full registry, core verification window first (see CORE_ORDER)."""
+    """Full registry: core verification window first (see CORE_ORDER),
+    then the queued overflow entries in queue order (so the driver's
+    positions 50..50+|queue| are exactly OVERFLOW_QUEUE — the window
+    test's placement pin), then the extended region."""
     reg = {**INGEST_QUERIES, **_operator_registries("QUERIES")}
     core = {name: reg[name] for name in CORE_ORDER}
-    rest = {name: fn for name, fn in reg.items() if name not in core}
-    return {name: _released(fn) for name, fn in {**core, **rest}.items()}
+    queued = {name: reg[name] for name in OVERFLOW_QUEUE}
+    rest = {
+        name: fn
+        for name, fn in reg.items()
+        if name not in core and name not in queued
+    }
+    return {
+        name: _released(fn)
+        for name, fn in {**core, **queued, **rest}.items()
+    }
 
 
 def extended_queries() -> dict[str, QueryFn]:

@@ -1144,3 +1144,17 @@ def test_bpe_batched_round_is_single_action_pure_jvm(spark):
         assert py not in p
     assert "Join" not in p
     assert plans.count_exchanges(pc) == 1
+
+
+def test_countmin_portable_pure_jvm_bounded_aggregations(spark, sf_dir):
+    """The portable count-min twin: zero Python evaluation, no
+    cartesian/nested-loop anywhere except the 1-row mergeability
+    scalar broadcast; counter tables are bounded (d x w cells) so
+    every aggregation after the scan is small."""
+    from sparkstreaming_rawdataingestion_spark.operators import stats
+
+    df = stats.q_sketch_countmin_portable(spark, sf_dir)
+    p = plans.executed_plan(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "CartesianProduct" not in p

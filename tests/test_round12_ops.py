@@ -605,3 +605,72 @@ def test_portable_hll_linear_counting_branch_cross_engine(spark, tmp_path):
     # near-exact
     approx = got["T"][0]
     assert abs(approx - 5) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# sketch_countmin_portable — pure-Python replay + guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_portable_countmin_matches_pure_python_replay(spark, sf_dir):
+    """Independent replay of the whole mechanism — salted lowbias
+    hashes, d x w counters, per-day partial merge, min-over-rows point
+    estimates, exact top-K selection — in plain Python over the
+    collected keys; the engine must agree exactly (everything is an
+    integer, so there is not even a rounding convention to share)."""
+    from collections import Counter
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        CMP_D,
+        CMP_TOPK,
+        CMP_W,
+        _CMP_SALT,
+        _HLLP_FOLD,
+        _HLLP_MUL,
+        _HLLP_ROUNDS,
+        q_sketch_countmin_portable,
+    )
+
+    def mix(x):
+        h = x % (1 << 32)
+        for _ in range(_HLLP_ROUNDS):
+            h = (h ^ (h >> _HLLP_FOLD)) * _HLLP_MUL % (1 << 32)
+        return h ^ (h >> _HLLP_FOLD)
+
+    keys = [
+        r.l_partkey
+        for r in catalog.load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    ]
+    counters: Counter = Counter()
+    for k in keys:
+        for r in range(CMP_D):
+            counters[(r, mix(k + r * _CMP_SALT) % CMP_W)] += 1
+    exact = Counter(keys)
+    topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMP_TOPK]
+    expected = {
+        k: (
+            c,
+            min(
+                counters[(r, mix(k + r * _CMP_SALT) % CMP_W)]
+                for r in range(CMP_D)
+            ),
+        )
+        for k, c in topk
+    }
+    got = {
+        r.l_partkey: (
+            r.exact_count,
+            r.cm_estimate,
+            r.overestimate,
+            r.n_counters,
+            r.n_counters_merge_eq_direct,
+        )
+        for r in q_sketch_countmin_portable(spark, sf_dir).collect()
+    }
+    assert {k: (v[0], v[1]) for k, v in got.items()} == expected
+    for k, (c, cm, over, n, eq) in got.items():
+        assert cm >= c and over == cm - c  # the count-min guarantee
+        assert n == eq == len(counters)  # counter additivity (merge)
