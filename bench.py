@@ -75,6 +75,21 @@ rejected forms — 16x explode 17.8 s, interpreted lambda argmin ~15 s,
 single fully-unrolled projection ~29 s via janino 64 KB fallback —
 are documented at the code site, similarity.py).
 
+Round-12 panel note: two flat sub-second re-checks retired
+(join_broadcast_dims, window_frames_pack — histories in
+RETIRED_FROM_HEADLINE) for the two round-12 headliners; final line
+1733 bytes. Verified-solo panel: 90.1 s total (probes 0.181/0.134,
+load 1.38/2.03); an earlier same-day run inside a verification chain
+read 130 s with dedup_minhash_lsh_pairs at 24.8 s — load probes 4.7/
+3.6 flagged it, and the solo re-rep put minhash back at 7.9 s (the
+documented staging-heavy variance class; code untouched since r8).
+The two BPE entries now ride the BATCHED trainer: 4.3 / 3.6 s vs
+6.3 / 6.7 s in round 11 (-30%+; jobs-vs-N tables in ARCHITECTURE.md
+round 12). New entries land at multimodal_audio_asym_containment
+2.9 s (probe side is 16x denser than the hop-aligned matcher's —
+the cost of closing the misaligned-excerpt class) and
+sketch_hll_portable 0.84 s.
+
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
 6.13 s → 3.78 s → ~5.0 s across the r4/r5/r6 driver+local runs, with

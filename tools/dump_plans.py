@@ -490,6 +490,12 @@ PICKS = {
         "sized spine join, and the exact-BIGINT harmonic sum — floats "
         "appear only in the final division of the estimate."
     ),
+    "sketch_countmin_portable": (
+        "Portable count-min (round 12): one scan fans out x4 map-side "
+        "into two bounded counter aggregations (2048 cells), the exact "
+        "top-K via TakeOrdered-sized window, a broadcast probe join and "
+        "a 1-row mergeability scalar — all integers, zero Python."
+    ),
     "pipeline_training_build_semantic": (
         "Training build + SemDeDup stage (round 10): centroid fanout is "
         "the single broadcast nested loop; the CC drop list enters the "
