@@ -62,13 +62,19 @@ def append_print_index(
     out_wide: DataFrame, sink_dir: str, key_cols: tuple[str, ...]
 ) -> None:
     """Append a batch's surviving wide print rows under the bucketed
-    layout. A ZERO-ROW batch is NOT written (the census precedent): a
-    partitioned append of an empty frame creates a directory with no
-    parquet footers, which wedges every later read with
-    UNABLE_TO_INFER_SCHEMA — read_archive deliberately maps only
-    PATH_NOT_FOUND to None. Skipping keeps the sink absent-or-readable
-    (r12 review)."""
-    if out_wide.isEmpty():
+    layout. A ZERO-ROW FIRST batch is NOT written (the census
+    precedent): a partitioned append of an empty frame creates a
+    directory with no parquet footers, which wedges every later read
+    with UNABLE_TO_INFER_SCHEMA — read_archive deliberately maps only
+    PATH_NOT_FOUND to None. The emptiness probe (an extra job that
+    re-executes the dedup tail) is paid ONLY while the sink does not
+    exist yet — once footers exist, an empty append is harmless, so
+    the common-case batch never pays it (r12 second review)."""
+    spark = out_wide.sparkSession
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(path) and out_wide.isEmpty():
         return
     (
         _long_carry(out_wide, key_cols)
