@@ -211,3 +211,41 @@ def test_short_misaligned_excerpt_uniform_detection_bound(spark):
     a = audio_dedup_increment(batch([0]), None)
     b = audio_dedup_increment(batch([1, 2]), a)
     assert _kept(one) == sorted(_kept(a) + _kept(b)) == [0, 1, 2]
+
+
+def test_streamed_misaligned_excerpt_absorbed_end_to_end(spark, tmp_path):
+    """The whole round-12 stack through a real streaming query: file
+    stream in id order (original first, then its OFF-grid excerpt +
+    control), bucketed print-index sink, asymmetric archive probe —
+    the excerpt must be absorbed and the archive must hold exactly the
+    original's and control's hop-grid prints."""
+    from sparkstreaming_rawdataingestion_spark.streaming.audio_stream import (
+        start_incremental_audio_dedup,
+    )
+    from sparkstreaming_rawdataingestion_spark.streaming.print_index import (
+        read_print_index_wide,
+    )
+
+    rows = _asym_clips(spark)
+    src = tmp_path / "incoming"
+    for ids in ([0], [1, 2]):
+        _batch(spark, rows, ids).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "prints")
+    q = start_incremental_audio_dedup(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+    archive = read_print_index_wide(spark, sink, ("media_id", "win"))
+    kept = sorted({r.media_id for r in archive.collect()})
+    # file-stream batch order is mtime-nondeterministic for the two
+    # chunks, but every order absorbs the excerpt: original-first via
+    # the archive probe, same-batch via the one-directional pass, and
+    # excerpt-first leaves the original probing the excerpt's archived
+    # prints (contained -> original loses). Exactly two clips survive.
+    assert len(kept) == 2 and kept[1] == 2 and kept[0] in (0, 1)
