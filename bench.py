@@ -83,8 +83,11 @@ load 1.38/2.03); an earlier same-day run inside a verification chain
 read 130 s with dedup_minhash_lsh_pairs at 24.8 s — load probes 4.7/
 3.6 flagged it, and the solo re-rep put minhash back at 7.9 s (the
 documented staging-heavy variance class; code untouched since r8).
-The two BPE entries now ride the BATCHED trainer: 4.3 / 3.6 s vs
-6.3 / 6.7 s in round 11 (-30%+; jobs-vs-N tables in ARCHITECTURE.md
+The two BPE entries now ride the HYBRID trainer (4.3 / 3.6 s on the
+batched distributed loop, then the local switch landed: the registry
+corpora's distinct-word tables are tiny — 31 words at sf0.1 — so
+training costs one aggregation + a 0.16 s driver-local loop;
+jobs-vs-N tables and the hybrid adjudication in ARCHITECTURE.md
 round 12). New entries land at multimodal_audio_asym_containment
 2.9 s (probe side is 16x denser than the hop-aligned matcher's —
 the cost of closing the misaligned-excerpt class) and

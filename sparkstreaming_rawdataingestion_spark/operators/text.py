@@ -1512,11 +1512,77 @@ def _bpe_batch_schedule(
     return chosen[:remaining]
 
 
+#: driver-local switchover bound for the HYBRID trainer: when the
+#: DISTINCT-WORD table has at most this many rows, pull it once and
+#: finish every merge in memory (the HF-tokenizers / SentencePiece
+#: production shape — the distributed part of real BPE training is the
+#: word-COUNT aggregation, which compresses any corpus to its distinct
+#: words; even TB-scale web corpora land at ~1e7-1e8 rows, and below
+#: this bound the local loop is exact, bit-identical and free of
+#: per-merge scheduler latency). Above the bound the distributed
+#: batched loop below takes over — the overflow regime for
+#: vocabularies that genuinely don't fit one machine.
+BPE_LOCAL_MAX_WORDS = 100_000
+
+
+def _bpe_apply_merge_local(pieces: list, l: str, r: str) -> list:
+    """Pure-Python twin of _bpe_merge_fold: left-to-right
+    non-overlapping, the fused token stays pending and can never
+    left-match again this step (merged != l — r is non-empty)."""
+    out: list = []
+    prev = None
+    for x in pieces:
+        if prev == l and x == r:
+            prev = l + r
+        else:
+            if prev is not None:
+                out.append(prev)
+            prev = x
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def _bpe_train_local(
+    words: list, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local exact trainer over the collected (cnt, pieces)
+    word table: same argmax (count DESC, then lexicographic (lhs,
+    rhs) — Python code-point order == Spark UTF8 binary order ==
+    DuckDB binary collation for valid UTF-8), same left-to-right
+    fold, so the merge table is bit-identical to the distributed
+    loops (equality pinned on every fixture and the registry corpus).
+    Naive full recount per step — O(words x pieces) per merge is
+    microseconds at the bound; a production local trainer would use
+    the same pair-delta trick in memory."""
+    from collections import Counter
+
+    words = [(int(cnt), list(pieces)) for cnt, pieces in words]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for cnt, pieces in words:
+            for a, b in zip(pieces, pieces[1:]):
+                counts[(a, b)] += cnt
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((step, l, r, l + r, c))
+        words = [
+            (cnt, _bpe_apply_merge_local(pieces, l, r))
+            for cnt, pieces in words
+        ]
+    return merges
+
+
 def _bpe_train_from_pieces_batched(
     spark: SparkSession,
     pieces: DataFrame,
     n_merges: int,
     top_m: int = BPE_BATCH_TOP_M,
+    local_max_words: int = BPE_LOCAL_MAX_WORDS,
     _round_log: list | None = None,
 ) -> DataFrame:
     """The PRODUCTION trainer loop: the round-11 incremental pair-delta
@@ -1539,10 +1605,34 @@ def _bpe_train_from_pieces_batched(
     growth in N (jobs-vs-N table in ARCHITECTURE.md, round 12).
 
     ``_round_log``: measurement hook — receives one (n_merges_applied,
-    wall_seconds) tuple per round."""
+    wall_seconds) tuple per round.
+
+    HYBRID switch (round 12, closing the jobs-per-merge wall for the
+    realistic regime): when the staged distinct-word table is at most
+    ``local_max_words`` rows, it is pulled ONCE and the whole merge
+    schedule runs driver-local (_bpe_train_local — bit-identical
+    semantics), so training costs exactly one distributed word-count
+    aggregation + one bounded collect, zero per-merge jobs. This is
+    the production BPE shape: the corpus-scale work IS the word-count
+    scan; the merge loop runs over a table that fits one machine for
+    any real vocabulary. The distributed batched loop below remains
+    the exact overflow regime."""
     import time
 
     merges: list[tuple[int, str, str, str, int]] = []
+    if local_max_words and pieces.count() <= local_max_words:
+        t0 = time.monotonic()
+        rows = pieces.collect()  # bounded by local_max_words
+        local = _bpe_train_local(
+            [(r["cnt"], r["pieces"]) for r in rows], n_merges
+        )
+        if _round_log is not None:
+            _round_log.append((len(local), time.monotonic() - t0))
+        return spark.createDataFrame(
+            local,
+            schema="step INT, lhs STRING, rhs STRING, merged STRING,"
+            " pair_count BIGINT",
+        )
     # the exact token vocabulary is driver-known: corpus alphabet (one
     # bounded collect — distinct chars of distinct words) + merges so
     # far. The collision check needs nothing from the cluster.

@@ -181,16 +181,34 @@ def test_bpe_batched_equals_k1_on_registry_corpus(spark, sf_dir):
         bpe_train_merges,
     )
 
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_train_from_pieces_batched,
+    )
+
     d = catalog.load_table(spark, sf_dir, "documents")
-    log = []
-    got_batched = _rows(bpe_train_merges(d, n_merges=24, _round_log=log))
+    # the user-facing entry now rides the HYBRID switch (driver-local
+    # below the word bound) — pin it against the K=1 loop...
+    got_hybrid = _rows(bpe_train_merges(d, n_merges=24))
     got_k1 = _rows(
         _bpe_train_from_pieces(
             spark, session.stage(_bpe_word_pieces(d)), 24
         )
     )
-    assert got_batched == got_k1
-    assert len(got_batched) == 24
+    assert got_hybrid == got_k1
+    assert len(got_hybrid) == 24
+    # ...and force the DISTRIBUTED batched loop (the overflow regime)
+    # on the same corpus: identical output, batching fired
+    log = []
+    got_dist = _rows(
+        _bpe_train_from_pieces_batched(
+            spark,
+            session.stage(_bpe_word_pieces(d)),
+            24,
+            local_max_words=0,
+            _round_log=log,
+        )
+    )
+    assert got_dist == got_k1
     assert sum(k for k, _ in log) == 24
     assert len(log) < 24, "no round batched more than one merge"
 
@@ -236,6 +254,7 @@ def test_bpe_batched_multi_rule_fold_fires(spark):
             spark,
             session.stage(_bpe_word_pieces(docs)),
             3,
+            local_max_words=0,
             _round_log=log,
         )
     )
@@ -275,7 +294,10 @@ def test_bpe_batched_collision_corpus(spark):
     )
     got_batched = _rows(
         _bpe_train_from_pieces_batched(
-            spark, session.stage(_bpe_word_pieces(docs)), 8
+            spark,
+            session.stage(_bpe_word_pieces(docs)),
+            8,
+            local_max_words=0,
         )
     )
     got_k1 = _rows(
@@ -466,6 +488,7 @@ def test_bpe_deep_k1_round_count_survives(spark):
         spark,
         session.stage(_bpe_word_pieces(docs)),
         160,
+        local_max_words=0,  # the depth wall is a DISTRIBUTED-loop trap
         _round_log=log,
     )
     assert out.count() == 160
@@ -674,3 +697,56 @@ def test_portable_countmin_matches_pure_python_replay(spark, sf_dir):
     for k, (c, cm, over, n, eq) in got.items():
         assert cm >= c and over == cm - c  # the count-min guarantee
         assert n == eq == len(counters)  # counter additivity (merge)
+
+
+def test_bpe_hybrid_local_switch_and_equality(spark):
+    """The hybrid switch: below the word bound the trainer runs
+    driver-local and must emit the bit-identical table to the
+    distributed batched loop (forced with local_max_words=0) — pinned
+    on the hand-derived Sennrich merges; one round-log entry covering
+    every merge marks the local path."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_train_from_pieces_batched,
+        _bpe_word_pieces,
+    )
+
+    d = _sennrich_docs(spark)
+    log_local = []
+    got_local = _rows(
+        _bpe_train_from_pieces_batched(
+            spark,
+            session.stage(_bpe_word_pieces(d)),
+            12,
+            _round_log=log_local,
+        )
+    )
+    got_dist = _rows(
+        _bpe_train_from_pieces_batched(
+            spark,
+            session.stage(_bpe_word_pieces(d)),
+            12,
+            local_max_words=0,
+        )
+    )
+    assert got_local == got_dist == SENNRICH_MERGES
+    assert log_local == [(12, log_local[0][1])]  # one local round
+
+
+def test_bpe_local_trainer_pure_function_corners():
+    """Driver-side unit corners for the local twin (no engine):
+    overlap runs, tie-breaks, exhaustion."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_apply_merge_local,
+        _bpe_train_local,
+    )
+
+    assert _bpe_apply_merge_local(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert _bpe_apply_merge_local(list("aaa"), "a", "a") == ["aa", "a"]
+    # tie at count 2: ('a','b') beats ('b','a') lexicographically
+    merges = _bpe_train_local(
+        [(1, list("abab")), (1, list("ba"))], 1
+    )
+    assert merges == [(1, "a", "b", "ab", 2)]
+    # exhaustion: single-piece words stop the loop early
+    assert _bpe_train_local([(3, ["x"])], 5) == []

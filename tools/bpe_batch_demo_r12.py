@@ -62,7 +62,7 @@ def main() -> None:
         else:
             log: list = []
             df = _bpe_train_from_pieces_batched(
-                spark, pieces, n, _round_log=log
+                spark, pieces, n, local_max_words=0, _round_log=log
             )
             rounds = len(log)
         rows = sorted(
