@@ -86,12 +86,15 @@ documented staging-heavy variance class; code untouched since r8).
 The two BPE entries now ride the HYBRID trainer (4.3 / 3.6 s on the
 batched distributed loop, then the local switch landed: the registry
 corpora's distinct-word tables are tiny — 31 words at sf0.1 — so
-training costs one aggregation + a 0.16 s driver-local loop;
-jobs-vs-N tables and the hybrid adjudication in ARCHITECTURE.md
-round 12). New entries land at multimodal_audio_asym_containment
-2.9 s (probe side is 16x denser than the hop-aligned matcher's —
-the cost of closing the misaligned-excerpt class) and
-sketch_hll_portable 0.84 s.
+training costs one aggregation + a 0.16 s driver-local loop). The
+final solo panel at round HEAD reads 77.0 s total (probes 0.161/
+0.155; line 1729 bytes): tokenizer_bpe_train 0.53 s and _roundtrip
+1.04 s on the hybrid (vs 6.3 / 6.7 s in round 11 — the jobs wall
+closed; jobs-vs-N tables and the hybrid adjudication in
+ARCHITECTURE.md round 12). New entries land at
+multimodal_audio_asym_containment 2.9-3.0 s (probe side is 16x
+denser than the hop-aligned matcher's — the cost of closing the
+misaligned-excerpt class) and sketch_hll_portable 0.8-1.0 s.
 
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
