@@ -2000,12 +2000,16 @@ def audio_probe_alignment(
     Scale: the archive side stays one print per {AFPW_HOP_FRAMES}
     frames — the dense side is the QUERY batch only; candidates remain
     band-bucketed (pigeonhole), no cartesian anywhere."""
+    # Self-pair guard (r12 advice): with overlapping probe/archive
+    # media-id spaces the cross-mode kernel would emit trivial
+    # self-containment rows (hamming-0 votes at offset 0); registry
+    # callers use disjoint id spaces, so this drops nothing there.
     wpairs = dhash_band_pairs(
         probe_wbands,
         archive_wbands,
         max_hamming=max_hamming,
         extra_key=("win",),
-    )
+    ).where(F.col("media_a") != F.col("media_b"))
     offs = wpairs.groupBy(
         F.col("media_a").alias("media_q"),
         F.col("media_b").alias("media_r"),
@@ -2148,3 +2152,475 @@ def q_multimodal_audio_asym_containment(
         media.where(F.col("media_id") % 2 == 1), hop_frames=1
     )
     return audio_probe_alignment(probe, arch)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_subframe_containment — SAMPLE-level (mid-frame)
+# excerpt discovery
+# ---------------------------------------------------------------------------
+
+# The round-12 asymmetric matcher closes whole-FRAME offsets; an
+# excerpt that starts mid-frame (offset not a multiple of the
+# 8-sample frame) shifts every analysis-frame boundary, so every
+# frame-grid energy is a blend of two original frames and the prints
+# degrade — the documented blind class (ARCHITECTURE.md round 12).
+# Haitsma-Kalker's production answer is OVERLAPPING ANALYSIS FRAMES on
+# the probe side: fingerprint the query clip at a SAMPLE hop (here
+# hop 1 — all 8 phases), so for any sample offset S there is a probe
+# window starting at u = archive_window_start - S whose analysis
+# frames land exactly on the original's frame grid. The archive side
+# is untouched (still one print per 16-frame hop — the 100 TB side
+# stays compact); densification cost rides the bounded query batch,
+# now x8 over the round-12 probe (one print per sample instead of per
+# frame).
+
+AFPS_ORIG_FRAMES = AFP_FRAMES + 3 * AFPW_HOP_FRAMES  # originals: 113
+AFPS_EXCERPT_FRAMES = AFP_FRAMES + 2 * AFPW_HOP_FRAMES + 1  # excerpts: 98
+AFPS_EXCERPT_SAMPLES = AFPS_EXCERPT_FRAMES * AFP_FRAME_SIZE  # 784
+# max probe window start (samples): 784 - 520 = 264
+AFPS_MAX_PROBE_START = AFPS_EXCERPT_SAMPLES - AFP_FRAMES * AFP_FRAME_SIZE
+
+
+def _afps_phase(f: int) -> int:
+    """Sub-frame phase for family f — 1..7, NEVER 0: every excerpt
+    starts mid-frame, so the frame-grid matcher is structurally blind
+    (it cannot even represent the true offset, which is not a whole
+    number of frames)."""
+    return 1 + (f % 7)
+
+
+def _afps_off_samples(f: int) -> int:
+    """Excerpt start in SAMPLES for family f: the round-12 misaligned
+    frame offset (1/6/11 — never on the hop grid) plus a nonzero
+    sub-frame phase."""
+    return AFP_FRAME_SIZE * _afpa_off(f) + _afps_phase(f)
+
+
+def synthesize_afps_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-FRAME-offset excerpt fixture: one real PCM WAV per document,
+    family f = doc_id // 2, variant v = doc_id % 2 — v0 a 113-frame
+    original with per-frame envelope amplitudes, v1 a 784-sample
+    x2-rescaled TRUE SUBSEQUENCE of it starting _afps_off_samples(f)
+    samples in (9..95, never a multiple of the 8-sample frame). TWO
+    aligned probe windows exist for every S <= 95 (u = 128 - S and
+    256 - S, both <= 264 = max start), so the true offset always
+    collects n_aligned = 2: a phase-adjacent blended window can reach
+    hamming 0 by delta-sign luck (measured 3/250 families at the
+    1-vote design), but only a single vote — the 2-vote true offset
+    out-votes it. Amplitudes bounded (999 * 2 <
+    32767): no int16 wrap, so decoded samples are exactly the formula
+    values and the oracle replays the blend arithmetic in closed
+    form."""
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") / 2).cast("long").alias("f"),
+        (F.col("doc_id") % 2).cast("long").alias("v"),
+    )
+
+    def encode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import media_codecs
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples():
+                if r.v == 0:
+                    samples = []
+                    for j in range(AFPS_ORIG_FRAMES):
+                        amp = _afp_env(r.f, j)
+                        samples.extend(
+                            amp if t % 2 == 0 else -amp
+                            for t in range(AFP_FRAME_SIZE)
+                        )
+                else:
+                    s0 = _afps_off_samples(r.f)
+                    samples = [
+                        (
+                            _afp_env(r.f, (s0 + t) // AFP_FRAME_SIZE)
+                            * (1 if (s0 + t) % 2 == 0 else -1)
+                            * 2
+                        )
+                        for t in range(AFPS_EXCERPT_SAMPLES)
+                    ]
+                payloads.append(media_codecs.wav_encode(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+
+
+AFPS_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win", T.IntegerType()),
+    ]
+    + [T.StructField(f"band{k}", T.LongType()) for k in range(DHASH_BANDS)]
+    + [
+        T.StructField("e_head", T.LongType()),
+        T.StructField("e_sum", T.LongType()),
+    ]
+)
+
+
+def audio_subframe_fingerprint_bands(
+    media: DataFrame, sample_hop: int = 1
+) -> DataFrame:
+    """Overlapping-analysis-frame fingerprint stage: decode → |sample|
+    prefix sums → slide the {AFP_FRAMES}-frame (520-sample) analysis
+    window at ``sample_hop`` SAMPLES, one print per window, ``win`` =
+    the window's start offset in SAMPLES (both sides of the sub-frame
+    matcher use this stage: the archive at sample_hop = one full
+    {AFPW_HOP_FRAMES}-frame hop — exactly as compact as the frame-grid
+    archive — the probe at hop 1, every phase). Frame energies of
+    every window come off one shared prefix-sum vector (decode runs
+    once per clip; each window is one vectorized slice), so the stage
+    stays a pure zero-shuffle Arrow map whose output grows linearly
+    with clip duration x (frame_size / sample_hop).
+
+    Besides the 4x16 delta-sign bands each print carries TWO exact
+    integers — ``e_head`` (first frame energy) and ``e_sum`` (window
+    energy) — the scale-consistency witness: a true alignment has all
+    65 energies exactly proportional across the pair, so
+    e_head_a * e_sum_b == e_sum_a * e_head_b in exact BIGINT
+    cross-multiplication, while a sub-frame BLEND (whose delta SIGNS
+    can all match by luck — measured ~1-4% of envelope families) has
+    no rational scale relating it to the original. Sign bits find
+    candidates; the integer invariant pins the exact phase.
+
+    Unlike the frame-grid stage there is NO frame-alignment
+    requirement on the clip length — that is the point: the probe
+    clip was cut at an arbitrary sample. Mono and >= one whole window
+    are still required (production resamples to the archive sample
+    rate first; rate conversion is codec territory)."""
+
+    def hash_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from . import media_codecs
+
+        win_samples = AFP_FRAMES * AFP_FRAME_SIZE
+        weights = 1 << (np.arange(AFP_FRAMES - 1, dtype=np.int64) % 16)
+        for pdf in batches:
+            frames = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.wav_decode(bytes(payload))
+                ns = len(d["samples"])
+                if d["n_channels"] != 1 or ns < win_samples:
+                    raise ValueError(
+                        "sub-frame audio fingerprint expects mono clips "
+                        f"of >= {win_samples} samples, got "
+                        f"{d['n_channels']}ch x {ns}"
+                    )
+                a = np.abs(np.asarray(d["samples"], dtype=np.int64))
+                pref = np.concatenate(([0], np.cumsum(a)))
+                starts = np.arange(0, ns - win_samples + 1, sample_hop)
+                # frame-boundary prefix offsets per window: W x 66
+                bounds = (
+                    starts[:, None]
+                    + np.arange(AFP_FRAMES + 1)[None, :] * AFP_FRAME_SIZE
+                )
+                pb = pref[bounds]
+                fe = np.diff(pb, axis=1)  # W x 65 frame energies
+                bits = (fe[:, 1:] > fe[:, :-1]).astype(np.int64)
+                packed = (
+                    (bits * weights)
+                    .reshape(len(starts), DHASH_BANDS, 16)
+                    .sum(axis=2)
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": mid,
+                            "win": starts.astype("int32"),
+                            **{
+                                f"band{k}": packed[:, k]
+                                for k in range(DHASH_BANDS)
+                            },
+                            "e_head": fe[:, 0],
+                            "e_sum": pb[:, -1] - pb[:, 0],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return media.mapInPandas(hash_batches, schema=AFPS_BANDS_SCHEMA)
+
+
+def audio_subframe_alignment(
+    probe_sbands: DataFrame,
+    archive_sbands: DataFrame,
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Sample-unit containment vote over sub-frame prints (both sides
+    from audio_subframe_fingerprint_bands, ``win`` in SAMPLES): the
+    same generalized dhash_band_pairs kernel in cross mode — the
+    energy witnesses ride along as extra print-identity columns, they
+    are functionally determined by (media_id, win) — then
+    offset_samples = win_b - win_a, the SAMPLE at which the probe
+    clip's content begins inside the archived clip. One row per
+    matched (probe, archived) pair: the best-voted offset with
+    ``n_exact`` counting the votes whose energies are EXACTLY
+    proportional (BIGINT cross-multiplication — the scale-consistency
+    invariant; see the fingerprint stage docstring).
+
+    Ranking is the sub-frame lesson (measured on the fixture, r13):
+    a phase-adjacent blended window tracks the original's delta signs
+    (flip needs an opposing next-delta >7x larger, so whole FAMILIES
+    go flip-free — 3/250 at 1 vote, 9/250 at 2: the luck is
+    per-phase, CORRELATED across windows, so vote count cannot
+    separate it) — but no blend has a rational scale, so n_exact
+    DESC ranks the true phase first, then n_aligned, min_hamming,
+    smallest offset. Archive stays compact (one print per
+    {AFPW_HOP_FRAMES}-frame hop); candidates remain band-bucketed,
+    no cartesian anywhere."""
+    # Self-pair guard: same rationale as audio_probe_alignment (r12
+    # advice) — overlapping id spaces must not vote offset-0 self rows.
+    wpairs = dhash_band_pairs(
+        probe_sbands,
+        archive_sbands,
+        max_hamming=max_hamming,
+        extra_key=("win", "e_head", "e_sum"),
+    ).where(F.col("media_a") != F.col("media_b"))
+    exact = (
+        F.col("e_head_a") * F.col("e_sum_b")
+        == F.col("e_sum_a") * F.col("e_head_b")
+    )
+    offs = wpairs.groupBy(
+        F.col("media_a").alias("media_q"),
+        F.col("media_b").alias("media_r"),
+        (F.col("win_b") - F.col("win_a")).cast("long").alias(
+            "offset_samples"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_aligned"),
+        F.sum(F.when(exact, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    w = Window.partitionBy("media_q", "media_r").orderBy(
+        F.desc("n_exact"), F.desc("n_aligned"), "min_hamming",
+        "offset_samples",
+    )
+    return (
+        offs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "media_q",
+            "media_r",
+            "offset_samples",
+            "n_aligned",
+            "n_exact",
+            "min_hamming",
+        )
+    )
+
+
+def _afps_ctes() -> str:
+    """The sub-frame pipeline as CTEs: excerpt start S(f) in samples →
+    archive windows over closed-form frame energies (v0, one window
+    per {AFPW_HOP_FRAMES}-frame hop, win in samples) → per-PHASE probe
+    energies in closed form — an analysis frame starting at original
+    sample 8*c0 + r sums (8 - r) samples of original frame c0 and r
+    samples of frame c0 + 1, so E_p(m) = 2*((8-r)*env(c0+m) +
+    r*env(c0+m+1)) with r, c0 constant per phase — → per-phase delta
+    bits gathered per window → band values + energy witnesses → cross
+    band join + hamming verify → SAMPLE-offset vote ranked by the
+    exact-scale invariant first. Envelope and banding shared with
+    every other audio oracle; chained two-relation equi-joins
+    throughout (the four-relation computed-key form blew up the
+    oracle planner at sf0.1 — ARCHITECTURE.md round 12)."""
+    env_aj = _afp_env_sql("j.j")
+    env_c0m = _afp_env_sql("c0 + m")
+    env_c0m1 = _afp_env_sql("c0 + m + 1")
+    n_arch_wins = (AFPS_ORIG_FRAMES - AFP_FRAMES) // AFPW_HOP_FRAMES + 1
+    hop_samples = AFPW_HOP_FRAMES * AFP_FRAME_SIZE
+    max_m0 = AFPS_MAX_PROBE_START // AFP_FRAME_SIZE  # 33
+    n_m = max_m0 + AFP_FRAMES + 1  # energies 0..max_m0+65
+    return f"""awc AS (
+  SELECT doc_id AS media_id,
+         doc_id // 2 AS f,
+         doc_id %  2 AS v
+  FROM documents
+),
+pparm AS (
+  SELECT media_id, f,
+         {AFP_FRAME_SIZE} * (1 + (f % 3) * 5) + 1 + (f % 7) AS s0
+  FROM awc WHERE v = 1
+),
+aen AS (
+  SELECT c.media_id, j.j AS j, {AFP_FRAME_SIZE} * ({env_aj}) AS e
+  FROM awc c, range({AFPS_ORIG_FRAMES}) j(j)
+  WHERE c.v = 0
+),
+abit AS (
+  SELECT a.media_id, a.j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM aen a JOIN aen b ON b.media_id = a.media_id AND b.j = a.j + 1
+),
+awin AS (
+  SELECT c.media_id, w.w AS w, w.w * {hop_samples} AS u
+  FROM awc c, range({n_arch_wins}) w(w)
+  WHERE c.v = 0
+),
+awk AS (
+  SELECT win.media_id, win.u, k.k AS k,
+         win.w * {AFPW_HOP_FRAMES} + k.k AS j
+  FROM awin win, range({AFP_FRAMES - 1}) k(k)
+),
+awbits AS (
+  SELECT wk.media_id, wk.u, wk.k, b.bit
+  FROM awk wk JOIN abit b ON b.media_id = wk.media_id AND b.j = wk.j
+),
+abands AS (
+  SELECT media_id, u, k // 16 AS band_idx,
+         CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS band_val
+  FROM awbits GROUP BY media_id, u, k // 16
+),
+awe AS (
+  SELECT wk2.media_id, wk2.u,
+         CAST(sum(CASE WHEN wk2.k = 0 THEN e.e ELSE 0 END) AS BIGINT)
+           AS e_head,
+         CAST(sum(e.e) AS BIGINT) AS e_sum
+  FROM (
+    SELECT win.media_id, win.u, k.k AS k,
+           win.w * {AFPW_HOP_FRAMES} + k.k AS j
+    FROM awin win, range({AFP_FRAMES}) k(k)
+  ) wk2 JOIN aen e ON e.media_id = wk2.media_id AND e.j = wk2.j
+  GROUP BY wk2.media_id, wk2.u
+),
+pen AS (
+  SELECT q.media_id, q.p, q.m,
+         2 * (({AFP_FRAME_SIZE} - q.r) * ({env_c0m})
+              + q.r * ({env_c0m1})) AS e
+  FROM (
+    SELECT pp.media_id, pp.f AS f, p.p AS p, m.m AS m,
+           (pp.s0 + p.p) % {AFP_FRAME_SIZE} AS r,
+           (pp.s0 + p.p) // {AFP_FRAME_SIZE} AS c0
+    FROM pparm pp, range({AFP_FRAME_SIZE}) p(p), range({n_m}) m(m)
+  ) q
+),
+pbit AS (
+  SELECT a.media_id, a.p, a.m,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM pen a JOIN pen b ON b.media_id = a.media_id AND b.p = a.p
+                       AND b.m = a.m + 1
+),
+pwin AS (
+  SELECT pp.media_id, p.p AS p, m0.m0 AS m0,
+         p.p + {AFP_FRAME_SIZE} * m0.m0 AS u
+  FROM pparm pp, range({AFP_FRAME_SIZE}) p(p), range({max_m0 + 1}) m0(m0)
+  WHERE p.p + {AFP_FRAME_SIZE} * m0.m0 <= {AFPS_MAX_PROBE_START}
+),
+pwk AS (
+  SELECT win.media_id, win.u, win.p, win.m0 + k.k AS m, k.k AS k
+  FROM pwin win, range({AFP_FRAMES - 1}) k(k)
+),
+pwbits AS (
+  SELECT wk.media_id, wk.u, wk.k, b.bit
+  FROM pwk wk JOIN pbit b ON b.media_id = wk.media_id AND b.p = wk.p
+                         AND b.m = wk.m
+),
+pbands AS (
+  SELECT media_id, u, k // 16 AS band_idx,
+         CAST(sum(bit * (1 << (k % 16))) AS BIGINT) AS band_val
+  FROM pwbits GROUP BY media_id, u, k // 16
+),
+pwe AS (
+  SELECT wk2.media_id, wk2.u,
+         CAST(sum(CASE WHEN wk2.k = 0 THEN e.e ELSE 0 END) AS BIGINT)
+           AS e_head,
+         CAST(sum(e.e) AS BIGINT) AS e_sum
+  FROM (
+    SELECT win.media_id, win.u, win.p, win.m0 + k.k AS m, k.k AS k
+    FROM pwin win, range({AFP_FRAMES}) k(k)
+  ) wk2 JOIN pen e ON e.media_id = wk2.media_id AND e.p = wk2.p
+                  AND e.m = wk2.m
+  GROUP BY wk2.media_id, wk2.u
+),
+scand AS (
+  SELECT DISTINCT a.media_id AS mq, a.u AS uq, b.media_id AS mr,
+                  b.u AS ur
+  FROM pbands a JOIN abands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.media_id != b.media_id
+),
+spairs AS (
+  SELECT c.mq, c.uq, c.mr, c.ur,
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+           AS hamming
+  FROM scand c
+  JOIN pbands x ON x.media_id = c.mq AND x.u = c.uq
+  JOIN abands y ON y.media_id = c.mr AND y.u = c.ur
+                AND y.band_idx = x.band_idx
+  GROUP BY 1, 2, 3, 4
+  HAVING sum(bit_count(xor(x.band_val, y.band_val)))
+           <= {DHASH_MAX_HAMMING}
+),
+sver AS (
+  SELECT s.mq, s.uq, s.mr, s.ur, s.hamming,
+         CASE WHEN pe.e_head * ae.e_sum = pe.e_sum * ae.e_head
+              THEN 1 ELSE 0 END AS exact_scale
+  FROM spairs s
+  JOIN pwe pe ON pe.media_id = s.mq AND pe.u = s.uq
+  JOIN awe ae ON ae.media_id = s.mr AND ae.u = s.ur
+),
+soffs AS (
+  SELECT mq AS media_q, mr AS media_r,
+         CAST(ur - uq AS BIGINT) AS offset_samples,
+         CAST(count(*) AS BIGINT) AS n_aligned,
+         CAST(sum(exact_scale) AS BIGINT) AS n_exact,
+         min(hamming) AS min_hamming
+  FROM sver GROUP BY 1, 2, 3
+)"""
+
+
+_AFPS_ORACLE = f"""
+WITH {_afps_ctes()}
+SELECT media_q, media_r, offset_samples, n_aligned, n_exact, min_hamming
+FROM soffs
+QUALIFY row_number() OVER (PARTITION BY media_q, media_r
+                           ORDER BY n_exact DESC, n_aligned DESC,
+                                    min_hamming, offset_samples) = 1
+"""
+
+
+@_register("multimodal_audio_subframe_containment", _AFPS_ORACLE)
+def q_multimodal_audio_subframe_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-FRAME audio containment: synthesize 113-frame originals
+    alongside 784-sample x2-rescaled true subsequences starting
+    _afps_off_samples(f) samples in — never a whole number of frames,
+    the class the round-12 frame-grid asymmetric matcher is
+    structurally blind to (it votes in whole frames and cannot even
+    represent the true offset). Both sides fingerprint with
+    overlapping analysis frames through the real WAV codec
+    (audio_subframe_fingerprint_bands): the ARCHIVE at one print per
+    {AFPW_HOP_FRAMES}-frame hop (exactly as compact as the frame-grid
+    archive), the PROBE at sample hop 1 — every phase; the vote
+    reports each excerpt's best containment offset in SAMPLES, ranked
+    by the exact-scale BIGINT invariant first (sub-frame blends can
+    match all 64 delta SIGNS by luck, but never the energy
+    proportions). The expected signal — every excerpt finds its
+    original at exactly offset_samples = _afps_off_samples(f) with
+    n_exact = 2 and min_hamming 0 — is pinned by the hand fixture
+    test; this registry entry hash-certifies the full algebra (codec,
+    sub-frame blend energies, banding, energy witnesses, cross band
+    join, sample-offset vote) against the closed-form oracle
+    replay."""
+    from ..session import stage
+
+    media = stage(synthesize_afps_media(spark, sf_dir))
+    arch = audio_subframe_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 0),
+        sample_hop=AFPW_HOP_FRAMES * AFP_FRAME_SIZE,
+    )
+    probe = audio_subframe_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 1)
+    )
+    return audio_subframe_alignment(probe, arch)

@@ -164,6 +164,278 @@ def q_quantile_normalize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# quantile_normalize_portable — the grid+interpolation MECHANISM,
+# integer-exact (the HLL/count-min twin precedent, round 13)
+# ---------------------------------------------------------------------------
+
+QNP_GRID = 101           # grid breakpoints
+QNP_D = QNP_GRID - 1     # rank-space denominator (grid intervals)
+QNP_MICROS = 1_000_000   # fixed-point output scale
+
+
+_QNP_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents
+),
+hist AS (
+  -- value histogram: rank-select over (score -> count) is EXACT for
+  -- quantiles because the value at a rank never depends on tie order
+  SELECT score AS s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(count(*)) OVER (ORDER BY score) AS BIGINT) AS hi_rank
+  FROM scored GROUP BY score
+),
+h2 AS (SELECT s, cnt, hi_rank, hi_rank - cnt + 1 AS lo_rank FROM hist),
+nn AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM h2
+),
+merged AS (
+  -- per-source partial histograms summed: the mergeability census
+  SELECT s, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT source, score AS s, CAST(count(*) AS BIGINT) AS c
+    FROM scored GROUP BY source, score
+  ) GROUP BY s
+),
+mstat AS (
+  SELECT n.n_cells,
+         CAST(sum(CASE WHEN h.cnt = m.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cells_merge_eq_direct
+  FROM h2 h JOIN merged m USING (s) CROSS JOIN nn n
+  GROUP BY n.n_cells
+),
+grid AS (
+  SELECT i.i AS i, n.n, i.i * (n.n - 1) AS pos
+  FROM range({QNP_GRID}) i(i) CROSS JOIN nn n
+),
+gidx AS (
+  SELECT i, n, pos,
+         CASE WHEN n = 1 THEN 0 ELSE least(pos // {QNP_D}, n - 2) END AS t
+  FROM grid
+),
+g2 AS (
+  SELECT i, t, pos - t * {QNP_D} AS rem,
+         t + 1 AS r_lo, least(t + 2, n) AS r_hi
+  FROM gidx
+),
+glo AS (
+  SELECT g2.i, g2.rem, h.s AS s_lo
+  FROM g2 JOIN h2 h ON g2.r_lo BETWEEN h.lo_rank AND h.hi_rank
+),
+ghi AS (
+  SELECT g2.i, h.s AS s_hi
+  FROM g2 JOIN h2 h ON g2.r_hi BETWEEN h.lo_rank AND h.hi_rank
+),
+gv AS (
+  SELECT glo.i,
+         s_lo * ({QNP_D} - glo.rem) + s_hi * glo.rem AS g_num
+  FROM glo JOIN ghi USING (i)
+),
+docs AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score, doc_id) - 1 AS rk0,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+  FROM scored
+),
+didx AS (
+  SELECT doc_id, source, score, rk0 * {QNP_D} AS idxn,
+         CASE WHEN n_src = 1 THEN 1 ELSE n_src - 1 END AS dsrc,
+         n_src
+  FROM docs
+),
+d2 AS (
+  SELECT *,
+         CASE WHEN n_src = 1 THEN 0
+              ELSE least(idxn // dsrc, {QNP_D - 1}) END AS lo
+  FROM didx
+),
+d3 AS (SELECT *, idxn - lo * dsrc AS rem2 FROM d2)
+SELECT d.doc_id, d.source, d.score,
+       CAST((ga.g_num * (d.dsrc - d.rem2) + gb.g_num * d.rem2)
+            * {QNP_MICROS} // (d.dsrc * {QNP_D}) AS BIGINT) AS norm_micros,
+       m.n_cells, m.n_cells_merge_eq_direct
+FROM d3 d
+JOIN gv ga ON ga.i = d.lo
+JOIN gv gb ON gb.i = d.lo + 1
+CROSS JOIN mstat m
+"""
+
+
+@_register("quantile_normalize_portable", _QNP_ORACLE)
+def q_quantile_normalize_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable quantile-normalization twin: the approx path's exact
+    MECHANISM — a global breakpoint grid + piecewise-linear rank
+    interpolation — re-derived with pure BIGINT arithmetic so the
+    whole transform is hash-certifiable cross-engine (the HLL /
+    count-min twin precedent; the production ``percentile_approx``
+    path above is unchanged, so the rows-only count stays put).
+
+    Mechanism: the global score distribution reduces to a VALUE
+    HISTOGRAM (distinct score -> count with cumulative rank ranges) —
+    rank-select over it is exact because the value at a global rank
+    never depends on tie order. Each of the {QNP_GRID} grid points
+    interpolates between the two neighbouring order statistics with
+    integer weights (g_num = s_lo*(D-rem) + s_hi*rem over denominator
+    D={QNP_D}); each document's per-source rank maps onto the grid the
+    same way; the ONLY division in the query is the final fixed-point
+    floor division to micros (norm_micros BIGINT) — no float ever
+    enters, the count-min portability tier. MERGEABILITY is certified
+    in-row: per-source partial histograms summed equal the directly
+    built histogram on every cell (n_cells == n_cells_merge_eq_direct
+    — counter additivity, the property that lets 1000 executors
+    histogram shards independently and add).
+
+    Plan shape: one scan -> grouped histogram (bounded by distinct
+    score cardinality, NOT row count — the global cumulative window
+    runs over that bounded table only); the grid is {QNP_GRID} rows
+    range-joined against the broadcast histogram; per-document work is
+    one bounded per-source window + two broadcast grid-array lookups.
+    Nothing sorts the full table globally — the scale wall of the
+    exact kernel (quantile_normalize_sources) is avoided while its
+    per-rank semantics are kept exactly on the grid points."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    D = QNP_D
+    scored = session.stage(
+        d.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+        )
+    )
+    hist = session.stage(
+        scored.groupBy(F.col("score").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "hi_rank",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("s").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn("lo_rank", F.col("hi_rank") - F.col("cnt") + 1)
+    )
+    nn = hist.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    merged = (
+        scored.groupBy("source", F.col("score").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("s")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    mstat = (
+        hist.join(merged, "s")
+        .crossJoin(F.broadcast(nn.select("n_cells")))
+        .groupBy("n_cells")
+        .agg(
+            F.sum(F.when(F.col("cnt") == F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cells_merge_eq_direct")
+        )
+    )
+    grid = (
+        spark.range(QNP_GRID)
+        .select(F.col("id").cast("long").alias("i"))
+        .crossJoin(F.broadcast(nn.select("n")))
+        .withColumn("pos", F.col("i") * (F.col("n") - 1))
+        .withColumn(
+            "t",
+            F.when(F.col("n") == 1, F.lit(0).cast("long")).otherwise(
+                F.least(F.expr(f"pos DIV {D}"), F.col("n") - 2)
+            ),
+        )
+        .select(
+            "i",
+            (F.col("pos") - F.col("t") * D).alias("rem"),
+            (F.col("t") + 1).alias("r_lo"),
+            F.least(F.col("t") + 2, F.col("n")).alias("r_hi"),
+        )
+    )
+    glo = grid.join(
+        F.broadcast(hist),
+        (F.col("r_lo") >= F.col("lo_rank"))
+        & (F.col("r_lo") <= F.col("hi_rank")),
+    ).select("i", "rem", F.col("s").alias("s_lo"))
+    ghi = grid.join(
+        F.broadcast(hist),
+        (F.col("r_hi") >= F.col("lo_rank"))
+        & (F.col("r_hi") <= F.col("hi_rank")),
+    ).select(F.col("i").alias("i2"), F.col("s").alias("s_hi"))
+    gv = glo.join(ghi, F.col("i") == F.col("i2")).select(
+        "i",
+        (
+            F.col("s_lo") * (F.lit(D) - F.col("rem"))
+            + F.col("s_hi") * F.col("rem")
+        ).alias("g_num"),
+    )
+    garr = gv.agg(
+        F.array_sort(F.collect_list(F.struct("i", "g_num"))).alias("a")
+    ).select(
+        F.transform("a", lambda x: x.getField("g_num")).alias("g")
+    )
+    wsrc = Window.partitionBy("source")
+    docs = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("score", "doc_id")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("rk0"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias("n_src"),
+    )
+    didx = docs.select(
+        "doc_id",
+        "source",
+        "score",
+        "n_src",
+        (F.col("rk0") * D).alias("idxn"),
+        F.when(F.col("n_src") == 1, F.lit(1).cast("long"))
+        .otherwise(F.col("n_src") - 1)
+        .alias("dsrc"),
+    )
+    d2 = didx.withColumn(
+        "lo",
+        F.when(F.col("n_src") == 1, F.lit(0).cast("long")).otherwise(
+            F.least(F.expr("idxn DIV dsrc"), F.lit(D - 1).cast("long"))
+        ),
+    ).withColumn("rem2", F.col("idxn") - F.col("lo") * F.col("dsrc"))
+    g_lo = F.element_at(F.col("g"), (F.col("lo") + 1).cast("int"))
+    g_hi = F.element_at(F.col("g"), (F.col("lo") + 2).cast("int"))
+    norm_num = g_lo * (F.col("dsrc") - F.col("rem2")) + g_hi * F.col("rem2")
+    return (
+        d2.crossJoin(F.broadcast(garr))
+        .crossJoin(F.broadcast(mstat))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            (norm_num * QNP_MICROS).cast("long").alias("_norm_scaled"),
+            (F.col("dsrc") * D).alias("_denom"),
+            "n_cells",
+            "n_cells_merge_eq_direct",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.expr("_norm_scaled DIV _denom").alias("norm_micros"),
+            "n_cells",
+            "n_cells_merge_eq_direct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # debounce_events — collapse rapid repeats into bursts, keep the first
 # ---------------------------------------------------------------------------
 

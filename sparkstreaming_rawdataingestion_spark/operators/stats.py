@@ -518,11 +518,16 @@ topk AS (
   SELECT k, exact_count FROM exact
   QUALIFY row_number() OVER (ORDER BY exact_count DESC, k) <= {CMP_TOPK}
 ),
+probes AS (
+  -- mirror of the Spark side's probes frame (r12 advice: an explicit
+  -- derived table with the bucket expression projected, then a plain
+  -- equi-join — no lateral reference out of a comma join)
+  SELECT t.k, r.r AS r, {_cmp_bucket_sql("t.k", "r.r")} AS bucket
+  FROM topk t CROSS JOIN range({CMP_D}) r(r)
+),
 est AS (
-  SELECT t.k, min(di.c) AS cm_estimate
-  FROM topk t, range({CMP_D}) r(r)
-  JOIN direct di
-    ON di.r = r.r AND di.bucket = {_cmp_bucket_sql("t.k", "r.r")}
+  SELECT p.k, min(di.c) AS cm_estimate
+  FROM probes p JOIN direct di ON di.r = p.r AND di.bucket = p.bucket
   GROUP BY 1
 )
 SELECT t.k AS l_partkey, t.exact_count,

@@ -1620,7 +1620,14 @@ def _bpe_train_from_pieces_batched(
     import time
 
     merges: list[tuple[int, str, str, str, int]] = []
-    if local_max_words and pieces.count() <= local_max_words:
+    # Bounded probe (r12 advice): the switch decision only needs to
+    # know whether the table EXCEEDS the bound — limit(bound+1).count()
+    # stops the scan after O(bound) rows instead of counting the whole
+    # distinct-word table in the overflow regime.
+    if (
+        local_max_words
+        and pieces.limit(local_max_words + 1).count() <= local_max_words
+    ):
         t0 = time.monotonic()
         rows = pieces.collect()  # bounded by local_max_words
         local = _bpe_train_local(

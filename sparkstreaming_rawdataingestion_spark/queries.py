@@ -172,87 +172,96 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-12 rotation (stalest-first; the round-11 verdict's item 4):
+# Round-13 rotation (stalest-first; the round-12 verdict's item 1):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-5   the four entries the round-11 ledger displaced (each an
-#         r4-latest green at displacement time) — re-certified first,
+#   2-3   the two entries the round-12 ledger displaced
+#         (interpurchase_intervals, label_centroid_similarity — each an
+#         r5-latest green at displacement time) — re-certified first,
 #         closing that ledger's debt.
-#   6-28  every REMAINING query whose latest driver-green row is
-#         ROUND 4 — now the oldest certificates in the repo.
-#   29-48 the 20 alphabetically-first round-5-latest greens (44 exist;
-#         the rest queue for round 13).
-#   49-50 the two round-12 NEW ops, each through the 4-way gate
+#   4     sketch_countmin_portable, drained from the round-12
+#         OVERFLOW_QUEUE for its first driver row (4-way local gate
+#         green since round 12; plan pin test_plans.py).
+#   5-26  the 22 REMAINING queries whose latest driver-green row is
+#         ROUND 5 — now the oldest certificates in the repo
+#         (alphabetical).
+#   27-39 all 13 round-6-latest greens (alphabetical).
+#   40-48 the 9 alphabetically-first round-7-latest greens (16 exist;
+#         the rest queue for round 14).
+#   49-50 the two round-13 NEW ops, each through the 4-way gate
 #         (engine + --plain at sf0.01 AND sf0.1, closed-form fixture,
 #         plan pin). DISPLACEMENT LEDGER: they displace the two
-#         next-stalest r5 re-checks that would otherwise fill these
+#         next-stalest r7 re-checks that would otherwise fill these
 #         slots —
-#           multimodal_audio_asym_containment displaced interpurchase_intervals
-#           sketch_hll_portable               displaced label_centroid_similarity
-#         (both displaced entries keep standing driver-green r5 rows
+#           multimodal_audio_subframe_containment displaced quantile_normalize_sources
+#           quantile_normalize_portable           displaced sessionize_events
+#         (both displaced entries keep standing driver-green r7 rows
 #         and rotate to the extended region, still locally verified
-#         every round; they lead the round-13 window).
+#         every round; they lead the round-14 window).
 #
-# Round-11 history (audit trail): flagship + the six round-10-displaced
-# entries + all remaining r3-latest greens + 14 r4-latest picks, with
-# the four round-11 ops (windowed audio ladder + portable PQ)
-# displacing band-4 re-checks per the ledger preserved at f39d1a7
-# (queries.py there) — CORRECTNESS_r11 was 50/50 hash-green.
+# Round-12 history (audit trail): flagship + the four round-11-displaced
+# entries + all 23 remaining r4-latest greens + the 20 alphabetically-
+# first r5-latest greens, with the two round-12 ops (asymmetric audio
+# containment + portable HLL) displacing band-4 re-checks per the
+# ledger preserved at c62c790 (queries.py there) — CORRECTNESS_r12 was
+# 50/50 hash-green.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: the four round-11-displaced entries (ledger debt) ----
-    "markov_transitions",
-    "ml_lag_features",
-    "market_basket_pairs",
-    "hybrid_rank_fusion",
-    # -- band 3: every remaining round-4-latest green -----------------
-    "numeric_histogram",
-    "ohlc_downsample",
-    "pipeline_curation_funnel",
-    "psi_drift",
-    "query_shapes_pack",
-    "rank_normalize",
-    "recsys_item_neighbors",
-    "sample_exact_k_per_group",
-    "seasonal_baseline_anomaly",
-    "skyline_pareto_brand",
-    "snapshot_diff",
-    "string_similarity_join_brand",
-    "subquery_pack",
-    "target_encode_loo",
-    "temperature_mix_sample",
-    "timeseries_twap",
-    "training_shuffle_order",
-    "tumbling_window_counts",
-    "unigram_logprob_quality",
-    "upsample_interpolate",
-    "upsample_mix",
-    "weighted_sample_poisson",
-    "winsorize_robust_scale",
-    # -- band 4: the 20 alphabetically-first round-5-latest greens ----
-    "ab_cuped_adjusted",
-    "allocation_proportional",
-    "asof_nearest_tolerance",
-    "attribution_linear",
-    "bot_rate_flags",
-    "chisq_independence_test",
-    "classifier_eval_metrics",
-    "cohort_ltv_curve",
-    "collocation_pmi_bigrams",
-    "concentration_metrics",
-    "concurrent_intervals_timeline",
-    "curriculum_interleave",
-    "cusum_changepoint",
-    "decile_lift_table",
-    "dedup_cluster_canonical",
-    "dedup_simhash_portable_pairs",
-    "gaps_islands_streaks",
-    "geo_revenue_shares",
-    "graph_common_neighbors",
-    "holt_linear_smoothing",
-    # -- band 5: round-12 new ops (see the ledger above) --------------
-    "multimodal_audio_asym_containment",
-    "sketch_hll_portable",
+    # -- band 2: the two round-12-displaced entries (ledger debt) -----
+    "interpurchase_intervals",
+    "label_centroid_similarity",
+    # -- band 3: the round-12 overflow entry (first driver row) -------
+    "sketch_countmin_portable",
+    # -- band 4: every remaining round-5-latest green -----------------
+    "langid_confusion_matrix",
+    "mad_outlier_flags",
+    "multimodal_png_roundtrip",
+    "mutual_information_features",
+    "new_vs_repeat_revenue",
+    "ngram_novelty_score",
+    "pareto_revenue_share",
+    "percentile_disc_pack",
+    "period_over_period",
+    "rfm_segmentation",
+    "rolling_correlation",
+    "score_calibration_bins",
+    "similarity_lsh_portable_pairs",
+    "skew_key_report",
+    "stickiness_wau_dau",
+    "string_agg_pack",
+    "survival_km_curve",
+    "theil_sen_trend",
+    "tokenizer_vocab_coverage",
+    "topn_plus_other",
+    "trending_items_decay",
+    "welch_ttest_report",
+    # -- band 5: every round-6-latest green ---------------------------
+    "blocking_quality_report",
+    "conversion_latency_percentiles",
+    "graph_degree_distribution",
+    "multimodal_audio_frames",
+    "multimodal_image_resize",
+    "multimodal_mjpeg_frame_sample",
+    "ols_elasticity_by_segment",
+    "retention_cohorts",
+    "session_diversity_entropy",
+    "shipping_sla_percentiles",
+    "text_readability_ari",
+    "threshold_sweep_pr",
+    "train_val_test_split",
+    # -- band 6: the 9 alphabetically-first round-7-latest greens -----
+    "asof_join_purchase_click",
+    "bootstrap_mean_ci",
+    "ctr_wilson_bounds",
+    "graph_triangle_count",
+    "label_agreement_kappa",
+    "ndcg_ranking_quality",
+    "pca_power_iteration_step",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    # -- band 7: round-13 new ops (see the ledger above) --------------
+    "multimodal_audio_subframe_containment",
+    "quantile_normalize_portable",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot
@@ -264,10 +273,10 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # slots 2-3 at the round-10 rotation; late additions that cannot
 # safely displace another re-check go here (cap 9).
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-# Round 12: sketch_countmin_portable landed after the 50-slot window
-# was sealed (two new ops already hold slots 49-50) — it queues for
-# the round-13 rotation with its 4-way local gate already green.
-OVERFLOW_QUEUE: tuple[str, ...] = ("sketch_countmin_portable",)
+# Round 13: the round-12 queue (sketch_countmin_portable) drained into
+# window slot 4; both round-13 ops fit inside the window (slots 49-50)
+# so the queue is empty.
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:

@@ -1158,3 +1158,43 @@ def test_countmin_portable_pure_jvm_bounded_aggregations(spark, sf_dir):
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in p
     assert "CartesianProduct" not in p
+
+
+def test_subframe_containment_band_keyed_no_cartesian(spark, sf_dir):
+    """The sub-frame matcher inherits the asymmetric plan contract:
+    sample-hop probe prints and compact archive prints are
+    zero-exchange Arrow maps off ONE staged synth frame, candidates
+    come from the band equi-join (no cartesian / nested-loop
+    broadcast), the energy witnesses ride the same verify joins (no
+    extra scan), and the sample-offset vote is two bounded
+    aggregations."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_subframe_containment(spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1  # staged synth frame
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
+def test_quantile_portable_pure_jvm_bounded_grid(spark, sf_dir):
+    """The portable quantile twin: zero Python evaluation anywhere;
+    the only nested-loop joins are the bounded broadcast grid lookups
+    (101 rows x the distinct-score histogram) and the 1-row
+    array/census broadcasts — never a corpus-sized cartesian; the
+    full-table work is one grouped histogram plus one bounded
+    per-source window."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators import signals
+
+    session.release_staged()
+    df = signals.q_quantile_normalize_portable(spark, sf_dir)
+    p = plans.executed_plan(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "CartesianProduct" not in p

@@ -699,6 +699,54 @@ def test_portable_countmin_matches_pure_python_replay(spark, sf_dir):
         assert n == eq == len(counters)  # counter additivity (merge)
 
 
+def test_portable_countmin_cross_engine_tiny_corpus(spark, tmp_path):
+    """Run the DuckDB oracle text itself (_CMP_ORACLE) against the
+    engine on a tiny skewed corpus, so engine/oracle parity is pinned
+    in-repo and the oracle SQL cannot drift between driver rows (r12
+    advice: the replay test above certifies the Spark side only)."""
+    import duckdb
+
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        _CMP_ORACLE,
+        q_sketch_countmin_portable,
+    )
+
+    sf = str(tmp_path)
+    # 7 distinct keys with distinct counts (no top-K ties), 3 days
+    rows = [
+        (k, "2024-02-0%d" % (i % 3 + 1))
+        for k in range(1, 8)
+        for i in range(k * 3)
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate string"
+    ).selectExpr(
+        "l_partkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {
+        r.l_partkey: (
+            r.exact_count,
+            r.cm_estimate,
+            r.overestimate,
+            r.n_counters,
+            r.n_counters_merge_eq_direct,
+        )
+        for r in q_sketch_countmin_portable(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(_CMP_ORACLE).fetchall()
+    }
+    assert got == want
+    assert len(got) == 7 and all(v[1] >= v[0] for v in got.values())
+
+
 def test_bpe_hybrid_local_switch_and_equality(spark):
     """The hybrid switch: below the word bound the trainer runs
     driver-local and must emit the bit-identical table to the

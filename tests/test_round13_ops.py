@@ -1,0 +1,364 @@
+"""Round-13 operators: sub-frame (mid-frame) audio containment via
+overlapping analysis frames + the exact-scale energy invariant, and the
+portable integer-exact quantile-normalization twin."""
+
+from __future__ import annotations
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_subframe_containment
+# ---------------------------------------------------------------------------
+
+
+def _subframe_samples():
+    """Hand corpus SAMPLE streams: a QUADRATIC-mix original (per-frame
+    constant |amplitude|, alternating sign — a linear zigzag's deltas
+    are too regular: blends of {+14, -9} never flip a sign and the
+    frame-grid matcher tracks the excerpt anyway), an excerpt of it
+    starting at SAMPLE 43 — 5 frames + 3 samples: mid-frame,
+    unrepresentable by any whole-frame offset — rescaled x2, and a
+    reversed control. Excerpt length 784 samples puts TWO
+    archive-aligned probe windows in range (u = 85 and 213)."""
+    amps = [
+        (((j * j * 7 + j * 31 + 13) % 65521) % 997) + 1
+        for j in range(113)
+    ]
+    orig = [
+        amps[t // 8] * (1 if t % 2 == 0 else -1) for t in range(113 * 8)
+    ]
+    s0 = 43
+    excerpt = [2 * v for v in orig[s0 : s0 + 784]]
+    rev = list(reversed(amps))
+    control = [
+        rev[t // 8] * (1 if t % 2 == 0 else -1) for t in range(113 * 8)
+    ]
+    return orig, excerpt, control, s0
+
+
+def _subframe_media(spark):
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+
+    orig, excerpt, control, _ = _subframe_samples()
+    rows = [
+        (0, "audio/wav", media_codecs.wav_encode(orig)),
+        (1, "audio/wav", media_codecs.wav_encode(excerpt)),
+        (2, "audio/wav", media_codecs.wav_encode(control)),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary"
+    )
+
+
+def _sub_prints(samples, hop):
+    """Pure-Python replay of the sub-frame print stage: |sample| prefix
+    sums → 65-frame windows at ``hop`` SAMPLES → (bands, e_head,
+    e_sum) per window start. Independent of Spark and DuckDB."""
+    a = [abs(v) for v in samples]
+    pref = [0]
+    for v in a:
+        pref.append(pref[-1] + v)
+    out = {}
+    for u in range(0, len(samples) - 520 + 1, hop):
+        fe = [
+            pref[u + 8 * (k + 1)] - pref[u + 8 * k] for k in range(65)
+        ]
+        bits = [1 if fe[k + 1] > fe[k] else 0 for k in range(64)]
+        bands = tuple(
+            sum(bits[16 * b + i] << i for i in range(16))
+            for b in range(4)
+        )
+        out[u] = (bands, fe[0], sum(fe))
+    return out
+
+
+def _expected_subframe_votes(probe, archive):
+    """Replay the pair algebra: band-match candidates, hamming <= 3,
+    exact-scale cross-multiplication, then the (n_exact DESC,
+    n_aligned DESC, min_hamming, offset) vote."""
+    from collections import defaultdict
+
+    votes: dict = defaultdict(lambda: defaultdict(list))
+    for (mq, uq), (pb, ph, ps) in probe.items():
+        for (mr, ur), (ab, ah, asum) in archive.items():
+            if mq == mr:
+                continue
+            if not any(x == y for x, y in zip(pb, ab)):
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(pb, ab))
+            if ham > 3:
+                continue
+            exact = 1 if ph * asum == ps * ah else 0
+            votes[(mq, mr)][ur - uq].append((ham, exact))
+    expected = {}
+    for pair, offs in votes.items():
+        ranked = sorted(
+            (
+                -sum(e for _, e in hs),
+                -len(hs),
+                min(h for h, _ in hs),
+                o,
+            )
+            for o, hs in offs.items()
+        )
+        ne, na, mh, o = ranked[0]
+        expected[pair] = (o, -na, -ne, mh)
+    return expected
+
+
+def test_subframe_alignment_hand_fixture(spark):
+    """The mid-frame excerpt must find its original at SAMPLE offset
+    43 with n_exact = 2 and hamming 0 — BY CONSTRUCTION: probe windows
+    85 and 213 start at original samples 128 and 256 (archive windows
+    1 and 2), and the x2 rescale preserves every delta sign AND the
+    exact energy proportion. The full expected row set is derived by
+    a pure-Python replay of prints + pair algebra."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_subframe_alignment,
+        audio_subframe_fingerprint_bands,
+    )
+
+    orig, excerpt, control, s0 = _subframe_samples()
+    probe = {
+        (1, u): v for u, v in _sub_prints(excerpt, 1).items()
+    }
+    archive = {
+        (m, u): v
+        for m, s in ((0, orig), (2, control))
+        for u, v in _sub_prints(s, 128).items()
+    }
+    # the aligned pins, checkable by eye
+    assert probe[(1, 128 - s0)][0] == archive[(0, 128)][0]
+    assert probe[(1, 256 - s0)][0] == archive[(0, 256)][0]
+    expected = _expected_subframe_votes(probe, archive)
+
+    media = _subframe_media(spark)
+    got = {
+        (r.media_q, r.media_r): (
+            r.offset_samples,
+            r.n_aligned,
+            r.n_exact,
+            r.min_hamming,
+        )
+        for r in audio_subframe_alignment(
+            audio_subframe_fingerprint_bands(
+                media.where("media_id = 1")
+            ),
+            audio_subframe_fingerprint_bands(
+                media.where("media_id != 1"), sample_hop=128
+            ),
+        ).collect()
+    }
+    assert got == expected
+    assert expected[(1, 0)] == (s0, 2, 2, 0)  # the construction offset
+
+
+def test_framegrid_matcher_blind_to_subframe_excerpt(spark):
+    """The round-12 frame-grid asymmetric matcher cannot represent a
+    mid-frame offset (it votes in whole frames): on the sample-43
+    quadratic fixture it reports NO (excerpt, original) pair AT ALL —
+    every frame-grid probe window blends two original frames and the
+    blended prints fall outside the hamming bar (verified by the
+    pure-Python replay when choosing the envelope)."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_probe_alignment,
+        audio_windowed_fingerprint_bands,
+    )
+
+    media = _subframe_media(spark)
+    rows = audio_probe_alignment(
+        audio_windowed_fingerprint_bands(
+            media.where("media_id = 1"), hop_frames=1
+        ),
+        audio_windowed_fingerprint_bands(media.where("media_id != 1")),
+    ).collect()
+    assert all((r.media_q, r.media_r) != (1, 0) for r in rows)
+
+
+def test_subframe_registry_fixture_offsets(spark, sf_dir):
+    """Registry-scale pin: every excerpt (odd media_id) reports its own
+    original (media_id - 1) at offset_samples = _afps_off_samples(f)
+    with n_aligned = n_exact = 2 and hamming 0 — the closed-form
+    construction, checked per family."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        _afps_off_samples,
+        q_multimodal_audio_subframe_containment,
+    )
+
+    rows = q_multimodal_audio_subframe_containment(spark, sf_dir).collect()
+    true_rows = {
+        r.media_q: r for r in rows if r.media_r == r.media_q - 1
+    }
+    n_docs = max(r.media_q for r in rows) + 1
+    assert len(true_rows) >= n_docs // 2 - 1
+    for mq, r in true_rows.items():
+        f = mq // 2
+        assert r.offset_samples == _afps_off_samples(f)
+        assert r.n_aligned == 2
+        assert r.n_exact == 2
+        assert r.min_hamming == 0
+
+
+def test_subframe_fingerprint_rejects_bad_clips(spark):
+    """Mono and >= one whole 520-sample window are contract; stereo or
+    short clips raise loudly instead of fingerprinting garbage."""
+    from py4j.protocol import Py4JJavaError
+
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_subframe_fingerprint_bands,
+    )
+
+    short = spark.createDataFrame(
+        [(0, "audio/wav", media_codecs.wav_encode([5] * 100))],
+        "media_id long, mime string, payload binary",
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        audio_subframe_fingerprint_bands(short).collect()
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize_portable
+# ---------------------------------------------------------------------------
+
+QNP_DOCS = (
+    # (doc_id, source, n_chars) — duplicate scores within and across
+    # sources, one singleton source (the n_src == 1 guard), counts
+    # chosen so grid interpolation hits nonzero remainders
+    [(i, "a", c) for i, c in enumerate([10, 20, 20, 30, 50, 80, 80])]
+    + [(100 + i, "b", c) for i, c in enumerate([10, 15, 30, 30, 90])]
+    + [(200, "c", 40)]
+)
+
+
+def _qnp_expected():
+    """Independent pure-Python replay of the portable mechanism —
+    value histogram, integer grid, per-source ranks, integer
+    interpolation, micros floor division — no Spark, no DuckDB."""
+    from collections import Counter, defaultdict
+
+    D = 100
+    scores = sorted(c for _, _, c in QNP_DOCS)
+    n = len(scores)
+    hist = Counter(scores)
+    n_cells = len(hist)
+    # g_num[i] over denominator D
+    g_num = []
+    for i in range(D + 1):
+        pos = i * (n - 1)
+        t = 0 if n == 1 else min(pos // D, n - 2)
+        rem = pos - t * D
+        g_num.append(scores[t] * (D - rem) + scores[t + 1] * rem)
+    by_src = defaultdict(list)
+    for doc_id, src, c in QNP_DOCS:
+        by_src[src].append((c, doc_id))
+    out = {}
+    for src, items in by_src.items():
+        items.sort()
+        n_src = len(items)
+        dsrc = 1 if n_src == 1 else n_src - 1
+        for rk0, (c, doc_id) in enumerate(items):
+            idxn = rk0 * D
+            lo = 0 if n_src == 1 else min(idxn // dsrc, D - 1)
+            rem2 = idxn - lo * dsrc
+            num = g_num[lo] * (dsrc - rem2) + g_num[lo + 1] * rem2
+            micros = num * 1_000_000 // (dsrc * D)
+            out[doc_id] = (src, c, micros, n_cells, n_cells)
+    return out
+
+
+def _qnp_write_docs(spark, tmp_path):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        QNP_DOCS, "doc_id long, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_qnp_hand_fixture(spark, tmp_path):
+    """Engine output must equal the pure-Python replay exactly — every
+    value is an integer, so there is no rounding convention to share
+    (the count-min precedent)."""
+    from sparkstreaming_rawdataingestion_spark.operators.signals import (
+        q_quantile_normalize_portable,
+    )
+
+    sf = _qnp_write_docs(spark, tmp_path)
+    got = {
+        r.doc_id: (
+            r.source,
+            r.score,
+            r.norm_micros,
+            r.n_cells,
+            r.n_cells_merge_eq_direct,
+        )
+        for r in q_quantile_normalize_portable(spark, sf).collect()
+    }
+    assert got == _qnp_expected()
+    # endpoints: per-source min -> global min, max -> global max
+    scores = sorted(c for _, _, c in QNP_DOCS)
+    assert got[0][2] == scores[0] * 1_000_000  # min of source a
+    assert got[6][2] == scores[-1] * 1_000_000  # max of source a
+    # singleton source maps to pr = 0 -> the global minimum
+    assert got[200][2] == scores[0] * 1_000_000
+
+
+def test_qnp_cross_engine_tiny_corpus(spark, tmp_path):
+    """Run the DuckDB oracle text itself on the hand corpus against
+    the engine, pinning the oracle SQL in-repo (the r12-advice recipe
+    applied to the new twin from day one)."""
+    import duckdb
+
+    from sparkstreaming_rawdataingestion_spark.operators.signals import (
+        _QNP_ORACLE,
+        q_quantile_normalize_portable,
+    )
+
+    sf = _qnp_write_docs(spark, tmp_path)
+    got = sorted(
+        tuple(r)
+        for r in q_quantile_normalize_portable(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(_QNP_ORACLE).fetchall())
+    assert got == want
+
+
+def test_qnp_tracks_exact_kernel(spark, sf_dir):
+    """The twin's fixed-point output must track the EXACT kernel
+    (quantile_normalize_sources) within grid resolution: the grid has
+    101 breakpoints over the global distribution, so for every
+    document |norm_micros/1e6 - exact norm_score| is bounded by the
+    largest score gap spanned by one grid interval (computed from the
+    data, not assumed)."""
+    from sparkstreaming_rawdataingestion_spark.operators.signals import (
+        q_quantile_normalize_portable,
+        q_quantile_normalize_sources,
+    )
+
+    exact = {
+        r.doc_id: r.norm_score
+        for r in q_quantile_normalize_sources(spark, sf_dir).collect()
+    }
+    twin = {
+        r.doc_id: r.norm_micros / 1_000_000
+        for r in q_quantile_normalize_portable(spark, sf_dir).collect()
+    }
+    scores = sorted(exact.values())
+    n = len(scores)
+    per_grid = max(1, (n - 1) // 100)
+    worst_gap = max(
+        scores[min(i + per_grid + 1, n - 1)] - scores[i]
+        for i in range(0, n - 1)
+    )
+    assert set(twin) == set(exact)
+    for doc_id, v in twin.items():
+        assert abs(v - exact[doc_id]) <= worst_gap + 1e-9, doc_id
