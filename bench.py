@@ -96,6 +96,20 @@ multimodal_audio_asym_containment 2.9-3.0 s (probe side is 16x
 denser than the hop-aligned matcher's — the cost of closing the
 misaligned-excerpt class) and sketch_hll_portable 0.8-1.0 s.
 
+Round-13 panel note: two flat sub-second re-checks retired
+(downsample_gapfill, distribution_drift_ks — histories in
+RETIRED_FROM_HEADLINE) BEFORE the two round-13 headliners landed
+(the round-12 verdict's byte-hygiene order); final line 1754 bytes
+(~146 headroom — the ledger must fire again before round-14
+additions). Verified-solo panel at round HEAD: 75.74 s total
+(probes 0.158/0.121 — clean), UNDER round 12's 77.0 s final solo
+despite +7.3 s of new entries: multimodal_audio_subframe_containment
+6.4 s (the probe side is 8x denser than the asym matcher's — one
+print per SAMPLE, the cost of closing the mid-frame class; per-row
+cost falls 2.1x at 10x scale) and quantile_normalize_portable
+0.93 s. Shared entries healthy (minhash 5.65 s, bpe_train 0.54 s,
+pq_portable 4.95 s).
+
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
 6.13 s → 3.78 s → ~5.0 s across the r4/r5/r6 driver+local runs, with
@@ -151,6 +165,12 @@ RETIRED_FROM_HEADLINE = [
     "window_frames_pack",      # 0.38/0.51/0.46 s r9/r10/r11 (r12;
                                # window coverage stays via
                                # window_functions_pack + downsample)
+    "downsample_gapfill",      # 0.50/0.40/0.42 s r10/r11/r12 (r13;
+                               # time-series coverage stays via
+                               # window_functions_pack + streaming pack)
+    "distribution_drift_ks",   # 0.58/0.56/0.45 s r10/r11/r12 (r13;
+                               # drift/stats coverage stays via
+                               # table_profile + the correctness gate)
 ]
 HEADLINE = [
     "ingest_normalize",
@@ -169,7 +189,6 @@ HEADLINE = [
     "q8_market_share",
     "q18_large_orders",
     "q21_waiting_supplier",
-    "downsample_gapfill",
     "window_functions_pack",
     "scalar_semistructured_pack",
     "join_strategies_pack",
@@ -182,7 +201,6 @@ HEADLINE = [
     "table_profile",
     "recursive_event_chains",
     "dedup_containment_pairs",
-    "distribution_drift_ks",
     # round-4 family representatives (heaviest each): full dataset build,
     # wedge-join link prediction, compressed-index ANN, BM25 retrieval
     "pipeline_training_build",
@@ -217,6 +235,11 @@ HEADLINE = [
     # HyperLogLog twin (mergeability certified in the value hash)
     "multimodal_audio_asym_containment",
     "sketch_hll_portable",
+    # round-13 additions: sub-frame (mid-frame) audio containment
+    # (sample-hop-1 probe + exact-scale energy invariant) and the
+    # integer-exact quantile-normalization twin
+    "multimodal_audio_subframe_containment",
+    "quantile_normalize_portable",
 ]
 
 

@@ -1485,7 +1485,29 @@ def _bpe_batch_schedule(
     that could win a lexicographic tie). If trimming empties the
     batch, the single argmax row is returned (K=1 is trivially exact,
     collisions and self-pairs included — the delta maintenance is
-    string-keyed)."""
+    string-keyed).
+
+    TIE SPLITTING (round 13 — the strict trim rejected the WHOLE tie
+    level, degrading tie-heavy vocabularies to near-K=1 rounds): a
+    chosen member AT count c_q is still provably safe unless a pair
+    created by an EARLIER chosen rule can tie it at exactly c_q and
+    win the lexicographic tie-break. Creation counts are bounded by
+    the stale count of an adjacency pair that INTERACTS with the
+    creating rule, and every in-list interacting pair sits at or
+    after the stop row (it would otherwise have stopped the walk
+    sooner), so the bound reaches c_q only through (i) an in-list
+    row at count == c_q at/after the stop that shares a token with
+    the creating rule, or (ii) an unseen pair, possible at c_q only
+    when the page is full and its tail still sits at c_q (unseen
+    counts are <= the last row's). Unseen NON-created pairs can also
+    tie c_q, but they sort lexicographically after every in-list row
+    at that count, so they lose the tie to any chosen member. Hence:
+    keep the tie prefix up to (and including) the first DANGEROUS
+    rule — one with an interacting tie-level row after the stop —
+    and drop tie members after it; with a full page still tied at
+    its tail, every rule is dangerous and only a leading tie member
+    survives. Equality pins: tie-splitting unit corpus + the
+    tie-heavy A/B in ARCHITECTURE.md (round 13)."""
     chosen: list[tuple[str, str, int]] = []
     chosen_tokens: set = set()
     c_q = None
@@ -1505,7 +1527,30 @@ def _bpe_batch_schedule(
         if len(rows) == top_m:
             c_q = rows[-1][2]
     if c_q is not None:
-        chosen = [t for t in chosen if t[2] > c_q]
+        full_tail_tied = len(rows) == top_m and rows[-1][2] == c_q
+        cut = len(chosen)
+        if full_tail_tied:
+            # unseen pairs can tie c_q and interact with ANY rule:
+            # every rule is dangerous -> keep at most one tie member
+            # (nothing precedes the first chosen rule)
+            danger = 0
+        else:
+            tie_after = [
+                {al, ar, al + ar}
+                for al, ar, ac in rows[len(chosen):]
+                if ac == c_q
+            ]
+            danger = None
+            for j, (l, r, _) in enumerate(chosen):
+                toks = {l, r, l + r}
+                if any(toks & t for t in tie_after):
+                    danger = j
+                    break
+        for i, t in enumerate(chosen):
+            if t[2] == c_q and danger is not None and i > danger:
+                cut = i
+                break
+        chosen = chosen[:cut]
     if not chosen:
         l, r, c = rows[0]
         return [(l, r, c)]

@@ -40,10 +40,67 @@ from .curation_stream import read_archive
 #: bucket count per band for the directory layout (census
 #: SEEN_BUCKETS discipline: a layout constant — raise it so a bucket's
 #: print set fits an executor at the target archive size). Total
-#: partitions = DHASH_BANDS * PRINT_BUCKETS.
+#: partitions = DHASH_BANDS * PRINT_BUCKETS. A deployed archive
+#: records its bucket count in a ``.print_buckets.N`` marker file;
+#: changing this constant over an existing archive raises at
+#: read/append time (check_print_layout) instead of silently missing
+#: rows — rewrite the archive first with
+#: ``tools/migrate_print_buckets.py`` (round-13 migration path).
 PRINT_BUCKETS = 16
 
 _PRINT_COLS = tuple(f"band{k}" for k in range(DHASH_BANDS))
+
+
+def _hadoop_fs(spark: SparkSession, sink_dir: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, path
+
+
+def write_print_layout_marker(
+    spark: SparkSession, sink_dir: str, buckets: int | None = None
+) -> None:
+    """Record the archive's bucket count as an empty marker FILE NAME
+    (``.print_buckets.N`` — existence is the record, no content to
+    parse cross-filesystem). Dot-prefixed files are hidden from
+    Spark's file listing (an ``_``-prefixed ``name=value`` file is
+    NOT: partition discovery tries to read it as data — measured)."""
+    jvm, fs, _ = _hadoop_fs(spark, sink_dir)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{sink_dir}/.print_buckets.{buckets or PRINT_BUCKETS}"
+    )
+    fs.createNewFile(marker)
+
+
+def check_print_layout(
+    spark: SparkSession, sink_dir: str, expected: int | None = None
+) -> None:
+    """Refuse to read or append when the archive's recorded bucket
+    count disagrees with the session's PRINT_BUCKETS: a print written
+    at ``band_val % 16`` simply is not in the partition a
+    ``band_val % 32`` reader prunes to, so a mismatch silently MISSES
+    matches — fail loudly and point at the migration tool instead.
+    Archives without a marker (pre-round-13) are assumed current."""
+    expected = expected if expected is not None else PRINT_BUCKETS
+    jvm, fs, path = _hadoop_fs(spark, sink_dir)
+    if not fs.exists(path):
+        return
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{sink_dir}/.print_buckets.*")
+    )
+    found = sorted(
+        int(s.getPath().getName().rsplit(".", 1)[1])
+        for s in (statuses or [])
+    )
+    if found and found != [expected]:
+        raise ValueError(
+            f"print-index layout mismatch at {sink_dir}: archive "
+            f"recorded band_bucket = band_val % {found[0]}, session "
+            f"expects % {expected}. Rewrite the archive with "
+            f"tools/migrate_print_buckets.py before reading or "
+            f"appending."
+        )
 
 
 def _long_carry(bands_wide: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
@@ -71,11 +128,11 @@ def append_print_index(
     exist yet — once footers exist, an empty append is harmless, so
     the common-case batch never pays it (r12 second review)."""
     spark = out_wide.sparkSession
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(sink_dir)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(path) and out_wide.isEmpty():
+    _, fs, path = _hadoop_fs(spark, sink_dir)
+    existed = fs.exists(path)
+    if not existed and out_wide.isEmpty():
         return
+    check_print_layout(spark, sink_dir)
     (
         _long_carry(out_wide, key_cols)
         .withColumn(
@@ -86,6 +143,8 @@ def append_print_index(
         .partitionBy("band_idx", "band_bucket")
         .parquet(sink_dir)
     )
+    if not existed:
+        write_print_layout_marker(spark, sink_dir)
 
 
 def touched_buckets(probe_wide: DataFrame) -> list[tuple[int, int]]:
@@ -120,6 +179,7 @@ def read_pruned_prints(
     the batch (module docstring). None before the first append or for
     an empty touched list (nothing can match). The isin filters land
     on the partition columns and prune the file listing."""
+    check_print_layout(spark, sink_dir)
     table = read_archive(spark, sink_dir)
     if table is None or not touched:
         return None
@@ -145,6 +205,7 @@ def read_print_index_wide(
     """The full archive as ONE wide row per print (consumer/test view:
     dashboards, invariant checks). band_idx = 0 rows carry the whole
     print, so the projection needs no dedup-by-band."""
+    check_print_layout(spark, sink_dir)
     table = read_archive(spark, sink_dir)
     if table is None:
         return None

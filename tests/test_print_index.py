@@ -162,3 +162,64 @@ def test_empty_first_batch_does_not_wedge_the_sink(spark, tmp_path):
     )
     wide = read_print_index_wide(spark, sink, ("media_id",))
     assert [tuple(r) for r in wide.collect()] == [(1, 0, 1, 2, 3)]
+
+
+def test_bucket_migration_round_trip(spark, tmp_path, monkeypatch):
+    """migrate_print_buckets rewrites an archive to a new bucket count
+    with data equivalence: after migration (16 -> 32), a session
+    running PRINT_BUCKETS=32 reads the SAME wide prints and the SAME
+    exact pruned sets; a session still on 16 refuses loudly with the
+    marker guard (round-12 verdict Next #5)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import migrate_print_buckets as mig
+
+    from sparkstreaming_rawdataingestion_spark.streaming import (
+        print_index as pi,
+    )
+
+    sink = str(tmp_path / "prints")
+    rows = [
+        (m, 100 + m, 2000 + 3 * m, 40 + m, 65000 - m) for m in range(24)
+    ]
+    append_print_index(_bands(spark, rows), sink, ("media_id",))
+    before = sorted(
+        tuple(r)
+        for r in read_print_index_wide(
+            spark, sink, ("media_id",)
+        ).collect()
+    )
+
+    mig.migrate(spark, sink, 32)
+
+    # old-constant session: the guard refuses read AND append
+    with pytest.raises(ValueError, match="migrate_print_buckets"):
+        read_print_index_wide(spark, sink, ("media_id",))
+    with pytest.raises(ValueError, match="migrate_print_buckets"):
+        append_print_index(
+            _bands(spark, [(99, 1, 2, 3, 4)]), sink, ("media_id",)
+        )
+
+    # new-constant session: identical wide prints, exact pruning
+    monkeypatch.setattr(pi, "PRINT_BUCKETS", 32)
+    after = sorted(
+        tuple(r)
+        for r in pi.read_print_index_wide(
+            spark, sink, ("media_id",)
+        ).collect()
+    )
+    assert after == before
+    probe = _bands(spark, rows[:3])
+    touched = pi.touched_buckets(probe)
+    pruned = pi.read_pruned_prints(spark, sink, touched, ("media_id",))
+    assert sorted(tuple(r) for r in pruned.collect() if r.media_id < 3) == (
+        sorted(t for t in before if t[0] < 3)
+    )
+    # the partition layout really is 32-bucketed now
+    dirs = glob.glob(f"{sink}/band_idx=0/band_bucket=*")
+    assert any(
+        int(d.rsplit("=", 1)[1]) >= 16 for d in dirs
+    ), "no bucket >= 16: the rewrite did not change the modulus"

@@ -362,3 +362,127 @@ def test_qnp_tracks_exact_kernel(spark, sf_dir):
     assert set(twin) == set(exact)
     for doc_id, v in twin.items():
         assert abs(v - exact[doc_id]) <= worst_gap + 1e-9, doc_id
+
+
+# ---------------------------------------------------------------------------
+# BPE tie-splitting batch schedule (round-12 verdict Next #4)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_schedule_tie_split_keeps_safe_prefix():
+    """A count-tie whose interacting row only touches a LATE rule: the
+    strict trim used to reject the whole tie level (K=1); the
+    tie-splitting rule keeps every member up to and including the
+    first dangerous rule (creations can only preempt members AFTER
+    their creating rule)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_batch_schedule,
+    )
+
+    rows = [
+        ("a", "b", 5),
+        ("c", "d", 5),
+        ("e", "f", 5),
+        ("g", "h", 5),
+        ("x", "g", 5),  # interacts rule 3 only -> danger index 3
+    ]
+    got = _bpe_batch_schedule(rows, set("abcdefghx"), 10, 64)
+    assert got == rows[:4]
+
+
+def test_batch_schedule_tie_split_cuts_after_danger():
+    """Members after the first dangerous rule are dropped: the
+    interacting tie row touches rule 0, so only rule 0 survives the
+    tie (a pair created by rule 0 could tie the count and win a
+    lexicographic tie against any later member)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_batch_schedule,
+    )
+
+    rows = [
+        ("a", "b", 5),
+        ("c", "d", 5),
+        ("e", "f", 5),
+        ("x", "a", 5),  # interacts rule 0 -> danger index 0
+    ]
+    got = _bpe_batch_schedule(rows, set("abcdefx"), 10, 64)
+    assert got == [("a", "b", 5)]
+
+
+def test_batch_schedule_tie_split_full_page_conservative():
+    """A FULL page still tied at its tail: unseen pairs can tie c_q and
+    interact with anything, so every rule is dangerous — only a
+    leading tie member survives (plus all strictly-above-tie rows)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_batch_schedule,
+    )
+
+    rows = [("a", "b", 7), ("c", "d", 5), ("e", "f", 5)]
+    got = _bpe_batch_schedule(rows, set("abcdef"), 10, top_m=3)
+    # ("c","d",5) drops: an unseen pair could interact with rule 0 at
+    # count 5, and a pair rule 0 creates could then tie ("c","d")
+    assert got == [("a", "b", 7)]
+    # first row itself in the tie: it survives alone
+    rows2 = [("a", "b", 5), ("c", "d", 5), ("e", "f", 5)]
+    got2 = _bpe_batch_schedule(rows2, set("abcdef"), 10, top_m=3)
+    assert got2 == [("a", "b", 5)]
+
+
+def test_batch_schedule_tie_split_mixed_levels():
+    """Above-tie members always survive; the tie level splits at its
+    own danger point; sub-c_q in-list rows never create danger (their
+    creations are bounded strictly below the tie)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_batch_schedule,
+    )
+
+    rows = [
+        ("a", "b", 9),
+        ("c", "d", 5),
+        ("e", "f", 5),
+        ("x", "e", 5),  # interacts rule 2 -> danger index 2
+        ("y", "a", 4),  # BELOW the tie: harmless for the tie split
+    ]
+    got = _bpe_batch_schedule(rows, set("abcdefxy"), 10, 64)
+    assert got == rows[:3]
+
+
+def test_bpe_tie_split_equality_on_shared_token_ties(spark):
+    """Bit-identity pin on a corpus built to hit the tie-splitting
+    path: many equal-count pairs, some sharing tokens — the batched
+    trainer with tie splitting must emit the SAME merge table as the
+    sequential K=1 loop (and as the driver-local trainer)."""
+    from sparkstreaming_rawdataingestion_spark.operators.text import (
+        _bpe_train_from_pieces,
+        _bpe_train_from_pieces_batched,
+        _bpe_word_pieces,
+    )
+    from sparkstreaming_rawdataingestion_spark import session
+
+    words = []
+    # 12 disjoint-tie words at count 4 each, plus token-sharing ties:
+    # chains like 'pq', 'qr', 'rs' collide on shared tokens at equal
+    # counts, plus a self-pair run and a collision setup
+    for i in range(12):
+        words += [chr(0x4E00 + 2 * i) + chr(0x4E01 + 2 * i)] * 4
+    words += ["pq"] * 4 + ["qr"] * 4 + ["rs"] * 4 + ["zz"] * 4
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(reversed(words)))],
+        "doc_id long, text string",
+    )
+    session.release_staged()
+    pieces = session.stage(_bpe_word_pieces(docs))
+    seq = sorted(
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in _bpe_train_from_pieces(spark, pieces, 20).collect()
+    )
+    log: list = []
+    bat = sorted(
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in _bpe_train_from_pieces_batched(
+            spark, pieces, 20, local_max_words=0, _round_log=log
+        ).collect()
+    )
+    assert bat == seq
+    # the tie split must beat one-merge-per-round on this corpus
+    assert len(log) < len(seq)

@@ -496,6 +496,26 @@ PICKS = {
         "top-K via TakeOrdered-sized window, a broadcast probe join and "
         "a 1-row mergeability scalar — all integers, zero Python."
     ),
+    "multimodal_audio_subframe_containment": (
+        "Sub-frame audio containment (round 13): ONE staged synth frame "
+        "feeds both sides of the SAME overlapping-analysis-frame stage "
+        "(archive at a 128-sample hop, probe at hop 1 — pure Arrow maps, "
+        "zero exchanges each); candidates from the (band_idx, band_val) "
+        "equi-join, the energy witnesses ride the verify joins as print-"
+        "identity columns (no extra scan), and the sample-offset vote "
+        "ranked by the exact-scale BIGINT invariant is two bounded "
+        "aggregations."
+    ),
+    "quantile_normalize_portable": (
+        "Integer-exact quantile normalization (round 13): one scan into "
+        "a grouped VALUE histogram (bounded by distinct-score "
+        "cardinality — the global cumulative window runs over that "
+        "bounded table, never the corpus), a 101-row grid range-joined "
+        "against the broadcast histogram, one bounded per-source window, "
+        "and two 1-row broadcasts (grid array + mergeability census); "
+        "the only division is the final fixed-point floor — zero floats, "
+        "zero Python, no global sort."
+    ),
     "pipeline_training_build_semantic": (
         "Training build + SemDeDup stage (round 10): centroid fanout is "
         "the single broadcast nested loop; the CC drop list enters the "
