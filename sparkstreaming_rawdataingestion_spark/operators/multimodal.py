@@ -1980,6 +1980,28 @@ def synthesize_afpa_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
 
 
+def _guarded_cross_pairs(
+    probe_bands: DataFrame,
+    archive_bands: DataFrame,
+    max_hamming: int,
+    extra_key: tuple[str, ...],
+) -> DataFrame:
+    """The shared candidate stage of both containment votes
+    (frame-unit audio_probe_alignment and sample-unit
+    audio_subframe_alignment): dhash_band_pairs in cross mode plus the
+    self-pair guard — overlapping probe/archive media-id spaces must
+    not emit trivial self-containment rows (hamming-0 votes at offset
+    0); registry callers use disjoint id spaces, so this drops nothing
+    there (r12 advice; ONE definition so a guard/verify fix cannot
+    land in one vote and silently miss the other — r13 review)."""
+    return dhash_band_pairs(
+        probe_bands,
+        archive_bands,
+        max_hamming=max_hamming,
+        extra_key=extra_key,
+    ).where(F.col("media_a") != F.col("media_b"))
+
+
 def audio_probe_alignment(
     probe_wbands: DataFrame,
     archive_wbands: DataFrame,
@@ -2000,16 +2022,9 @@ def audio_probe_alignment(
     Scale: the archive side stays one print per {AFPW_HOP_FRAMES}
     frames — the dense side is the QUERY batch only; candidates remain
     band-bucketed (pigeonhole), no cartesian anywhere."""
-    # Self-pair guard (r12 advice): with overlapping probe/archive
-    # media-id spaces the cross-mode kernel would emit trivial
-    # self-containment rows (hamming-0 votes at offset 0); registry
-    # callers use disjoint id spaces, so this drops nothing there.
-    wpairs = dhash_band_pairs(
-        probe_wbands,
-        archive_wbands,
-        max_hamming=max_hamming,
-        extra_key=("win",),
-    ).where(F.col("media_a") != F.col("media_b"))
+    wpairs = _guarded_cross_pairs(
+        probe_wbands, archive_wbands, max_hamming, ("win",)
+    )
     offs = wpairs.groupBy(
         F.col("media_a").alias("media_q"),
         F.col("media_b").alias("media_r"),
@@ -2380,14 +2395,10 @@ def audio_subframe_alignment(
     smallest offset. Archive stays compact (one print per
     {AFPW_HOP_FRAMES}-frame hop); candidates remain band-bucketed,
     no cartesian anywhere."""
-    # Self-pair guard: same rationale as audio_probe_alignment (r12
-    # advice) — overlapping id spaces must not vote offset-0 self rows.
-    wpairs = dhash_band_pairs(
-        probe_sbands,
-        archive_sbands,
-        max_hamming=max_hamming,
-        extra_key=("win", "e_head", "e_sum"),
-    ).where(F.col("media_a") != F.col("media_b"))
+    wpairs = _guarded_cross_pairs(
+        probe_sbands, archive_sbands, max_hamming,
+        ("win", "e_head", "e_sum"),
+    )
     exact = (
         F.col("e_head_a") * F.col("e_sum_b")
         == F.col("e_sum_a") * F.col("e_head_b")

@@ -250,15 +250,26 @@ d2 AS (
               ELSE least(idxn // dsrc, {QNP_D - 1}) END AS lo
   FROM didx
 ),
-d3 AS (SELECT *, idxn - lo * dsrc AS rem2 FROM d2)
+d3 AS (SELECT *, idxn - lo * dsrc AS rem2 FROM d2),
+d4 AS (
+  -- split fixed-point division (exact: num*M//den == (num//den)*M +
+  -- (num%den)*M//den) keeps every intermediate within num's own
+  -- magnitude instead of num * {QNP_MICROS} (r13 review: the fused
+  -- product overflows BIGINT once max_score * n_src > ~9.2e12;
+  -- Spark wraps silently with ANSI off while DuckDB raises)
+  SELECT d.doc_id, d.source, d.score,
+         ga.g_num * (d.dsrc - d.rem2) + gb.g_num * d.rem2 AS num,
+         d.dsrc * {QNP_D} AS den
+  FROM d3 d
+  JOIN gv ga ON ga.i = d.lo
+  JOIN gv gb ON gb.i = d.lo + 1
+)
 SELECT d.doc_id, d.source, d.score,
-       CAST((ga.g_num * (d.dsrc - d.rem2) + gb.g_num * d.rem2)
-            * {QNP_MICROS} // (d.dsrc * {QNP_D}) AS BIGINT) AS norm_micros,
+       CAST((d.num // d.den) * {QNP_MICROS}
+            + ((d.num % d.den) * {QNP_MICROS}) // d.den
+            AS BIGINT) AS norm_micros,
        m.n_cells, m.n_cells_merge_eq_direct
-FROM d3 d
-JOIN gv ga ON ga.i = d.lo
-JOIN gv gb ON gb.i = d.lo + 1
-CROSS JOIN mstat m
+FROM d4 d CROSS JOIN mstat m
 """
 
 
@@ -419,8 +430,12 @@ def q_quantile_normalize_portable(
             "doc_id",
             "source",
             "score",
-            (norm_num * QNP_MICROS).cast("long").alias("_norm_scaled"),
-            (F.col("dsrc") * D).alias("_denom"),
+            # split fixed-point division: exact, and every
+            # intermediate stays within num's own magnitude — the
+            # fused num * MICROS product would silently wrap int64
+            # (ANSI off) once max_score * n_src > ~9.2e12 (r13 review)
+            norm_num.alias("_num"),
+            (F.col("dsrc") * D).alias("_den"),
             "n_cells",
             "n_cells_merge_eq_direct",
         )
@@ -428,7 +443,10 @@ def q_quantile_normalize_portable(
             "doc_id",
             "source",
             "score",
-            F.expr("_norm_scaled DIV _denom").alias("norm_micros"),
+            F.expr(
+                f"(_num DIV _den) * {QNP_MICROS}"
+                f" + ((_num % _den) * {QNP_MICROS}) DIV _den"
+            ).alias("norm_micros"),
             "n_cells",
             "n_cells_merge_eq_direct",
         )

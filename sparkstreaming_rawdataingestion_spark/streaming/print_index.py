@@ -66,26 +66,41 @@ def write_print_layout_marker(
     parse cross-filesystem). Dot-prefixed files are hidden from
     Spark's file listing (an ``_``-prefixed ``name=value`` file is
     NOT: partition discovery tries to read it as data — measured)."""
+    buckets = PRINT_BUCKETS if buckets is None else buckets
+    if buckets < 1:
+        raise ValueError(f"bucket count must be >= 1, got {buckets}")
     jvm, fs, _ = _hadoop_fs(spark, sink_dir)
     marker = jvm.org.apache.hadoop.fs.Path(
-        f"{sink_dir}/.print_buckets.{buckets or PRINT_BUCKETS}"
+        f"{sink_dir}/.print_buckets.{buckets}"
     )
     fs.createNewFile(marker)
 
 
 def check_print_layout(
-    spark: SparkSession, sink_dir: str, expected: int | None = None
-) -> None:
+    spark: SparkSession,
+    sink_dir: str,
+    expected: int | None = None,
+    _hfs=None,
+    _exists: bool | None = None,
+) -> bool:
     """Refuse to read or append when the archive's recorded bucket
     count disagrees with the session's PRINT_BUCKETS: a print written
     at ``band_val % 16`` simply is not in the partition a
     ``band_val % 32`` reader prunes to, so a mismatch silently MISSES
     matches — fail loudly and point at the migration tool instead.
-    Archives without a marker (pre-round-13) are assumed current."""
+    Archives without a marker (pre-round-13) are assumed current;
+    returns True when a marker was found, so appenders can BACKFILL
+    the marker on legacy archives (first correctly-configured touch
+    brings them under the guard — r13 review). ``_hfs``/``_exists``
+    let the per-batch append path reuse its already-constructed
+    FileSystem and existence probe instead of paying a second round
+    trip (object-store appends are RPC-bound)."""
     expected = expected if expected is not None else PRINT_BUCKETS
-    jvm, fs, path = _hadoop_fs(spark, sink_dir)
-    if not fs.exists(path):
-        return
+    jvm, fs, path = _hfs if _hfs is not None else _hadoop_fs(
+        spark, sink_dir
+    )
+    if not (fs.exists(path) if _exists is None else _exists):
+        return False
     statuses = fs.globStatus(
         jvm.org.apache.hadoop.fs.Path(f"{sink_dir}/.print_buckets.*")
     )
@@ -101,6 +116,7 @@ def check_print_layout(
             f"tools/migrate_print_buckets.py before reading or "
             f"appending."
         )
+    return bool(found)
 
 
 def _long_carry(bands_wide: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
@@ -128,11 +144,11 @@ def append_print_index(
     exist yet — once footers exist, an empty append is harmless, so
     the common-case batch never pays it (r12 second review)."""
     spark = out_wide.sparkSession
-    _, fs, path = _hadoop_fs(spark, sink_dir)
-    existed = fs.exists(path)
+    hfs = _hadoop_fs(spark, sink_dir)
+    existed = hfs[1].exists(hfs[2])
     if not existed and out_wide.isEmpty():
         return
-    check_print_layout(spark, sink_dir)
+    marked = check_print_layout(spark, sink_dir, _hfs=hfs, _exists=existed)
     (
         _long_carry(out_wide, key_cols)
         .withColumn(
@@ -143,7 +159,10 @@ def append_print_index(
         .partitionBy("band_idx", "band_bucket")
         .parquet(sink_dir)
     )
-    if not existed:
+    if not marked:
+        # first write records the layout; a legacy pre-marker archive
+        # is backfilled on its first guarded append (idempotent file
+        # creation — the appender's constant matched the guard above)
         write_print_layout_marker(spark, sink_dir)
 
 

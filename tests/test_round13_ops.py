@@ -203,8 +203,13 @@ def test_subframe_registry_fixture_offsets(spark, sf_dir):
 
 def test_subframe_fingerprint_rejects_bad_clips(spark):
     """Mono and >= one whole 520-sample window are contract; stereo or
-    short clips raise loudly instead of fingerprinting garbage."""
-    from py4j.protocol import Py4JJavaError
+    short clips raise the stage's OWN message instead of
+    fingerprinting garbage (matching on the message — a bare
+    exception check would pass on any unrelated failure and the guard
+    could be deleted unnoticed; r13 review)."""
+    import io
+    import struct
+    import wave
 
     from sparkstreaming_rawdataingestion_spark.operators import (
         media_codecs,
@@ -217,8 +222,27 @@ def test_subframe_fingerprint_rejects_bad_clips(spark):
         [(0, "audio/wav", media_codecs.wav_encode([5] * 100))],
         "media_id long, mime string, payload binary",
     )
-    with pytest.raises((Py4JJavaError, Exception)):
+    # PySpark surfaces the worker ValueError as PythonException; the
+    # MESSAGE is the pin (Exception alone would pass on any failure)
+    with pytest.raises(
+        Exception, match="sub-frame audio fingerprint expects mono"
+    ):
         audio_subframe_fingerprint_bands(short).collect()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:  # 2-channel clip, long enough
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<1200h", *([7] * 1200)))
+    stereo = spark.createDataFrame(
+        [(1, "audio/wav", buf.getvalue())],
+        "media_id long, mime string, payload binary",
+    )
+    with pytest.raises(
+        Exception, match="sub-frame audio fingerprint expects mono"
+    ):
+        audio_subframe_fingerprint_bands(stereo).collect()
 
 
 # ---------------------------------------------------------------------------

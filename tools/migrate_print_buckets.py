@@ -38,6 +38,11 @@ def migrate(spark, sink_dir: str, new_buckets: int) -> None:
         write_print_layout_marker,
     )
 
+    if new_buckets < 1:
+        # pmod(x, 0) is NULL -> every row in the Hive default
+        # partition, invisible to any isin prune — and the data-column
+        # equivalence check would certify it (r13 review)
+        raise SystemExit(f"new_buckets must be >= 1, got {new_buckets}")
     old = spark.read.parquet(sink_dir)
     data_cols = [c for c in old.columns if c != "band_bucket"]
     tmp = sink_dir.rstrip("/") + ".migrating"
@@ -51,12 +56,19 @@ def migrate(spark, sink_dir: str, new_buckets: int) -> None:
         .partitionBy("band_idx", "band_bucket")
         .parquet(tmp)
     )
+    # the NEW tree carries its marker BEFORE the swap: a crash between
+    # the renames and a post-swap marker write would otherwise leave a
+    # rewritten archive that check_print_layout "assumes current" —
+    # the silent-miss hole the marker exists to close (r13 review)
+    write_print_layout_marker(spark, tmp, new_buckets)
     new = spark.read.parquet(tmp)
-    a = old.select(*data_cols)
-    b = new.select(*data_cols)
+    a = old.select(*data_cols).persist()
+    b = new.select(*data_cols).persist()
     n_rows = a.count()
     missing = a.exceptAll(b).count()
     extra = b.exceptAll(a).count()
+    a.unpersist()
+    b.unpersist()
     if missing or extra:
         raise SystemExit(
             f"equivalence check FAILED: {missing} rows missing, "
@@ -72,14 +84,6 @@ def migrate(spark, sink_dir: str, new_buckets: int) -> None:
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), path):
         fs.rename(backup, path)  # roll back
         raise SystemExit(f"could not move {tmp} into place (rolled back)")
-    # drop any stale marker carried over inside the moved tree, then
-    # record the new layout
-    stale = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(f"{sink_dir}/.print_buckets.*")
-    )
-    for s in stale or []:
-        fs.delete(s.getPath(), False)
-    write_print_layout_marker(spark, sink_dir, new_buckets)
     print(
         f"migrated {sink_dir} to band_bucket = band_val % {new_buckets} "
         f"({n_rows} index rows, equivalence checked); backup at "
