@@ -8,22 +8,36 @@ appended.
 
 What the windowed index buys over the image stream's whole-object
 hashes: CONTAINMENT absorption. The archive stores one 64-bit print
-per 16-frame hop; arriving clips are additionally fingerprinted at
-hop 1 (the ASYMMETRIC probe, round 12), so an EXCERPT arriving after
-its original is dropped even when it starts OFF the hop grid — a
-whole-frame offset o is caught when the excerpt carries at least
-65 + ((-o) mod 16) frames, the length at which a probe window lands
-exactly on an archived window (the detection bound is UNIFORM between
-the archive check and the within-batch pass — both run the same
+per 16-frame (128-sample) hop; arriving clips are additionally
+fingerprinted at SAMPLE hop 1 — overlapping analysis frames, the
+round-13 sub-frame probe (round 12 probed at FRAME hop 1 and was
+structurally blind to excerpts cut mid-frame; the round-13 batch
+matcher's fixture measures that blindness) — so an EXCERPT arriving
+after its original is dropped even when it starts at an ARBITRARY
+SAMPLE: an offset of S samples is caught when the excerpt carries at
+least 520 + ((-S) mod 128) samples, the length at which a probe
+window's analysis frames land exactly on an archived window
+(whole-frame offsets reduce to the round-12 bound of
+65 + ((-o) mod 16) frames; the bound is UNIFORM between the archive
+check and the within-batch pass — both run the same
 newer-probes-older geometry — so survivor sets stay batch-boundary
-invariant; shorter excerpts are consistently below the bound in both,
-test-pinned). This is the "re-clipped highlight / re-posted segment"
-class that whole-clip fingerprints structurally miss and the
-hop-aligned check missed for misaligned starts. All matching joins
-through
+invariant; shorter excerpts are consistently below the bound in
+both, test-pinned). Clip lengths also need no frame alignment any
+more — a clip cut at any sample fingerprints fine. This is the
+"re-clipped highlight / re-posted segment" class that whole-clip
+fingerprints structurally miss. The drop decision needs no
+exact-scale energy witness (that invariant disambiguates the
+OFFSET in the batch matcher's vote; absorption is binary), so
+archive rows stay 4 small ints + keys and REMAIN BIT-COMPATIBLE
+with round-12 archives: a sample-grid window starting at u = 128k
+is the frame-grid window k, so replays still self-match at hamming
+0 against pre-upgrade prints. All matching joins through
 ``dhash_band_pairs(..., extra_key=("win",))`` — the same generalized
-pair kernel the batch queries use; the dense side is always the
-bounded micro-batch, never the archive.
+pair kernel the batch queries use (win units differ per side —
+samples on the probe, hops in the archive — which is fine: win is
+print identity, never a join key); the dense side is always the
+bounded micro-batch, never the archive, now 8x the round-12 probe
+density (one print per sample instead of per frame).
 
 POLICY: identical to media_stream.py (one greedy kernel,
 ``greedy_batch_losers``, imported not copied): sequential greedy
@@ -54,7 +68,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.multimodal import (
     DHASH_BANDS,
-    audio_windowed_fingerprint_bands,
+    audio_subframe_fingerprint_bands,
     dhash_band_pairs,
 )
 from .ingest_stream import _trigger_kwargs
@@ -73,12 +87,12 @@ def _asym_batch_pairs(probe: DataFrame, wbands: DataFrame) -> DataFrame:
     prints), which is what batch-boundary invariance requires: the
     match relation must not depend on which side of a batch boundary
     the pair lands. A bidirectional within-batch pass would
-    additionally catch short excerpts (65..79 frames) via the
-    original-probes-excerpt direction — matches the archive check can
-    NEVER see, making the survivor set boundary-dependent (r12
-    review). The detection bound is therefore uniform everywhere: a
-    misaligned excerpt needs >= 65 + ((-offset) mod {AFPW_HOP_FRAMES})
-    frames for its aligned probe window to exist."""
+    additionally catch short excerpts via the original-probes-excerpt
+    direction — matches the archive check can NEVER see, making the
+    survivor set boundary-dependent (r12 review). The detection bound
+    is therefore uniform everywhere: an excerpt at sample offset S
+    needs >= 520 + ((-S) mod 128) samples for its aligned probe
+    window to exist."""
     return (
         dhash_band_pairs(probe, wbands, extra_key=("win",))
         .where(F.col("media_a") > F.col("media_b"))
@@ -92,26 +106,32 @@ def _asym_batch_pairs(probe: DataFrame, wbands: DataFrame) -> DataFrame:
 
 def _audio_prints(batch_media: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Stage one batch's two print frames: the archive-hop prints
-    (what survivors append) and the dense hop-1 probe prints. The
-    payloads are decoded and fingerprinted ONCE — a hop-grid window
-    starting at frame 16k IS the hop-1 window with win == 16k, so the
-    archive frame is a pure projection of the probe frame (win %
-    {AFPW_HOP_FRAMES} == 0, win renumbered to hop units), not a second
+    (what survivors append; win in 128-sample-hop units — the
+    round-12 archive layout, unchanged) and the dense SAMPLE-hop-1
+    probe prints (win in samples). The payloads are decoded and
+    fingerprinted ONCE — an archive-grid window starting at sample
+    128k IS the sample-hop window with win == 128k, so the archive
+    frame is a pure projection of the probe frame (win %
+    hop_samples == 0, win renumbered to hop units), not a second
     decode pass (r12 review: the duplicated decode was the dominant
-    per-batch CPU cost)."""
-    from ..operators.multimodal import AFPW_HOP_FRAMES
+    per-batch CPU cost). The probe's energy-witness columns are
+    dropped — absorption is a binary decision, no offset vote here —
+    keeping archive rows bit-compatible with round-12 archives."""
+    from ..operators.multimodal import AFP_FRAME_SIZE, AFPW_HOP_FRAMES
     from ..session import stage
 
+    hop_samples = AFPW_HOP_FRAMES * AFP_FRAME_SIZE
     probe = stage(
-        audio_windowed_fingerprint_bands(
-            batch_media, hop_frames=1
-        ).dropDuplicates(["media_id", "win"])
+        audio_subframe_fingerprint_bands(batch_media, sample_hop=1)
+        .select(*( ("media_id", "win")
+                   + tuple(f"band{k}" for k in range(DHASH_BANDS)) ))
+        .dropDuplicates(["media_id", "win"])
     )
     wbands = stage(
-        probe.where(F.pmod(F.col("win"), F.lit(AFPW_HOP_FRAMES)) == 0)
+        probe.where(F.pmod(F.col("win"), F.lit(hop_samples)) == 0)
         .withColumn(
             "win",
-            (F.col("win") / F.lit(AFPW_HOP_FRAMES)).cast("int"),
+            (F.col("win") / F.lit(hop_samples)).cast("int"),
         )
         .select(*AUDIO_ARCHIVE_COLUMNS)
     )
@@ -126,14 +146,15 @@ def audio_dedup_increment(
     load-bearing exactly as in media_dedup_increment: archive losers
     leave BEFORE the within-batch greedy pass.
 
-    ASYMMETRIC PROBE (round 12): the batch is fingerprinted ONCE at
-    hop 1 (the probe side); the compact archive-hop prints survivors
-    append are a projection of that frame (_audio_prints). Matching
-    always joins dense probe prints against sparse hop-grid prints, so
-    an excerpt of an archived (or lower-id batch-mate) clip is caught
-    at any whole-frame offset once it clears the module docstring's
-    length bound — the Haitsma-Kalker lookup asymmetry. The
-    densification cost rides the bounded micro-batch, never the
+    ASYMMETRIC PROBE (round 12, sub-frame since round 13): the batch
+    is fingerprinted ONCE at SAMPLE hop 1 (the probe side); the
+    compact archive-hop prints survivors append are a projection of
+    that frame (_audio_prints). Matching always joins dense probe
+    prints against sparse hop-grid prints, so an excerpt of an
+    archived (or lower-id batch-mate) clip is caught at ANY SAMPLE
+    offset once it clears the module docstring's length bound — the
+    Haitsma-Kalker lookup asymmetry with overlapping analysis frames.
+    The densification cost rides the bounded micro-batch, never the
     archive."""
     wbands, probe = _audio_prints(batch_media)
     return _audio_dedup_core(wbands, probe, archive)

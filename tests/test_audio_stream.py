@@ -249,3 +249,96 @@ def test_streamed_misaligned_excerpt_absorbed_end_to_end(spark, tmp_path):
     # excerpt-first leaves the original probing the excerpt's archived
     # prints (contained -> original loses). Exactly two clips survive.
     assert len(kept) == 2 and kept[1] == 2 and kept[0] in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# round-13 sub-frame probe: excerpts cut MID-frame, arbitrary-sample clips
+# ---------------------------------------------------------------------------
+
+
+def _subframe_stream_media(spark, excerpt_samples=784):
+    """The round-13 hand corpus as stream clips: 0 = 113-frame
+    quadratic original, 1 = x2 excerpt starting at SAMPLE 43 (5 frames
+    + 3 samples — mid-frame, the class the round-12 frame-hop probe
+    was structurally blind to), 2 = reversed control. The excerpt is
+    truncated to ``excerpt_samples`` (need >= 520 + ((-43) mod 128) =
+    605 samples for the aligned probe window to exist)."""
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+    from tests.test_round13_ops import _subframe_samples
+
+    orig, excerpt, control, _ = _subframe_samples()
+    rows = [
+        (0, "audio/wav", media_codecs.wav_encode(orig)),
+        (1, "audio/wav", media_codecs.wav_encode(excerpt[:excerpt_samples])),
+        (2, "audio/wav", media_codecs.wav_encode(control)),
+    ]
+    return {
+        r[0]: type("R", (), {"mime": r[1], "payload": r[2]})()
+        for r in rows
+    }
+
+
+def test_subframe_excerpt_absorbed_across_batches(spark):
+    """A mid-frame excerpt arriving AFTER its original is absorbed:
+    its sample-hop probe window u = 85 lands exactly on the
+    original's archived window 1 — the round-12 frame-hop probe had
+    no such window (every frame-grid window blends two original
+    frames; blindness measured in test_round13_ops)."""
+    rows = _subframe_stream_media(spark)
+    archive = audio_dedup_increment(_batch(spark, rows, [0, 2]), None)
+    out = audio_dedup_increment(_batch(spark, rows, [1]), archive)
+    assert _kept(out) == []
+
+
+def test_subframe_excerpt_same_batch_and_boundary_invariance(spark):
+    """Same survivors whether the sub-frame family arrives in one
+    batch or split across batches (the one-directional within-batch
+    pass shares the archive check's geometry)."""
+    rows = _subframe_stream_media(spark)
+    one = audio_dedup_increment(_batch(spark, rows, [0, 1, 2]), None)
+    a = audio_dedup_increment(_batch(spark, rows, [0]), None)
+    b = audio_dedup_increment(_batch(spark, rows, [1, 2]), a)
+    assert _kept(one) == sorted(_kept(a) + _kept(b)) == [0, 2]
+
+
+def test_short_subframe_excerpt_uniform_detection_bound(spark):
+    """A 600-sample excerpt at sample offset 43 has NO aligned probe
+    window (needs >= 605 samples) — below the sub-frame detection
+    bound, so it is consistently KEPT in both the one-batch and the
+    split arrangement (uniform bound; a 608-sample excerpt clears it
+    and is consistently dropped). Also exercises clip lengths that
+    are NOT a whole number of frames — legal input since round 13."""
+    below = _subframe_stream_media(spark, excerpt_samples=600)
+    one = audio_dedup_increment(_batch(spark, below, [0, 1, 2]), None)
+    a = audio_dedup_increment(_batch(spark, below, [0, 2]), None)
+    b = audio_dedup_increment(_batch(spark, below, [1]), a)
+    assert _kept(one) == [0, 1, 2]
+    assert sorted(_kept(a) + _kept(b)) == [0, 1, 2]
+
+    above = _subframe_stream_media(spark, excerpt_samples=608)
+    one = audio_dedup_increment(_batch(spark, above, [0, 1, 2]), None)
+    a = audio_dedup_increment(_batch(spark, above, [0, 2]), None)
+    b = audio_dedup_increment(_batch(spark, above, [1]), a)
+    assert _kept(one) == [0, 2]
+    assert sorted(_kept(a) + _kept(b)) == [0, 2]
+
+
+def test_round12_archive_prints_bit_compatible(spark):
+    """Replay absorption against a ROUND-12-SHAPED archive: archive
+    rows built by the old frame-grid stage equal the new sample-grid
+    projection (a window starting at sample 128k IS frame-grid window
+    k), so clips archived before the upgrade still self-match at
+    hamming 0 and re-deliveries append nothing."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_windowed_fingerprint_bands,
+    )
+
+    rows = _clips(spark)
+    old_archive = (
+        audio_windowed_fingerprint_bands(_batch(spark, rows, [0, 4]))
+        .select(*AUDIO_ARCHIVE_COLUMNS)
+    )
+    out = audio_dedup_increment(_batch(spark, rows, [0, 4]), old_archive)
+    assert _kept(out) == []
