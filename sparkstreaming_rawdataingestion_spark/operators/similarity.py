@@ -1608,3 +1608,238 @@ def q_similarity_pq_portable_topk(
             "query_id", "neighbor_id", "rk", F.round("adc", 6).alias("adc_cos")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivf_portable_topk — ORACLE-BACKED inverted-file search
+#
+# The production IVF path above trains its coarse quantizer with Lloyd
+# iterations (float means, engine tie-breaks — rows-only at the driver
+# gate; recall floors pinned in pytest). This twin is the portable-PQ
+# recipe applied to the IVF MECHANISM: quantize vectors to integers
+# (the PQP convention), take the K lowest-id quantized vectors as the
+# coarse centroids (the production seeding WITHOUT Lloyd — fully
+# deterministic), and run the whole inverted-file pipeline — nearest-
+# centroid assignment, nprobe list selection, within-list exact
+# re-rank — in exact BIGINT squared-L2 arithmetic, so every
+# assignment, probe choice and ranking is hash-certifiable on both
+# engines. The per-row `in_exact_topk` flag certifies the PRUNING
+# EFFECT itself inside the value hash: each reported neighbor is
+# joined against the deterministic exact top-k, so the hash pins
+# exactly which matches nprobe-of-K pruning keeps and which it costs —
+# the recall/cost trade an IVF deployment tunes. The production path
+# keeps Lloyd centroids for real quality.
+# ---------------------------------------------------------------------------
+
+IVFP_SCALE = PQP_SCALE  # one quantization convention across the twins
+
+_IVFP_DOT = (
+    "CAST(list_inner_product(CAST({a} AS DOUBLE[]),"
+    " CAST({b} AS DOUBLE[])) AS BIGINT)"
+)
+# exact despite the DOUBLE cast: per-dim products are < 2^26 and the
+# 64-dim sums < 2^36 — far inside the 2^53 integer-exact double range
+
+_IVFP_ORACLE = f"""
+WITH nb AS (
+  SELECT vec_id,
+         codes,
+         {_IVFP_DOT.format(a="codes", b="codes")} AS nrm
+  FROM (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * {IVFP_SCALE} + 0.5)
+                                    AS BIGINT)) AS codes
+    FROM embeddings
+  )
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cluster_id,
+         codes AS c_codes, nrm AS c_nrm
+  FROM nb ORDER BY vec_id LIMIT {IVF_CLUSTERS}
+),
+asg AS (
+  SELECT n.vec_id, n.codes, n.nrm, c.cluster_id,
+         n.nrm + c.c_nrm
+           - 2 * {_IVFP_DOT.format(a="n.codes", b="c.c_codes")} AS d2
+  FROM nb n CROSS JOIN cent c
+),
+inv AS (
+  SELECT vec_id, codes, nrm, cluster_id FROM asg
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, codes AS q_codes, nrm AS q_nrm, cluster_id
+  FROM asg WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster_id) <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, i.vec_id AS neighbor_id,
+         p.q_nrm + i.nrm
+           - 2 * {_IVFP_DOT.format(a="p.q_codes", b="i.codes")} AS dist2
+  FROM probes p JOIN inv i USING (cluster_id)
+  WHERE i.vec_id != p.query_id
+),
+itopk AS (
+  SELECT query_id, neighbor_id, dist2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist2, neighbor_id)
+              AS BIGINT) AS rk
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY dist2, neighbor_id) <= {TOP_K}
+),
+ex AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM nb q JOIN nb n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY q.nrm + n.nrm
+               - 2 * {_IVFP_DOT.format(a="q.codes", b="n.codes")},
+             n.vec_id) <= {TOP_K}
+)
+SELECT t.query_id, t.neighbor_id, t.rk, t.dist2,
+       CAST(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_exact_topk
+FROM itopk t
+LEFT JOIN ex e ON e.query_id = t.query_id
+              AND e.neighbor_id = t.neighbor_id
+"""
+
+
+def _ivfp_nrm(col: str = "codes") -> Column:
+    return F.aggregate(
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+
+
+def _ivfp_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@_register("similarity_ivf_portable_topk", _IVFP_ORACLE)
+def q_similarity_ivf_portable_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable inverted-file top-k (module comment above): integer
+    quantization → K lowest-id seed centroids → exact-BIGINT
+    squared-L2 assignment (ties to the lowest cluster) → per-query
+    nprobe closest lists → exact re-rank within the probed lists
+    (ties to the lowest neighbor) → per-row in_exact_topk against the
+    deterministic exact top-k, so the value hash certifies both the
+    mechanism AND the pruning effect.
+
+    Scale shape: the centroid table is {IVF_CLUSTERS} rows broadcast;
+    assignment is one scan + a {IVF_CLUSTERS}-way bounded min; the
+    search side joins the bounded query probes against the inverted
+    lists on cluster_id (~nprobe/K of the corpus per query — the
+    whole point of IVF); the exact leg is queries x corpus, bounded
+    by the {N_QUERIES}-query panel (a deployment certifies pruning on
+    a sampled panel exactly like this)."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    codes = F.transform(
+        _emb_double(),
+        lambda x: F.floor(x * IVFP_SCALE + F.lit(0.5)).cast("long"),
+    )
+    base = stage(
+        e.select("vec_id", codes.alias("codes")).withColumn(
+            "nrm", _ivfp_nrm()
+        )
+    )
+    cent = F.broadcast(
+        base.orderBy("vec_id")
+        .limit(IVF_CLUSTERS)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias(
+                "cluster_id"
+            ),
+            F.col("codes").alias("c_codes"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    d2 = (
+        F.col("nrm")
+        + F.col("c_nrm")
+        - 2 * _ivfp_dot(F.col("codes"), F.col("c_codes"))
+    )
+    asg = base.crossJoin(cent).select(
+        "vec_id", "codes", "nrm", "cluster_id", d2.alias("d2")
+    )
+    inv = stage(
+        asg.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cluster_id")).alias("s"),
+            F.first("codes").alias("codes"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id", F.col("s.cluster_id").alias("cluster_id"),
+            "codes", "nrm",
+        )
+    )
+    probe_w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    probes = (
+        asg.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("codes").alias("q_codes"),
+            F.col("nrm").alias("q_nrm"),
+            "cluster_id",
+        )
+    )
+    dist2 = (
+        F.col("q_nrm")
+        + F.col("nrm")
+        - 2 * _ivfp_dot(F.col("q_codes"), F.col("codes"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    itopk = (
+        probes.join(inv, "cluster_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2.alias("dist2"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+    )
+    q = base.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ex = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2.alias("dist2"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        itopk.join(ex, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            "dist2",
+            F.coalesce(F.col("hit"), F.lit(0))
+            .cast("long")
+            .alias("in_exact_topk"),
+        )
+    )

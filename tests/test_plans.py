@@ -1198,3 +1198,20 @@ def test_quantile_portable_pure_jvm_bounded_grid(spark, sf_dir):
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in p
     assert "CartesianProduct" not in p
+
+
+def test_portable_ivf_broadcast_bounded_no_cartesian(spark, sf_dir):
+    """The portable IVF twin: zero Python evaluation; the centroid
+    table and the query panel ride broadcasts (the exact-leg fanout is
+    the bounded N_QUERIES panel, never corpus x corpus); the search
+    join is the cluster_id equi-join over the probed lists — no
+    CartesianProduct anywhere."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators import similarity
+
+    session.release_staged()
+    df = similarity.q_similarity_ivf_portable_topk(spark, sf_dir)
+    p = plans.executed_plan(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "CartesianProduct" not in p

@@ -510,3 +510,83 @@ def test_bpe_tie_split_equality_on_shared_token_ties(spark):
     assert bat == seq
     # the tie split must beat one-merge-per-round on this corpus
     assert len(log) < len(seq)
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivf_portable_topk — pure-Python replay of the mechanism
+# ---------------------------------------------------------------------------
+
+
+def test_portable_ivf_matches_pure_python_replay(spark, sf_dir):
+    """Independent replay of the whole inverted-file mechanism —
+    integer quantization, lowest-id seed centroids, exact-BIGINT
+    squared-L2 assignment with lowest-cluster ties, nprobe list
+    selection, within-list re-rank, and the per-row exact-top-k flag —
+    in plain Python over the collected embeddings; the engine must
+    agree exactly (everything is an integer)."""
+    import math
+
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_NPROBE,
+        IVFP_SCALE,
+        N_QUERIES,
+        TOP_K,
+        q_similarity_ivf_portable_topk,
+    )
+
+    rows = (
+        catalog.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    codes = {
+        r.vec_id: [math.floor(float(x) * IVFP_SCALE + 0.5) for x in r.embedding]
+        for r in rows
+    }
+    nrm = {v: sum(x * x for x in c) for v, c in codes.items()}
+
+    def d2(a, b):
+        return nrm[a] + nrm[b] - 2 * sum(
+            x * y for x, y in zip(codes[a], codes[b])
+        )
+
+    cent = sorted(codes)[:IVF_CLUSTERS]  # cluster_id = index + 1
+
+    def cdist(v, j):
+        cc = codes[cent[j]]
+        cn = nrm[cent[j]]
+        return nrm[v] + cn - 2 * sum(x * y for x, y in zip(codes[v], cc))
+
+    assign = {
+        v: min(range(IVF_CLUSTERS), key=lambda j: (cdist(v, j), j)) + 1
+        for v in codes
+    }
+    expected = {}
+    for qv in [v for v in codes if v < N_QUERIES]:
+        probed = [
+            j + 1
+            for j in sorted(
+                range(IVF_CLUSTERS), key=lambda j: (cdist(qv, j), j)
+            )[:IVF_NPROBE]
+        ]
+        cand = [
+            v for v in codes if v != qv and assign[v] in probed
+        ]
+        ranked = sorted(cand, key=lambda v: (d2(qv, v), v))[:TOP_K]
+        exact = set(
+            sorted(
+                (v for v in codes if v != qv),
+                key=lambda v: (d2(qv, v), v),
+            )[:TOP_K]
+        )
+        for rk, v in enumerate(ranked, 1):
+            expected[(qv, v)] = (rk, d2(qv, v), 1 if v in exact else 0)
+
+    got = {
+        (r.query_id, r.neighbor_id): (r.rk, r.dist2, r.in_exact_topk)
+        for r in q_similarity_ivf_portable_topk(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == N_QUERIES * TOP_K
