@@ -21,8 +21,14 @@ window's analysis frames land exactly on an archived window
 65 + ((-o) mod 16) frames; the bound is UNIFORM between the archive
 check and the within-batch pass — both run the same
 newer-probes-older geometry — so survivor sets stay batch-boundary
-invariant; shorter excerpts are consistently below the bound in
-both, test-pinned). Clip lengths also need no frame alignment any
+invariant either way). The bound is a DETECTION guarantee, not a
+keep guarantee: a shorter excerpt has no exactly-aligned probe
+window, but for ~1-4% of envelope families a sub-frame BLEND
+window matches all 64 delta signs by luck (the round-13 batch
+matcher measured this class; its exact-scale witness exists to
+disambiguate the OFFSET) and such an excerpt may be absorbed
+early — still a true duplicate, still boundary-invariant (the
+luck fires identically on both passes), just ahead of the bound. Clip lengths also need no frame alignment any
 more — a clip cut at any sample fingerprints fine. This is the
 "re-clipped highlight / re-posted segment" class that whole-clip
 fingerprints structurally miss. The drop decision needs no
@@ -123,8 +129,7 @@ def _audio_prints(batch_media: DataFrame) -> tuple[DataFrame, DataFrame]:
     hop_samples = AFPW_HOP_FRAMES * AFP_FRAME_SIZE
     probe = stage(
         audio_subframe_fingerprint_bands(batch_media, sample_hop=1)
-        .select(*( ("media_id", "win")
-                   + tuple(f"band{k}" for k in range(DHASH_BANDS)) ))
+        .select(*AUDIO_ARCHIVE_COLUMNS)
         .dropDuplicates(["media_id", "win"])
     )
     wbands = stage(

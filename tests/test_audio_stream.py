@@ -256,7 +256,7 @@ def test_streamed_misaligned_excerpt_absorbed_end_to_end(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _subframe_stream_media(spark, excerpt_samples=784):
+def _subframe_stream_media(excerpt_samples=784):
     """The round-13 hand corpus as stream clips: 0 = 113-frame
     quadratic original, 1 = x2 excerpt starting at SAMPLE 43 (5 frames
     + 3 samples — mid-frame, the class the round-12 frame-hop probe
@@ -286,7 +286,7 @@ def test_subframe_excerpt_absorbed_across_batches(spark):
     original's archived window 1 — the round-12 frame-hop probe had
     no such window (every frame-grid window blends two original
     frames; blindness measured in test_round13_ops)."""
-    rows = _subframe_stream_media(spark)
+    rows = _subframe_stream_media()
     archive = audio_dedup_increment(_batch(spark, rows, [0, 2]), None)
     out = audio_dedup_increment(_batch(spark, rows, [1]), archive)
     assert _kept(out) == []
@@ -296,7 +296,7 @@ def test_subframe_excerpt_same_batch_and_boundary_invariance(spark):
     """Same survivors whether the sub-frame family arrives in one
     batch or split across batches (the one-directional within-batch
     pass shares the archive check's geometry)."""
-    rows = _subframe_stream_media(spark)
+    rows = _subframe_stream_media()
     one = audio_dedup_increment(_batch(spark, rows, [0, 1, 2]), None)
     a = audio_dedup_increment(_batch(spark, rows, [0]), None)
     b = audio_dedup_increment(_batch(spark, rows, [1, 2]), a)
@@ -310,14 +310,14 @@ def test_short_subframe_excerpt_uniform_detection_bound(spark):
     split arrangement (uniform bound; a 608-sample excerpt clears it
     and is consistently dropped). Also exercises clip lengths that
     are NOT a whole number of frames — legal input since round 13."""
-    below = _subframe_stream_media(spark, excerpt_samples=600)
+    below = _subframe_stream_media(excerpt_samples=600)
     one = audio_dedup_increment(_batch(spark, below, [0, 1, 2]), None)
     a = audio_dedup_increment(_batch(spark, below, [0, 2]), None)
     b = audio_dedup_increment(_batch(spark, below, [1]), a)
     assert _kept(one) == [0, 1, 2]
     assert sorted(_kept(a) + _kept(b)) == [0, 1, 2]
 
-    above = _subframe_stream_media(spark, excerpt_samples=608)
+    above = _subframe_stream_media(excerpt_samples=608)
     one = audio_dedup_increment(_batch(spark, above, [0, 1, 2]), None)
     a = audio_dedup_increment(_batch(spark, above, [0, 2]), None)
     b = audio_dedup_increment(_batch(spark, above, [1]), a)
@@ -326,16 +326,33 @@ def test_short_subframe_excerpt_uniform_detection_bound(spark):
 
 
 def test_round12_archive_prints_bit_compatible(spark):
-    """Replay absorption against a ROUND-12-SHAPED archive: archive
-    rows built by the old frame-grid stage equal the new sample-grid
-    projection (a window starting at sample 128k IS frame-grid window
-    k), so clips archived before the upgrade still self-match at
-    hamming 0 and re-deliveries append nothing."""
+    """ROW-SET equality between the old frame-grid stage and the new
+    sample-grid projection — including the win column in HOP UNITS —
+    plus replay absorption against a round-12-shaped archive. The
+    row-set pin is load-bearing: win is print IDENTITY in the pair
+    kernel (never a join key), so a broken renumbering would keep
+    every match test green while corrupting the archive layout
+    (r13 review, confirmed by mutation: persisting win in samples
+    passed the whole suite). Collected-multiset comparison — the
+    shared-lineage exceptAll Catalyst trip."""
     from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
         audio_windowed_fingerprint_bands,
     )
+    from sparkstreaming_rawdataingestion_spark.streaming.audio_stream import (
+        _audio_prints,
+    )
 
     rows = _clips(spark)
+    old_rows = sorted(
+        tuple(r)
+        for r in audio_windowed_fingerprint_bands(_batch(spark, rows, [0, 4]))
+        .select(*AUDIO_ARCHIVE_COLUMNS)
+        .collect()
+    )
+    wbands, _ = _audio_prints(_batch(spark, rows, [0, 4]))
+    new_rows = sorted(tuple(r) for r in wbands.collect())
+    assert new_rows == old_rows and len(new_rows) > 0
+
     old_archive = (
         audio_windowed_fingerprint_bands(_batch(spark, rows, [0, 4]))
         .select(*AUDIO_ARCHIVE_COLUMNS)
