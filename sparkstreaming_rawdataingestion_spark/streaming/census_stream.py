@@ -93,6 +93,7 @@ CENSUS_COLUMNS = ("piece", "n_occurrences", "n_docs")
 #: (cdc_stream.N_BUCKETS discipline: a layout constant — raise it so a
 #: bucket's id set fits an executor at the target corpus size)
 SEEN_BUCKETS = 64
+SEEN_MARKER = "seen_buckets"  # .seen_buckets.N marker (bucket_layout)
 
 
 def _seen_bucket(col):
@@ -238,8 +239,21 @@ def _merge_batch_inner(
     merge_key: str,
     pieces: tuple[str, ...],
 ) -> None:
+    from .bucket_layout import check_bucket_marker
+
     spark = batch_docs.sparkSession
     prev, prev_seq = _latest_version(spark, sink_dir, exclude_key=merge_key)
+    # bucket-count guard (r13, the print-archive discipline applied
+    # here too): an id written at xxhash64 % 64 is not in the
+    # partition a % 128 reader prunes to — a SEEN_BUCKETS change over
+    # an existing seen table would silently re-admit absorbed ids.
+    seen_marked = check_bucket_marker(
+        spark,
+        f"{sink_dir}/seen",
+        SEEN_MARKER,
+        SEEN_BUCKETS,
+        "tools/migrate_seen_buckets.py",
+    )
     seen = read_archive(spark, f"{sink_dir}/seen")
     if seen is not None and not {"ingest_key", "id_bucket"} <= set(
         seen.columns
@@ -301,6 +315,12 @@ def _merge_batch_inner(
         .partitionBy("ingest_key", "id_bucket")
         .parquet(f"{sink_dir}/seen")
     )
+    if not seen_marked:
+        from .bucket_layout import write_bucket_marker
+
+        write_bucket_marker(
+            spark, f"{sink_dir}/seen", SEEN_MARKER, SEEN_BUCKETS
+        )
     _prune_superseded(spark, sink_dir, prev_seq)
 
 

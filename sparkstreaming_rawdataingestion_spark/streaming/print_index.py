@@ -51,29 +51,26 @@ PRINT_BUCKETS = 16
 _PRINT_COLS = tuple(f"band{k}" for k in range(DHASH_BANDS))
 
 
-def _hadoop_fs(spark: SparkSession, sink_dir: str):
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(sink_dir)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return jvm, fs, path
+from .bucket_layout import (  # noqa: E402 — layout discipline shared
+    check_bucket_marker,
+    hadoop_fs as _hadoop_fs,
+    write_bucket_marker,
+)
+
+PRINT_MARKER = "print_buckets"
 
 
 def write_print_layout_marker(
     spark: SparkSession, sink_dir: str, buckets: int | None = None
 ) -> None:
-    """Record the archive's bucket count as an empty marker FILE NAME
-    (``.print_buckets.N`` — existence is the record, no content to
-    parse cross-filesystem). Dot-prefixed files are hidden from
-    Spark's file listing (an ``_``-prefixed ``name=value`` file is
-    NOT: partition discovery tries to read it as data — measured)."""
-    buckets = PRINT_BUCKETS if buckets is None else buckets
-    if buckets < 1:
-        raise ValueError(f"bucket count must be >= 1, got {buckets}")
-    jvm, fs, _ = _hadoop_fs(spark, sink_dir)
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{sink_dir}/.print_buckets.{buckets}"
+    """Record the archive's bucket count (bucket_layout module — the
+    marker discipline shared with the census seen index)."""
+    write_bucket_marker(
+        spark,
+        sink_dir,
+        PRINT_MARKER,
+        PRINT_BUCKETS if buckets is None else buckets,
     )
-    fs.createNewFile(marker)
 
 
 def check_print_layout(
@@ -84,39 +81,19 @@ def check_print_layout(
     _exists: bool | None = None,
 ) -> bool:
     """Refuse to read or append when the archive's recorded bucket
-    count disagrees with the session's PRINT_BUCKETS: a print written
-    at ``band_val % 16`` simply is not in the partition a
-    ``band_val % 32`` reader prunes to, so a mismatch silently MISSES
-    matches — fail loudly and point at the migration tool instead.
-    Archives without a marker (pre-round-13) are assumed current;
-    returns True when a marker was found, so appenders can BACKFILL
-    the marker on legacy archives (first correctly-configured touch
-    brings them under the guard — r13 review). ``_hfs``/``_exists``
-    let the per-batch append path reuse its already-constructed
-    FileSystem and existence probe instead of paying a second round
-    trip (object-store appends are RPC-bound)."""
-    expected = expected if expected is not None else PRINT_BUCKETS
-    jvm, fs, path = _hfs if _hfs is not None else _hadoop_fs(
-        spark, sink_dir
+    count disagrees with the session's PRINT_BUCKETS (a mismatch
+    silently MISSES matches — bucket_layout module); archives without
+    a marker are assumed current, and the return value lets appenders
+    backfill the marker on legacy archives."""
+    return check_bucket_marker(
+        spark,
+        sink_dir,
+        PRINT_MARKER,
+        PRINT_BUCKETS if expected is None else expected,
+        "tools/migrate_print_buckets.py",
+        _hfs=_hfs,
+        _exists=_exists,
     )
-    if not (fs.exists(path) if _exists is None else _exists):
-        return False
-    statuses = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(f"{sink_dir}/.print_buckets.*")
-    )
-    found = sorted(
-        int(s.getPath().getName().rsplit(".", 1)[1])
-        for s in (statuses or [])
-    )
-    if found and found != [expected]:
-        raise ValueError(
-            f"print-index layout mismatch at {sink_dir}: archive "
-            f"recorded band_bucket = band_val % {found[0]}, session "
-            f"expects % {expected}. Rewrite the archive with "
-            f"tools/migrate_print_buckets.py before reading or "
-            f"appending."
-        )
-    return bool(found)
 
 
 def _long_carry(bands_wide: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:

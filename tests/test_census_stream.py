@@ -295,3 +295,56 @@ def test_seen_index_is_bucket_partitioned_and_pruning_is_exact(
             p = os.path.join(root, f)
             after[p] = (os.path.getmtime(p), os.path.getsize(p))
     assert after == snapshot  # key-one's bucket files byte-untouched
+
+
+def test_seen_bucket_migration_round_trip(spark, tmp_path, monkeypatch):
+    """migrate_seen_buckets rewrites the seen index to a new bucket
+    count with data equivalence: after migration (64 -> 128), a
+    session on the old constant refuses loudly (bucket_layout guard),
+    while a 128-bucket session absorbs a full replay exactly as
+    before (the round-13 print-archive discipline, generalized)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import migrate_seen_buckets as mig
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, "low low") for i in ids], "doc_id long, text string"
+        )
+
+    sink = str(tmp_path / "census")
+    cs.merge_batch(docs([0, 1, 2]), sink, "r-0", pieces=("low",))
+    cs.merge_batch(docs([3, 4]), sink, "r-1", pieces=("low",))
+    before = _census(spark, sink)
+    seen_dir = f"{sink}/seen"
+    before_ids = sorted(
+        r.doc_id for r in spark.read.parquet(seen_dir).collect()
+    )
+
+    mig.migrate(spark, seen_dir, 128)
+
+    # old-constant session refuses the next merge
+    with pytest.raises(ValueError, match="migrate_seen_buckets"):
+        cs.merge_batch(docs([5]), sink, "r-2", pieces=("low",))
+
+    # new-constant session: same ids on disk, replay fully absorbed
+    monkeypatch.setattr(cs, "SEEN_BUCKETS", 128)
+    after_ids = sorted(
+        r.doc_id for r in spark.read.parquet(seen_dir).collect()
+    )
+    assert after_ids == before_ids
+    cs.merge_batch(docs([0, 1, 2]), sink, "rB-0", pieces=("low",))
+    cs.merge_batch(docs([3, 4]), sink, "rB-1", pieces=("low",))
+    assert _census(spark, sink) == before
+    # the partition layout really is 128-bucketed for new writes
+    cs.merge_batch(docs([5]), sink, "r-3", pieces=("low",))
+    import glob as _glob
+
+    dirs = _glob.glob(f"{seen_dir}/ingest_key=*/id_bucket=*")
+    assert dirs and all(
+        int(d.rsplit("=", 1)[1]) < 128 for d in dirs
+    )
