@@ -108,7 +108,16 @@ despite +7.3 s of new entries: multimodal_audio_subframe_containment
 print per SAMPLE, the cost of closing the mid-frame class; per-row
 cost falls 2.1x at 10x scale) and quantile_normalize_portable
 0.93 s. Shared entries healthy (minhash 5.65 s, bpe_train 0.54 s,
-pq_portable 4.95 s).
+pq_portable 4.95 s). Three later same-day re-reps under ambient
+EXTERNAL host load (cal probes 0.20-0.89, load probes 2.0-5.5; `ps`
+showed no processes of ours) read 108-116 s, driven by the documented
+staging-heavy swing class (pq_portable 14-20 s on code untouched
+since r11; minhash 7.2-10.7 s) — the 75.74 s clean-probe panel is the
+round's verified reading. The round's two post-panel code changes
+were re-adjudicated solo: quantile_normalize_portable's overflow-safe
+split division reps at 1.24-1.35 s warm (4-rep solo loop) vs 0.93 s
+in the clean panel — in-band; the audio guard refactor is
+plan-identical.
 
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
