@@ -632,6 +632,236 @@ def q_sketch_countmin_portable(
 
 
 # ---------------------------------------------------------------------------
+# sketch_bloom_portable — the Bloom-filter MECHANISM, integer-exact
+# ---------------------------------------------------------------------------
+
+# Bloom 1970 membership filter with deterministic integer hashes (the
+# lowbias mix above, salted per hash row) — the classic distributed
+# anti-join/dedup pruning primitive (Spark's own runtime row-filter
+# pruning is a Bloom). Like count-min there is NO float anywhere:
+# the bitset is BIGINT words (63 usable bits per word — bit 63 stays
+# clear so no value ever relies on sign-bit shift semantics, which
+# differ across engines), membership tests are bitwise ANDs, the
+# observed false-positive rate is a fixed-point integer, and
+# OR-MERGEABILITY (monthly partial filters OR'd == the directly built
+# filter on every occupied word — the property that lets 1000
+# executors filter shards independently and OR) is certified inside
+# the one hashed report row. The Bloom GUARANTEE — zero false
+# negatives — is also a hashed column (n_true_and_member == n_true).
+
+BLM_WORDS = 1024          # bitset words
+BLM_WBITS = 63            # usable bits per word (sign bit never set)
+BLM_BITS = BLM_WORDS * BLM_WBITS
+BLM_K = 4                 # hash rows
+_BLM_SALT = 2246822519    # xxhash PRIME32_2 — public constant
+
+
+def _blm_pos_sql(key: str, r: str) -> str:
+    idx = f"({_hllp_hash_sql(f'({key}) + ({r}) * {_BLM_SALT}')}) % {BLM_BITS}"
+    return idx
+
+
+_BLM_ORACLE = f"""
+WITH ka AS (
+  SELECT DISTINCT o_custkey AS k, year(CAST(o_orderdate AS DATE)) AS y,
+         month(CAST(o_orderdate AS DATE)) AS mo
+  FROM orders
+),
+build AS (SELECT DISTINCT k FROM ka WHERE y = 1995),
+probe AS (SELECT DISTINCT k FROM ka WHERE y = 1996),
+bbits AS (
+  SELECT b.k, r.r AS r, {_blm_pos_sql("b.k", "r.r")} AS idx
+  FROM build b, range({BLM_K}) r(r)
+),
+bloom AS (
+  SELECT idx // {BLM_WBITS} AS w,
+         bit_or(CAST(1 AS BIGINT) << (idx % {BLM_WBITS})) AS word
+  FROM bbits GROUP BY 1
+),
+monthly AS (
+  SELECT mw.mo, mw.w, bit_or(mw.mask) AS word FROM (
+    SELECT a.mo, ({_blm_pos_sql("a.k", "r.r")}) // {BLM_WBITS} AS w,
+           CAST(1 AS BIGINT)
+             << (({_blm_pos_sql("a.k", "r.r")}) % {BLM_WBITS}) AS mask
+    FROM (SELECT DISTINCT k, mo FROM ka WHERE y = 1995) a,
+         range({BLM_K}) r(r)
+  ) mw GROUP BY 1, 2
+),
+merged AS (SELECT w, bit_or(word) AS word FROM monthly GROUP BY 1),
+mstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN b.word = m.word THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_words_merge_eq_direct
+  FROM bloom b JOIN merged m USING (w)
+),
+pbits AS (
+  SELECT p.k, r.r AS r,
+         ({_blm_pos_sql("p.k", "r.r")}) // {BLM_WBITS} AS w,
+         CAST(1 AS BIGINT)
+           << (({_blm_pos_sql("p.k", "r.r")}) % {BLM_WBITS}) AS mask
+  FROM probe p, range({BLM_K}) r(r)
+),
+tested AS (
+  SELECT pb.k,
+         min(CASE WHEN (COALESCE(bl.word, 0) & pb.mask) != 0
+                  THEN 1 ELSE 0 END) AS member
+  FROM pbits pb LEFT JOIN bloom bl ON bl.w = pb.w
+  GROUP BY pb.k
+),
+verdicts AS (
+  SELECT t.k, t.member,
+         CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS truth
+  FROM tested t LEFT JOIN build b ON b.k = t.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(truth) AS BIGINT) AS n_true,
+       CAST(sum(truth * member) AS BIGINT) AS n_true_and_member,
+       CAST(sum((1 - truth) * member) AS BIGINT) AS n_false_pos,
+       CAST(sum((1 - truth) * member) * 1000000
+            // GREATEST(sum(1 - truth), 1) AS BIGINT) AS fpr_micros,
+       m.n_words, m.n_words_merge_eq_direct
+FROM verdicts CROSS JOIN mstat m
+GROUP BY m.n_words, m.n_words_merge_eq_direct
+"""
+
+
+@_register("sketch_bloom_portable", _BLM_ORACLE)
+def q_sketch_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter twin: a {BLM_WORDS}x{BLM_WBITS}-bit
+    bitset over the custkeys with 1995 orders under {BLM_K} salted
+    lowbias integer hashes, probed with the distinct 1996 custkeys.
+    One hashed report row certifies the whole mechanism: the Bloom
+    GUARANTEE in-row (n_true_and_member == n_true — zero false
+    negatives), the observed false-positive rate as fixed-point
+    micros (bounded by the m/n/k design point, pinned in tests), and
+    OR-mergeability in-row (monthly partial filters OR'd equal the
+    direct filter on every occupied word — n_words ==
+    n_words_merge_eq_direct). Only 63 bits per word are used so no
+    mask ever touches the sign bit (shift-into-sign semantics differ
+    across engines); everything is BIGINT, no float anywhere.
+
+    Plan: two distinct-key scans, a bounded word aggregation
+    (<= {BLM_WORDS} rows — bit_or is the map-side-combinable OR), a
+    broadcast-sized word join for the probe, and 1-row aggregates;
+    at 100 TB the filter is the standard shuffle-avoiding anti-join
+    prune: build on the small side's executors, OR the partials, ship
+    {BLM_WORDS} words to every scanner."""
+    o = catalog.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.year(F.col("o_orderdate").cast("date")).alias("y"),
+        F.month(F.col("o_orderdate").cast("date")).alias("mo"),
+    )
+    from ..session import stage
+
+    rs = F.explode(F.sequence(F.lit(0), F.lit(BLM_K - 1))).alias("r")
+
+    def pos(key: Column, r: Column) -> Column:
+        return F.pmod(
+            _hllp_hash_col(key + r * F.lit(_BLM_SALT)), F.lit(BLM_BITS)
+        )
+
+    # SQL form: the Python F.shiftleft only takes a literal bit count
+    mask = F.expr(
+        f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(idx % {BLM_WBITS} AS INT))"
+    )
+    build = stage(o.where(F.col("y") == 1995).select("k").distinct())
+    bbits = build.select("k", rs).withColumn(
+        "idx", pos(F.col("k"), F.col("r"))
+    )
+    bloom = stage(
+        bbits.select(
+            F.expr(f"idx DIV {BLM_WBITS}").alias("w"), mask.alias("mask")
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    monthly = (
+        o.where(F.col("y") == 1995)
+        .select("k", "mo")
+        .distinct()
+        .select("k", "mo", rs)
+        .withColumn("idx", pos(F.col("k"), F.col("r")))
+        .select(
+            "mo", F.expr(f"idx DIV {BLM_WBITS}").alias("w"),
+            mask.alias("mask"),
+        )
+        .groupBy("mo", "w")
+        .agg(F.bit_or("mask").alias("word"))
+        .groupBy("w")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    mstat = (
+        bloom.alias("b")
+        .join(monthly.alias("m"), "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(
+                F.when(F.col("b.word") == F.col("m.word"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_words_merge_eq_direct"),
+        )
+    )
+    probe = o.where(F.col("y") == 1996).select("k").distinct()
+    pbits = probe.select("k", rs).withColumn(
+        "idx", pos(F.col("k"), F.col("r"))
+    ).select(
+        "k", F.expr(f"idx DIV {BLM_WBITS}").alias("w"), mask.alias("mask")
+    )
+    tested = (
+        pbits.join(F.broadcast(bloom), "w", "left")
+        .select(
+            "k",
+            F.when(
+                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(
+                    F.col("mask")
+                ))
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("set"),
+        )
+        .groupBy("k")
+        .agg(F.min("set").alias("member"))
+    )
+    verdicts = tested.join(
+        build.withColumn("truth", F.lit(1)), "k", "left"
+    ).select(
+        "member", F.coalesce(F.col("truth"), F.lit(0)).alias("truth")
+    )
+    return (
+        verdicts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum("truth").cast("long").alias("n_true"),
+            F.sum(F.col("truth") * F.col("member"))
+            .cast("long")
+            .alias("n_true_and_member"),
+            F.sum((1 - F.col("truth")) * F.col("member"))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .withColumn(
+            "fpr_micros",
+            F.expr(
+                "(n_false_pos * 1000000)"
+                " DIV GREATEST(n_probed - n_true, 1)"
+            ),
+        )
+        .crossJoin(F.broadcast(mstat))
+        .select(
+            "n_probed",
+            "n_true",
+            "n_true_and_member",
+            "n_false_pos",
+            "fpr_micros",
+            "n_words",
+            "n_words_merge_eq_direct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # winsorize_robust_scale — percentile clipping + robust standardization
 # ---------------------------------------------------------------------------
 

@@ -275,11 +275,14 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # test_core_registry_window pins membership, placement and the ≤9 cap.
 # Round 13: the round-12 queue (sketch_countmin_portable) drained into
 # window slot 4; the two headline round-13 ops fit inside the window
-# (slots 49-50). The late round-13 addition — the portable IVF twin,
-# landed after the window was sealed — queues for the round-14
-# rotation with its 4-way local gate green (engine + --plain at
-# sf0.01 AND sf0.1).
-OVERFLOW_QUEUE: tuple[str, ...] = ("similarity_ivf_portable_topk",)
+# (slots 49-50). The late round-13 additions — the portable IVF twin
+# and the portable Bloom twin, landed after the window was sealed —
+# queue for the round-14 rotation with their 4-way local gates green
+# (engine + --plain at sf0.01 AND sf0.1).
+OVERFLOW_QUEUE: tuple[str, ...] = (
+    "similarity_ivf_portable_topk",
+    "sketch_bloom_portable",
+)
 
 
 def _operator_registries(attr: str) -> dict:

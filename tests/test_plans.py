@@ -1215,3 +1215,20 @@ def test_portable_ivf_broadcast_bounded_no_cartesian(spark, sf_dir):
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in p
     assert "CartesianProduct" not in p
+
+
+def test_portable_bloom_pure_jvm_bounded_words(spark, sf_dir):
+    """The portable Bloom twin: zero Python evaluation; the bitset is
+    a bounded word aggregation (<= BLM_WORDS rows, bit_or map-side
+    combinable); the probe joins a broadcast word table; everything
+    after the two distinct-key scans is 1-row or word-bounded — no
+    cartesian beyond the 1-row census broadcasts."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators import stats
+
+    session.release_staged()
+    df = stats.q_sketch_bloom_portable(spark, sf_dir)
+    p = plans.executed_plan(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "CartesianProduct" not in p

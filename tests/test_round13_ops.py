@@ -590,3 +590,131 @@ def test_portable_ivf_matches_pure_python_replay(spark, sf_dir):
     }
     assert got == expected
     assert len(got) == N_QUERIES * TOP_K
+
+
+# ---------------------------------------------------------------------------
+# sketch_bloom_portable — pure-Python replay + guarantees
+# ---------------------------------------------------------------------------
+
+
+def _blm_mix(x):
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        _HLLP_FOLD,
+        _HLLP_MUL,
+        _HLLP_ROUNDS,
+    )
+
+    h = x % (1 << 32)
+    for _ in range(_HLLP_ROUNDS):
+        h = (h ^ (h >> _HLLP_FOLD)) * _HLLP_MUL % (1 << 32)
+    return h ^ (h >> _HLLP_FOLD)
+
+
+def test_portable_bloom_matches_pure_python_replay(spark, sf_dir):
+    """Independent replay of the whole mechanism — salted lowbias
+    hashes, 63-bit words, bit_or build, monthly partial merge,
+    all-k-bits membership, the zero-false-negative guarantee and the
+    fixed-point FPR — in plain Python over the collected keys; the
+    engine must agree exactly."""
+    from sparkstreaming_rawdataingestion_spark import catalog
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        _BLM_SALT,
+        BLM_BITS,
+        BLM_K,
+        BLM_WBITS,
+        q_sketch_bloom_portable,
+    )
+
+    rows = (
+        catalog.load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS k",
+            "year(CAST(o_orderdate AS DATE)) AS y",
+            "month(CAST(o_orderdate AS DATE)) AS mo",
+        )
+        .collect()
+    )
+    build = sorted({r.k for r in rows if r.y == 1995})
+    probe = sorted({r.k for r in rows if r.y == 1996})
+    months = sorted({(r.mo, r.k) for r in rows if r.y == 1995})
+
+    def positions(k):
+        return [
+            _blm_mix(k + r * _BLM_SALT) % BLM_BITS for r in range(BLM_K)
+        ]
+
+    words: dict = {}
+    for k in build:
+        for idx in positions(k):
+            w, b = divmod(idx, BLM_WBITS)
+            words[w] = words.get(w, 0) | (1 << b)
+    monthly: dict = {}
+    for mo, k in months:
+        for idx in positions(k):
+            w, b = divmod(idx, BLM_WBITS)
+            monthly[w] = monthly.get(w, 0) | (1 << b)
+    bset = set(build)
+    n_true = n_tm = n_fp = 0
+    for k in probe:
+        member = all(
+            words.get(idx // BLM_WBITS, 0) >> (idx % BLM_WBITS) & 1
+            for idx in positions(k)
+        )
+        if k in bset:
+            n_true += 1
+            n_tm += int(member)
+        else:
+            n_fp += int(member)
+    expected = (
+        len(probe),
+        n_true,
+        n_tm,
+        n_fp,
+        n_fp * 1_000_000 // max(len(probe) - n_true, 1),
+        len(words),
+        sum(1 for w, v in words.items() if monthly.get(w) == v),
+    )
+    got = [tuple(r) for r in q_sketch_bloom_portable(spark, sf_dir).collect()]
+    assert got == [expected]
+    # the Bloom guarantee and OR-mergeability, stated directly
+    assert n_tm == n_true
+    assert expected[6] == expected[5]
+
+
+def test_portable_bloom_cross_engine_tiny_corpus(spark, tmp_path):
+    """Run the DuckDB oracle text itself against the engine on a tiny
+    two-year corpus, pinning the oracle SQL in-repo until the entry's
+    first driver row (the count-min precedent), and exercising a
+    corpus with REAL false positives expected zero (sparse filter)."""
+    import duckdb
+
+    from sparkstreaming_rawdataingestion_spark.operators.stats import (
+        _BLM_ORACLE,
+        q_sketch_bloom_portable,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        (k, "1995-0%d-15" % (k % 9 + 1)) for k in range(1, 30)
+    ] + [
+        (k, "1996-03-15") for k in range(20, 60)
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string"
+    ).selectExpr(
+        "o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate"
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    got = [tuple(r) for r in q_sketch_bloom_portable(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(_BLM_ORACLE).fetchall()]
+    assert got == want
+    (n_probed, n_true, n_tm, n_fp, fpr, n_w, n_eq) = got[0]
+    assert (n_probed, n_true, n_tm) == (40, 10, 10)
+    assert n_eq == n_w
+    # 29 keys x 4 hashes in 64512 bits: expected FPR ~ (1-e^-.0018)^4
+    assert n_fp == 0 and fpr == 0
