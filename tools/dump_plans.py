@@ -516,6 +516,20 @@ PICKS = {
         "the only division is the final fixed-point floor — zero floats, "
         "zero Python, no global sort."
     ),
+    "similarity_ivf_portable_topk": (
+        "Portable IVF (round 13): broadcast centroid table + broadcast "
+        "query panel; assignment one scan with a 16-way bounded min; "
+        "the search join is the cluster_id equi-join over the probed "
+        "lists (~nprobe/K of the corpus per query); the exact leg fans "
+        "out only the bounded query panel — zero Python, no cartesian."
+    ),
+    "sketch_bloom_portable": (
+        "Portable Bloom filter (round 13): two distinct-key scans, a "
+        "bounded bit_or word aggregation (<= 1024 words, map-side "
+        "combinable — the OR a 1000-executor build would ship), a "
+        "broadcast word join for the probe, and 1-row census "
+        "aggregates — all BIGINT, zero Python."
+    ),
     "pipeline_training_build_semantic": (
         "Training build + SemDeDup stage (round 10): centroid fanout is "
         "the single broadcast nested loop; the CC drop list enters the "
