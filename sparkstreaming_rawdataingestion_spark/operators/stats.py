@@ -265,8 +265,13 @@ _HLLP_ROUNDS = 2
 
 
 def _hllp_hash_sql(x: str) -> str:
-    """DuckDB replay of the 32-bit mix (xor() — DuckDB's ^ is power)."""
-    h = f"({x} % {_HLLP_M32})"
+    """DuckDB replay of the 32-bit mix (xor() — DuckDB's ^ is power).
+    The argument is parenthesized BEFORE the reduction: % and * share
+    precedence, so "k + r*SALT % M" would bind the modulus to the
+    salt product only — identical to the engine for small keys (the
+    test scales) but divergent once key + (r*SALT % M) crosses 2^32
+    (~1.85e9 at r=3; r13 review, verified against live DuckDB)."""
+    h = f"(({x}) % {_HLLP_M32})"
     for _ in range(_HLLP_ROUNDS):
         h = f"(xor({h}, {h} // {1 << _HLLP_FOLD}) * {_HLLP_MUL} % {_HLLP_M32})"
     return f"xor({h}, {h} // {1 << _HLLP_FOLD})"
@@ -474,14 +479,24 @@ CMP_TOPK = 20        # report the exact top-K keys' estimates
 _CMP_SALT = 2654435761
 
 
+def _salted_pos_sql(key: str, r: str, salt: int, m: int) -> str:
+    """Salted lowbias position in [0, m) — ONE definition for every
+    sketch that derives per-row positions (count-min buckets, Bloom
+    bits), SQL side."""
+    return f"({_hllp_hash_sql(f'({key}) + ({r}) * {salt}')}) % {m}"
+
+
+def _salted_pos_col(key: Column, r: Column, salt: int, m: int) -> Column:
+    """Spark Column twin of _salted_pos_sql (kept adjacent)."""
+    return F.pmod(_hllp_hash_col(key + r * F.lit(salt)), F.lit(m))
+
+
 def _cmp_bucket_sql(key: str, r: str) -> str:
-    return f"({_hllp_hash_sql(f'({key}) + ({r}) * {_CMP_SALT}')}) % {CMP_W}"
+    return _salted_pos_sql(key, r, _CMP_SALT, CMP_W)
 
 
 def _cmp_bucket_col(key: Column, r: Column) -> Column:
-    return F.pmod(
-        _hllp_hash_col(key + r * F.lit(_CMP_SALT)), F.lit(CMP_W)
-    )
+    return _salted_pos_col(key, r, _CMP_SALT, CMP_W)
 
 
 _CMP_ORACLE = f"""
@@ -657,8 +672,7 @@ _BLM_SALT = 2246822519    # xxhash PRIME32_2 — public constant
 
 
 def _blm_pos_sql(key: str, r: str) -> str:
-    idx = f"({_hllp_hash_sql(f'({key}) + ({r}) * {_BLM_SALT}')}) % {BLM_BITS}"
-    return idx
+    return _salted_pos_sql(key, r, _BLM_SALT, BLM_BITS)
 
 
 _BLM_ORACLE = f"""
@@ -713,15 +727,21 @@ verdicts AS (
          CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS truth
   FROM tested t LEFT JOIN build b ON b.k = t.k
 )
-SELECT CAST(count(*) AS BIGINT) AS n_probed,
-       CAST(sum(truth) AS BIGINT) AS n_true,
-       CAST(sum(truth * member) AS BIGINT) AS n_true_and_member,
-       CAST(sum((1 - truth) * member) AS BIGINT) AS n_false_pos,
-       CAST(sum((1 - truth) * member) * 1000000
-            // GREATEST(sum(1 - truth), 1) AS BIGINT) AS fpr_micros,
-       m.n_words, m.n_words_merge_eq_direct
-FROM verdicts CROSS JOIN mstat m
-GROUP BY m.n_words, m.n_words_merge_eq_direct
+SELECT v.n_probed, v.n_true, v.n_true_and_member, v.n_false_pos,
+       v.fpr_micros, m.n_words, m.n_words_merge_eq_direct
+FROM (
+  -- aggregate WITHOUT grouping: exactly one row even on a corpus
+  -- with no probe-year orders, matching the engine's .agg() shape
+  -- (the grouped CROSS JOIN form emitted zero rows there — r13
+  -- review)
+  SELECT CAST(count(*) AS BIGINT) AS n_probed,
+         CAST(sum(truth) AS BIGINT) AS n_true,
+         CAST(sum(truth * member) AS BIGINT) AS n_true_and_member,
+         CAST(sum((1 - truth) * member) AS BIGINT) AS n_false_pos,
+         CAST(sum((1 - truth) * member) * 1000000
+              // GREATEST(sum(1 - truth), 1) AS BIGINT) AS fpr_micros
+  FROM verdicts
+) v CROSS JOIN mstat m
 """
 
 
@@ -756,15 +776,16 @@ def q_sketch_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = F.explode(F.sequence(F.lit(0), F.lit(BLM_K - 1))).alias("r")
 
     def pos(key: Column, r: Column) -> Column:
-        return F.pmod(
-            _hllp_hash_col(key + r * F.lit(_BLM_SALT)), F.lit(BLM_BITS)
-        )
+        return _salted_pos_col(key, r, _BLM_SALT, BLM_BITS)
 
     # SQL form: the Python F.shiftleft only takes a literal bit count
     mask = F.expr(
         f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(idx % {BLM_WBITS} AS INT))"
     )
-    build = stage(o.where(F.col("y") == 1995).select("k").distinct())
+    ka95 = stage(
+        o.where(F.col("y") == 1995).select("k", "mo").distinct()
+    )
+    build = stage(ka95.select("k").distinct())
     bbits = build.select("k", rs).withColumn(
         "idx", pos(F.col("k"), F.col("r"))
     )
@@ -776,10 +797,7 @@ def q_sketch_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("mask").alias("word"))
     )
     monthly = (
-        o.where(F.col("y") == 1995)
-        .select("k", "mo")
-        .distinct()
-        .select("k", "mo", rs)
+        ka95.select("k", "mo", rs)
         .withColumn("idx", pos(F.col("k"), F.col("r")))
         .select(
             "mo", F.expr(f"idx DIV {BLM_WBITS}").alias("w"),

@@ -712,11 +712,12 @@ def test_portable_countmin_cross_engine_tiny_corpus(spark, tmp_path):
     )
 
     sf = str(tmp_path)
-    # 7 distinct keys with distinct counts (no top-K ties), 3 days
+    # 7 distinct keys with distinct counts (no top-K ties), 3 days;
+    # the >2^31 key pins the r13 salted-position precedence fix
     rows = [
         (k, "2024-02-0%d" % (i % 3 + 1))
-        for k in range(1, 8)
-        for i in range(k * 3)
+        for k in list(range(1, 7)) + [3_000_000_000]
+        for i in range((k % 100) * 3 + (24 if k > 7 else 0))
     ]
     spark.createDataFrame(
         rows, "l_partkey long, l_shipdate string"

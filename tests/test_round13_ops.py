@@ -694,11 +694,16 @@ def test_portable_bloom_cross_engine_tiny_corpus(spark, tmp_path):
     )
 
     sf = str(tmp_path)
-    rows = [
-        (k, "1995-0%d-15" % (k % 9 + 1)) for k in range(1, 30)
-    ] + [
-        (k, "1996-03-15") for k in range(20, 60)
-    ]
+    # the >2^31 keys pin the r13 precedence fix: "k + r*SALT % M"
+    # bound the modulus to the salt product only, diverging from the
+    # engine once the salted sum crossed 2^32 (~1.85e9 at r=3)
+    big = [3_000_000_000 + 7 * i for i in range(6)]
+    rows = (
+        [(k, "1995-0%d-15" % (k % 9 + 1)) for k in range(1, 30)]
+        + [(k, "1995-02-15") for k in big[:3]]
+        + [(k, "1996-03-15") for k in range(20, 60)]
+        + [(k, "1996-03-15") for k in big]
+    )
     spark.createDataFrame(
         rows, "o_custkey long, o_orderdate string"
     ).selectExpr(
@@ -714,7 +719,7 @@ def test_portable_bloom_cross_engine_tiny_corpus(spark, tmp_path):
     want = [tuple(r) for r in con.execute(_BLM_ORACLE).fetchall()]
     assert got == want
     (n_probed, n_true, n_tm, n_fp, fpr, n_w, n_eq) = got[0]
-    assert (n_probed, n_true, n_tm) == (40, 10, 10)
+    assert (n_probed, n_true, n_tm) == (46, 13, 13)
     assert n_eq == n_w
-    # 29 keys x 4 hashes in 64512 bits: expected FPR ~ (1-e^-.0018)^4
+    # 32 keys x 4 hashes in 64512 bits: expected FPR ~ (1-e^-.002)^4
     assert n_fp == 0 and fpr == 0
