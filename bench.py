@@ -117,7 +117,12 @@ round's verified reading. The round's two post-panel code changes
 were re-adjudicated solo: quantile_normalize_portable's overflow-safe
 split division reps at 1.24-1.35 s warm (4-rep solo loop) vs 0.93 s
 in the clean panel — in-band; the audio guard refactor is
-plan-identical.
+plan-identical. A final-HEAD rep once ambient load eased (cal
+0.198/0.140, load 1.3/2.5) read 96.7 s with the gap again
+concentrated in the staging-heavy class (pq_portable 7.8 s, minhash
+6.8 s, subframe 8.1 s) and quantile_normalize_portable at 1.05 s
+confirming the split division in-band; 75.74 s remains the round's
+clean-probe verified panel.
 
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
