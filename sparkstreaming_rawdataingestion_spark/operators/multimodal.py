@@ -2211,7 +2211,9 @@ def _afps_off_samples(f: int) -> int:
     return AFP_FRAME_SIZE * _afpa_off(f) + _afps_phase(f)
 
 
-def synthesize_afps_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_afps_media(
+    spark: SparkSession, sf_dir: str, rate: int = 1
+) -> DataFrame:
     """SUB-FRAME-offset excerpt fixture: one real PCM WAV per document,
     family f = doc_id // 2, variant v = doc_id % 2 — v0 a 113-frame
     original with per-frame envelope amplitudes, v1 a 784-sample
@@ -2225,7 +2227,12 @@ def synthesize_afps_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-votes it. Amplitudes bounded (999 * 2 <
     32767): no int16 wrap, so decoded samples are exactly the formula
     values and the oracle replays the blend arithmetic in closed
-    form."""
+    form.
+
+    ``rate`` (decimation rung): rate = d makes every v1 excerpt a
+    d-x DECIMATED subsequence — sample t is orig[S + d*t] — of the
+    same length in ORIGINAL time (len/d samples), the deterministic
+    integer model of a downsampled re-post."""
     d = catalog.load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") / 2).cast("long").alias("f"),
@@ -2252,11 +2259,13 @@ def synthesize_afps_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s0 = _afps_off_samples(r.f)
                     samples = [
                         (
-                            _afp_env(r.f, (s0 + t) // AFP_FRAME_SIZE)
-                            * (1 if (s0 + t) % 2 == 0 else -1)
+                            _afp_env(
+                                r.f, (s0 + rate * t) // AFP_FRAME_SIZE
+                            )
+                            * (1 if (s0 + rate * t) % 2 == 0 else -1)
                             * 2
                         )
-                        for t in range(AFPS_EXCERPT_SAMPLES)
+                        for t in range(AFPS_EXCERPT_SAMPLES // rate)
                     ]
                 payloads.append(media_codecs.wav_encode(samples))
             yield pd.DataFrame(
@@ -2284,7 +2293,9 @@ AFPS_BANDS_SCHEMA = T.StructType(
 
 
 def audio_subframe_fingerprint_bands(
-    media: DataFrame, sample_hop: int = 1
+    media: DataFrame,
+    sample_hop: int = 1,
+    frame_size: int = AFP_FRAME_SIZE,
 ) -> DataFrame:
     """Overlapping-analysis-frame fingerprint stage: decode → |sample|
     prefix sums → slide the {AFP_FRAMES}-frame (520-sample) analysis
@@ -2311,8 +2322,15 @@ def audio_subframe_fingerprint_bands(
     Unlike the frame-grid stage there is NO frame-alignment
     requirement on the clip length — that is the point: the probe
     clip was cut at an arbitrary sample. Mono and >= one whole window
-    are still required (production resamples to the archive sample
-    rate first; rate conversion is codec territory)."""
+    are still required.
+
+    ``frame_size`` (round 13, decimation rung): probing a clip
+    DECIMATED by integer factor d with analysis frames of
+    {AFP_FRAME_SIZE}/d samples makes each probe frame span exactly
+    one ORIGINAL frame of audio time, so delta signs line up with the
+    archive prints and the energy witnesses stay exactly proportional
+    (the scale invariant is RATE-invariant) — integer decimation
+    stops being codec territory; fractional resampling still is."""
 
     def hash_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -2320,7 +2338,7 @@ def audio_subframe_fingerprint_bands(
 
         from . import media_codecs
 
-        win_samples = AFP_FRAMES * AFP_FRAME_SIZE
+        win_samples = AFP_FRAMES * frame_size
         weights = 1 << (np.arange(AFP_FRAMES - 1, dtype=np.int64) % 16)
         for pdf in batches:
             frames = []
@@ -2339,7 +2357,7 @@ def audio_subframe_fingerprint_bands(
                 # frame-boundary prefix offsets per window: W x 66
                 bounds = (
                     starts[:, None]
-                    + np.arange(AFP_FRAMES + 1)[None, :] * AFP_FRAME_SIZE
+                    + np.arange(AFP_FRAMES + 1)[None, :] * frame_size
                 )
                 pb = pref[bounds]
                 fe = np.diff(pb, axis=1)  # W x 65 frame energies
@@ -2372,6 +2390,7 @@ def audio_subframe_alignment(
     probe_sbands: DataFrame,
     archive_sbands: DataFrame,
     max_hamming: int = DHASH_MAX_HAMMING,
+    probe_rate: int = 1,
 ) -> DataFrame:
     """Sample-unit containment vote over sub-frame prints (both sides
     from audio_subframe_fingerprint_bands, ``win`` in SAMPLES): the
@@ -2383,7 +2402,13 @@ def audio_subframe_alignment(
     matched (probe, archived) pair: the best-voted offset with
     ``n_exact`` counting the votes whose energies are EXACTLY
     proportional (BIGINT cross-multiplication — the scale-consistency
-    invariant; see the fingerprint stage docstring).
+    invariant; see the fingerprint stage docstring). ``probe_rate``
+    (round-13 decimation rung): when the probe clip is a d-x
+    DECIMATED copy, one probe sample spans d original samples, so the
+    vote maps probe window starts back to original time
+    (offset_samples = win_b - d * win_a) — the invariant itself needs
+    no change, proportional energies stay proportional through
+    decimation.
 
     Ranking is the sub-frame lesson (measured on the fixture, r13):
     a phase-adjacent blended window tracks the original's delta signs
@@ -2406,9 +2431,9 @@ def audio_subframe_alignment(
     offs = wpairs.groupBy(
         F.col("media_a").alias("media_q"),
         F.col("media_b").alias("media_r"),
-        (F.col("win_b") - F.col("win_a")).cast("long").alias(
-            "offset_samples"
-        ),
+        (F.col("win_b") - F.lit(probe_rate) * F.col("win_a"))
+        .cast("long")
+        .alias("offset_samples"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_aligned"),
         F.sum(F.when(exact, 1).otherwise(0)).cast("long").alias("n_exact"),
@@ -2432,7 +2457,7 @@ def audio_subframe_alignment(
     )
 
 
-def _afps_ctes() -> str:
+def _afps_ctes(rate: int = 1) -> str:
     """The sub-frame pipeline as CTEs: excerpt start S(f) in samples →
     archive windows over closed-form frame energies (v0, one window
     per {AFPW_HOP_FRAMES}-frame hop, win in samples) → per-PHASE probe
@@ -2445,14 +2470,24 @@ def _afps_ctes() -> str:
     exact-scale invariant first. Envelope and banding shared with
     every other audio oracle; chained two-relation equi-joins
     throughout (the four-relation computed-key form blew up the
-    oracle planner at sf0.1 — ARCHITECTURE.md round 12)."""
+    oracle planner at sf0.1 — ARCHITECTURE.md round 12).
+
+    ``rate`` (decimation rung): with a d-x decimated excerpt the
+    probe analysis frame is 8/d samples spanning 8 ORIGINAL samples,
+    so a probe frame at phase r = (S + d*u) % 8 holds
+    c = (7 - r) // d + 1 samples of original frame c0 + m and the
+    rest of frame c0 + m + 1 — same per-phase stationary blend, just
+    d-dependent weights; offsets map back to original time as
+    ur - d * uq."""
     env_aj = _afp_env_sql("j.j")
     env_c0m = _afp_env_sql("c0 + m")
     env_c0m1 = _afp_env_sql("c0 + m + 1")
     n_arch_wins = (AFPS_ORIG_FRAMES - AFP_FRAMES) // AFPW_HOP_FRAMES + 1
     hop_samples = AFPW_HOP_FRAMES * AFP_FRAME_SIZE
-    max_m0 = AFPS_MAX_PROBE_START // AFP_FRAME_SIZE  # 33
-    n_m = max_m0 + AFP_FRAMES + 1  # energies 0..max_m0+65
+    fs = AFP_FRAME_SIZE // rate          # probe analysis frame size
+    max_start = AFPS_MAX_PROBE_START // rate
+    max_m0 = max_start // fs             # 33 at every rate
+    n_m = max_m0 + AFP_FRAMES + 1        # energies 0..max_m0+65
     return f"""awc AS (
   SELECT doc_id AS media_id,
          doc_id // 2 AS f,
@@ -2505,14 +2540,16 @@ awe AS (
   GROUP BY wk2.media_id, wk2.u
 ),
 pen AS (
+  -- per-phase probe frame energy: c of the frame's {{fs}} samples lie
+  -- in original frame c0+m, the rest in c0+m+1 (c = (7-r)//rate + 1)
   SELECT q.media_id, q.p, q.m,
-         2 * (({AFP_FRAME_SIZE} - q.r) * ({env_c0m})
-              + q.r * ({env_c0m1})) AS e
+         2 * (((7 - q.r) // {rate} + 1) * ({env_c0m})
+              + ({fs} - ((7 - q.r) // {rate} + 1)) * ({env_c0m1})) AS e
   FROM (
     SELECT pp.media_id, pp.f AS f, p.p AS p, m.m AS m,
-           (pp.s0 + p.p) % {AFP_FRAME_SIZE} AS r,
-           (pp.s0 + p.p) // {AFP_FRAME_SIZE} AS c0
-    FROM pparm pp, range({AFP_FRAME_SIZE}) p(p), range({n_m}) m(m)
+           (pp.s0 + {rate} * p.p) % {AFP_FRAME_SIZE} AS r,
+           (pp.s0 + {rate} * p.p) // {AFP_FRAME_SIZE} AS c0
+    FROM pparm pp, range({fs}) p(p), range({n_m}) m(m)
   ) q
 ),
 pbit AS (
@@ -2523,9 +2560,9 @@ pbit AS (
 ),
 pwin AS (
   SELECT pp.media_id, p.p AS p, m0.m0 AS m0,
-         p.p + {AFP_FRAME_SIZE} * m0.m0 AS u
-  FROM pparm pp, range({AFP_FRAME_SIZE}) p(p), range({max_m0 + 1}) m0(m0)
-  WHERE p.p + {AFP_FRAME_SIZE} * m0.m0 <= {AFPS_MAX_PROBE_START}
+         p.p + {fs} * m0.m0 AS u
+  FROM pparm pp, range({fs}) p(p), range({max_m0 + 1}) m0(m0)
+  WHERE p.p + {fs} * m0.m0 <= {max_start}
 ),
 pwk AS (
   SELECT win.media_id, win.u, win.p, win.m0 + k.k AS m, k.k AS k
@@ -2582,7 +2619,7 @@ sver AS (
 ),
 soffs AS (
   SELECT mq AS media_q, mr AS media_r,
-         CAST(ur - uq AS BIGINT) AS offset_samples,
+         CAST(ur - {rate} * uq AS BIGINT) AS offset_samples,
          CAST(count(*) AS BIGINT) AS n_aligned,
          CAST(sum(exact_scale) AS BIGINT) AS n_exact,
          min(hamming) AS min_hamming
@@ -2635,3 +2672,59 @@ def q_multimodal_audio_subframe_containment(
         media.where(F.col("media_id") % 2 == 1)
     )
     return audio_subframe_alignment(probe, arch)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_decimated_containment — DOWNSAMPLED excerpt discovery
+# ---------------------------------------------------------------------------
+
+AFPD_RATE = 2  # decimation factor of the fixture's excerpts
+
+_AFPD_ORACLE = f"""
+WITH {_afps_ctes(rate=AFPD_RATE)}
+SELECT media_q, media_r, offset_samples, n_aligned, n_exact, min_hamming
+FROM soffs
+QUALIFY row_number() OVER (PARTITION BY media_q, media_r
+                           ORDER BY n_exact DESC, n_aligned DESC,
+                                    min_hamming, offset_samples) = 1
+"""
+
+
+@_register("multimodal_audio_decimated_containment", _AFPD_ORACLE)
+def q_multimodal_audio_decimated_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOWNSAMPLED audio containment — the next rung after sub-frame
+    offsets: every excerpt is a 2x-DECIMATED (every other sample)
+    x2-rescaled subsequence of its original, starting
+    _afps_off_samples(f) samples in (still never a whole frame). The
+    probe fingerprints the decimated clip with 4-SAMPLE analysis
+    frames (audio_subframe_fingerprint_bands frame_size=4): each
+    probe frame spans exactly one ORIGINAL frame of audio time, so at
+    the aligned phase the delta signs equal the archive print's and
+    the energies stay exactly proportional — the scale invariant is
+    RATE-invariant, so the same n_exact-first vote pins the true
+    offset in ORIGINAL samples FLOORED TO THE DECIMATION GRID
+    (offset = win_b - 2 * win_a = S - (S mod 2): a d-x decimated
+    copy carries no information below d original samples — both
+    sub-positions of a frame produce identical prints — so the
+    reported offset is the exact grid point, pinned per family). The
+    archive is UNTOUCHED (the same compact hop-128 prints serve
+    native-rate, sub-frame and decimated probes — the whole point:
+    query-side cost, archive-side stability). Closed-form oracle:
+    the per-phase blend generalizes to c = (7 - r) // 2 + 1 samples
+    of frame c0+m per probe frame; hand pins + registry pin in
+    tests. Integer decimation only — fractional resampling remains
+    codec territory."""
+    from ..session import stage
+
+    media = stage(synthesize_afps_media(spark, sf_dir, rate=AFPD_RATE))
+    arch = audio_subframe_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 0),
+        sample_hop=AFPW_HOP_FRAMES * AFP_FRAME_SIZE,
+    )
+    probe = audio_subframe_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 1),
+        frame_size=AFP_FRAME_SIZE // AFPD_RATE,
+    )
+    return audio_subframe_alignment(probe, arch, probe_rate=AFPD_RATE)

@@ -278,10 +278,13 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # (slots 49-50). The late round-13 additions — the portable IVF twin
 # and the portable Bloom twin, landed after the window was sealed —
 # queue for the round-14 rotation with their 4-way local gates green
-# (engine + --plain at sf0.01 AND sf0.1).
+# (engine + --plain at sf0.01 AND sf0.1), as does the decimated-
+# excerpt containment rung (the sub-frame machinery at probe frame
+# size 4 / rate 2).
 OVERFLOW_QUEUE: tuple[str, ...] = (
     "similarity_ivf_portable_topk",
     "sketch_bloom_portable",
+    "multimodal_audio_decimated_containment",
 )
 
 

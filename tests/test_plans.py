@@ -1232,3 +1232,20 @@ def test_portable_bloom_pure_jvm_bounded_words(spark, sf_dir):
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in p
     assert "CartesianProduct" not in p
+
+
+def test_decimated_containment_band_keyed_no_cartesian(spark, sf_dir):
+    """The decimated rung inherits the sub-frame plan contract
+    unchanged: one staged synth frame, band equi-join candidates (no
+    cartesian / nested-loop broadcast), witness verify joins, bounded
+    vote aggregations — the probe frame size and offset rate are
+    map-side arithmetic only."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_decimated_containment(
+        spark, sf_dir
+    )
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("InMemoryRelation") >= 1

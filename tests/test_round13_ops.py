@@ -723,3 +723,132 @@ def test_portable_bloom_cross_engine_tiny_corpus(spark, tmp_path):
     assert n_eq == n_w
     # 32 keys x 4 hashes in 64512 bits: expected FPR ~ (1-e^-.002)^4
     assert n_fp == 0 and fpr == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_decimated_containment
+# ---------------------------------------------------------------------------
+
+
+def test_decimated_registry_fixture_offsets(spark, sf_dir):
+    """Registry-scale pin: every 2x-decimated excerpt reports its own
+    original at the true offset FLOORED TO THE DECIMATION GRID
+    (S - (S mod 2) — a decimated copy carries no sub-grid position
+    information) with n_aligned = n_exact = 2 and hamming 0."""
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        AFPD_RATE,
+        _afps_off_samples,
+        q_multimodal_audio_decimated_containment,
+    )
+
+    rows = q_multimodal_audio_decimated_containment(
+        spark, sf_dir
+    ).collect()
+    true_rows = {
+        r.media_q: r for r in rows if r.media_r == r.media_q - 1
+    }
+    n_docs = max(r.media_q for r in rows) + 1
+    assert len(true_rows) >= n_docs // 2 - 1
+    for mq, r in true_rows.items():
+        S = _afps_off_samples(mq // 2)
+        assert r.offset_samples == S - (S % AFPD_RATE)
+        assert r.n_aligned == 2
+        assert r.n_exact == 2
+        assert r.min_hamming == 0
+
+
+def test_decimated_hand_fixture_replay(spark):
+    """Pure-Python replay of the decimated pipeline on the hand
+    corpus: decimate the sample-43 excerpt 2x, fingerprint with
+    4-sample analysis frames at sample hop 1, run the pair algebra
+    with the rate-2 offset mapping — the engine must agree exactly,
+    and the true pair lands at offset 42 (43 floored to the even
+    grid) with n_exact = 2, hamming 0."""
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        audio_subframe_alignment,
+        audio_subframe_fingerprint_bands,
+    )
+
+    orig, excerpt, control, s0 = _subframe_samples()
+    dec = excerpt[::2]  # 392 samples
+
+    def prints_fs(samples, hop, fs):
+        a = [abs(v) for v in samples]
+        pref = [0]
+        for v in a:
+            pref.append(pref[-1] + v)
+        out = {}
+        for u in range(0, len(samples) - 65 * fs + 1, hop):
+            fe = [
+                pref[u + fs * (k + 1)] - pref[u + fs * k]
+                for k in range(65)
+            ]
+            bits = [1 if fe[k + 1] > fe[k] else 0 for k in range(64)]
+            bands = tuple(
+                sum(bits[16 * b + i] << i for i in range(16))
+                for b in range(4)
+            )
+            out[u] = (bands, fe[0], sum(fe))
+        return out
+
+    probe = {(1, u): v for u, v in prints_fs(dec, 1, 4).items()}
+    archive = {
+        (m, u): v
+        for m, smp in ((0, orig), (2, control))
+        for u, v in prints_fs(smp, 128, 8).items()
+    }
+    from collections import defaultdict
+
+    votes: dict = defaultdict(lambda: defaultdict(list))
+    for (mq, uq), (pb, ph, ps) in probe.items():
+        for (mr, ur), (ab, ah, asum) in archive.items():
+            if mq == mr or not any(x == y for x, y in zip(pb, ab)):
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(pb, ab))
+            if ham > 3:
+                continue
+            exact = 1 if ph * asum == ps * ah else 0
+            votes[(mq, mr)][ur - 2 * uq].append((ham, exact))
+    expected = {}
+    for pair, offs in votes.items():
+        ne, na, mh, o = sorted(
+            (
+                -sum(e for _, e in hs),
+                -len(hs),
+                min(h for h, _ in hs),
+                o,
+            )
+            for o, hs in offs.items()
+        )[0]
+        expected[pair] = (o, -na, -ne, mh)
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio/wav", media_codecs.wav_encode(orig)),
+            (1, "audio/wav", media_codecs.wav_encode(dec)),
+            (2, "audio/wav", media_codecs.wav_encode(control)),
+        ],
+        "media_id long, mime string, payload binary",
+    )
+    got = {
+        (r.media_q, r.media_r): (
+            r.offset_samples,
+            r.n_aligned,
+            r.n_exact,
+            r.min_hamming,
+        )
+        for r in audio_subframe_alignment(
+            audio_subframe_fingerprint_bands(
+                media.where("media_id = 1"), frame_size=4
+            ),
+            audio_subframe_fingerprint_bands(
+                media.where("media_id != 1"), sample_hop=128
+            ),
+            probe_rate=2,
+        ).collect()
+    }
+    assert got == expected
+    assert expected[(1, 0)] == (s0 - s0 % 2, 2, 2, 0)  # 42: grid floor
