@@ -2332,6 +2332,13 @@ def audio_subframe_fingerprint_bands(
     (the scale invariant is RATE-invariant) — integer decimation
     stops being codec territory; fractional resampling still is."""
 
+    if AFP_FRAME_SIZE % frame_size != 0:
+        raise ValueError(
+            f"frame_size must divide {AFP_FRAME_SIZE} (one probe frame "
+            f"spans one original frame through integer decimation), "
+            f"got {frame_size}"
+        )
+
     def hash_batches(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
@@ -2479,6 +2486,10 @@ def _afps_ctes(rate: int = 1) -> str:
     rest of frame c0 + m + 1 — same per-phase stationary blend, just
     d-dependent weights; offsets map back to original time as
     ur - d * uq."""
+    if AFP_FRAME_SIZE % rate != 0:
+        raise ValueError(
+            f"rate must divide {AFP_FRAME_SIZE}, got {rate}"
+        )
     env_aj = _afp_env_sql("j.j")
     env_c0m = _afp_env_sql("c0 + m")
     env_c0m1 = _afp_env_sql("c0 + m + 1")
@@ -2543,8 +2554,9 @@ pen AS (
   -- per-phase probe frame energy: c of the frame's {{fs}} samples lie
   -- in original frame c0+m, the rest in c0+m+1 (c = (7-r)//rate + 1)
   SELECT q.media_id, q.p, q.m,
-         2 * (((7 - q.r) // {rate} + 1) * ({env_c0m})
-              + ({fs} - ((7 - q.r) // {rate} + 1)) * ({env_c0m1})) AS e
+         2 * ((({AFP_FRAME_SIZE - 1} - q.r) // {rate} + 1) * ({env_c0m})
+              + ({fs} - (({AFP_FRAME_SIZE - 1} - q.r) // {rate} + 1))
+                * ({env_c0m1})) AS e
   FROM (
     SELECT pp.media_id, pp.f AS f, p.p AS p, m.m AS m,
            (pp.s0 + {rate} * p.p) % {AFP_FRAME_SIZE} AS r,

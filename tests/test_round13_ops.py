@@ -52,18 +52,19 @@ def _subframe_media(spark):
     )
 
 
-def _sub_prints(samples, hop):
+def _sub_prints(samples, hop, fs=8):
     """Pure-Python replay of the sub-frame print stage: |sample| prefix
-    sums → 65-frame windows at ``hop`` SAMPLES → (bands, e_head,
-    e_sum) per window start. Independent of Spark and DuckDB."""
+    sums → 65-frame windows (frame size ``fs``) at ``hop`` SAMPLES →
+    (bands, e_head, e_sum) per window start. Independent of Spark and
+    DuckDB; ONE replay for the native and decimated rungs."""
     a = [abs(v) for v in samples]
     pref = [0]
     for v in a:
         pref.append(pref[-1] + v)
     out = {}
-    for u in range(0, len(samples) - 520 + 1, hop):
+    for u in range(0, len(samples) - 65 * fs + 1, hop):
         fe = [
-            pref[u + 8 * (k + 1)] - pref[u + 8 * k] for k in range(65)
+            pref[u + fs * (k + 1)] - pref[u + fs * k] for k in range(65)
         ]
         bits = [1 if fe[k + 1] > fe[k] else 0 for k in range(64)]
         bands = tuple(
@@ -775,30 +776,11 @@ def test_decimated_hand_fixture_replay(spark):
     orig, excerpt, control, s0 = _subframe_samples()
     dec = excerpt[::2]  # 392 samples
 
-    def prints_fs(samples, hop, fs):
-        a = [abs(v) for v in samples]
-        pref = [0]
-        for v in a:
-            pref.append(pref[-1] + v)
-        out = {}
-        for u in range(0, len(samples) - 65 * fs + 1, hop):
-            fe = [
-                pref[u + fs * (k + 1)] - pref[u + fs * k]
-                for k in range(65)
-            ]
-            bits = [1 if fe[k + 1] > fe[k] else 0 for k in range(64)]
-            bands = tuple(
-                sum(bits[16 * b + i] << i for i in range(16))
-                for b in range(4)
-            )
-            out[u] = (bands, fe[0], sum(fe))
-        return out
-
-    probe = {(1, u): v for u, v in prints_fs(dec, 1, 4).items()}
+    probe = {(1, u): v for u, v in _sub_prints(dec, 1, fs=4).items()}
     archive = {
         (m, u): v
         for m, smp in ((0, orig), (2, control))
-        for u, v in prints_fs(smp, 128, 8).items()
+        for u, v in _sub_prints(smp, 128).items()
     }
     from collections import defaultdict
 
