@@ -2212,7 +2212,7 @@ def _afps_off_samples(f: int) -> int:
 
 
 def synthesize_afps_media(
-    spark: SparkSession, sf_dir: str, rate: int = 1
+    spark: SparkSession, sf_dir: str, rate: int = 1, rate_den: int = 1
 ) -> DataFrame:
     """SUB-FRAME-offset excerpt fixture: one real PCM WAV per document,
     family f = doc_id // 2, variant v = doc_id % 2 — v0 a 113-frame
@@ -2232,7 +2232,13 @@ def synthesize_afps_media(
     ``rate`` (decimation rung): rate = d makes every v1 excerpt a
     d-x DECIMATED subsequence — sample t is orig[S + d*t] — of the
     same length in ORIGINAL time (len/d samples), the deterministic
-    integer model of a downsampled re-post."""
+    integer model of a downsampled re-post.
+
+    ``rate_den`` (rational rung, round 14): rate/rate_den = q/p makes
+    sample t = orig[S + (q*t)//p] — the upsample-by-p (zero-order
+    hold) THEN decimate-by-q composition, the deterministic integer
+    model of a nearest-neighbor fractional resampler. rate_den = 1
+    reduces exactly to the integer path."""
     d = catalog.load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") / 2).cast("long").alias("f"),
@@ -2257,15 +2263,19 @@ def synthesize_afps_media(
                         )
                 else:
                     s0 = _afps_off_samples(r.f)
+                    idxs = [
+                        s0 + (rate * t) // rate_den
+                        for t in range(
+                            (AFPS_EXCERPT_SAMPLES * rate_den) // rate
+                        )
+                    ]
                     samples = [
                         (
-                            _afp_env(
-                                r.f, (s0 + rate * t) // AFP_FRAME_SIZE
-                            )
-                            * (1 if (s0 + rate * t) % 2 == 0 else -1)
+                            _afp_env(r.f, i // AFP_FRAME_SIZE)
+                            * (1 if i % 2 == 0 else -1)
                             * 2
                         )
-                        for t in range(AFPS_EXCERPT_SAMPLES // rate)
+                        for i in idxs
                     ]
                 payloads.append(media_codecs.wav_encode(samples))
             yield pd.DataFrame(
@@ -2296,6 +2306,8 @@ def audio_subframe_fingerprint_bands(
     media: DataFrame,
     sample_hop: int = 1,
     frame_size: int = AFP_FRAME_SIZE,
+    rate_num: int | None = None,
+    rate_den: int = 1,
 ) -> DataFrame:
     """Overlapping-analysis-frame fingerprint stage: decode → |sample|
     prefix sums → slide the {AFP_FRAMES}-frame (520-sample) analysis
@@ -2330,13 +2342,37 @@ def audio_subframe_fingerprint_bands(
     one ORIGINAL frame of audio time, so delta signs line up with the
     archive prints and the energy witnesses stay exactly proportional
     (the scale invariant is RATE-invariant) — integer decimation
-    stops being codec territory; fractional resampling still is."""
+    stops being codec territory.
 
-    if AFP_FRAME_SIZE % frame_size != 0:
+    ``rate_num``/``rate_den`` (round 14, rational rung): for a clip
+    resampled at rational ratio q/p by zero-order hold
+    (sample t = orig[(q*t)//p]), the one-original-frame span condition
+    generalizes to frame_size * q == {AFP_FRAME_SIZE} * p — the frame
+    grid still advances exactly {AFP_FRAME_SIZE} original samples per
+    probe frame ((q*(u + fs*m))//p == (q*u)//p + {AFP_FRAME_SIZE}*m),
+    so the per-window blend weights stay stationary and the scale
+    invariant survives. Defaulting rate_num to
+    {AFP_FRAME_SIZE} // frame_size keeps the integer-decimation
+    contract (and its divisibility guard) unchanged. Nearest-neighbor
+    (ZOH) resampling only: an interpolating resampler mixes adjacent
+    original samples and leaves exact-integer territory — that
+    boundary is adjudicated in ARCHITECTURE.md round 14."""
+
+    if rate_num is None:
+        if AFP_FRAME_SIZE % frame_size != 0:
+            raise ValueError(
+                f"frame_size must divide {AFP_FRAME_SIZE} (one probe "
+                f"frame spans one original frame through integer "
+                f"decimation), got {frame_size}"
+            )
+        rate_num = AFP_FRAME_SIZE // frame_size
+        rate_den = 1
+    if frame_size * rate_num != AFP_FRAME_SIZE * rate_den:
         raise ValueError(
-            f"frame_size must divide {AFP_FRAME_SIZE} (one probe frame "
-            f"spans one original frame through integer decimation), "
-            f"got {frame_size}"
+            f"probe frame must span exactly one original frame: "
+            f"frame_size * rate_num == {AFP_FRAME_SIZE} * rate_den, "
+            f"got {frame_size} * {rate_num} != "
+            f"{AFP_FRAME_SIZE} * {rate_den}"
         )
 
     def hash_batches(batches: Iterator) -> Iterator:
@@ -2398,6 +2434,7 @@ def audio_subframe_alignment(
     archive_sbands: DataFrame,
     max_hamming: int = DHASH_MAX_HAMMING,
     probe_rate: int = 1,
+    probe_rate_den: int = 1,
 ) -> DataFrame:
     """Sample-unit containment vote over sub-frame prints (both sides
     from audio_subframe_fingerprint_bands, ``win`` in SAMPLES): the
@@ -2415,7 +2452,12 @@ def audio_subframe_alignment(
     vote maps probe window starts back to original time
     (offset_samples = win_b - d * win_a) — the invariant itself needs
     no change, proportional energies stay proportional through
-    decimation.
+    decimation. ``probe_rate_den`` (round-14 rational rung): a clip
+    ZOH-resampled at ratio q/p puts probe sample u at original sample
+    (q*u)//p EXACTLY (the ZOH index map), so the vote generalizes to
+    offset_samples = win_b - (q*win_a)//p — still exact, no grid
+    ambiguity beyond the map itself; den = 1 reduces to the integer
+    path bit-for-bit.
 
     Ranking is the sub-frame lesson (measured on the fixture, r13):
     a phase-adjacent blended window tracks the original's delta signs
@@ -2435,12 +2477,15 @@ def audio_subframe_alignment(
         F.col("e_head_a") * F.col("e_sum_b")
         == F.col("e_sum_a") * F.col("e_head_b")
     )
+    if probe_rate_den == 1:
+        mapped = F.lit(probe_rate) * F.col("win_a")
+    else:
+        # win_a >= 0 always, so DIV == floor division == the ZOH map
+        mapped = F.expr(f"({probe_rate} * win_a) DIV {probe_rate_den}")
     offs = wpairs.groupBy(
         F.col("media_a").alias("media_q"),
         F.col("media_b").alias("media_r"),
-        (F.col("win_b") - F.lit(probe_rate) * F.col("win_a"))
-        .cast("long")
-        .alias("offset_samples"),
+        (F.col("win_b") - mapped).cast("long").alias("offset_samples"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_aligned"),
         F.sum(F.when(exact, 1).otherwise(0)).cast("long").alias("n_exact"),
@@ -2464,7 +2509,7 @@ def audio_subframe_alignment(
     )
 
 
-def _afps_ctes(rate: int = 1) -> str:
+def _afps_ctes(rate: int = 1, rate_den: int = 1) -> str:
     """The sub-frame pipeline as CTEs: excerpt start S(f) in samples →
     archive windows over closed-form frame energies (v0, one window
     per {AFPW_HOP_FRAMES}-frame hop, win in samples) → per-PHASE probe
@@ -2485,20 +2530,87 @@ def _afps_ctes(rate: int = 1) -> str:
     c = (7 - r) // d + 1 samples of original frame c0 + m and the
     rest of frame c0 + m + 1 — same per-phase stationary blend, just
     d-dependent weights; offsets map back to original time as
-    ur - d * uq."""
-    if AFP_FRAME_SIZE % rate != 0:
+    ur - d * uq.
+
+    ``rate_den`` (rational rung, round 14): a q/p ZOH-resampled
+    excerpt (sample t = orig[S + (q*t)//p]) keeps the SAME stationary
+    structure because the probe frame grid still advances exactly 8
+    original samples per frame (fs*q == 8*p): phase quantities depend
+    only on p0 = u mod fs — original start a0 = S + (p0*q)//p,
+    r = a0 % 8, and the first-frame sample count generalizes from the
+    closed form (7-r)//d + 1 to a counting CTE over the within-frame
+    ZOH offsets ((w + t*q)//p with w = (p0*q) % p); the offset map
+    becomes ur - (q*uq)//p. rate_den = 1 emits the integer-path SQL
+    byte-for-byte."""
+    if rate_den == 1 and AFP_FRAME_SIZE % rate != 0:
         raise ValueError(
             f"rate must divide {AFP_FRAME_SIZE}, got {rate}"
+        )
+    if (AFP_FRAME_SIZE * rate_den) % rate != 0:
+        raise ValueError(
+            f"rate/rate_den must satisfy rate | "
+            f"{AFP_FRAME_SIZE} * rate_den, got {rate}/{rate_den}"
         )
     env_aj = _afp_env_sql("j.j")
     env_c0m = _afp_env_sql("c0 + m")
     env_c0m1 = _afp_env_sql("c0 + m + 1")
     n_arch_wins = (AFPS_ORIG_FRAMES - AFP_FRAMES) // AFPW_HOP_FRAMES + 1
     hop_samples = AFPW_HOP_FRAMES * AFP_FRAME_SIZE
-    fs = AFP_FRAME_SIZE // rate          # probe analysis frame size
-    max_start = AFPS_MAX_PROBE_START // rate
+    # probe analysis frame size: fs * rate == 8 * rate_den exactly
+    fs = (AFP_FRAME_SIZE * rate_den) // rate
+    n_probe = (AFPS_EXCERPT_SAMPLES * rate_den) // rate
+    max_start = n_probe - AFP_FRAMES * fs
     max_m0 = max_start // fs             # 33 at every rate
     n_m = max_m0 + AFP_FRAMES + 1        # energies 0..max_m0+65
+    if rate_den == 1:
+        pen_block = f"""pen AS (
+  -- per-phase probe frame energy: c of the frame's {{fs}} samples lie
+  -- in original frame c0+m, the rest in c0+m+1 (c = (7-r)//rate + 1)
+  SELECT q.media_id, q.p, q.m,
+         2 * ((({AFP_FRAME_SIZE - 1} - q.r) // {rate} + 1) * ({env_c0m})
+              + ({fs} - (({AFP_FRAME_SIZE - 1} - q.r) // {rate} + 1))
+                * ({env_c0m1})) AS e
+  FROM (
+    SELECT pp.media_id, pp.f AS f, p.p AS p, m.m AS m,
+           (pp.s0 + {rate} * p.p) % {AFP_FRAME_SIZE} AS r,
+           (pp.s0 + {rate} * p.p) // {AFP_FRAME_SIZE} AS c0
+    FROM pparm pp, range({fs}) p(p), range({n_m}) m(m)
+  ) q
+),"""
+        offset_expr = f"ur - {rate} * uq"
+    else:
+        pen_block = f"""pphase AS (
+  -- per-phase ZOH geometry: original start a0 = s0 + (p*q)//den,
+  -- frame phase r = a0 % 8, within-frame ZOH residue w = (p*q) % den
+  SELECT pp.media_id, pp.f AS f, p.p AS p,
+         (pp.s0 + (p.p * {rate}) // {rate_den}) % {AFP_FRAME_SIZE} AS r,
+         (pp.s0 + (p.p * {rate}) // {rate_den}) // {AFP_FRAME_SIZE} AS c0,
+         (p.p * {rate}) % {rate_den} AS wr
+  FROM pparm pp, range({fs}) p(p)
+),
+pcnt AS (
+  -- c(p): how many of the frame's {fs} ZOH samples land in the FIRST
+  -- spanned original frame (the rest land in the next one)
+  SELECT ph.media_id, ph.p,
+         CAST(sum(CASE WHEN ph.r + (ph.wr + t.t * {rate}) // {rate_den}
+                         <= {AFP_FRAME_SIZE - 1} THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM pphase ph, range({fs}) t(t)
+  GROUP BY 1, 2
+),
+pen AS (
+  SELECT q.media_id, q.p, q.m,
+         2 * (q.c * ({env_c0m})
+              + ({fs} - q.c) * ({env_c0m1})) AS e
+  FROM (
+    SELECT ph.media_id, ph.f AS f, ph.p AS p, m.m AS m,
+           ph.c0 AS c0, pc.c AS c
+    FROM pphase ph
+    JOIN pcnt pc ON pc.media_id = ph.media_id AND pc.p = ph.p,
+         range({n_m}) m(m)
+  ) q
+),"""
+        offset_expr = f"ur - ({rate} * uq) // {rate_den}"
     return f"""awc AS (
   SELECT doc_id AS media_id,
          doc_id // 2 AS f,
@@ -2550,20 +2662,7 @@ awe AS (
   ) wk2 JOIN aen e ON e.media_id = wk2.media_id AND e.j = wk2.j
   GROUP BY wk2.media_id, wk2.u
 ),
-pen AS (
-  -- per-phase probe frame energy: c of the frame's {{fs}} samples lie
-  -- in original frame c0+m, the rest in c0+m+1 (c = (7-r)//rate + 1)
-  SELECT q.media_id, q.p, q.m,
-         2 * ((({AFP_FRAME_SIZE - 1} - q.r) // {rate} + 1) * ({env_c0m})
-              + ({fs} - (({AFP_FRAME_SIZE - 1} - q.r) // {rate} + 1))
-                * ({env_c0m1})) AS e
-  FROM (
-    SELECT pp.media_id, pp.f AS f, p.p AS p, m.m AS m,
-           (pp.s0 + {rate} * p.p) % {AFP_FRAME_SIZE} AS r,
-           (pp.s0 + {rate} * p.p) // {AFP_FRAME_SIZE} AS c0
-    FROM pparm pp, range({fs}) p(p), range({n_m}) m(m)
-  ) q
-),
+{pen_block}
 pbit AS (
   SELECT a.media_id, a.p, a.m,
          CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
@@ -2631,7 +2730,7 @@ sver AS (
 ),
 soffs AS (
   SELECT mq AS media_q, mr AS media_r,
-         CAST(ur - {rate} * uq AS BIGINT) AS offset_samples,
+         CAST({offset_expr} AS BIGINT) AS offset_samples,
          CAST(count(*) AS BIGINT) AS n_aligned,
          CAST(sum(exact_scale) AS BIGINT) AS n_exact,
          min(hamming) AS min_hamming
@@ -2740,3 +2839,79 @@ def q_multimodal_audio_decimated_containment(
         frame_size=AFP_FRAME_SIZE // AFPD_RATE,
     )
     return audio_subframe_alignment(probe, arch, probe_rate=AFPD_RATE)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_rational_containment — FRACTIONALLY-resampled excerpts
+# ---------------------------------------------------------------------------
+
+# Ratio q/p = 4/3: the excerpt is the original upsampled by 3 (zero-
+# order hold) then decimated by 4 — probe sample t = orig[S + (4t)//3],
+# a 4/3-x "slowed-capture" re-post. The supportable rational class is
+# q | 8p with ZOH resampling: the probe analysis frame (fs = 8p/q
+# samples) then spans exactly 8 original samples, the per-window blend
+# weights are stationary (they depend only on u mod fs), and for every
+# sub-frame phase class of the fixture exactly one window-residue
+# family is PURE (all fs ZOH samples of each frame inside one original
+# frame), exactly proportional to the untouched archive prints. An
+# INTERPOLATING resampler leaves this class — the measured boundary is
+# adjudicated in ARCHITECTURE.md round 14.
+
+AFPR_NUM = 4   # resample ratio numerator (original samples ...)
+AFPR_DEN = 3   # ... per rate_den probe samples: q/p = 4/3
+
+_AFPR_ORACLE = f"""
+WITH {_afps_ctes(rate=AFPR_NUM, rate_den=AFPR_DEN)}
+SELECT media_q, media_r, offset_samples, n_aligned, n_exact, min_hamming
+FROM soffs
+QUALIFY row_number() OVER (PARTITION BY media_q, media_r
+                           ORDER BY n_exact DESC, n_aligned DESC,
+                                    min_hamming, offset_samples) = 1
+"""
+
+
+@_register("multimodal_audio_rational_containment", _AFPR_ORACLE)
+def q_multimodal_audio_rational_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FRACTIONALLY-resampled audio containment — the rung after
+    integer decimation: every excerpt is a 4/3-x ZOH-resampled
+    (probe sample t = orig[S + (4t)//3]) x2-rescaled subsequence of
+    its original starting _afps_off_samples(f) samples in (still
+    never a whole frame). The probe fingerprints with 6-SAMPLE
+    analysis frames (fs*4 == 8*3): each probe frame spans exactly one
+    ORIGINAL frame of audio time, the ZOH frame grid advances 8
+    original samples per frame, and for each family exactly one
+    window-residue class is phase-PURE — its energies exactly
+    proportional to the archive prints, so the n_exact-first vote
+    pins the containment offset at the ZOH grid point
+    S - (1 if S % 4 == 1 else 0) with n_exact = 2 (archive windows
+    128 and 256), derived in closed form and pinned per family in
+    tests. The archive is UNTOUCHED — the same compact hop-128
+    prints now serve native-rate, sub-frame, integer-decimated AND
+    rational-ZOH probes; all densification cost rides the bounded
+    query batch. Closed-form oracle: the per-phase blend weight
+    generalizes to a counting CTE over the within-frame ZOH offsets.
+    ZOH (nearest-neighbor) resampling only — interpolating
+    resamplers mix adjacent samples and are adjudicated out in
+    ARCHITECTURE.md round 14."""
+    from ..session import stage
+
+    media = stage(
+        synthesize_afps_media(
+            spark, sf_dir, rate=AFPR_NUM, rate_den=AFPR_DEN
+        )
+    )
+    arch = audio_subframe_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 0),
+        sample_hop=AFPW_HOP_FRAMES * AFP_FRAME_SIZE,
+    )
+    probe = audio_subframe_fingerprint_bands(
+        media.where(F.col("media_id") % 2 == 1),
+        frame_size=(AFP_FRAME_SIZE * AFPR_DEN) // AFPR_NUM,
+        rate_num=AFPR_NUM,
+        rate_den=AFPR_DEN,
+    )
+    return audio_subframe_alignment(
+        probe, arch, probe_rate=AFPR_NUM, probe_rate_den=AFPR_DEN
+    )

@@ -880,6 +880,274 @@ def q_sketch_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch_mg_portable_heavyhitters — the Misra-Gries MECHANISM, integer-exact
+# ---------------------------------------------------------------------------
+
+# Misra & Gries 1982 frequent-items summary in its MERGEABLE form
+# (Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable Summaries",
+# PODS 2012): a K-counter summary is PRUNED by subtracting the
+# (K+1)-th largest counter value and dropping non-positives; merging
+# two summaries = add counters, prune again. The production path
+# (sketch_heavy_hitters above) runs the classic streaming MG whose
+# final counter values depend on partition/arrival order — rows-only
+# to the driver by design. THIS twin removes the order dependence:
+# each deterministic shard's summary is the prune of its EXACT counts
+# (the canonical mergeable summary for that shard — what a 1000-
+# executor job would compute per partition), and one merge level
+# combines them. Every value is a BIGINT; the MG guarantees become
+# hash-certifiable columns:
+#   * mg_estimate <= exact_count            (underestimate — the sign
+#     opposite of count-min's, so the two twins bracket the key),
+#   * exact_count - mg_estimate <= deficit_budget, where
+#     deficit_budget = sum(per-shard prune) + final prune, and
+#     (K+1) * deficit_budget <= n_rows      (the mergeable-summaries
+#     telescoping argument: each prune by t removes >= (K+1)*t weight,
+#     and total removed weight cannot exceed n),
+#   * every item with exact_count*(K+1) > n_rows is RETAINED
+#     (n_true_heavy == n_true_heavy_retained — the heavy-hitter
+#     guarantee).
+# The workload is the canonical heavy-hitter input: a deterministic
+# Zipf(~1) item-popularity map item = C // (1 + lowbias(event_id) % C)
+# (item 1 draws ~half the stream, item k ~ 1/(k(k+1))), so the prune
+# machinery is genuinely exercised (>= 50 distinct items per shard vs
+# K = 16 counters) and true heavies exist at every test scale.
+
+MGP_K = 16            # counters per summary
+MGP_S = 8             # deterministic shards (models executors)
+MGP_ZIPF_C = 1000     # Zipf item-domain constant
+_MGP_SALT = 3266489917  # xxhash PRIME32_3 — public constant
+
+
+def mg_portable_summary(
+    rows: DataFrame, k: int = MGP_K
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic mergeable-MG pipeline over ``rows`` with
+    columns (item BIGINT, shard) — exposed module-level so the
+    closed-form fixture test can feed hand-built (item, shard) rows
+    and check the summary against pencil-and-paper expectations
+    without either engine's hash in the way.
+
+    Returns ``(summary, stats)``: summary = (item, mg_estimate) — the
+    merged-and-pruned K-counter state; stats = one row
+    (n_rows, deficit_budget).
+
+    Scale shape: one grouped count per (shard, item); the per-shard
+    rank window partitions by shard (parallel); the only global
+    window ranks the MERGED partials, which are bounded by S*K rows
+    (<= 128 here — at most K counts per shard survive a strict prune),
+    so the single-reducer sort is over a constant-size frame, never
+    data-scale."""
+    shard_counts = rows.groupBy("shard", "item").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("c"), "item")
+    ranked = shard_counts.withColumn("rk", F.row_number().over(w))
+    shard_t = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k + 1, F.col("c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("t")
+    )
+    partials = (
+        shard_counts.join(shard_t, "shard")
+        .select("item", (F.col("c") - F.col("t")).alias("m"))
+        .where(F.col("m") > 0)
+    )
+    merged = partials.groupBy("item").agg(
+        F.sum("m").cast("long").alias("g")
+    )
+    wg = Window.orderBy(F.desc("g"), "item")
+    final_t = (
+        merged.withColumn("rk", F.row_number().over(wg))
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("g"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t2")
+        )
+    )
+    summary = (
+        merged.crossJoin(F.broadcast(final_t))
+        .select(
+            "item",
+            (F.col("g") - F.col("t2")).cast("long").alias("mg_estimate"),
+        )
+        .where(F.col("mg_estimate") > 0)
+    )
+    sum_t = shard_t.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("sum_t")
+    )
+    stats = (
+        rows.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(sum_t))
+        .crossJoin(F.broadcast(final_t))
+        .select(
+            "n_rows",
+            (F.col("sum_t") + F.col("t2"))
+            .cast("long")
+            .alias("deficit_budget"),
+        )
+    )
+    return summary, stats
+
+
+_MGP_K1 = MGP_K + 1
+_MGP_ITEM_SQL = (
+    f"CAST({MGP_ZIPF_C} // "
+    f"(1 + (({_hllp_hash_sql('event_id')}) % {MGP_ZIPF_C})) AS BIGINT)"
+)
+_MGP_SHARD_SQL = _salted_pos_sql("event_id", "1", _MGP_SALT, MGP_S)
+
+_MGP_ORACLE = f"""
+WITH rows_in AS (
+  SELECT {_MGP_ITEM_SQL} AS item,
+         {_MGP_SHARD_SQL} AS shard
+  FROM events
+),
+shard_counts AS (
+  SELECT shard, item, CAST(count(*) AS BIGINT) AS c
+  FROM rows_in GROUP BY 1, 2
+),
+shard_t AS (
+  SELECT shard,
+         CAST(COALESCE(max(CASE WHEN rk = {_MGP_K1} THEN c END), 0)
+              AS BIGINT) AS t
+  FROM (
+    SELECT shard, c,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY c DESC, item) AS rk
+    FROM shard_counts
+  ) GROUP BY shard
+),
+partials AS (
+  SELECT sc.item, sc.c - st.t AS m
+  FROM shard_counts sc JOIN shard_t st USING (shard)
+  WHERE sc.c - st.t > 0
+),
+merged AS (SELECT item, CAST(sum(m) AS BIGINT) AS g FROM partials GROUP BY 1),
+final_t AS (
+  SELECT CAST(COALESCE(max(CASE WHEN rk = {_MGP_K1} THEN g END), 0)
+              AS BIGINT) AS t2
+  FROM (
+    SELECT g, row_number() OVER (ORDER BY g DESC, item) AS rk FROM merged
+  )
+),
+summary AS (
+  SELECT m.item, CAST(m.g - ft.t2 AS BIGINT) AS mg_estimate
+  FROM merged m CROSS JOIN final_t ft
+  WHERE m.g - ft.t2 > 0
+),
+exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_count
+  FROM rows_in GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST((SELECT COALESCE(sum(t), 0) FROM shard_t)
+              + (SELECT t2 FROM final_t) AS BIGINT) AS deficit_budget
+  FROM rows_in
+),
+heavies AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true_heavy,
+         CAST(COALESCE(sum(CASE WHEN s.item IS NOT NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_true_heavy_retained
+  FROM exact e CROSS JOIN stats st
+  LEFT JOIN summary s ON s.item = e.item
+  WHERE e.exact_count * {_MGP_K1} > st.n_rows
+)
+SELECT s.item, e.exact_count, s.mg_estimate,
+       CAST(e.exact_count - s.mg_estimate AS BIGINT) AS deficit,
+       st.n_rows, st.deficit_budget, h.n_true_heavy, h.n_true_heavy_retained
+FROM summary s JOIN exact e USING (item)
+CROSS JOIN stats st CROSS JOIN heavies h
+"""
+
+
+@_register("sketch_mg_portable_heavyhitters", _MGP_ORACLE)
+def q_sketch_mg_portable_heavyhitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable Misra-Gries heavy-hitters twin: {MGP_S} deterministic
+    shards each prune their EXACT item counts to a {MGP_K}-counter
+    mergeable summary (subtract the (K+1)-th largest, keep positives
+    — the Mergeable Summaries prune operator), one merge level adds
+    the partials and prunes again. Reported next to the exact counts
+    with the MG guarantees as hashed BIGINT columns: mg_estimate <=
+    exact_count per row (deficit >= 0), deficit <= deficit_budget
+    with (K+1)*deficit_budget <= n_rows (both pinned in tests), and
+    every true heavy hitter (count*(K+1) > n) retained
+    (n_true_heavy == n_true_heavy_retained). The production
+    order-dependent streaming MG (sketch_heavy_hitters) is untouched
+    and stays rows-only; THIS entry hash-certifies the mechanism.
+
+    Plan: one scan derives (item, shard) map-side from integer
+    hashes; one grouped count per (shard, item); a shard-partitioned
+    rank window (parallel across shards); the only global window
+    ranks <= S*K = {MGP_S * MGP_K} merged partials — constant-size,
+    never data-scale; stats/heavies are 1-row broadcast joins. At
+    100 TB this is exactly the per-executor-summarize-then-merge
+    shape the mergeability theorem licenses."""
+    ev = catalog.load_table(spark, sf_dir, "events").select("event_id")
+    from ..session import stage
+
+    h = _hllp_hash_col(F.col("event_id"))
+    rows = stage(
+        ev.select(
+            h.alias("h"),
+            _salted_pos_col(
+                F.col("event_id"), F.lit(1), _MGP_SALT, MGP_S
+            ).alias("shard"),
+        ).select(
+            F.expr(
+                f"CAST({MGP_ZIPF_C} DIV"
+                f" (1 + pmod(h, {MGP_ZIPF_C})) AS BIGINT)"
+            ).alias("item"),
+            "shard",
+        )
+    )
+    summary, stats = mg_portable_summary(rows)
+    summary = stage(summary)
+    exact = rows.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    heavies = (
+        exact.crossJoin(F.broadcast(stats))
+        .where(F.col("exact_count") * (MGP_K + 1) > F.col("n_rows"))
+        .join(
+            summary.select("item", F.lit(1).alias("ret")), "item", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_heavy"),
+            F.coalesce(F.sum("ret"), F.lit(0))
+            .cast("long")
+            .alias("n_true_heavy_retained"),
+        )
+    )
+    return (
+        summary.join(exact, "item")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(heavies))
+        .select(
+            "item",
+            "exact_count",
+            "mg_estimate",
+            (F.col("exact_count") - F.col("mg_estimate"))
+            .cast("long")
+            .alias("deficit"),
+            "n_rows",
+            "deficit_budget",
+            "n_true_heavy",
+            "n_true_heavy_retained",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # winsorize_robust_scale — percentile clipping + robust standardization
 # ---------------------------------------------------------------------------
 

@@ -172,96 +172,95 @@ _QUERY_MODULES = (
 # row already on record.
 # ---------------------------------------------------------------------------
 
-# Round-13 rotation (stalest-first; the round-12 verdict's item 1):
+# Round-14 rotation (stalest-first; the round-13 verdict's item 1):
 #   1     the flagship (standing first-slot re-check every round).
-#   2-3   the two entries the round-12 ledger displaced
-#         (interpurchase_intervals, label_centroid_similarity — each an
-#         r5-latest green at displacement time) — re-certified first,
+#   2-3   the two entries the round-13 ledger displaced
+#         (quantile_normalize_sources, sessionize_events — each an
+#         r7-latest green at displacement time) — re-certified first,
 #         closing that ledger's debt.
-#   4     sketch_countmin_portable, drained from the round-12
-#         OVERFLOW_QUEUE for its first driver row (4-way local gate
-#         green since round 12; plan pin test_plans.py).
-#   5-26  the 22 REMAINING queries whose latest driver-green row is
-#         ROUND 5 — now the oldest certificates in the repo
-#         (alphabetical).
-#   27-39 all 13 round-6-latest greens (alphabetical).
-#   40-48 the 9 alphabetically-first round-7-latest greens (16 exist;
-#         the rest queue for round 14).
-#   49-50 the two round-13 NEW ops, each through the 4-way gate
-#         (engine + --plain at sf0.01 AND sf0.1, closed-form fixture,
-#         plan pin). DISPLACEMENT LEDGER: they displace the two
-#         next-stalest r7 re-checks that would otherwise fill these
-#         slots —
-#           multimodal_audio_subframe_containment displaced quantile_normalize_sources
-#           quantile_normalize_portable           displaced sessionize_events
-#         (both displaced entries keep standing driver-green r7 rows
+#   4-6   the full round-13 OVERFLOW_QUEUE, drained in queue order for
+#         first driver rows (each 4-way locally green since round 13:
+#         engine + --plain at sf0.01 AND sf0.1; plan pins
+#         test_plans.py:1203/:1220 and the decimated-rung pins).
+#   7-11  the 5 REMAINING round-7-latest greens — now the oldest
+#         certificates in the repo (alphabetical).
+#   12-50 the 39 alphabetically-first round-8-latest greens (49 exist;
+#         the remaining 10 — score_drift_psi .. winnowing_candidate_pairs
+#         — lead the round-15 fill).
+#         DISPLACEMENT LEDGER (round 14): the two round-14 NEW ops,
+#         each through the 4-way gate, displace the band-bottom
+#         re-checks that would otherwise fill slots 49-50 —
+#           sketch_mg_portable_heavyhitters        displaced ranking_auc_report
+#           multimodal_audio_rational_containment  displaced scd2_dimension_history
+#         (both displaced entries keep standing driver-green r8 rows
 #         and rotate to the extended region, still locally verified
-#         every round; they lead the round-14 window).
+#         every round; they lead the round-15 window fill).
 #
-# Round-12 history (audit trail): flagship + the four round-11-displaced
-# entries + all 23 remaining r4-latest greens + the 20 alphabetically-
-# first r5-latest greens, with the two round-12 ops (asymmetric audio
-# containment + portable HLL) displacing band-4 re-checks per the
-# ledger preserved at c62c790 (queries.py there) — CORRECTNESS_r12 was
-# 50/50 hash-green.
+# Round-13 history (audit trail): flagship + the two round-12-displaced
+# entries (interpurchase_intervals, label_centroid_similarity) +
+# sketch_countmin_portable drained from the r12 queue + all 22 remaining
+# r5-latest greens + all 13 r6-latest greens + the 9 alphabetically-first
+# r7-latest greens, with the two round-13 ops (sub-frame audio
+# containment + portable quantile twin) in slots 49-50 per the ledger
+# preserved at f1c062b (queries.py there) — CORRECTNESS_r13 was 50/50
+# hash-green.
 CORE_ORDER: tuple[str, ...] = (
     # -- band 1: flagship ---------------------------------------------
     "ingest_normalize",
-    # -- band 2: the two round-12-displaced entries (ledger debt) -----
-    "interpurchase_intervals",
-    "label_centroid_similarity",
-    # -- band 3: the round-12 overflow entry (first driver row) -------
-    "sketch_countmin_portable",
-    # -- band 4: every remaining round-5-latest green -----------------
-    "langid_confusion_matrix",
-    "mad_outlier_flags",
-    "multimodal_png_roundtrip",
-    "mutual_information_features",
-    "new_vs_repeat_revenue",
-    "ngram_novelty_score",
-    "pareto_revenue_share",
-    "percentile_disc_pack",
-    "period_over_period",
-    "rfm_segmentation",
-    "rolling_correlation",
-    "score_calibration_bins",
-    "similarity_lsh_portable_pairs",
-    "skew_key_report",
-    "stickiness_wau_dau",
-    "string_agg_pack",
-    "survival_km_curve",
-    "theil_sen_trend",
-    "tokenizer_vocab_coverage",
-    "topn_plus_other",
-    "trending_items_decay",
-    "welch_ttest_report",
-    # -- band 5: every round-6-latest green ---------------------------
-    "blocking_quality_report",
-    "conversion_latency_percentiles",
-    "graph_degree_distribution",
-    "multimodal_audio_frames",
-    "multimodal_image_resize",
-    "multimodal_mjpeg_frame_sample",
-    "ols_elasticity_by_segment",
-    "retention_cohorts",
-    "session_diversity_entropy",
-    "shipping_sla_percentiles",
-    "text_readability_ari",
-    "threshold_sweep_pr",
-    "train_val_test_split",
-    # -- band 6: the 9 alphabetically-first round-7-latest greens -----
-    "asof_join_purchase_click",
-    "bootstrap_mean_ci",
-    "ctr_wilson_bounds",
-    "graph_triangle_count",
-    "label_agreement_kappa",
-    "ndcg_ranking_quality",
-    "pca_power_iteration_step",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    # -- band 7: round-13 new ops (see the ledger above) --------------
-    "multimodal_audio_subframe_containment",
-    "quantile_normalize_portable",
+    # -- band 2: the two round-13-displaced entries (ledger debt) -----
+    "quantile_normalize_sources",
+    "sessionize_events",
+    # -- band 3: the round-13 overflow queue, drained in order --------
+    "similarity_ivf_portable_topk",
+    "sketch_bloom_portable",
+    "multimodal_audio_decimated_containment",
+    # -- band 4: every remaining round-7-latest green -----------------
+    "text_langid",
+    "text_quality_score",
+    "text_tfidf_topterms",
+    "theil_sen_sampled",
+    "user_burstiness_profile",
+    # -- band 5: the 39 alphabetically-first round-8-latest greens ----
+    "bm25_keyword_search",
+    "calibration_ece_report",
+    "ccnet_perplexity_buckets",
+    "cdc_latest_per_key",
+    "contrastive_negative_pairs",
+    "datapoint_day_rollup",
+    "debounce_events",
+    "decontamination_ngram_overlap",
+    "dedup_clusters",
+    "dedup_containment_pairs",
+    "dedup_exact_hash",
+    "dedup_exact_substring_chunks",
+    "dedup_incremental_census",
+    "dedup_line_level",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_rate_report",
+    "dedup_semantic_clusters",
+    "dsir_importance_weights",
+    "embedding_int8_report",
+    "eval_pass_at_k",
+    "gopher_repetition_filter",
+    "graph_pagerank_authority",
+    "ingest_idempotency",
+    "ingest_via_kafka_sim",
+    "kmeans_one_step",
+    "merge_upsert_apply",
+    "mixture_reweight_plan",
+    "pack_documents",
+    "pii_redact_text",
+    "pii_redaction_stats",
+    "pipeline_curation",
+    "pipeline_curation_classified",
+    "pipeline_training_build",
+    "q18_large_orders",
+    "quality_classifier_score",
+    "ranking_auc_histogram",
+    # -- band 6: round-14 new ops (see the ledger above) --------------
+    "sketch_mg_portable_heavyhitters",
+    "multimodal_audio_rational_containment",
 )
 
 # Window entries WITHOUT oracle SQL — none this round (every slot
@@ -273,19 +272,13 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = ()
 # slots 2-3 at the round-10 rotation; late additions that cannot
 # safely displace another re-check go here (cap 9).
 # test_core_registry_window pins membership, placement and the ≤9 cap.
-# Round 13: the round-12 queue (sketch_countmin_portable) drained into
-# window slot 4; the two headline round-13 ops fit inside the window
-# (slots 49-50). The late round-13 additions — the portable IVF twin
-# and the portable Bloom twin, landed after the window was sealed —
-# queue for the round-14 rotation with their 4-way local gates green
-# (engine + --plain at sf0.01 AND sf0.1), as does the decimated-
-# excerpt containment rung (the sub-frame machinery at probe frame
-# size 4 / rate 2).
-OVERFLOW_QUEUE: tuple[str, ...] = (
-    "similarity_ivf_portable_topk",
-    "sketch_bloom_portable",
-    "multimodal_audio_decimated_containment",
-)
+# Round 14: the full round-13 queue (similarity_ivf_portable_topk,
+# sketch_bloom_portable, multimodal_audio_decimated_containment)
+# drained into window slots 4-6; the two headline round-14 ops fit
+# inside the window (slots 49-50 via the displacement ledger above).
+# The queue is EMPTY — cumulative driver coverage of the oracle-backed
+# registry completes once CORRECTNESS_r14 lands.
+OVERFLOW_QUEUE: tuple[str, ...] = ()
 
 
 def _operator_registries(attr: str) -> dict:

@@ -1234,6 +1234,39 @@ def test_portable_bloom_pure_jvm_bounded_words(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_portable_mg_pure_jvm_bounded_summary(spark, sf_dir):
+    """The portable Misra-Gries twin: zero Python evaluation; (item,
+    shard) derive map-side from integer hashes; the per-shard rank
+    window is shard-partitioned (parallel) and the only global window
+    ranks <= S*K merged partials — constant-size; stats/heavies ride
+    1-row broadcasts, no corpus-sized cartesian."""
+    from sparkstreaming_rawdataingestion_spark import session
+    from sparkstreaming_rawdataingestion_spark.operators import stats
+
+    session.release_staged()
+    df = stats.q_sketch_mg_portable_heavyhitters(spark, sf_dir)
+    p = plans.executed_plan(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rational_containment_band_keyed_no_cartesian(spark, sf_dir):
+    """The rational (4/3 ZOH) rung inherits the sub-frame plan
+    contract unchanged: one staged synth frame, band equi-join
+    candidates (no cartesian / nested-loop broadcast), witness verify
+    joins, bounded vote aggregations — the rational offset map is
+    map-side integer arithmetic only."""
+    from sparkstreaming_rawdataingestion_spark.operators import multimodal
+
+    df = multimodal.q_multimodal_audio_rational_containment(
+        spark, sf_dir
+    )
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_decimated_containment_band_keyed_no_cartesian(spark, sf_dir):
     """The decimated rung inherits the sub-frame plan contract
     unchanged: one staged synth frame, band equi-join candidates (no
