@@ -253,6 +253,10 @@ def _merge_batch_inner(
         SEEN_MARKER,
         SEEN_BUCKETS,
         "tools/migrate_seen_buckets.py",
+        bucket_col="id_bucket",
+        recompute=lambda df: F.pmod(
+            F.xxhash64(F.col("doc_id")), F.lit(SEEN_BUCKETS)
+        ).cast("int"),
     )
     seen = read_archive(spark, f"{sink_dir}/seen")
     if seen is not None and not {"ingest_key", "id_bucket"} <= set(

@@ -82,17 +82,24 @@ def check_print_layout(
 ) -> bool:
     """Refuse to read or append when the archive's recorded bucket
     count disagrees with the session's PRINT_BUCKETS (a mismatch
-    silently MISSES matches — bucket_layout module); archives without
-    a marker are assumed current, and the return value lets appenders
-    backfill the marker on legacy archives."""
+    silently MISSES matches — bucket_layout module); marker-less
+    legacy archives are cross-checked against their observed
+    band_bucket partition values and a bounded row spot-check
+    (band_val % session-buckets must reproduce the directory bucket)
+    before the return value lets appenders backfill the marker."""
+    exp = PRINT_BUCKETS if expected is None else expected
     return check_bucket_marker(
         spark,
         sink_dir,
         PRINT_MARKER,
-        PRINT_BUCKETS if expected is None else expected,
+        exp,
         "tools/migrate_print_buckets.py",
         _hfs=_hfs,
         _exists=_exists,
+        bucket_col="band_bucket",
+        recompute=lambda df: F.pmod(
+            F.col("band_val"), F.lit(exp)
+        ).cast("int"),
     )
 
 

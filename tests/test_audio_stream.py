@@ -359,3 +359,118 @@ def test_round12_archive_prints_bit_compatible(spark):
     )
     out = audio_dedup_increment(_batch(spark, rows, [0, 4]), old_archive)
     assert _kept(out) == []
+
+
+def test_cross_family_false_absorb_rate_at_probe_density(spark):
+    """Round-13 advice: the streaming absorb path drops the exact-scale
+    energy witnesses while densifying probes to sample hop 1, so
+    absorption rests on band hamming alone — pin the cross-family
+    (unrelated-clip) margin at the NEW probe density so regressions in
+    false-absorb rate are caught. 24 unrelated registry-envelope
+    originals produce real collision pressure (measured in-session:
+    ~6k single-band collisions, >100 all-band-matched cross window
+    pairs at the archive geometry) yet the minimum cross-family
+    hamming stays far above the absorb threshold (measured 13 vs <= 3)
+    and NO unrelated clip is absorbed end to end."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_rawdataingestion_spark.operators import (
+        media_codecs,
+    )
+    from sparkstreaming_rawdataingestion_spark.operators.multimodal import (
+        AFP_FRAME_SIZE,
+        AFPS_ORIG_FRAMES,
+        DHASH_MAX_HAMMING,
+        _afp_env,
+        audio_subframe_fingerprint_bands,
+    )
+
+    def orig_clip(f):
+        s = []
+        for j in range(AFPS_ORIG_FRAMES):
+            a = _afp_env(f, j)
+            s.extend(
+                a if t % 2 == 0 else -a for t in range(AFP_FRAME_SIZE)
+            )
+        return s
+
+    n_clips = 24
+    media = spark.createDataFrame(
+        [
+            (f, "audio/wav", media_codecs.wav_encode(orig_clip(f)))
+            for f in range(n_clips)
+        ],
+        MEDIA_SCHEMA_DDL,
+    )
+
+    # the probe-density margin: every cross-clip all-band-matched
+    # candidate pair (dense hop-1 probe vs hop-grid archive print —
+    # the absorb path's geometry) must sit ABOVE the absorb threshold
+    pr = audio_subframe_fingerprint_bands(media, sample_hop=1)
+    bands = [F.col(f"band{k}") for k in range(4)]
+    long = pr.select(
+        "media_id",
+        "win",
+        F.posexplode(F.array(*bands)).alias("bi", "bv"),
+    )
+    arch = pr.where(F.pmod(F.col("win"), F.lit(128)) == 0)
+    arch_long = arch.select(
+        "media_id",
+        "win",
+        F.posexplode(F.array(*bands)).alias("bi", "bv"),
+    )
+    cand = (
+        long.alias("a")
+        .join(
+            arch_long.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("a.win").alias("wa"),
+            F.col("b.media_id").alias("mb"),
+            F.col("b.win").alias("wb"),
+        )
+        .distinct()
+    )
+    pa = pr.select(
+        F.col("media_id").alias("ma"),
+        F.col("win").alias("wa"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(4)],
+    )
+    pb = arch.select(
+        F.col("media_id").alias("mb"),
+        F.col("win").alias("wb"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(4)],
+    )
+    ham = (
+        cand.join(pa, ["ma", "wa"])
+        .join(pb, ["mb", "wb"])
+        .select(
+            sum(
+                F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+                for k in range(4)
+            ).alias("h")
+        )
+        .agg(F.count("*").alias("n"), F.min("h").alias("mn"))
+        .collect()[0]
+    )
+    assert ham["n"] > 50, "no collision pressure: the pin is vacuous"
+    assert ham["mn"] > DHASH_MAX_HAMMING, (
+        f"cross-family hamming margin collapsed: min {ham['mn']} vs "
+        f"absorb threshold {DHASH_MAX_HAMMING}"
+    )
+
+    # end to end: nothing unrelated is absorbed, either across the
+    # archive boundary or within a batch
+    half = n_clips // 2
+    archived = audio_dedup_increment(
+        media.where(F.col("media_id") < half), None
+    )
+    out = audio_dedup_increment(
+        media.where(F.col("media_id") >= half), archived
+    )
+    assert _kept(archived) == list(range(half))
+    assert _kept(out) == list(range(half, n_clips))

@@ -223,3 +223,69 @@ def test_bucket_migration_round_trip(spark, tmp_path, monkeypatch):
     assert any(
         int(d.rsplit("=", 1)[1]) >= 16 for d in dirs
     ), "no bucket >= 16: the rewrite did not change the modulus"
+
+
+def test_legacy_markerless_backfill_cross_check(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 advice: a marker-less (pre-round-13) archive must NOT
+    be blindly stamped with the session's constant on first guarded
+    append. The backfill cross-check reads the observed partition
+    values: a session whose constant is SMALLER than the written
+    modulus refuses on the observed max; a session whose constant is
+    LARGER (the silent-miss case — every observed bucket is also
+    below the larger modulus) refuses on the row spot-check
+    (band_val % session-buckets does not reproduce the directory
+    bucket); the TRUE constant passes and the append then backfills
+    the marker."""
+    from sparkstreaming_rawdataingestion_spark.streaming import (
+        print_index as pi,
+    )
+
+    sink = str(tmp_path / "prints")
+    rows = [
+        (m, 100 + m, 2000 + 3 * m, 40 + m, 65000 - m) for m in range(24)
+    ]
+    append_print_index(_bands(spark, rows), sink, ("media_id",))
+    # simulate a pre-marker legacy archive (written at 16)
+    marker = glob.glob(f"{sink}/.print_buckets.*")
+    assert len(marker) == 1
+    os.remove(marker[0])
+
+    # larger session constant: observed buckets all < 32, only the
+    # spot-check can catch it — and must
+    monkeypatch.setattr(pi, "PRINT_BUCKETS", 32)
+    with pytest.raises(ValueError, match="do not reproduce"):
+        pi.check_print_layout(spark, sink)
+
+    # smaller session constant: observed max >= 8 refuses on listing
+    monkeypatch.setattr(pi, "PRINT_BUCKETS", 8)
+    with pytest.raises(ValueError, match=">="):
+        pi.check_print_layout(spark, sink)
+
+    # true constant: passes, and an append backfills the marker
+    monkeypatch.setattr(pi, "PRINT_BUCKETS", 16)
+    assert pi.check_print_layout(spark, sink) is False
+    pi.append_print_index(
+        _bands(spark, [(99, 1, 2, 3, 4)]), sink, ("media_id",)
+    )
+    assert glob.glob(f"{sink}/.print_buckets.16")
+
+
+def test_multiple_markers_reported_in_error(spark, tmp_path):
+    """Round-13 advice: when an interrupted migration leaves two
+    markers, the refusal must name BOTH, not just the first."""
+    from sparkstreaming_rawdataingestion_spark.streaming import (
+        print_index as pi,
+    )
+
+    sink = str(tmp_path / "prints")
+    append_print_index(
+        _bands(spark, [(1, 10, 20, 30, 40)]), sink, ("media_id",)
+    )
+    open(f"{sink}/.print_buckets.32", "w").close()
+    with pytest.raises(ValueError) as ei:
+        pi.check_print_layout(spark, sink)
+    msg = str(ei.value)
+    assert ".print_buckets.16" in msg and ".print_buckets.32" in msg
+    assert "Multiple markers" in msg

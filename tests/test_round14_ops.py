@@ -306,3 +306,52 @@ def test_rational_frame_span_guard():
         )
 
         _afps_ctes(rate=5, rate_den=3)
+
+
+def test_interpolating_resample_boundary_adjudication():
+    """The adjudicated boundary of the audio ladder (ARCHITECTURE.md
+    round 14), MEASURED on the hand corpus: a LINEAR-interpolation 4/3
+    resampler (probe time 4t/3 mixes adjacent samples, rounded to int
+    as a real resampler quantizes to PCM) still matches the archive at
+    the SIGN tier — band candidates survive, best hamming 0 at the
+    true windows — but the exact-scale BIGINT invariant is destroyed:
+    n_exact == 0 (division by the interpolation denominator plus
+    rounding leaves exact-integer territory, so no rational scale
+    relates probe and archive energies). ZOH at the same ratio keeps
+    n_exact == 2. Interpolated probes therefore degrade to the
+    blend-luck-prone sign-vote tier and CANNOT be hash-certified —
+    the reason the rational rung is ZOH-only."""
+    from test_round13_ops import _sub_prints, _subframe_samples
+
+    orig, excerpt, control, s0 = _subframe_samples()
+    zoh = [excerpt[(4 * t) // 3] for t in range((784 * 3) // 4)]
+    lin = []
+    for t in range((784 * 3) // 4):
+        i, a = divmod(4 * t, 3)
+        if a == 0:
+            lin.append(excerpt[i])
+        else:
+            lin.append(
+                int(round(((3 - a) * excerpt[i] + a * excerpt[i + 1]) / 3))
+            )
+
+    archive = _sub_prints(orig, 128)
+
+    def pair_stats(probe_samples):
+        probe = _sub_prints(probe_samples, 1, fs=6)
+        n_ham0 = n_exact = 0
+        for (pb, ph, ps) in probe.values():
+            for (ab, ah, asum) in archive.values():
+                if not any(x == y for x, y in zip(pb, ab)):
+                    continue
+                ham = sum(bin(x ^ y).count("1") for x, y in zip(pb, ab))
+                if ham > 3:
+                    continue
+                if ham == 0:
+                    n_ham0 += 1
+                if ph * asum == ps * ah:
+                    n_exact += 1
+        return n_ham0, n_exact
+
+    assert pair_stats(zoh) == (2, 2)  # supported class: exact tier
+    assert pair_stats(lin) == (2, 0)  # boundary: sign tier only

@@ -7,14 +7,19 @@ adversarial-corpus numbers.
 Corpus recipe: the standing doc_id*10+i builder (imported from
 encoder_ab_r11, never copied), which multiplies the CLIP FAMILY count
 10x (families are doc_id//2 blocks here). The adversarial axis is the
-probe side's sub-frame densification: 10x more excerpts each
-contribute 265 sample-hop windows whose band values collide into the
-same 16-bit buckets as 10x more archive prints — the candidate join's
-bucket products plus the energy-witness verify joins are what is on
-trial. Per-family structure is the fixture's, so the true-containment
-row count scales ~10x while wall-per-emitted-row should hold or fall.
+probe side's decimated geometry: 10x more 2x-decimated excerpts (392
+probe samples each) each contribute 133 sample-hop windows of
+4-sample analysis frames (starts 0..132) whose band values collide
+into the same 16-bit buckets as 10x more archive prints — the
+candidate join's bucket products plus the energy-witness verify joins
+are what is on trial. Per-family structure is the fixture's, so the
+true-containment row count scales ~10x while wall-per-emitted-row
+should hold or fall.
 
-Run: nohup python tools/adversarial_scale_r13b.py > /tmp/adv_r13.log 2>&1 &
+Run: nohup python tools/adversarial_scale_r13b.py > /tmp/adv_r13b.log 2>&1 &
+(r13 advice: its own log path — /tmp/adv_r13.log belongs to
+adversarial_scale_r13.py — and the decimated probe geometry above,
+not the sub-frame rung's 265 windows.)
 """
 
 from __future__ import annotations
