@@ -1063,18 +1063,6 @@ def q_multimodal_image_dhash_pairs(
     return image_dhash_pairs(synthesize_dhash_media(spark, sf_dir))
 
 
-def _bands_long(
-    bands: DataFrame, extra_key: tuple[str, ...] = ()
-) -> DataFrame:
-    return bands.select(
-        "media_id",
-        *extra_key,
-        F.posexplode(
-            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
-        ).alias("band_idx", "band_val"),
-    )
-
-
 def image_dhash_pairs(
     media: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
 ) -> DataFrame:
@@ -1116,50 +1104,53 @@ def dhash_band_pairs(
     matcher."""
     key_a = ["media_a", *[f"{k}_a" for k in extra_key]]
     key_b = ["media_b", *[f"{k}_b" for k in extra_key]]
-    long_a = _bands_long(bands, extra_key)
-    long_b = (
-        _bands_long(other, extra_key) if other is not None else long_a
-    )
-    id_cond = (
-        F.col("a.media_id") < F.col("b.media_id")
-        if other is None
-        else F.lit(True)
-    )
-    cand = (
-        long_a.alias("a")
-        .join(
-            long_b.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & id_cond,
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            *[F.col(f"a.{k}").alias(f"{k}_a") for k in extra_key],
-            F.col("b.media_id").alias("media_b"),
-            *[F.col(f"b.{k}").alias(f"{k}_b") for k in extra_key],
-        )
-        .distinct()
-    )
-    x = bands.select(
+    # Round-14 optimization (guide §2.3/§2.4, measured): each side is
+    # consumed exactly ONCE — the exploded band rows CARRY their print's
+    # full band vector, so hamming is computed directly on the band-join
+    # output and the former three-join shape (candidate join → distinct →
+    # x verify join → y verify join) collapses to one join + one groupBy.
+    # Before, an UNSTAGED input (the audio containment fingerprints) was
+    # re-evaluated by every leg — the hop-1 probe MapInPandas ran twice
+    # per query (plans/r14/multimodal_audio_subframe_containment_before
+    # .txt operators 8/28 and 15/37). The exploded rows widen by
+    # (DHASH_BANDS - 1) longs, but two verify-side exchanges/broadcasts
+    # of the whole print table disappear and the fingerprint stage is
+    # evaluated once per side; a pair matching in several bands is
+    # deduped by the groupBy (hamming is identical within the group, so
+    # min() is deterministic — the pre-groupBy hamming filter commutes
+    # with the dedup).
+    long_a = bands.select(
         F.col("media_id").alias("media_a"),
         *[F.col(k).alias(f"{k}_a") for k in extra_key],
         *[F.col(f"band{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
     )
-    y = (other if other is not None else bands).select(
+    long_b = (other if other is not None else bands).select(
         F.col("media_id").alias("media_b"),
         *[F.col(k).alias(f"{k}_b") for k in extra_key],
         *[F.col(f"band{k}").alias(f"yb{k}") for k in range(DHASH_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(DHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    id_cond = (
+        F.col("media_a") < F.col("media_b")
+        if other is None
+        else F.col("media_a").isNotNull()
     )
     hamming = sum(
         F.bit_count(F.col(f"xb{k}").bitwiseXOR(F.col(f"yb{k}")))
         for k in range(DHASH_BANDS)
     ).cast("long")
     return (
-        cand.join(x, key_a)
-        .join(y, key_b)
+        long_a.join(long_b, ["band_idx", "band_val"])
+        .where(id_cond)
         .select(*key_a, *key_b, hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .groupBy(*key_a, *key_b)
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 

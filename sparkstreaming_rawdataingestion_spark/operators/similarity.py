@@ -1419,14 +1419,25 @@ def q_similarity_pq_portable_topk(
     one (query, neighbor)-keyed aggregation; no float arrays move
     after the encode scan."""
     e = catalog.load_table(spark, sf_dir, "embeddings")
-    emb = _emb_double()
+
+    # THE quantizer — one definition (a single per-row transform) that
+    # every leg (code assignment, LUT, query norms) projects once as a
+    # 64-long array and indexes, so the legs can never diverge on scale
+    # or rounding. Round-14 optimization (guide §1.2 per-task work):
+    # the previous per-element form element_at(transform(embedding), i)
+    # re-evaluated the interpreted 64-element cast transform for EVERY
+    # element — 64 × 64 lambda evaluations per row in the encode
+    # projection (plans/r14/similarity_pq_portable_topk_before.txt
+    # operator 5); quantizing once per row is the same floor/cast per
+    # element, evaluated 64× instead of 4096×.
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PQP_SCALE + 0.5).cast("long"),
+    )
 
     def quant(idx):
-        # THE quantizer — one definition so the code-assignment leg and
-        # the query-norm leg can never diverge on scale or rounding
-        return F.floor(
-            F.element_at(emb, idx.cast("int")) * PQP_SCALE + 0.5
-        ).cast("long")
+        # index into the per-row quantized array (projected as ``qv``)
+        return F.element_at(F.col("qv"), idx.cast("int"))
 
     qi = lambda m, i: quant(m * PQ_SUBDIM + i)  # noqa: E731 — tight closure
 
@@ -1461,12 +1472,6 @@ def q_similarity_pq_portable_topk(
     # single fully-unrolled projection (~29 s — blows the 64 KB method
     # limit and falls back to interpreted wholesale). Ties go to the
     # LOWEST code: array_position returns the FIRST index of the min.
-    qarr = F.array(
-        *[
-            F.floor(F.element_at(emb, i) * PQP_SCALE + 0.5).cast("long")
-            for i in range(1, EMB_DIM + 1)
-        ]
-    )
     # all 1024 codebook values as one constant-folded literal,
     # indexed [m+1][k+1][i] (element_at is 1-based)
     cent_lit = F.array(
@@ -1561,8 +1566,10 @@ def q_similarity_pq_portable_topk(
         ]
     )
     lut = (
-        queries.select(F.col("vec_id").alias("query_id"), "embedding", ms)
-        .select("query_id", "embedding", "m", ks)
+        queries.select(
+            F.col("vec_id").alias("query_id"), qarr.alias("qv"), ms
+        )
+        .select("query_id", "qv", "m", ks)
         .select(
             "query_id",
             "m",
@@ -1572,12 +1579,11 @@ def q_similarity_pq_portable_topk(
         )
     )
     qn = queries.select(
-        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("query_id"), qarr.alias("qv")
+    ).select(
+        "query_id",
         F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(EMB_DIM)),
-                lambda i: quant(i) * quant(i),
-            ),
+            F.transform(F.col("qv"), lambda x: x * x),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).alias("qn2"),
