@@ -211,18 +211,23 @@ def _shingle_sets(
 def _pair_shared_counts(candidates: DataFrame, inverted: DataFrame) -> DataFrame:
     """|A∩B| per candidate (doc_a, doc_b) pair, by counting co-occurring
     shingles of the candidate docs — the shuffle payload is (id, shingle)
-    rows and (id, id, int) triples; shingle ARRAYS never travel. The index
-    is semi-join-pruned to candidate docs before the fan-out."""
-    ia = inverted.join(
-        candidates.select(F.col("doc_a").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("doc_a"), "shingle")
-    ib = inverted.join(
-        candidates.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("doc_b"), "shingle")
+    rows and (id, id, int) triples; shingle ARRAYS never travel.
+
+    Round-14 optimization (guide §2.4): the former per-leg semi-join
+    prunes (inverted ⋉ candidate ids, then the inner join) re-evaluated
+    the whole CANDIDATE subplan twice more — the LSH banded join +
+    distinct ran three times per query (plans/r14/
+    dedup_minhash_lsh_pairs_before.txt operators 1-23, 29-48, 62-81;
+    exchange reuse did not deduplicate them). The inner joins prune the
+    index to candidate docs by themselves, over the same exchanges the
+    semi-joins already paid (inverted moves once per leg either way, by
+    doc key then by (doc, shingle)), so the prunes bought nothing and
+    cost two extra candidate builds plus two id-distinct aggregations.
+    Candidates are now consumed exactly once. Interleaved A/B at sf0.1:
+    minhash 7.19 s → 6.26 s median (the signature pass, not the verify,
+    dominates the remainder); outputs identical (oracle-verified)."""
+    ia = inverted.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = inverted.select(F.col("doc_id").alias("doc_b"), "shingle")
     return (
         candidates.join(ia, "doc_a")
         .join(ib, ["doc_b", "shingle"])

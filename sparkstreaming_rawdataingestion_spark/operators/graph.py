@@ -71,7 +71,15 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     (q_graph_pagerank_authority stages the underlying pair list once and
     derives the symmetrized edges as a map-only union over the cache).
     """
-    edges = session.stage(edges)  # the big payload: materialized ONCE
+    # The big payload, materialized ONCE and — round 14, guide §2.4 —
+    # cached PRE-PARTITIONED on the per-iteration join key: every rank
+    # iteration joins edges on ``src``, so hash-partitioning the cache
+    # on src lets all three joins read co-partitioned cache blocks
+    # instead of re-exchanging the full edge list per iteration (one
+    # staging exchange replaces three edge-sized join exchanges; at
+    # cluster scale spark.sql.shuffle.partitions sizes both the same
+    # way, so the partitioning still matches ENSURE_REQUIREMENTS).
+    edges = session.stage(edges.repartition("src"))
     base = 15 * PAGERANK_SCALE // 100
     # ONE aggregation over the (exploded) edge list yields both degree
     # vectors — out-degree for contribution division, in-degree to find

@@ -109,10 +109,22 @@ def _exact_kept(qual_kept: DataFrame) -> DataFrame:
     (Digest equality == text equality for dedup purposes; SHA-256
     collisions are below hardware-error rates — same contract as
     dedup_exact_hash, dedup.py.)"""
-    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    # One Window pass, not two: row_number and the copy count share the
+    # same (partition, order) spec — the count pins an explicit
+    # unbounded frame (identical value to the unordered count) so both
+    # expressions land in a single Window operator (round 14, guide
+    # §1.2: two passes over the same exchange merged into one).
     return (
-        qual_kept.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
-        .withColumn("n_copies", F.count("*").over(w))
+        qual_kept.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies",
+            F.count("*").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .where(F.col("rn") == 1)
         .drop("rn")
     )
@@ -162,6 +174,12 @@ def _stages(
         )
         qual_kept = qual_kept.join(keep_ids, "doc_id", "left_semi")
         stages["classifier"] = qual_kept
+    # NOT staged (round-14 A/B): exact_kept feeds both the near-dup
+    # shingle sets and the final anti-join, so the sha2 window chain
+    # executes twice per query — but persisting it means caching the
+    # full text bodies, which measured SLOWER interleaved at sf0.1
+    # (curation 8.3 s → 11.1 s median) and at scale trades a cheap
+    # keyed recompute for corpus-sized cache I/O. Recompute wins.
     exact_kept = _exact_kept(qual_kept)
     final = exact_kept.join(_near_dropped(exact_kept), "doc_id", "left_anti")
     stages["exact_dedup"] = exact_kept

@@ -524,17 +524,20 @@ def pq_codebooks(corpus: DataFrame, n_iters: int = PQ_LLOYD_ITERS) -> DataFrame:
                 F.first("sv").alias("sv"),  # constant within the group
             )
         )
-        dims = assigned.select(
-            "m", "code", F.posexplode("sv").alias("dim", "val")
-        )
-        means = dims.groupBy("m", "code", "dim").agg(F.avg("val").alias("v"))
+        # Per-dim means as ONE array-of-avgs aggregate (round 14, guide
+        # §2.3/§2.4): the former posexplode → groupBy(m, code, dim) →
+        # collect_list → array_sort chain paid a dim-exploded shuffle
+        # plus a second aggregation per iteration to reassemble the
+        # centroid array; avg per element over the un-exploded
+        # subvector is the same mean with one groupBy and no explode.
         books = stage(
-            means.groupBy("m", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
-            .select(
-                "m",
-                "code",
-                F.transform(F.col("dv"), lambda s: s["v"]).alias("centroid"),
+            assigned.groupBy("m", "code").agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("sv", i))
+                        for i in range(1, PQ_SUBDIM + 1)
+                    ]
+                ).alias("centroid")
             )
         )
     return books
