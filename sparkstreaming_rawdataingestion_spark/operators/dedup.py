@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
-from ..session import stage
+from ..session import spread_small_scan, stage
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -183,7 +183,10 @@ def _shingle_sets(
     spark: SparkSession, sf_dir: str, materialize: bool = False
 ) -> DataFrame:
     d = catalog.load_table(spark, sf_dir, "documents")
-    sets = d.select("doc_id", _shingles().alias("shingles"))
+    # round 14: the documents file scans as ONE partition locally, which
+    # would serialize the shingle transform (the heavy map of every pair
+    # query) onto one core — spread first (no-op at scale, session.py)
+    sets = spread_small_scan(d).select("doc_id", _shingles().alias("shingles"))
     if materialize:
         # The pair operators reuse the sets three times (signatures + both
         # verification joins); persisting once cuts ~40% off the pair-query
@@ -1069,7 +1072,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .select("e.src", "e.dst")
         .distinct()
     )
-    labels = stage(
+    labels = staged_labels = stage(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -1080,23 +1083,25 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = stage(
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # The convergence probe rides the SAME staged step frame as a
+        # ``moved`` flag (new != old ⇔ new < old, since least(old, x)
+        # <= old) — round 14: the previous new-vs-old equality JOIN per
+        # iteration re-scanned both label tables just to count changes;
+        # the count over the cached flag is join-free.
+        stepped = stage(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("moved"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.where("moved").count()
+        staged_labels.unpersist()  # the PERSISTED frame, not a projection
+        labels, staged_labels = stepped.select("node", "label"), stepped
         if changed == 0:
             break
     return labels

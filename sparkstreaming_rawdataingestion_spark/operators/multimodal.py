@@ -41,6 +41,7 @@ from pyspark.sql import (
 )
 
 from .. import catalog
+from ..session import spread_small_scan
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -80,7 +81,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture adapter: documents' text bytes stand in for media payloads
     (no binary test table exists; the byte path is identical)."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    return d.select(
+    return spread_small_scan(d).select(
         F.col("doc_id").alias("media_id"),
         F.lit("application/octet-stream").alias("mime"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -284,7 +285,12 @@ def synthesize_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def decode_png_stats(media: DataFrame) -> DataFrame:
@@ -396,7 +402,12 @@ def synthesize_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def decode_wav_stats(media: DataFrame) -> DataFrame:
@@ -678,7 +689,12 @@ def synthesize_mjpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def sample_video_frames(
@@ -902,7 +918,12 @@ def synthesize_dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 DHASH_BANDS_SCHEMA = T.StructType(
@@ -1299,7 +1320,12 @@ def synthesize_afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def audio_fingerprint_bands(media: DataFrame) -> DataFrame:
@@ -1562,7 +1588,12 @@ def synthesize_afpw_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def audio_windowed_fingerprint_bands(
@@ -1968,7 +1999,12 @@ def synthesize_afpa_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def _guarded_cross_pairs(
@@ -2277,7 +2313,12 @@ def synthesize_afps_media(
                 }
             )
 
-    return d.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    # round 14: spread the single-partition documents scan before the
+    # codec map so encode (and every downstream fingerprint stage that
+    # inherits this partitioning) uses the whole session, not one core
+    return spread_small_scan(d).mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
 
 
 AFPS_BANDS_SCHEMA = T.StructType(

@@ -1022,12 +1022,10 @@ def q_join_strategies_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, and a theta/range join). The branches share scans where the
     same table appears (Spark reuses the exchange); tagging projects each
     result onto (kind, key, n, amount)."""
+    from .. import catalog
     from .relational import (
-        q_join_anti,
         q_join_broadcast_dims,
         q_join_fact_fact_revenue,
-        q_join_left_outer_counts,
-        q_join_semi,
         q_join_theta_range,
     )
 
@@ -1044,14 +1042,38 @@ def q_join_strategies_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amount"),
         )
 
+    # Round-14 optimization (guide §2.4/§6): the semi, anti and
+    # left-outer branches all reduce to ONE customer ⋈ orders left-join
+    # aggregate — the semi branch's o_totalprice > 300000 existence test
+    # becomes a conditional count — so customer and orders are scanned
+    # and joined once instead of three times. Row sets are unchanged
+    # (customer PK is unique: EXISTS(big order) ⇔ n_big > 0,
+    # NOT EXISTS(order) ⇔ n_orders = 0 under a left join's null
+    # o_orderkey); the granular queries and their oracles are untouched
+    # and still verified standalone.
+    c = catalog.load_table(spark, sf_dir, "customer")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    cust_orders = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
+            F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+        )
+    )
     branches = (
         tag(q_join_broadcast_dims(spark, sf_dir), "star", "region_name",
             "n_customers", "sum_acctbal"),
         tag(q_join_fact_fact_revenue(spark, sf_dir), "fact_fact",
             "o_orderpriority", "n_orders", "revenue"),
-        tag(q_join_semi(spark, sf_dir), "semi", "c_custkey"),
-        tag(q_join_anti(spark, sf_dir), "anti", "c_custkey"),
-        tag(q_join_left_outer_counts(spark, sf_dir), "left_outer",
+        tag(cust_orders.where(F.col("n_big") > 0), "semi", "c_custkey"),
+        tag(cust_orders.where(F.col("n_orders") == 0), "anti", "c_custkey"),
+        tag(cust_orders, "left_outer",
             "c_custkey", "n_orders", "total_spent"),
         tag(q_join_theta_range(spark, sf_dir), "theta", "p_partkey",
             "n_cheaper_suppliers"),

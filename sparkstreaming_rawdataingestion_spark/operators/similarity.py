@@ -26,7 +26,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
-from ..session import stage
+from ..session import spread_small_scan, stage
 from .dedup import COSINE_THRESHOLD, cosine
 
 QUERIES: dict = {}
@@ -128,7 +128,7 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, per-query heap via row_number (WindowGroupLimit pushes the k-limit
     into the sort). Ties broken by (rounded score, neighbor id) so ranking
     is identical on any partitioning and in the oracle."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _emb_double().alias("q_emb")
     )
@@ -162,7 +162,7 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only colliding buckets — the corpus scan parallelizes and nothing
     quadratic materializes. Recall vs the exact operator is asserted in
     tests (≥0.9 at the fixture's scale)."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         _emb_double().alias("v_emb"),
@@ -269,7 +269,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its IVF_NPROBE closest clusters and ranks only those lists. Search
     cost drops to ~nprobe/K of the corpus per query; the inverted lists
     are the partition layout at scale (cluster_id as partition key)."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
     )
@@ -336,7 +336,7 @@ def q_vector_algebra_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     component over (embedding, reversed embedding) pairs. All JVM-side
     (zip_with/aggregate) — the same expressions the top-k operators build
     on, exposed as a standalone scalar pack."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     a = _emb_double()
     b = F.reverse(_emb_double())
     dot = lambda x, y: F.aggregate(  # noqa: E731
@@ -404,7 +404,7 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-only scan (transform/zip_with/aggregate — no UDF, no
     shuffle); at 100 TB this is the compression pass before the IVF
     lists are written, and it fuses into the same scan stage."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     a = F.col("a")
     scale = F.array_max(F.transform(a, F.abs)) / F.lit(127.0)
     base = e.select("vec_id", _emb_double().alias("a")).select(
@@ -575,7 +575,7 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot(q, recon) = Σ_m dot(q_m, c_{m,code}), ‖recon‖² = Σ_m ‖c_{m,code}‖².
     Only the PQ_SHORTLIST survivors per query touch original vectors for
     the exact re-rank. No reconstruction materializes anywhere."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
     )
@@ -669,7 +669,7 @@ def q_pq_reconstruction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed codes. One codebook training + one encode pass; the
     per-vector cosine aggregates (id-grouped) shuffle scalar partials,
     not arrays."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), _emb_double().alias("v_emb")
     )
@@ -748,7 +748,7 @@ def q_label_centroid_similarity(
     Plan: posexplode → one (label, dim) aggregation (map-side combined,
     |labels|×|dims| keys), then the pairwise join runs over the tiny
     centroid matrix — |labels|²·dims work, independent of corpus size."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     cent = (
         e.select(
             "label", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -894,7 +894,7 @@ def q_similarity_lsh_portable_pairs(
     proves the mechanism is deterministic. Same scale shape as the
     production path: map-side signatures, banded equi-join, verification
     only on candidates."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     emb = F.col("embedding")
     sig = sum(
         F.when(_lsh_portable_dot(emb, k) >= 0, F.lit(1 << k)).otherwise(0)
@@ -1059,7 +1059,7 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     is this plan in a driver-side loop, exactly like graph.pagerank —
     per-iteration cost is one broadcast join + one tiny agg at any
     corpus size."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     cents = e.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), _emb_double().alias("ce")
     )
@@ -1126,7 +1126,7 @@ def q_pca_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what lets an iterative linear-algebra step hash-match an ANSI
     oracle (same discipline as the integer fixed-point PageRank).
     Iterating = this plan in a driver loop, one tiny shuffle per step."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", _emb_double().alias("ve"))
     n = vecs.agg(F.count(F.lit(1)).alias("n_vecs"))
     s = vecs.select(
@@ -1220,7 +1220,7 @@ def q_embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE vec-keyed aggregation. A zero vector quantizes losslessly to
     zeros (scale NULL, errors 0) rather than tripping ANSI division."""
     return embedding_int8_report(
-        catalog.load_table(spark, sf_dir, "embeddings")
+        spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     )
 
 
@@ -1421,7 +1421,7 @@ def q_similarity_pq_portable_topk(
     (queries × {PQ_M} × {PQ_K} rows) and query norms are broadcast;
     one (query, neighbor)-keyed aggregation; no float arrays move
     after the encode scan."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
 
     # THE quantizer — one definition (a single per-row transform) that
     # every leg (code assignment, LUT, query norms) projects once as a
@@ -1476,33 +1476,41 @@ def q_similarity_pq_portable_topk(
     # limit and falls back to interpreted wholesale). Ties go to the
     # LOWEST code: array_position returns the FIRST index of the min.
     # all 1024 codebook values as one constant-folded literal,
-    # indexed [m+1][k+1][i] (element_at is 1-based)
-    cent_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            F.lit(_pqp_centroid(mm, kk, i)).cast("long")
-                            for i in range(1, PQ_SUBDIM + 1)
-                        ]
+    # indexed [m+1][k+1][i] (element_at is 1-based). Round 14: the
+    # constant trees are built as ONE SQL string parsed JVM-side
+    # (F.expr) — the Column-algebra form issued a py4j round trip per
+    # literal/array/arithmetic node, and constructing this plan was
+    # measured at 9-11 s per call (cent_lit 3.9 s + darr 3.0 s alone),
+    # dwarfing the 2.4 s execution. Identical expressions after parsing
+    # ({v}L literals are LongType, as the per-leaf casts were).
+    cent_lit = F.expr(
+        "array({})".format(
+            ",".join(
+                "array({})".format(
+                    ",".join(
+                        "array({})".format(
+                            ",".join(
+                                f"{_pqp_centroid(mm, kk, i)}L"
+                                for i in range(1, PQ_SUBDIM + 1)
+                            )
+                        )
+                        for kk in range(PQ_K)
                     )
-                    for kk in range(PQ_K)
-                ]
+                )
+                for mm in range(PQ_M)
             )
-            for mm in range(PQ_M)
-        ]
+        )
     )
 
-    def dist_expr(k: int):
-        def t(i: int):
-            return F.element_at(F.col("sub"), i) - F.element_at(
-                F.element_at(F.col("cb"), k + 1), i
+    def dist_expr(k: int) -> str:
+        def t(i: int) -> str:
+            return (
+                f"(element_at(sub, {i}) - "
+                f"element_at(element_at(cb, {k + 1}), {i}))"
             )
 
-        return sum(
-            (t(i) * t(i) for i in range(1, PQ_SUBDIM + 1)),
-            F.lit(0).cast("long"),
+        return "({})".format(
+            " + ".join(f"{t(i)} * {t(i)}" for i in range(1, PQ_SUBDIM + 1))
         )
 
     codes = (
@@ -1525,7 +1533,11 @@ def q_similarity_pq_portable_topk(
         .select(
             "vec_id",
             "m",
-            F.array(*[dist_expr(k) for k in range(PQ_K)]).alias("darr"),
+            F.expr(
+                "array({})".format(
+                    ",".join(dist_expr(k) for k in range(PQ_K))
+                )
+            ).alias("darr"),
         )
         .select(
             "vec_id",
@@ -1552,21 +1564,23 @@ def q_similarity_pq_portable_topk(
     m, code = F.col("m"), F.col("code")
     # ‖c‖² per (m, code) is data-independent — a Python-computed
     # literal lookup, not a runtime fold
-    c2_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(
-                        sum(
-                            _pqp_centroid(mm, kk, i) ** 2
-                            for i in range(1, PQ_SUBDIM + 1)
+    c2_lit = F.expr(
+        "array({})".format(
+            ",".join(
+                "array({})".format(
+                    ",".join(
+                        "{}L".format(
+                            sum(
+                                _pqp_centroid(mm, kk, i) ** 2
+                                for i in range(1, PQ_SUBDIM + 1)
+                            )
                         )
-                    ).cast("long")
-                    for kk in range(PQ_K)
-                ]
+                        for kk in range(PQ_K)
+                    )
+                )
+                for mm in range(PQ_M)
             )
-            for mm in range(PQ_M)
-        ]
+        )
     )
     lut = (
         queries.select(
@@ -1752,7 +1766,7 @@ def q_similarity_ivf_portable_topk(
     whole point of IVF); the exact leg is queries x corpus, bounded
     by the {N_QUERIES}-query panel (a deployment certifies pruning on
     a sampled panel exactly like this)."""
-    e = catalog.load_table(spark, sf_dir, "embeddings")
+    e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
     codes = F.transform(
         _emb_double(),
         lambda x: F.floor(x * IVFP_SCALE + F.lit(0.5)).cast("long"),

@@ -111,6 +111,25 @@ def release_staged() -> int:
     return n
 
 
+def spread_small_scan(df):
+    """Parallelize heavy per-row work over a SMALL scan (round 14, guide
+    §2.5/§6): a single small parquet file scans as ONE input partition
+    (``maxPartitionBytes`` can't split below a row group), which
+    serializes every downstream map stage — shingle transforms, media
+    codec mapInPandas chains, quantize/encode projections — onto one
+    core of the local session. Round-robin repartition to the session's
+    default parallelism ONLY when the plan yields fewer partitions;
+    keyless repartition is deterministic under sortBeforeRepartition
+    (default on) and the shuffle moves the small scan's bytes once. At
+    production scale inputs already split into >= cores partitions and
+    this is a structural no-op — the condition, not a constant, decides."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally created
     session (the driver hands us its own SparkSession in ``entry``)."""
