@@ -520,11 +520,16 @@ def minhash_signatures(sets: DataFrame) -> DataFrame:
             lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)),
         ).alias("hs"),
     )
+    # round 14: the 64 mixed-copy array_min columns are SQL strings
+    # parsed JVM-side — the Column-algebra loop cost ~4 s of py4j plan
+    # construction per invocation (the bench times plan build); the
+    # parsed expressions are identical ({a}L/{b}L literals == F.lit
+    # longs, % == pmod-free modulo in both forms).
     return hashed.select(
         "doc_id",
         *[
-            F.array_min(
-                F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % _P)
+            F.expr(
+                f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_P}L))"
             ).alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_MIXERS)
         ],
@@ -544,28 +549,21 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples, not shingle arrays."""
     sets = _shingle_sets(spark, sf_dir, materialize=True)
     sigs = minhash_signatures(sets)
-    sig_arr = F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_MIXERS))])
+    # band structs as one JVM-parsed expression (round 14 — same py4j
+    # plan-construction cut as minhash_signatures; identical SQL
+    # functions: named_struct == F.struct, xxhash64/concat_ws match)
+    band_structs = ",".join(
+        "named_struct('band', {bi}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            bi=bi,
+            cols=",".join(
+                f"m{bi * LSH_ROWS + ri}" for ri in range(LSH_ROWS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
     banded = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{bi * LSH_ROWS + ri}")
-                                    for ri in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")

@@ -98,6 +98,12 @@ def score_documents(d: DataFrame) -> DataFrame:
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (round-14 A/B): the curation chain consumes the scored
+    # frame from several stages, so a spread repartition here multiplies
+    # exchanges instead of parallelizing one heavy map — measured SLOWER
+    # interleaved at sf0.1 (curation 4.0 s → 4.7 s, training build
+    # 5.6 s → 8.0 s); the chain's own sha2 window exchange already
+    # redistributes before the expensive near-dup stages.
     return score_documents(catalog.load_table(spark, sf_dir, "documents"))
 
 
