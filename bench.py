@@ -124,6 +124,22 @@ concentrated in the staging-heavy class (pq_portable 7.8 s, minhash
 confirming the split division in-band; 75.74 s remains the round's
 clean-probe verified panel.
 
+Round-14 panel note (OPTIMIZATION round 1): no queries added, removed
+or renamed; timing methodology unchanged (plan build + noop-sink
+execution per run — the round's plan-CONSTRUCTION fixes are therefore
+honestly inside the timed region, where they always were). The round's
+sandbox throttles in multi-minute episodes (calibration probe 0.145 s
+to 1.9 s across runs on identical code — OPTIMIZATION_r14.md
+"Environment note"), so the round's optimization evidence is
+interleaved same-session A/B per query (tools/ab_git_r14.py), not
+panel deltas; the best-of-four full panel at round HEAD read 95.46 s
+(cal 0.235/0.184, visible throttle spikes on image_dhash/pagerank
+rows), with clean-probe solo meds for the former heavy tail:
+minhash 1.90 s (r13: 6.59), subframe containment 2.91 s (6.45),
+pq_portable 1.73 s (5.65), asym containment 2.74 s (3.05),
+ngram_jaccard 1.76 s (3.43), containment_pairs 1.74 s (3.73),
+dedup-cluster path 5.9 s interleaved (vs 9.9 at round start).
+
 Wedge-join variance note (round 6): graph_common_neighbors times
 4.8-6.5 s across REPEATED runs of identical code in one session (and
 6.13 s → 3.78 s → ~5.0 s across the r4/r5/r6 driver+local runs, with
