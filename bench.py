@@ -298,7 +298,10 @@ def _calibration_probe(spark) -> float:
 
 def main() -> None:
     from sparkstreaming_rawdataingestion_spark.queries import all_queries
-    from sparkstreaming_rawdataingestion_spark.session import get_spark
+    from sparkstreaming_rawdataingestion_spark.session import (
+        DEFAULT_CPUS,
+        get_spark,
+    )
 
     spark = get_spark(app_name="bench")
     registry = all_queries()
@@ -342,7 +345,12 @@ def main() -> None:
         # regression (bench_compare enforces this).
         "cal": [round(cal_start, 3), round(cal_end, 3)],
         "load": [round(load_before, 2), round(load_after, 2)],
-        "cpus": os.cpu_count(),
+        # the parallelism the session actually ran with (master
+        # local[$SPARK_GRAFT_CPUS] — session.DEFAULT_CPUS), NOT
+        # os.cpu_count(): the driver's low-core scaling run must see
+        # the core count it asked for (round-15 fix; the r14 8-core
+        # artifact carried "cpus": 32).
+        "cpus": DEFAULT_CPUS,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -71,15 +71,17 @@ def pagerank(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     (q_graph_pagerank_authority stages the underlying pair list once and
     derives the symmetrized edges as a map-only union over the cache).
     """
-    # The big payload, materialized ONCE and — round 14, guide §2.4 —
-    # cached PRE-PARTITIONED on the per-iteration join key: every rank
-    # iteration joins edges on ``src``, so hash-partitioning the cache
-    # on src lets all three joins read co-partitioned cache blocks
-    # instead of re-exchanging the full edge list per iteration (one
-    # staging exchange replaces three edge-sized join exchanges; at
-    # cluster scale spark.sql.shuffle.partitions sizes both the same
-    # way, so the partitioning still matches ENSURE_REQUIREMENTS).
-    edges = session.stage(edges.repartition("src"))
+    # The big payload, materialized ONCE. Round 14 cached it
+    # pre-partitioned on ``src`` (repartition before persist) hoping the
+    # three iteration joins would read co-partitioned cache; round 15
+    # REVERTED that: the after-plan gained exchanges (54 → 65 — the
+    # cache's hash partitioning did not satisfy the joins'
+    # ENSURE_REQUIREMENTS under AQE, so the edge list was re-exchanged
+    # anyway ON TOP of the staging repartition), the r14 builder's own
+    # win was 8% inside the noise band, and the driver regressed in
+    # both its runs (0.62x at 32 cores). Interleaved A/B on the revert:
+    # see OPTIMIZATION_r15.md (pagerank row).
+    edges = session.stage(edges)
     base = 15 * PAGERANK_SCALE // 100
     # ONE aggregation over the (exploded) edge list yields both degree
     # vectors — out-degree for contribution division, in-degree to find

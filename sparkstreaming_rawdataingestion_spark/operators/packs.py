@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from .. import catalog
+from .. import catalog, session
 from .relational import _davg, _dsum
 
 QUERIES: dict = {}
@@ -1053,7 +1053,13 @@ def q_join_strategies_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and still verified standalone.
     c = catalog.load_table(spark, sf_dir, "customer")
     o = catalog.load_table(spark, sf_dir, "orders")
-    cust_orders = (
+    # STAGED (round 15, verdict r14 #1): the aggregate is consumed by
+    # three branches; unstaged, Catalyst re-expanded the subtree per
+    # consumer — the r14 after-plan still scanned customer and orders
+    # 4x each (exchange count 24 → 28). stage() materializes the tiny
+    # one-row-per-customer frame once; the three branches read the
+    # cache (InMemoryTableScan x3, one scan of each base table).
+    cust_orders = session.stage(
         c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
         .groupBy("c_custkey")
         .agg(

@@ -186,6 +186,14 @@ def _stages(
     # full text bodies, which measured SLOWER interleaved at sf0.1
     # (curation 8.3 s → 11.1 s median) and at scale trades a cheap
     # keyed recompute for corpus-sized cache I/O. Recompute wins.
+    # Round-15 rejection (measured): the chain-once variant — stage ONE
+    # text-free keeper frame (doc_id, lang, score, n_copies, shingles)
+    # serving as both the near-dup index input and the anti-join left —
+    # removed the second chain run (curation plan: 38 → 27 Window
+    # reprints) but interleaved A/B read training_build 3.75 → 4.78 s
+    # med (6/6 pairs slower; AQE query stages 74 → 124 — every consumer
+    # of the fat cache plans behind extra stage boundaries) and
+    # curation flat (4.83 vs 4.88). The recompute form stands.
     exact_kept = _exact_kept(qual_kept)
     final = exact_kept.join(_near_dropped(exact_kept), "doc_id", "left_anti")
     stages["exact_dedup"] = exact_kept
