@@ -602,20 +602,30 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
+    # Round 15 (guide §4, py4j boundary): the 64 per-bit vote aggregates
+    # and the 64-term signature sum are JVM-parsed SQL strings — one
+    # round trip per expression instead of ~10 Column calls per bit
+    # (~4 s of pure plan construction measured in the r15 sweep). The
+    # parsed trees evaluate identically: CASE WHEN ≡ F.when/otherwise,
+    # (h >> i) & 1 ≡ shiftright/bitwiseAND, and shiftleft(1L, i) yields
+    # the same 2^i weights including the i=63 sign-bit value
+    # −2^63 ≡ the old -(1 << 63) literal.
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
-    sig = sum(
-        (
-            F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(0)
-            * F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+    sig = F.expr(
+        " + ".join(
+            f"((CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            f" * shiftleft(CAST(1 AS BIGINT), {i}))"
+            for i in range(64)
         )
-        for i in range(64)
     )
     return votes.select("doc_id", sig.alias("simhash"))
 
@@ -752,20 +762,29 @@ def simhash_portable_signatures(
     mixed = tok.select(
         "doc_id", m1.alias("m1"), ((m1 * _MIX2) % _M32).alias("m2")
     )
+    # Round 15 (guide §4): votes and signature as JVM-parsed SQL strings
+    # (one py4j round trip per expression; same trees — shiftright/&/
+    # CASE — as the former Column builds, so the oracle hash-match
+    # holds; re-verified). Bit source matches _PORTABLE_BIT_SQL: bits
+    # 0-15 from m1's high half, 16-31 from m2.
     bits = [
-        F.shiftright(F.col("m1"), 16 + i).bitwiseAND(F.lit(1))
+        f"(shiftright(m1, {16 + i}) & 1)"
         if i < 16
-        else F.shiftright(F.col("m2"), i).bitwiseAND(F.lit(1))
+        else f"(shiftright(m2, {i}) & 1)"
         for i in range(SIMHASH_PORTABLE_BITS)
     ]
     votes = mixed.groupBy("doc_id").agg(
-        *[F.sum(2 * b - 1).alias(f"v{i}") for i, b in enumerate(bits)]
+        *[
+            F.expr(f"sum(2 * {b} - 1) AS v{i}")
+            for i, b in enumerate(bits)
+        ]
     )
-    sig = sum(
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(SIMHASH_PORTABLE_BITS)
         )
-        for i in range(SIMHASH_PORTABLE_BITS)
     )
     return votes.select("doc_id", sig.alias("simhash"))
 

@@ -79,30 +79,37 @@ def _emb_double(col: str = "embedding") -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def _dot_literal(vec: Column, plane: list[float]) -> Column:
-    lit = F.array(*[F.lit(x) for x in plane])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+def _dot_literal_sql(col: str, plane: list[float]) -> str:
+    """SQL text of the plane dot product — parses to the same tree the
+    former Column form built (zip_with over a literal double array,
+    left-fold sum seeded 0.0), so signs/buckets are bit-identical; built
+    as ONE string so the whole 32-plane band array costs one py4j round
+    trip instead of ~2000 (round 15, guide §4 — the r15 sweep measured
+    similarity_topk_lsh at 7.7 s of pure plan construction)."""
+    lits = ", ".join(f"{x!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({col}, array({lits}), (a, b) -> a * b), "
+        f"0.0D, (s, v) -> s + v)"
     )
 
 
-def rp_bands(vec: Column) -> Column:
-    """Array of LSH_BANDS (band_idx, bucket) structs for a vector: bucket =
-    the band's LSH_BITS sign bits packed into an int."""
+def rp_bands(col: str) -> Column:
+    """Array of LSH_BANDS (band_idx, bucket) structs for the vector in
+    column ``col``: bucket = the band's LSH_BITS sign bits packed into an
+    int. One JVM-parsed expression string (module note on
+    _dot_literal_sql)."""
     bits = [
-        F.when(_dot_literal(vec, HYPERPLANES[p]) >= 0, 1).otherwise(0)
+        f"(CASE WHEN {_dot_literal_sql(col, HYPERPLANES[p])} >= 0"
+        f" THEN 1 ELSE 0 END)"
         for p in range(N_PLANES)
     ]
     bands = []
     for b in range(LSH_BANDS):
-        bucket = None
-        for i in range(LSH_BITS):
-            term = bits[b * LSH_BITS + i] * F.lit(1 << i)
-            bucket = term if bucket is None else bucket + term
-        bands.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        bucket = " + ".join(
+            f"({bits[b * LSH_BITS + i]} * {1 << i})" for i in range(LSH_BITS)
         )
-    return F.array(*bands)
+        bands.append(f"named_struct('band', {b}, 'bucket', {bucket})")
+    return F.expr(f"array({', '.join(bands)})")
 
 
 _BRUTEFORCE_ORACLE = f"""
@@ -166,13 +173,13 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         _emb_double().alias("v_emb"),
-    ).withColumn("bb", F.explode(rp_bands(F.col("v_emb")))).select(
+    ).withColumn("bb", F.explode(rp_bands("v_emb"))).select(
         "neighbor_id", "v_emb", "bb.band", "bb.bucket"
     )
     queries = (
         e.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), _emb_double().alias("q_emb"))
-        .withColumn("bb", F.explode(rp_bands(F.col("q_emb"))))
+        .withColumn("bb", F.explode(rp_bands("q_emb")))
         .select("query_id", "q_emb", "bb.band", "bb.bucket")
     )
     candidates = (
@@ -851,24 +858,6 @@ FROM scored WHERE cos >= {COSINE_THRESHOLD}
 """
 
 
-def _lsh_portable_dot(col, k: int):
-    """Sequential left-fold dot of ``col`` with deterministic plane k —
-    identical operand order to the oracle's list_reduce."""
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(_LSH_DIMS)),
-            lambda i: F.element_at(col, i).cast("double")
-            * (
-                ((F.lit(k) * _LSH_DIMS + i.cast("long")) * _LSH_MIX)
-                % _LSH_M32
-                - 2147483648.0
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _seq_fold_dot(a, b):
     return F.aggregate(
         F.transform(
@@ -895,10 +884,25 @@ def q_similarity_lsh_portable_pairs(
     production path: map-side signatures, banded equi-join, verification
     only on candidates."""
     e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
-    emb = F.col("embedding")
-    sig = sum(
-        F.when(_lsh_portable_dot(emb, k) >= 0, F.lit(1 << k)).otherwise(0)
-        for k in range(LSH_PORTABLE_BITS)
+    # Round 15 (guide §4): the 16 fold-dot sign terms as ONE JVM-parsed
+    # SQL string (was ~16 lambda Column builds — a py4j round trip per
+    # node). The parsed tree is the same sequential left fold with the
+    # same integer plane weights, so signatures stay bit-identical and
+    # the oracle hash-match holds (re-verified).
+    def dot_sql(k: int) -> str:
+        return (
+            f"aggregate(transform(sequence(1, {_LSH_DIMS}), "
+            f"i -> CAST(element_at(embedding, i) AS DOUBLE) * "
+            f"(((({k} * {_LSH_DIMS}) + CAST(i AS BIGINT)) * {_LSH_MIX}) "
+            f"% {_LSH_M32} - 2147483648.0D)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN {dot_sql(k)} >= 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(LSH_PORTABLE_BITS)
+        )
     )
     sigs = stage(
         e.select("vec_id", "embedding", sig.alias("s"))
