@@ -858,6 +858,32 @@ FROM scored WHERE cos >= {COSINE_THRESHOLD}
 """
 
 
+def lsh_portable_sig(col: str = "embedding") -> Column:
+    """16-bit portable LSH signature of the vector in column ``col`` —
+    round 15 (guide §4): the 16 fold-dot sign terms as ONE JVM-parsed
+    SQL string (was ~16 lambda Column builds, a py4j round trip per
+    node — 7.9 s of plan construction in the r15 sweep). The parsed
+    tree is the same sequential left fold with the same integer plane
+    weights, so signatures stay bit-identical and the oracle hash-match
+    holds (re-verified; equivalence pinned in tests/test_round15_ops.py)."""
+
+    def dot_sql(k: int) -> str:
+        return (
+            f"aggregate(transform(sequence(1, {_LSH_DIMS}), "
+            f"i -> CAST(element_at({col}, i) AS DOUBLE) * "
+            f"(((({k} * {_LSH_DIMS}) + CAST(i AS BIGINT)) * {_LSH_MIX}) "
+            f"% {_LSH_M32} - 2147483648.0D)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN {dot_sql(k)} >= 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(LSH_PORTABLE_BITS)
+        )
+    )
+
+
 def _seq_fold_dot(a, b):
     return F.aggregate(
         F.transform(
@@ -884,28 +910,8 @@ def q_similarity_lsh_portable_pairs(
     production path: map-side signatures, banded equi-join, verification
     only on candidates."""
     e = spread_small_scan(catalog.load_table(spark, sf_dir, "embeddings"))
-    # Round 15 (guide §4): the 16 fold-dot sign terms as ONE JVM-parsed
-    # SQL string (was ~16 lambda Column builds — a py4j round trip per
-    # node). The parsed tree is the same sequential left fold with the
-    # same integer plane weights, so signatures stay bit-identical and
-    # the oracle hash-match holds (re-verified).
-    def dot_sql(k: int) -> str:
-        return (
-            f"aggregate(transform(sequence(1, {_LSH_DIMS}), "
-            f"i -> CAST(element_at(embedding, i) AS DOUBLE) * "
-            f"(((({k} * {_LSH_DIMS}) + CAST(i AS BIGINT)) * {_LSH_MIX}) "
-            f"% {_LSH_M32} - 2147483648.0D)), "
-            f"0.0D, (acc, x) -> acc + x)"
-        )
-
-    sig = F.expr(
-        " + ".join(
-            f"(CASE WHEN {dot_sql(k)} >= 0 THEN {1 << k} ELSE 0 END)"
-            for k in range(LSH_PORTABLE_BITS)
-        )
-    )
     sigs = stage(
-        e.select("vec_id", "embedding", sig.alias("s"))
+        e.select("vec_id", "embedding", lsh_portable_sig().alias("s"))
     )
     chunks = sigs.select(
         "vec_id",
